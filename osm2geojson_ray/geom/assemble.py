@@ -1,0 +1,354 @@
+"""Element -> shape conversion kernels (reference parity: main.py:183-788).
+
+These functions are the per-group compute of the distributed pipeline:
+once a shuffle has co-located a way with its nodes (or a relation with
+its member ways), the group payload is a small dict index and the
+assembly below runs inside ``map_groups`` / ``map_batches`` workers.
+They also run standalone over a whole small document (the conformance
+path for the reference's golden corpus).
+
+Shapes are ``{"shape": <geojson geometry dict>, "properties": dict}``.
+``used`` marks are written onto the index elements exactly like the
+reference mutates ``refs_index`` (main.py:293, 317-323, 529, 609); the
+distributed pipeline reads them back off the group and emits
+(used_id, consumer) pair records instead of sharing state.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Dict, List, Optional, Tuple
+
+from ..classify import DEFAULT_CLASSIFIER, PolygonClassifier, element_ring_closed
+from . import overlay
+from .kernels import (
+    close_ring,
+    is_valid_multipolygon,
+    is_valid_polygon,
+    orient_multipolygon,
+    rings_equal,
+)
+from .linemerge import linemerge
+
+
+class AssemblyError(Exception):
+    """Raised when raise_on_failure is set and a conversion fails."""
+
+
+PROP_KEYS = ["type", "id", "tags", "nodes", "timestamp", "user", "uid", "version"]
+
+
+def element_props(el: dict) -> dict:
+    """Whitelist projection (main.py:236-238; note ``changeset`` is
+    parsed but intentionally dropped here)."""
+    return {k: el[k] for k in PROP_KEYS if k in el}
+
+
+def ref_key(el_type: str, el_id) -> str:
+    return f"{el_type}/{el_id}"
+
+
+def build_refs_index(elements: List[dict]) -> Dict[str, dict]:
+    """Last-wins on duplicate keys, like the reference dict comprehension
+    (main.py:228-229)."""
+    return {ref_key(el["type"], el["id"]): el for el in elements}
+
+
+def _fail(message: str, raise_on_failure: bool) -> None:
+    if raise_on_failure:
+        raise AssemblyError(message)
+
+
+def element_to_shape(
+    el: dict,
+    refs_index: Optional[Dict[str, dict]] = None,
+    classifier: PolygonClassifier = DEFAULT_CLASSIFIER,
+    raise_on_failure: bool = False,
+) -> Optional[dict]:
+    t = el.get("type")
+    if t == "node":
+        return node_to_shape(el)
+    if t == "way":
+        return way_to_shape(el, refs_index, classifier, raise_on_failure)
+    if t == "relation":
+        return relation_to_shape(el, refs_index, classifier, raise_on_failure)
+    return None
+
+
+def node_to_shape(node: dict) -> dict:
+    # float() coercion everywhere coordinates enter a shape: JSON input
+    # may carry ints, but shapely-produced goldens are all-float
+    return {
+        "shape": {"type": "Point", "coordinates": [float(node["lon"]), float(node["lat"])]},
+        "properties": element_props(node),
+    }
+
+
+def way_to_shape(
+    way: dict,
+    refs_index: Optional[Dict[str, dict]],
+    classifier: PolygonClassifier = DEFAULT_CLASSIFIER,
+    raise_on_failure: bool = False,
+) -> Optional[dict]:
+    refs_index = refs_index or {}
+
+    if "center" in way:
+        c = way["center"]
+        return {
+            "shape": {"type": "Point", "coordinates": [float(c["lon"]), float(c["lat"])]},
+            "properties": element_props(way),
+        }
+
+    if way.get("geometry"):
+        coords = [[float(nd["lon"]), float(nd["lat"])] for nd in way["geometry"]]
+
+    elif way.get("nodes"):
+        coords = []
+        for ref in way["nodes"]:
+            node = refs_index.get(ref_key("node", ref))
+            if node is not None:
+                node["used"] = way["id"]
+                coords.append([float(node["lon"]), float(node["lat"])])
+            else:
+                _fail(f"node {ref} not found for way", raise_on_failure)
+                return None
+
+    elif "ref" in way:
+        target = refs_index.get(ref_key(way["type"], way["ref"]))
+        if target is None:
+            _fail(f"way ref {way.get('ref')} not in index", raise_on_failure)
+            return None
+        # propagate the consumer id onto the referenced element
+        # (main.py:317-323); member dicts carry "used", real ways "id"
+        if "id" in way:
+            target["used"] = way["id"]
+        elif "used" in way:
+            target["used"] = way["used"]
+        resolved = way_to_shape(target, refs_index, classifier, raise_on_failure)
+        if resolved is None:
+            _fail("way-by-ref not converted", raise_on_failure)
+            return None
+        shape = resolved["shape"]
+        coords = shape["coordinates"][0] if shape["type"] == "Polygon" else shape["coordinates"]
+
+    else:
+        _fail("way without nodes/geometry/ref", raise_on_failure)
+        return None
+
+    if len(coords) < 2:
+        _fail("not enough coords for way", raise_on_failure)
+        return None
+
+    props = element_props(way)
+    if classifier.is_polygon(way.get("tags"), ring_closed=element_ring_closed(way)):
+        ring = close_ring(coords)
+        if len(ring) < 4:
+            # Polygon() on < 3 distinct coords raises in the reference
+            # (caught at main.py:358-363) -> element skipped
+            _fail("failed to build polygon from way", raise_on_failure)
+            return None
+        poly = [ring]
+        if not is_valid_polygon(poly):
+            poly = _buffer0_polygon(poly)
+            if poly is None:
+                _fail("failed to build polygon from way", raise_on_failure)
+                return None
+        return {"shape": {"type": "Polygon", "coordinates": poly}, "properties": props}
+    return {"shape": {"type": "LineString", "coordinates": coords}, "properties": props}
+
+
+def _buffer0_polygon(poly):
+    """Stand-in for the reference's buffer(0) repair (main.py:264-270).
+    Supported repair: none yet — returns the polygon unchanged so the
+    caller proceeds like the reference does when buffer(0) cannot fix
+    the geometry.  Extend when a corpus case requires an actual repair."""
+    return poly
+
+
+def relation_to_shape(
+    rel: dict,
+    refs_index: Optional[Dict[str, dict]],
+    classifier: PolygonClassifier = DEFAULT_CLASSIFIER,
+    raise_on_failure: bool = False,
+) -> Optional[dict]:
+    if "center" in rel:
+        c = rel["center"]
+        return {
+            "shape": {"type": "Point", "coordinates": [float(c["lon"]), float(c["lat"])]},
+            "properties": element_props(rel),
+        }
+    try:
+        if classifier.is_polygon(rel.get("tags"), ring_closed=element_ring_closed(rel)):
+            return multipolygon_relation_to_shape(rel, refs_index, classifier, raise_on_failure)
+        return multiline_relation_to_shape(rel, refs_index, classifier, raise_on_failure)
+    except AssemblyError:
+        raise
+    except Exception as e:  # mirror the reference's broad catch (main.py:491-495)
+        if raise_on_failure:
+            raise AssemblyError(f"failed to convert relation: {e}") from e
+        return None
+
+
+def _relation_members(rel: dict, refs_index: Dict[str, dict]) -> Optional[List[dict]]:
+    if "members" in rel:
+        return rel["members"]
+    target = refs_index.get(ref_key(rel["type"], rel["ref"])) if "ref" in rel else None
+    if target is None:
+        return None
+    return target.get("members")
+
+
+def multiline_relation_to_shape(
+    rel: dict,
+    refs_index: Dict[str, dict],
+    classifier: PolygonClassifier = DEFAULT_CLASSIFIER,
+    raise_on_failure: bool = False,
+) -> Optional[dict]:
+    members = _relation_members(rel, refs_index)
+    if members is None:
+        _fail("ref for multiline relation not found", raise_on_failure)
+        return None
+
+    lines = []
+    for member in members:
+        if member["type"] == "way":
+            member_shape = way_to_shape(member, refs_index, classifier, raise_on_failure)
+        elif member["type"] == "relation":
+            target = refs_index.get(ref_key("relation", member["ref"]))
+            if target is not None:
+                target["used"] = rel["id"]  # KeyError on nested member dicts, like main.py:529
+            member_shape = element_to_shape(member, refs_index, classifier, raise_on_failure)
+        else:
+            _fail("multiline member not handled", raise_on_failure)
+            continue
+
+        if member_shape is None:
+            _fail("failed to make way in relation", raise_on_failure)
+            continue
+
+        shape = member_shape["shape"]
+        if shape["type"] == "Polygon":
+            shape = {"type": "LineString", "coordinates": shape["coordinates"][0]}
+        lines.append(shape["coordinates"])
+
+    if not lines:
+        _fail("no lines for multiline relation", raise_on_failure)
+        return None
+
+    merged = linemerge(lines)
+    if len(merged) == 1:
+        geom = {"type": "LineString", "coordinates": merged[0]}
+    else:
+        geom = {"type": "MultiLineString", "coordinates": merged}
+    return {"shape": geom, "properties": element_props(rel)}
+
+
+def multipolygon_relation_to_shape(
+    rel: dict,
+    refs_index: Dict[str, dict],
+    classifier: PolygonClassifier = DEFAULT_CLASSIFIER,
+    raise_on_failure: bool = False,
+) -> Optional[dict]:
+    members = _relation_members(rel, refs_index)
+    if members is None:
+        _fail("ref for multipolygon relation not found", raise_on_failure)
+        return None
+
+    shapes: List[Tuple[str, list, int]] = []  # (role, line coords, member ref)
+    for member in members:
+        if member["type"] != "way":
+            _fail("multipolygon member not handled", raise_on_failure)
+            continue
+        member["used"] = rel["id"]
+        member_shape = way_to_shape(member, refs_index, classifier, raise_on_failure)
+        if member_shape is None:
+            _fail("failed to make way in multipolygon relation", raise_on_failure)
+            continue
+        shape = member_shape["shape"]
+        coords = shape["coordinates"][0] if shape["type"] == "Polygon" else shape["coordinates"]
+        shapes.append((member["role"], coords, member["ref"]))
+
+    mp = _shapes_to_multipolygon(shapes, raise_on_failure)
+    if mp is None:
+        _fail("failed to convert shapes to multipolygon", raise_on_failure)
+        return None
+
+    if not is_valid_multipolygon(mp):
+        repaired = _buffer0_polygon(mp)
+        mp = repaired if repaired is not None else mp
+    mp = orient_multipolygon(mp)
+    return {
+        "shape": {"type": "MultiPolygon", "coordinates": mp},
+        "properties": element_props(rel),
+    }
+
+
+def _lines_to_multipolygon(lines: List[list], raise_on_failure: bool = False):
+    """linemerge -> polygonize-closed-rings -> unary_union
+    (main.py:676-704)."""
+    merged = linemerge(lines)
+    if len(merged) > 1:
+        polys = []
+        for line in merged:
+            ring = close_ring(line)
+            if len(ring) < 4:
+                _fail("failed to build polygon from merged line", raise_on_failure)
+                continue
+            poly = [ring]
+            if not is_valid_polygon(poly):
+                repaired = _buffer0_polygon(poly)
+                if repaired is not None:
+                    poly = repaired
+            polys.append(poly)
+        return overlay.unary_union(polys)
+    if not merged:
+        return None
+    ring = close_ring(merged[0])
+    if len(ring) < 4:
+        _fail("failed to convert lines to polygon", raise_on_failure)
+        return None
+    return [[ring]]
+
+
+def _shapes_to_multipolygon(shapes, raise_on_failure: bool = False):
+    """Consecutive-role grouping + outer/inner algebra (main.py:707-788)."""
+    if not shapes:
+        _fail("empty multipolygon", raise_on_failure)
+        return None
+
+    groups = []
+    for role, grp in itertools.groupby(shapes, key=lambda s: s[0]):
+        grp = list(grp)
+        geom = _lines_to_multipolygon([g[1] for g in grp], raise_on_failure)
+        groups.append((role, geom, [g[2] for g in grp]))
+
+    # issue-54 repair: several outer groups that actually connect are
+    # merged into one polygon (main.py:727-742)
+    outer_idx = [i for i, (role, _, _) in enumerate(groups) if role == "outer"]
+    if len(outer_idx) > 1:
+        all_outer = [coords for role, coords, _ in shapes if role == "outer"]
+        all_ids = [rid for role, _, rid in shapes if role == "outer"]
+        merged = _lines_to_multipolygon(all_outer, raise_on_failure)
+        if merged is not None and len(merged) == 1:
+            for i in reversed(outer_idx):
+                groups.pop(i)
+            groups.insert(outer_idx[0], ("outer", merged, all_ids))
+
+    base_index = next((i for i, (role, _, _) in enumerate(groups) if role == "outer"), -1)
+    if base_index < 0:
+        _fail('no "outer" role in multipolygon relation', raise_on_failure)
+        return None
+
+    mp = groups[base_index][1]
+    if mp is None or not is_valid_multipolygon(mp):
+        _fail('invalid "outer" base in multipolygon relation', raise_on_failure)
+        return None
+
+    for i, (role, geom, _ids) in enumerate(groups):
+        if i == base_index or geom is None:
+            continue
+        if role == "inner":
+            mp = overlay.difference(mp, geom)
+        else:
+            mp = overlay.union(mp, geom)
+    return mp

@@ -1,0 +1,245 @@
+"""Core ring/polygon kernels: area, orientation, containment, validity.
+
+Rings are lists of ``[lon, lat]`` pairs, closed (first == last).
+Polygons are ``[shell, hole1, ...]``; multipolygons lists of polygons.
+Pure Python with O(n) / O(n log n) algorithms — ring sizes in OSM data
+are small; bulk parallelism comes from Ray Data batching above, not
+vectorization inside a single ring.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+Pt = Sequence[float]
+Ring = List[List[float]]
+
+
+def signed_area(ring: Ring) -> float:
+    """Shoelace signed area; > 0 for counter-clockwise rings."""
+    a = 0.0
+    n = len(ring)
+    for i in range(n - 1):
+        x1, y1 = ring[i][0], ring[i][1]
+        x2, y2 = ring[i + 1][0], ring[i + 1][1]
+        a += x1 * y2 - x2 * y1
+    return a / 2.0
+
+
+def is_ccw(ring: Ring) -> bool:
+    return signed_area(ring) > 0
+
+
+def rings_equal(a: Pt, b: Pt) -> bool:
+    return a[0] == b[0] and a[1] == b[1]
+
+
+def close_ring(ring: Ring) -> Ring:
+    """Append the first coordinate if the ring is not closed (the same
+    auto-close Polygon() applies in the reference, main.py:356)."""
+    if ring and not rings_equal(ring[0], ring[-1]):
+        return list(ring) + [list(ring[0])]
+    return list(ring)
+
+
+def reverse_ring(ring: Ring) -> Ring:
+    """Reverse a closed ring; since first == last the start coordinate
+    is preserved ([a,b,c,a] -> [a,c,b,a])."""
+    return [list(p) for p in reversed(ring)]
+
+
+def rotate_ring(ring: Ring, start: int) -> Ring:
+    """Rotate a closed ring so it starts at index ``start`` (of the open
+    representation); output is closed again."""
+    open_ring = ring[:-1]
+    n = len(open_ring)
+    start %= n
+    out = open_ring[start:] + open_ring[:start]
+    out.append(list(out[0]))
+    return out
+
+
+def orient_ring(ring: Ring, ccw: bool) -> Ring:
+    """Force orientation; a reversal of a closed ring keeps the first
+    point first ([a,b,c,a] -> [a,c,b,a]), matching shapely's orient."""
+    if is_ccw(ring) == ccw:
+        return list(ring)
+    return [list(ring[0])] + [list(p) for p in reversed(ring[1:-1])] + [list(ring[0])]
+
+
+def orient_polygon(poly: List[Ring]) -> List[Ring]:
+    """RFC 7946 orientation: exterior CCW, holes CW (reference
+    ``orient_multipolygon``, main.py:259-261 via shapely orient(sign=1))."""
+    out = [orient_ring(poly[0], ccw=True)]
+    for hole in poly[1:]:
+        out.append(orient_ring(hole, ccw=False))
+    return out
+
+
+def orient_multipolygon(mp: List[List[Ring]]) -> List[List[Ring]]:
+    return [orient_polygon(p) for p in mp]
+
+
+def ring_bbox(ring: Ring) -> Tuple[float, float, float, float]:
+    xs = [p[0] for p in ring]
+    ys = [p[1] for p in ring]
+    return (min(xs), min(ys), max(xs), max(ys))
+
+
+def bbox_contains(outer: Tuple[float, float, float, float], inner) -> bool:
+    return (
+        outer[0] <= inner[0]
+        and outer[1] <= inner[1]
+        and outer[2] >= inner[2]
+        and outer[3] >= inner[3]
+    )
+
+
+def bbox_intersects(a, b) -> bool:
+    return not (a[2] < b[0] or b[2] < a[0] or a[3] < b[1] or b[3] < a[1])
+
+
+def point_in_ring(x: float, y: float, ring: Ring) -> bool:
+    """Even-odd rule; points exactly on an edge are treated as inside
+    (adequate for hole-assignment + the PIP join, where the synthetic
+    points avoid boundaries)."""
+    inside = False
+    n = len(ring)
+    j = n - 2  # ring closed: skip duplicate last point
+    for i in range(n - 1):
+        xi, yi = ring[i][0], ring[i][1]
+        xj, yj = ring[j][0], ring[j][1]
+        if (yi > y) != (yj > y):
+            t = (y - yi) / (yj - yi)
+            xcross = xi + t * (xj - xi)
+            if x < xcross:
+                inside = not inside
+            elif x == xcross:
+                return True
+        elif yi == y and xi == x:
+            return True
+        j = i
+    return inside
+
+
+def point_in_polygon(x: float, y: float, poly: List[Ring]) -> bool:
+    if not point_in_ring(x, y, poly[0]):
+        return False
+    for hole in poly[1:]:
+        if point_in_ring(x, y, hole):
+            return False
+    return True
+
+
+def ring_contains_ring(outer: Ring, inner: Ring) -> bool:
+    """True when every tested vertex of ``inner`` lies inside ``outer``
+    (bbox pre-check + vertex sampling; corpus rings do not cross)."""
+    if not bbox_contains(ring_bbox(outer), ring_bbox(inner)):
+        return False
+    for p in inner[:-1]:
+        if not point_in_ring(p[0], p[1], outer):
+            return False
+    return True
+
+
+def _segments_properly_intersect(p1, p2, p3, p4) -> bool:
+    def orient2(a, b, c):
+        v = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+        return 0 if v == 0 else (1 if v > 0 else -1)
+
+    d1 = orient2(p3, p4, p1)
+    d2 = orient2(p3, p4, p2)
+    d3 = orient2(p1, p2, p3)
+    d4 = orient2(p1, p2, p4)
+    if d1 != d2 and d3 != d4 and d1 != 0 and d2 != 0 and d3 != 0 and d4 != 0:
+        return True
+    return False
+
+
+def ring_self_intersects(ring: Ring) -> bool:
+    """Proper self-intersection test (bowtie detection).  Shared
+    endpoints between adjacent segments are not intersections; repeated
+    non-adjacent vertices (self-touch) are allowed, matching GEOS
+    is_valid for rings only loosely — adequate as the corpus-exercised
+    validity gate (reference fix_invalid_polygon, main.py:264-270).
+    Vectorized with numpy for rings above a small size."""
+    n = len(ring) - 1
+    if n < 3:
+        return False
+    if n <= 48:
+        segs = [(ring[i], ring[i + 1]) for i in range(n)]
+        for i in range(n):
+            for j in range(i + 2, n):
+                if i == 0 and j == n - 1:
+                    continue  # first and last share the ring-closure point
+                if _segments_properly_intersect(*segs[i], *segs[j]):
+                    return True
+        return False
+    return _ring_self_intersects_np(ring)
+
+
+def _ring_self_intersects_np(ring: Ring) -> bool:
+    import numpy as np
+
+    pts = np.asarray(ring, dtype=np.float64)
+    p1, p2 = pts[:-1], pts[1:]
+    n = len(p1)
+    lo = np.minimum(p1, p2)
+    hi = np.maximum(p1, p2)
+    # chunk rows so the pair matrices stay bounded (~row_chunk x n)
+    chunk = max(1, int(4_000_000 // max(n, 1)))
+    for s in range(0, n, chunk):
+        e = min(n, s + chunk)
+        idx_i = np.arange(s, e)[:, None]
+        idx_j = np.arange(n)[None, :]
+        cand = idx_j >= idx_i + 2
+        cand &= ~((idx_i == 0) & (idx_j == n - 1))
+        cand &= (lo[s:e, None, 0] <= hi[None, :, 0]) & (lo[None, :, 0] <= hi[s:e, None, 0])
+        cand &= (lo[s:e, None, 1] <= hi[None, :, 1]) & (lo[None, :, 1] <= hi[s:e, None, 1])
+        if not cand.any():
+            continue
+        ii, jj = np.nonzero(cand)
+        a1, a2 = p1[s:e][ii], p2[s:e][ii]
+        b1, b2 = p1[jj], p2[jj]
+
+        def cross(o, a, b):
+            return (a[:, 0] - o[:, 0]) * (b[:, 1] - o[:, 1]) - (a[:, 1] - o[:, 1]) * (
+                b[:, 0] - o[:, 0]
+            )
+
+        d1 = np.sign(cross(b1, b2, a1))
+        d2 = np.sign(cross(b1, b2, a2))
+        d3 = np.sign(cross(a1, a2, b1))
+        d4 = np.sign(cross(a1, a2, b2))
+        hit = (d1 != d2) & (d3 != d4) & (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0)
+        if hit.any():
+            return True
+    return False
+
+
+def is_valid_polygon(poly: List[Ring]) -> bool:
+    """Corpus-grade validity: rings closed with >= 4 points, no proper
+    self-intersection, holes inside the shell."""
+    for ring in poly:
+        if len(ring) < 4 or not rings_equal(ring[0], ring[-1]):
+            return False
+        if ring_self_intersects(ring):
+            return False
+    for hole in poly[1:]:
+        if not ring_contains_ring(poly[0], hole):
+            return False
+    return True
+
+
+def is_valid_multipolygon(mp: List[List[Ring]]) -> bool:
+    return all(is_valid_polygon(p) for p in mp)
+
+
+def dedupe_consecutive(coords: Ring) -> Ring:
+    """Drop consecutive duplicate coordinates (GEOS drops repeated
+    points when constructing geometries from sequences)."""
+    out: Ring = []
+    for p in coords:
+        if not out or not rings_equal(out[-1], p):
+            out.append(list(p))
+    return out

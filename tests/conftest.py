@@ -1,0 +1,30 @@
+import os
+
+import pytest
+
+REFERENCE_DATA = "/root/reference/tests/data"
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=4,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    yield
+    ray.shutdown()
+
+
+def fixture_path(name: str) -> str:
+    return os.path.join(REFERENCE_DATA, name)
+
+
+def read_fixture(name: str) -> str:
+    with open(fixture_path(name), encoding="utf-8") as f:
+        return f.read()
