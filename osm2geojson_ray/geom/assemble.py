@@ -102,6 +102,13 @@ def way_to_shape(
     if way.get("geometry"):
         coords = [[float(nd["lon"]), float(nd["lat"])] for nd in way["geometry"]]
 
+    elif way.get("_coords") is not None:
+        # distributed path: node coordinates already resolved by the
+        # way⋈node shuffle; classifier closure still follows the
+        # original `nodes` refs (element_ring_closed), preserving the
+        # reference's node-id-based open-ring semantics
+        coords = [list(c) for c in way["_coords"]]
+
     elif way.get("nodes"):
         coords = []
         for ref in way["nodes"]:
@@ -217,7 +224,14 @@ def multiline_relation_to_shape(
             target = refs_index.get(ref_key("relation", member["ref"]))
             if target is not None:
                 target["used"] = rel["id"]  # KeyError on nested member dicts, like main.py:529
-            member_shape = element_to_shape(member, refs_index, classifier, raise_on_failure)
+            if target is not None and "_shape" in target:
+                # distributed path: nested relation resolved in an
+                # earlier round; its shape is carried in the group
+                member_shape = (
+                    {"shape": target["_shape"]} if target["_shape"] is not None else None
+                )
+            else:
+                member_shape = element_to_shape(member, refs_index, classifier, raise_on_failure)
         else:
             _fail("multiline member not handled", raise_on_failure)
             continue

@@ -1,0 +1,579 @@
+"""Distributed OSM stitching pipeline (Ray-Data-first re-expression of
+the reference's refs_index walk, SURVEY.md §3.4).
+
+Stages:
+
+1. elements Dataset (Arrow, ELEMENT_SCHEMA) split by ``type``
+2. J1  way⋈node: explode ways to (node_id, way_id, seq) edges, hash
+   join against node coordinates (``Dataset.join``), regroup on way_id
+   sorting by seq — ordering is semantic (way-node order, main.py:288)
+3. way conversion: vectorized ``map_batches`` with the broadcast
+   classifier; closed rings become polygons per P6-P8
+4. J3/J4 relation⋈way: explode members, join against resolved ways,
+   ``groupby(rel_id).map_groups`` running the SAME assembly kernels the
+   document converter uses (mini refs_index per group); nested
+   relations resolved over bounded extra rounds
+5. J6 used-filter: consumers emit (used_id, consumer) pair records;
+   distinct + anti-join on bare element id (reference collision
+   semantics, main.py:171)
+
+Partitioning keys: node id (J1), way id (J1 regroup + J3/J4), relation
+id (ring assembly), bare id (used-filter) — each one shuffle.  Group
+payloads stay bounded: a relation group carries only its own members'
+coordinates (mega-relations are the block-size hazard; they stream
+through ``map_groups`` one group at a time).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, List, Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..classify import DEFAULT_CLASSIFIER, PolygonClassifier
+from ..geom import assemble
+from ..model.schema import ELEMENT_SCHEMA, elements_table, row_to_element
+from ..relational import hash_join
+
+FEATURE_SCHEMA = pa.schema(
+    [
+        ("seq", pa.int64()),
+        ("element_type", pa.string()),
+        ("element_id", pa.int64()),
+        ("geom_type", pa.string()),
+        ("geometry_json", pa.string()),
+        ("properties_json", pa.string()),
+    ]
+)
+
+USED_SCHEMA = pa.schema([("used_id", pa.int64()), ("consumer_id", pa.int64())])
+
+EDGE_SCHEMA = pa.schema(
+    [("node_id", pa.int64()), ("way_id", pa.int64()), ("edge_seq", pa.int64())]
+)
+COORDS_SCHEMA = pa.schema(
+    [("node_id", pa.int64()), ("n_lon", pa.float64()), ("n_lat", pa.float64())]
+)
+WAY_COORDS_SCHEMA = pa.schema(
+    [
+        ("way_id", pa.int64()),
+        ("resolved", pa.bool_()),
+        ("coords_json", pa.string()),
+        ("used_nodes_json", pa.string()),
+    ]
+)
+
+
+def elements_dataset(elements: List[dict], *, override_num_blocks: Optional[int] = None):
+    """Build an elements Dataset from parsed element dicts (test/small
+    path).  At scale, read sharded files instead:
+    ``ray.data.read_binary_files(paths).flat_map(parse shard)``."""
+    tbl = elements_table(elements)
+    return ray.data.from_arrow(tbl, override_num_blocks=override_num_blocks)
+
+
+def _empty(schema: pa.Schema):
+    return ray.data.from_arrow(schema.empty_table())
+
+
+def join_safe(left, right, *, on: str, l_schema: pa.Schema, r_schema: pa.Schema,
+              join_type: str, num_partitions: int):
+    """Partitioned hash join (see relational.hash_join).  Ray's native
+    Dataset.join crashes on empty-input partitions in 2.49, so joins go
+    through the explicit groupby-based implementation."""
+    return hash_join(
+        left,
+        right,
+        on=on,
+        l_schema=l_schema,
+        r_schema=r_schema,
+        how=join_type,
+        num_partitions=num_partitions,
+    )
+
+
+class OsmPipeline:
+    """Distributed elements -> GeoJSON-feature-rows pipeline."""
+
+    def __init__(
+        self,
+        classifier: Optional[PolygonClassifier] = None,
+        filter_used_refs: bool = True,
+        max_relation_rounds: int = 3,
+        num_partitions: int = 16,
+    ):
+        self.classifier = classifier or DEFAULT_CLASSIFIER
+        self.filter_used_refs = filter_used_refs
+        self.max_relation_rounds = max_relation_rounds
+        self.num_partitions = num_partitions
+
+    # ------------------------------------------------------------------
+    def features(self, elements: "ray.data.Dataset") -> "ray.data.Dataset":
+        clf = self.classifier
+        nparts = self.num_partitions
+
+        nodes = elements.filter(expr="type == 'node'")
+        ways = elements.filter(expr="type == 'way'")
+        rels = elements.filter(expr="type == 'relation'")
+
+        # ---- J1: way ⋈ node -----------------------------------------
+        def explode_way_edges(batch: pa.Table) -> pa.Table:
+            out = {"node_id": [], "way_id": [], "edge_seq": []}
+            for row in batch.select(["id", "nodes", "geometry", "center"]).to_pylist():
+                if row["nodes"] is None or row["geometry"] is not None or row["center"] is not None:
+                    continue  # inline geometry / center short-circuits skip the join
+                for i, nid in enumerate(row["nodes"]):
+                    out["node_id"].append(nid)
+                    out["way_id"].append(row["id"])
+                    out["edge_seq"].append(i)
+            return pa.Table.from_pydict(
+                out,
+                schema=pa.schema(
+                    [("node_id", pa.int64()), ("way_id", pa.int64()), ("edge_seq", pa.int64())]
+                ),
+            )
+
+        edges = ways.map_batches(explode_way_edges, batch_format="pyarrow")
+
+        def node_coords(batch: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [batch["id"], batch["lon"], batch["lat"]], names=["node_id", "n_lon", "n_lat"]
+            )
+
+        coords = nodes.map_batches(node_coords, batch_format="pyarrow")
+        joined = join_safe(
+            edges,
+            coords,
+            on="node_id",
+            l_schema=EDGE_SCHEMA,
+            r_schema=COORDS_SCHEMA,
+            join_type="left_outer",
+            num_partitions=nparts,
+        )
+
+        # regroup on way id, sort by seq, emit coords + used prefix
+        def assemble_way_group(df):
+            import pandas as pd
+
+            df = df.sort_values("edge_seq")
+            way_id = int(df["way_id"].iloc[0])
+            found = df["n_lon"].notna().to_numpy()
+            node_ids = df["node_id"].to_numpy()
+            used, coords_list = [], []
+            ok = True
+            for i in range(len(df)):
+                if found[i]:
+                    used.append(int(node_ids[i]))
+                    coords_list.append([float(df["n_lon"].iloc[i]), float(df["n_lat"].iloc[i])])
+                else:
+                    ok = False  # prefix-marking: nodes before the miss stay used
+                    break
+            return pd.DataFrame(
+                {
+                    "way_id": [way_id],
+                    "resolved": [ok],
+                    "coords_json": [json.dumps(coords_list) if ok else None],
+                    "used_nodes_json": [json.dumps(used)],
+                }
+            )
+
+        way_coords = joined.groupby("way_id").map_groups(assemble_way_group, batch_format="pandas")
+
+        # used pairs from the way⋈node stage
+        def used_from_ways(batch: pa.Table) -> pa.Table:
+            used_ids, consumers = [], []
+            for row in batch.to_pylist():
+                for nid in json.loads(row["used_nodes_json"]):
+                    used_ids.append(nid)
+                    consumers.append(row["way_id"])
+            return pa.Table.from_pydict(
+                {"used_id": used_ids, "consumer_id": consumers}, schema=USED_SCHEMA
+            )
+
+        used_nodes = way_coords.map_batches(used_from_ways, batch_format="pyarrow")
+
+        # attach coords to full way rows
+        ways_keyed = ways.map_batches(
+            lambda t: t.append_column("way_id", t["id"]), batch_format="pyarrow"
+        )
+        element_plus_way = ELEMENT_SCHEMA.append(pa.field("way_id", pa.int64()))
+        ways_resolved = join_safe(
+            ways_keyed,
+            way_coords,
+            on="way_id",
+            l_schema=element_plus_way,
+            r_schema=WAY_COORDS_SCHEMA,
+            join_type="left_outer",
+            num_partitions=nparts,
+        )
+
+        # ---- standalone way conversion ------------------------------
+        def convert_ways(batch: pa.Table):
+            feats = []
+            for row in batch.to_pylist():
+                el = row_to_element(row)
+                if row.get("coords_json") is not None:
+                    el["_coords"] = json.loads(row["coords_json"])
+                elif el.get("nodes") and not el.get("geometry") and "center" not in el:
+                    if row.get("resolved") is not None and not row["resolved"]:
+                        el = {k: v for k, v in el.items() if k != "nodes"} | {
+                            "nodes": el["nodes"],
+                            "_unresolved": True,
+                        }
+                shape = None
+                if not el.get("_unresolved"):
+                    shape = assemble.way_to_shape(dict(el), {}, clf)
+                if shape is not None:
+                    feats.append(_feature_row(row["seq"], "way", row["id"], shape))
+            return _feature_table(feats)
+
+        way_features = ways_resolved.map_batches(convert_ways, batch_format="pyarrow")
+
+        # ---- relations ----------------------------------------------
+        rel_tables = self._relations(rels, ways_resolved, nparts)
+        rel_features, used_rel = rel_tables
+
+        # ---- nodes --------------------------------------------------
+        def convert_nodes(batch: pa.Table) -> pa.Table:
+            feats = []
+            for row in batch.to_pylist():
+                el = row_to_element(row)
+                shape = assemble.node_to_shape(el)
+                feats.append(_feature_row(row["seq"], "node", row["id"], shape))
+            return _feature_table(feats)
+
+        node_features = nodes.map_batches(convert_nodes, batch_format="pyarrow")
+
+        features = node_features.union(way_features).union(rel_features)
+        if not self.filter_used_refs:
+            return features
+
+        used = used_nodes.union(used_rel)
+
+        # ---- J6 anti-join on bare id --------------------------------
+        used_ids = used.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [pc.unique(t["used_id"])], names=["element_id"]
+            ).append_column("is_used", pa.array([True] * len(pc.unique(t["used_id"])))),
+            batch_format="pyarrow",
+        )
+        marked = join_safe(
+            features,
+            used_ids,
+            on="element_id",
+            l_schema=FEATURE_SCHEMA,
+            r_schema=pa.schema([("element_id", pa.int64()), ("is_used", pa.bool_())]),
+            join_type="left_outer",
+            num_partitions=nparts,
+        )
+        return marked.map_batches(
+            lambda t: t.filter(pc.is_null(t["is_used"])).drop_columns(["is_used"]),
+            batch_format="pyarrow",
+        )
+
+    # ------------------------------------------------------------------
+    def _relations(self, rels, ways_resolved, nparts):
+        """Bounded multi-round relation resolution (nested relations)."""
+        clf = self.classifier
+
+        # member edges: (rel_id, member way refs / relation refs)
+        def explode_members(batch: pa.Table) -> pa.Table:
+            way_refs, rel_ids = [], []
+            for row in batch.select(["id", "members", "center"]).to_pylist():
+                if row["members"] is None or row["center"] is not None:
+                    continue
+                for m in row["members"]:
+                    if m["type"] == "way" and m.get("geometry") is None:
+                        way_refs.append(m["ref"])
+                        rel_ids.append(row["id"])
+            return pa.Table.from_pydict(
+                {"way_id": way_refs, "rel_id": rel_ids},
+                schema=pa.schema([("way_id", pa.int64()), ("rel_id", pa.int64())]),
+            )
+
+        member_edges = rels.map_batches(explode_members, batch_format="pyarrow")
+
+        def project_ways(batch: pa.Table) -> pa.Table:
+            cols = ["way_id", "resolved", "coords_json"]
+            keep = batch.select([c for c in cols if c in batch.column_names] + ["seq"])
+            # carry the full way element for classifier + props
+            els = [json.dumps(row_to_element(r)) for r in batch.to_pylist()]
+            return keep.append_column("way_element_json", pa.array(els, pa.string()))
+
+        way_payload = ways_resolved.map_batches(project_ways, batch_format="pyarrow")
+        member_edge_schema = pa.schema([("way_id", pa.int64()), ("rel_id", pa.int64())])
+        way_payload_schema = pa.schema(
+            [
+                ("way_id", pa.int64()),
+                ("resolved", pa.bool_()),
+                ("coords_json", pa.string()),
+                ("seq", pa.int64()),
+                ("way_element_json", pa.string()),
+            ]
+        )
+        member_ways = join_safe(
+            member_edges,
+            way_payload,
+            on="way_id",
+            l_schema=member_edge_schema,
+            r_schema=way_payload_schema,
+            join_type="inner",
+            num_partitions=nparts,
+        )
+
+        # nested relation refs
+        def explode_rel_members(batch: pa.Table) -> pa.Table:
+            child, parent = [], []
+            for row in batch.select(["id", "members", "center"]).to_pylist():
+                if row["members"] is None or row["center"] is not None:
+                    continue
+                for m in row["members"]:
+                    if m["type"] == "relation":
+                        child.append(m["ref"])
+                        parent.append(row["id"])
+            return pa.Table.from_pydict(
+                {"child_rel_id": child, "rel_id": parent},
+                schema=pa.schema([("child_rel_id", pa.int64()), ("rel_id", pa.int64())]),
+            )
+
+        rel_edges = rels.map_batches(explode_rel_members, batch_format="pyarrow")
+        rel_edge_rows = rel_edges.take_all()  # relation graph is tiny vs data
+        children_of: Dict[int, List[int]] = {}
+        for r in rel_edge_rows:
+            children_of.setdefault(r["rel_id"], []).append(r["child_rel_id"])
+
+        all_rel_ids = set(
+            r["id"] for r in rels.select_columns(["id"]).take_all()
+        )
+
+        # schedule relations into rounds: a relation runs once all its
+        # existing child relations are resolved
+        rounds: List[set] = []
+        remaining = set(all_rel_ids)
+        resolved_set: set = set()
+        for _ in range(self.max_relation_rounds):
+            ready = {
+                rid
+                for rid in remaining
+                if all(
+                    (c not in all_rel_ids) or (c in resolved_set)
+                    for c in children_of.get(rid, [])
+                )
+            }
+            if not ready:
+                break
+            rounds.append(ready)
+            resolved_set |= ready
+            remaining -= ready
+        if remaining:  # cycles / too deep: degrade like the reference (skip+warn)
+            rounds.append(set(remaining))
+
+        resolved_shapes: Dict[int, Optional[dict]] = {}
+        feature_tables = []
+        used_tables = []
+
+        for round_ids in rounds:
+            round_ids_arr = pa.array(list(round_ids), pa.int64())
+            round_rels = rels.map_batches(
+                lambda t, ids=round_ids_arr: t.filter(pc.is_in(t["id"], value_set=ids)),
+                batch_format="pyarrow",
+            )
+            tagged_members = member_ways.map_batches(
+                lambda t, ids=round_ids: t.filter(
+                    pc.is_in(t["rel_id"], value_set=pa.array(list(ids), pa.int64()))
+                ),
+                batch_format="pyarrow",
+            )
+
+            shapes_ref = resolved_shapes  # closure: broadcast of prior rounds
+
+            def rel_to_row(batch: pa.Table, shapes=None) -> pa.Table:
+                return batch
+
+            # group member payloads per relation on the rel side
+            def collect_members(df):
+                import pandas as pd
+
+                rel_id = int(df["rel_id"].iloc[0])
+                payload = [
+                    {
+                        "way_id": int(r.way_id),
+                        "resolved": bool(r.resolved),
+                        "coords_json": r.coords_json,
+                        "way_element_json": r.way_element_json,
+                    }
+                    for r in df.itertuples()
+                ]
+                return pd.DataFrame(
+                    {"rel_id": [rel_id], "members_payload_json": [json.dumps(payload)]}
+                )
+
+            grouped_members = tagged_members.groupby("rel_id").map_groups(
+                collect_members, batch_format="pandas"
+            )
+            rels_keyed = round_rels.map_batches(
+                lambda t: t.append_column("rel_id", t["id"]), batch_format="pyarrow"
+            )
+            rel_with_members = join_safe(
+                rels_keyed,
+                grouped_members,
+                on="rel_id",
+                l_schema=ELEMENT_SCHEMA.append(pa.field("rel_id", pa.int64())),
+                r_schema=pa.schema(
+                    [("rel_id", pa.int64()), ("members_payload_json", pa.string())]
+                ),
+                join_type="left_outer",
+                num_partitions=nparts,
+            )
+
+            def convert_relations(batch: pa.Table, _shapes=shapes_ref) -> pa.Table:
+                feats, used_u, used_c, out_shapes = [], [], [], []
+                for row in batch.to_pylist():
+                    el = row_to_element(row)
+                    index: Dict[str, dict] = {}
+                    if row.get("members_payload_json"):
+                        for p in json.loads(row["members_payload_json"]):
+                            wel = json.loads(p["way_element_json"])
+                            if p["resolved"] and p["coords_json"]:
+                                wel["_coords"] = json.loads(p["coords_json"])
+                            index[assemble.ref_key("way", wel["id"])] = wel
+                    for m in el.get("members", []):
+                        if m["type"] == "relation" and m["ref"] in _shapes:
+                            index[assemble.ref_key("relation", m["ref"])] = {
+                                "type": "relation",
+                                "id": m["ref"],
+                                "_shape": _shapes[m["ref"]],
+                            }
+                    shape = assemble.relation_to_shape(el, index, clf)
+                    for key, target in index.items():
+                        if "used" in target:
+                            used_u.append(target["id"])
+                            used_c.append(target["used"])
+                    out_shapes.append(
+                        (row["id"], shape["shape"] if shape else None)
+                    )
+                    if shape is not None:
+                        feats.append(_feature_row(row["seq"], "relation", row["id"], shape))
+                ft = _feature_table(feats)
+                ut = pa.Table.from_pydict(
+                    {"used_id": used_u, "consumer_id": used_c}, schema=USED_SCHEMA
+                )
+                st = pa.Table.from_pydict(
+                    {
+                        "rel_id": [s[0] for s in out_shapes],
+                        "shape_json": [json.dumps(s[1]) if s[1] else None for s in out_shapes],
+                    },
+                    schema=pa.schema([("rel_id", pa.int64()), ("shape_json", pa.string())]),
+                )
+                return {"features": ft, "used": ut, "shapes": st}
+
+            # run the round and materialize its three outputs
+            round_out = rel_with_members.map_batches(
+                lambda t, f=convert_relations: _pack_multi(f(t)), batch_format="pyarrow"
+            ).materialize()
+
+            feature_tables.append(
+                round_out.filter(expr="kind == 'feature'").map_batches(
+                    _unpack_feature, batch_format="pyarrow"
+                )
+            )
+            used_tables.append(
+                round_out.filter(expr="kind == 'used'").map_batches(
+                    _unpack_used, batch_format="pyarrow"
+                )
+            )
+            for r in round_out.filter(expr="kind == 'shape'").take_all():
+                payload = json.loads(r["payload"])
+                resolved_shapes[payload["rel_id"]] = (
+                    json.loads(payload["shape_json"]) if payload["shape_json"] else None
+                )
+
+        if feature_tables:
+            rel_features = feature_tables[0]
+            for t in feature_tables[1:]:
+                rel_features = rel_features.union(t)
+        else:
+            rel_features = _empty(FEATURE_SCHEMA)
+        if used_tables:
+            used_rel = used_tables[0]
+            for t in used_tables[1:]:
+                used_rel = used_rel.union(t)
+        else:
+            used_rel = _empty(USED_SCHEMA)
+        return rel_features, used_rel
+
+
+# ---------------------------------------------------------------------
+def _feature_row(seq, el_type, el_id, shape) -> dict:
+    return {
+        "seq": seq,
+        "element_type": el_type,
+        "element_id": el_id,
+        "geom_type": shape["shape"]["type"],
+        "geometry_json": json.dumps(shape["shape"]),
+        "properties_json": json.dumps(shape["properties"]),
+    }
+
+
+def _feature_table(rows: List[dict]) -> pa.Table:
+    return pa.Table.from_pylist(rows, schema=FEATURE_SCHEMA)
+
+
+_PACKED_SCHEMA = pa.schema([("kind", pa.string()), ("payload", pa.string()),
+                            ("element_id", pa.int64())])
+
+
+def _pack_multi(parts: Dict[str, pa.Table]) -> pa.Table:
+    kinds, payloads, ids = [], [], []
+    for row in parts["features"].to_pylist():
+        kinds.append("feature")
+        payloads.append(json.dumps(row))
+        ids.append(row["element_id"])
+    for row in parts["used"].to_pylist():
+        kinds.append("used")
+        payloads.append(json.dumps(row))
+        ids.append(row["used_id"])
+    for row in parts["shapes"].to_pylist():
+        kinds.append("shape")
+        payloads.append(json.dumps(row))
+        ids.append(row["rel_id"])
+    return pa.Table.from_pydict(
+        {"kind": kinds, "payload": payloads, "element_id": ids}, schema=_PACKED_SCHEMA
+    )
+
+
+def _unpack_feature(batch: pa.Table) -> pa.Table:
+    return _feature_table([json.loads(r["payload"]) for r in batch.to_pylist()])
+
+
+def _unpack_used(batch: pa.Table) -> pa.Table:
+    rows = [json.loads(r["payload"]) for r in batch.to_pylist()]
+    return pa.Table.from_pydict(
+        {
+            "used_id": [r["used_id"] for r in rows],
+            "consumer_id": [r["consumer_id"] for r in rows],
+        },
+        schema=USED_SCHEMA,
+    )
+
+
+def features_to_geojson(features_ds) -> dict:
+    """Collect a (small) feature Dataset into a FeatureCollection in
+    document order — the conformance-test sink."""
+    rows = features_ds.take_all()
+    rows.sort(key=lambda r: r["seq"])
+    return {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "properties": json.loads(r["properties_json"]),
+                "geometry": json.loads(r["geometry_json"]),
+            }
+            for r in rows
+        ],
+    }

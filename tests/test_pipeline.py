@@ -1,0 +1,56 @@
+"""Distributed pipeline conformance: corpus through Ray Data must equal
+the document converter (and thus the goldens)."""
+
+import json
+import os
+
+import pytest
+
+from osm2geojson_ray import json2geojson
+from osm2geojson_ray.model.xml_parse import parse_osm_xml
+from osm2geojson_ray.pipeline.osm import OsmPipeline, elements_dataset, features_to_geojson
+
+from .conftest import fixture_path, read_fixture
+
+CASES = [
+    "empty",
+    "node",
+    "way",
+    "relation",
+    "map",
+    "barrier-wall",
+    "center-feature",
+    "meta",
+    "issue-4",
+    "issue-6",
+    "issue-7",
+    "issue-9",
+    "issue-16",
+    "issue-35",
+    "issue-52-highway-service-closed",
+]
+
+
+def load_doc(base):
+    json_path = fixture_path(base + ".json")
+    if os.path.exists(json_path):
+        return json.loads(read_fixture(base + ".json"))
+    return parse_osm_xml(read_fixture(base + ".osm"))
+
+
+@pytest.mark.parametrize("base", CASES)
+def test_pipeline_matches_document_converter(ray_session, base):
+    doc = load_doc(base)
+    expected = json2geojson(doc)
+    ds = elements_dataset(doc["elements"])
+    got = features_to_geojson(OsmPipeline(num_partitions=4).features(ds))
+    assert got == expected
+
+
+def test_pipeline_filter_used_refs_off(ray_session):
+    doc = load_doc("issue-9")
+    expected = json2geojson(doc, filter_used_refs=False)
+    ds = elements_dataset(doc["elements"])
+    pipe = OsmPipeline(num_partitions=4, filter_used_refs=False)
+    got = features_to_geojson(pipe.features(ds))
+    assert got == expected
