@@ -1,0 +1,50 @@
+"""64-bit perceptual hash + Hamming distance (vectorized).
+
+phash64: grayscale -> 8x8 block-mean downsample -> mean threshold ->
+64-bit signature (mean-hash; DCT-free but shares the property that
+near-duplicate pixels give near-identical bits).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _gray(pixels: np.ndarray) -> np.ndarray:
+    p = pixels.astype(np.float64)
+    return 0.299 * p[..., 0] + 0.587 * p[..., 1] + 0.114 * p[..., 2]
+
+
+def _block_mean_8x8(gray: np.ndarray) -> np.ndarray:
+    h, w = gray.shape
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    out = np.empty((8, 8))
+    for i in range(8):
+        for j in range(8):
+            out[i, j] = gray[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
+    return out
+
+
+def phash64(pixels: np.ndarray) -> int:
+    g = _block_mean_8x8(_gray(pixels))
+    bits = (g > g.mean()).ravel()
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    return v - (1 << 64) if v >= (1 << 63) else v  # signed int64 domain
+
+
+def phash64_batch(pixel_list) -> np.ndarray:
+    return np.array([phash64(p) for p in pixel_list], dtype=np.int64)
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized Hamming distance between int64 hash arrays
+    (broadcasting allowed: (n,1) vs (1,m) gives the full matrix)."""
+    x = np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64))
+    view = x.view(np.uint8).reshape(x.shape + (8,))
+    return _POPCOUNT8[view].sum(axis=-1).astype(np.int64)

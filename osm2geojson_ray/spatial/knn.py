@@ -1,0 +1,227 @@
+"""kNN lookups: pHash Hamming and embedding cosine.
+
+Baseline path: brute force — the query side is broadcast once
+(``ray.put``), each ``map_batches`` worker computes distances for its
+batch vectorized (numpy XOR+popcount / matmul) and emits batch-local
+top-k candidates; a final ``groupby(query).map_groups`` keeps the
+global top-k.  Scale path: LSH banding (pHash) / IVF coarse clusters
+(embeddings) prune candidates before the same reduce.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..images.phash import hamming64
+
+KNN_SCHEMA = pa.schema(
+    [
+        ("query_id", pa.int64()),
+        ("neighbor_id", pa.int64()),
+        ("distance", pa.float64()),
+        ("rank", pa.int64()),
+    ]
+)
+
+
+class _HashKnnScorer:
+    """Actor-pool stage: batch of (id, phash) -> local top-k rows."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, hash_col: str):
+        q = ray.get(queries_ref)
+        self.qids = q["ids"]
+        self.qhashes = q["hashes"]
+        self.k = k
+        self.id_col, self.hash_col = id_col, hash_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes = batch[self.hash_col].to_numpy(zero_copy_only=False)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        if len(hashes) == 0:
+            return KNN_SCHEMA.empty_table()
+        dm = hamming64(self.qhashes[:, None], hashes[None, :])  # (q, n)
+        k = min(self.k, dm.shape[1])
+        out_q, out_n, out_d = [], [], []
+        for qi in range(dm.shape[0]):
+            # (distance, id) lexicographic so ties resolve identically
+            # in the batch-local and global reductions
+            for col in np.lexsort((ids, dm[qi]))[:k]:
+                out_q.append(int(self.qids[qi]))
+                out_n.append(int(ids[col]))
+                out_d.append(float(dm[qi, col]))
+        return pa.Table.from_pydict(
+            {
+                "query_id": out_q,
+                "neighbor_id": out_n,
+                "distance": out_d,
+                "rank": [0] * len(out_q),
+            },
+            schema=KNN_SCHEMA,
+        )
+
+
+def _topk_reduce(ds, k: int, descending: bool = False):
+    def keep_topk(df):
+        df = df.sort_values(
+            ["distance", "neighbor_id"], ascending=[not descending, True]
+        ).head(k)
+        df = df.reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    return ds.groupby("query_id").map_groups(keep_topk, batch_format="pandas")
+
+
+def phash_knn(
+    items,
+    query_ids: np.ndarray,
+    query_hashes: np.ndarray,
+    *,
+    k: int = 10,
+    id_col: str = "item_id",
+    hash_col: str = "phash",
+    concurrency: int = 4,
+    batch_size: Optional[int] = 8192,
+):
+    """Dataset of (id, phash) x broadcast queries -> global top-k per
+    query by Hamming distance (ties broken by neighbor id)."""
+    ref = ray.put({"ids": np.asarray(query_ids, dtype=np.int64),
+                   "hashes": np.asarray(query_hashes, dtype=np.int64)})
+    local = items.map_batches(
+        _HashKnnScorer,
+        fn_constructor_kwargs={"queries_ref": ref, "k": k, "id_col": id_col, "hash_col": hash_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    return _topk_reduce(local, k)
+
+
+class _CosineKnnScorer:
+    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
+        q = ray.get(queries_ref)
+        self.qids = q["ids"]
+        qm = q["matrix"].astype(np.float64)
+        self.qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        self.k = k
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return KNN_SCHEMA.empty_table()
+        vecs = np.array(batch[self.vec_col].to_pylist(), dtype=np.float64)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = self.qm @ (vecs / norms).T  # (q, n)
+        dist = np.round(1.0 - sims, 9)
+        k = min(self.k, dist.shape[1])
+        out_q, out_n, out_d = [], [], []
+        for qi in range(dist.shape[0]):
+            for col in np.lexsort((ids, dist[qi]))[:k]:
+                out_q.append(int(self.qids[qi]))
+                out_n.append(int(ids[col]))
+                out_d.append(float(dist[qi, col]))
+        return pa.Table.from_pydict(
+            {"query_id": out_q, "neighbor_id": out_n, "distance": out_d,
+             "rank": [0] * len(out_q)},
+            schema=KNN_SCHEMA,
+        )
+
+
+def embedding_knn(
+    items,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency: int = 4,
+    batch_size: Optional[int] = 4096,
+):
+    """Brute-force cosine top-k (distance = 1 - cosine, rounded to 1e-9
+    so rankings are reproducible across float summation orders)."""
+    ref = ray.put({"ids": np.asarray(query_ids, dtype=np.int64),
+                   "matrix": np.asarray(query_matrix)})
+    local = items.map_batches(
+        _CosineKnnScorer,
+        fn_constructor_kwargs={"queries_ref": ref, "k": k, "id_col": id_col, "vec_col": vec_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    return _topk_reduce(local, k)
+
+
+def phash_band_pairs(
+    items,
+    *,
+    max_distance: int = 8,
+    id_col: str = "item_id",
+    hash_col: str = "phash",
+    num_partitions: int = 16,
+):
+    """Near-duplicate pHash pairs via LSH banding: 4 bands of 16 bits —
+    hashes within Hamming distance <= 16/bands share at least one exact
+    band with high probability; verify with exact Hamming.  Returns
+    (a_id, b_id, distance) with a_id < b_id, distinct."""
+    def band_rows(batch: pa.Table) -> pa.Table:
+        hashes = batch[hash_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        out_key, out_id, out_hash = [], [], []
+        for b in range(4):
+            band = ((hashes >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+            key = band * 4 + b
+            out_key.extend(key.tolist())
+            out_id.extend(ids.tolist())
+            out_hash.extend(hashes.astype(np.int64).tolist())
+        return pa.Table.from_pydict(
+            {"band_key": out_key, "item_id": out_id, "phash": out_hash},
+            schema=pa.schema(
+                [("band_key", pa.int64()), ("item_id", pa.int64()), ("phash", pa.int64())]
+            ),
+        )
+
+    banded = items.map_batches(band_rows, batch_format="pyarrow")
+
+    def pairs_in_bucket(df):
+        import pandas as pd
+
+        ids = df["item_id"].to_numpy()
+        hs = df["phash"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"a_id": [], "b_id": [], "distance": []}).astype(
+                {"a_id": "int64", "b_id": "int64", "distance": "int64"}
+            )
+        dm = hamming64(hs[:, None], hs[None, :])
+        ai, bi = np.nonzero(np.triu(dm <= max_distance, k=1))
+        a, b = ids[ai], ids[bi]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        return pd.DataFrame({"a_id": a2, "b_id": b2, "distance": dm[ai, bi]})
+
+    pairs = banded.groupby("band_key").map_groups(pairs_in_bucket, batch_format="pandas")
+
+    def dedupe(df):
+        return df.drop_duplicates(subset=["a_id", "b_id"])
+
+    key = pairs.map_batches(
+        lambda t: t.append_column(
+            "pair_key",
+            pa.array(
+                t["a_id"].to_numpy(zero_copy_only=False) * np.int64(1_000_003)
+                + t["b_id"].to_numpy(zero_copy_only=False)
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    return key.groupby("pair_key").map_groups(
+        lambda df: df.head(1), batch_format="pandas"
+    ).drop_columns(["pair_key"])

@@ -1,0 +1,250 @@
+"""Point-in-polygon spatial join (cell-indexed, two execution paths).
+
+``broadcast_pip_join`` — the polygon side is small (assembled OSM
+geometries): build cell -> prepared-polygon index once, ``ray.put`` it,
+and run an ACTOR POOL over the image Dataset; each actor fetches the
+index once in ``__init__`` (never re-shipped per batch) and tests its
+batches vectorized.
+
+``shuffled_pip_join`` — both sides large: polygons explode to their
+cover cells (optionally salted when a cell is hot), images key by their
+cell, a cell-keyed equi-join co-locates candidates and per-group PIP
+runs inside ``map_groups``.  Partitioning key: cell id.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..geom.kernels import ring_bbox
+from .cells import cell_id, cover_polygon
+
+
+def points_in_polygon(lons: np.ndarray, lats: np.ndarray, poly) -> np.ndarray:
+    """Vectorized even-odd PIP for n points against one polygon."""
+    inside = _points_in_ring(lons, lats, np.asarray(poly[0], dtype=np.float64))
+    for hole in poly[1:]:
+        inside &= ~_points_in_ring(lons, lats, np.asarray(hole, dtype=np.float64))
+    return inside
+
+
+def _points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    x1, y1 = ring[:-1, 0], ring[:-1, 1]
+    x2, y2 = ring[1:, 0], ring[1:, 1]
+    px = px[:, None]
+    py = py[:, None]
+    cond = (y1 > py) != (y2 > py)
+    denom = np.where(y2 == y1, 1.0, y2 - y1)
+    xcross = x1 + (py - y1) / denom * (x2 - x1)
+    hits = cond & (px < xcross)
+    return hits.sum(axis=1) % 2 == 1
+
+
+class _CellPolygonIndex:
+    """cell id -> list of (geom_id, polygon, bbox)."""
+
+    def __init__(self, polygons: List[Tuple[str, list]], level: int):
+        self.level = level
+        self.cells: Dict[int, List[int]] = {}
+        self.polys = polygons
+        self.bboxes = [ring_bbox(p[1][0]) for p in polygons]
+        for i, (_gid, poly) in enumerate(polygons):
+            for c in cover_polygon(poly, level).tolist():
+                self.cells.setdefault(c, []).append(i)
+
+    def candidates(self, cell: int) -> List[int]:
+        return self.cells.get(cell, [])
+
+
+def build_polygon_index(polygons: List[Tuple[str, list]], level: int) -> "ray.ObjectRef":
+    """Build + broadcast the cell index (one ray.put, read per actor)."""
+    return ray.put(_CellPolygonIndex(polygons, level))
+
+
+class PipTester:
+    """Actor-pool stage: images batch -> (image_id, geom_id) matches.
+
+    Stateful setup (index fetch) runs once per actor in __init__
+    (SURVEY.md §2.3); __call__ is vectorized per batch.
+    """
+
+    def __init__(self, index_ref, lon_col="lon", lat_col="lat", id_col="image_id"):
+        self.index: _CellPolygonIndex = ray.get(index_ref)
+        self.lon_col, self.lat_col, self.id_col = lon_col, lat_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lons = batch[self.lon_col].to_numpy(zero_copy_only=False)
+        lats = batch[self.lat_col].to_numpy(zero_copy_only=False)
+        ids = batch[self.id_col].to_pylist()
+        cells = cell_id(lons, lats, self.index.level)
+        out_img, out_geom = [], []
+        # group batch rows by cell, then test each candidate polygon
+        # against all points of that cell at once
+        order = np.argsort(cells, kind="stable")
+        sorted_cells = cells[order]
+        boundaries = np.flatnonzero(np.diff(sorted_cells)) + 1
+        for seg in np.split(order, boundaries):
+            if len(seg) == 0:
+                continue
+            cand = self.index.candidates(int(cells[seg[0]]))
+            if not cand:
+                continue
+            seg_lons, seg_lats = lons[seg], lats[seg]
+            for pi in cand:
+                gid, poly = self.index.polys[pi]
+                bb = self.index.bboxes[pi]
+                mask = (
+                    (seg_lons >= bb[0])
+                    & (seg_lons <= bb[2])
+                    & (seg_lats >= bb[1])
+                    & (seg_lats <= bb[3])
+                )
+                if not mask.any():
+                    continue
+                hit = points_in_polygon(seg_lons[mask], seg_lats[mask], poly)
+                for row_i in np.asarray(seg)[mask][hit]:
+                    out_img.append(ids[int(row_i)])
+                    out_geom.append(gid)
+        return pa.Table.from_pydict(
+            {"image_id": out_img, "geom_id": out_geom},
+            schema=pa.schema([("image_id", pa.string()), ("geom_id", pa.string())]),
+        )
+
+
+def broadcast_pip_join(
+    images,
+    polygons: List[Tuple[str, list]],
+    *,
+    level: int = 12,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    id_col: str = "image_id",
+    concurrency: int = 4,
+    batch_size: Optional[int] = 8192,
+):
+    """images Dataset (with lon/lat columns) x small polygon list ->
+    Dataset of (image_id, geom_id) containment rows."""
+    index_ref = build_polygon_index(polygons, level)
+    return images.map_batches(
+        PipTester,
+        fn_constructor_kwargs={
+            "index_ref": index_ref,
+            "lon_col": lon_col,
+            "lat_col": lat_col,
+            "id_col": id_col,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def shuffled_pip_join(
+    images,
+    polygons,
+    *,
+    level: int = 12,
+    num_partitions: int = 16,
+    salt: int = 1,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    id_col: str = "image_id",
+):
+    """Both sides large: cell-keyed equi-join + per-group PIP.
+
+    ``salt`` > 1 splits every cell into ``salt`` sub-keys: polygon rows
+    replicate per sub-key, image rows pick one by id hash — bounding
+    the largest group at roughly images_per_cell / salt (hot-cell skew
+    handling; SURVEY.md §4)."""
+    import json as _json
+
+    from ..relational import hash_join
+
+    poly_rows = []
+    for gid, poly in _collect_polygons(polygons):
+        for c in cover_polygon(poly, level).tolist():
+            for s in range(salt):
+                poly_rows.append(
+                    {"cell_salt": c * salt + s, "geom_id": gid, "poly_json": _json.dumps(poly)}
+                )
+    poly_schema = pa.schema(
+        [("cell_salt", pa.int64()), ("geom_id", pa.string()), ("poly_json", pa.string())]
+    )
+    import ray.data
+
+    poly_ds = ray.data.from_arrow(pa.Table.from_pylist(poly_rows, schema=poly_schema))
+
+    def key_images(batch: pa.Table) -> pa.Table:
+        lons = batch[lon_col].to_numpy(zero_copy_only=False)
+        lats = batch[lat_col].to_numpy(zero_copy_only=False)
+        cells = cell_id(lons, lats, level)
+        ids = batch[id_col]
+        if salt > 1:
+            h = np.abs(np.array([hash(x) for x in ids.to_pylist()], dtype=np.int64)) % salt
+        else:
+            h = np.zeros(len(batch), dtype=np.int64)
+        return pa.Table.from_pydict(
+            {
+                "cell_salt": pa.array(cells * salt + h),
+                "image_id": ids,
+                "i_lon": batch[lon_col],
+                "i_lat": batch[lat_col],
+            }
+        )
+
+    img_keyed = images.map_batches(key_images, batch_format="pyarrow")
+    img_schema = pa.schema(
+        [
+            ("cell_salt", pa.int64()),
+            ("image_id", pa.string()),
+            ("i_lon", pa.float64()),
+            ("i_lat", pa.float64()),
+        ]
+    )
+    joined = hash_join(
+        img_keyed,
+        poly_ds,
+        on="cell_salt",
+        l_schema=img_schema,
+        r_schema=poly_schema,
+        how="inner",
+        num_partitions=num_partitions,
+    )
+
+    def test_group(batch: pa.Table) -> pa.Table:
+        out_img, out_geom = [], []
+        import json as _j
+
+        lons = batch["i_lon"].to_numpy(zero_copy_only=False)
+        lats = batch["i_lat"].to_numpy(zero_copy_only=False)
+        ids = batch["image_id"].to_pylist()
+        polys = batch["poly_json"].to_pylist()
+        gids = batch["geom_id"].to_pylist()
+        # candidate rows are already (image x polygon) pairs
+        by_poly: Dict[str, List[int]] = {}
+        for i, pj in enumerate(polys):
+            by_poly.setdefault(pj, []).append(i)
+        for pj, rows in by_poly.items():
+            poly = _j.loads(pj)
+            idx = np.array(rows)
+            hit = points_in_polygon(lons[idx], lats[idx], poly)
+            for r in idx[hit]:
+                out_img.append(ids[int(r)])
+                out_geom.append(gids[int(r)])
+        return pa.Table.from_pydict(
+            {"image_id": out_img, "geom_id": out_geom},
+            schema=pa.schema([("image_id", pa.string()), ("geom_id", pa.string())]),
+        )
+
+    return joined.map_batches(test_group, batch_format="pyarrow")
+
+
+def _collect_polygons(polygons):
+    if isinstance(polygons, list):
+        return polygons
+    raise TypeError("polygons must be a list of (geom_id, polygon_coords)")

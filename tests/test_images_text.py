@@ -1,0 +1,125 @@
+"""Image synthesis/codec invariants and text-analysis/dedup operators."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from osm2geojson_ray.images.codec import decode_image, encode_image, psnr
+from osm2geojson_ray.images.phash import hamming64, phash64
+from osm2geojson_ray.images.synth import _pixels_for, synth_image_batch, synth_image_table
+from osm2geojson_ray.text.analysis import analyze_documents
+from osm2geojson_ray.text.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_signatures,
+)
+
+
+def test_codec_lossless_roundtrip():
+    px = _pixels_for(5, 24, 16)
+    assert (decode_image(encode_image(px, "rgb8")) == px).all()
+
+
+def test_codec_lossy_psnr_gate():
+    px = _pixels_for(9, 24, 16)
+    dec = decode_image(encode_image(px, "rgb5"))
+    p = psnr(px, dec)
+    assert p >= 40.0  # input_hint invariant: PSNR >= 40 dB for lossy
+
+
+def test_synth_deterministic_and_schema():
+    t1 = synth_image_batch(0, 8)
+    t2 = synth_image_batch(0, 8)
+    assert t1.equals(t2)
+    assert t1.schema.names == ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+    # per-row invariant: decode matches pixels, phash matches recompute
+    for row in t1.to_pylist():
+        dec = decode_image(row["bytes"])
+        i = int(row["image_id"].split("-")[1])
+        px = _pixels_for(i, 24, 16)
+        if row["fmt"] == "rgb8":
+            assert (dec == px).all()
+        else:
+            assert psnr(px, dec) >= 40.0
+        assert phash64(px) == row["phash"]
+
+
+def test_synth_table_parallel(ray_session):
+    ds = synth_image_table(50, partition_rows=16)
+    rows = ds.take_all()
+    assert len(rows) == 50
+    assert sorted(r["image_id"] for r in rows) == [f"img-{i:012d}" for i in range(50)]
+
+
+def test_phash_similar_images_close():
+    a = _pixels_for(3, 24, 16)
+    b = a.copy()
+    b[0, 0] = [0, 0, 0]  # tiny perturbation
+    d = hamming64(np.array([phash64(a)]), np.array([phash64(b)]))[0]
+    assert d <= 4
+
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog in the park"),
+    (1, "the quick brown fox jumps over the lazy dog in the park"),  # dup of 0
+    (2, "el perro grande corre en el parque y la casa de la ciudad"),
+    (3, "the quick brown fox jumps over the lazy dog in the yard"),  # near-dup of 0
+    (4, "completely different content about ray data pipelines and arrow"),
+]
+
+
+def _docs_ds():
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {"doc_id": [d[0] for d in DOCS], "text": [d[1] for d in DOCS]}
+        )
+    )
+
+
+def test_text_analysis(ray_session):
+    rows = {r["doc_id"]: r for r in analyze_documents(_docs_ds(), concurrency=2).take_all()}
+    assert rows[0]["n_tokens"] == 12
+    assert rows[0]["lang_pred"] == "en"
+    assert rows[2]["lang_pred"] == "es"
+    assert rows[0]["fingerprint"] == rows[1]["fingerprint"]  # identical docs
+    assert 0.0 <= rows[0]["quality"] <= 1.0
+
+
+def test_exact_dedup(ray_session):
+    kept = sorted(r["doc_id"] for r in exact_dedup(_docs_ds()).take_all())
+    assert kept == [0, 2, 3, 4]  # doc 1 collapsed into 0
+
+
+def test_minhash_pairs(ray_session):
+    pairs = {
+        (r["a_id"], r["b_id"])
+        for r in minhash_lsh_pairs(
+            _docs_ds(), jaccard_threshold=0.5, concurrency=2
+        ).take_all()
+    }
+    assert (0, 1) in pairs  # exact dup always found
+    assert (0, 3) in pairs or (1, 3) in pairs  # near dup
+    assert all(a != 4 and b != 4 for a, b in pairs)
+
+
+def test_simhash(ray_session):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(_docs_ds()).take_all()}
+    assert sigs[0] == sigs[1]
+    d03 = hamming64(np.array([sigs[0]]), np.array([sigs[3]]))[0]
+    d04 = hamming64(np.array([sigs[0]]), np.array([sigs[4]]))[0]
+    assert d03 < d04
+
+
+def test_embedding_neardup(ray_session):
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(20, 8))
+    vecs = np.vstack([base, base[0] + rng.normal(scale=0.01, size=8)])
+    ds = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {"vec_id": np.arange(21, dtype=np.int64), "embedding": [v.tolist() for v in vecs]}
+        )
+    )
+    pairs = {(r["a_id"], r["b_id"]) for r in embedding_neardup_pairs(ds, threshold=0.99).take_all()}
+    assert (0, 20) in pairs

@@ -1,0 +1,154 @@
+"""Cell index, PIP join, kNN, tile assignment — distributed results
+checked against slow single-process oracles."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from osm2geojson_ray.geom.kernels import point_in_polygon
+from osm2geojson_ray.images.phash import hamming64
+from osm2geojson_ray.images.synth import image_position
+from osm2geojson_ray.spatial.cells import (
+    cell_bounds,
+    cell_id,
+    cell_parent,
+    cell_parts,
+    cover_bbox,
+    cover_polygon,
+)
+from osm2geojson_ray.spatial.knn import embedding_knn, phash_knn
+from osm2geojson_ray.spatial.pip import broadcast_pip_join, points_in_polygon, shuffled_pip_join
+from osm2geojson_ray.spatial.tiles import tile_assignment
+
+SQUARE = [[[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0], [0.0, 0.0]]]
+HOLED = [
+    [[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0], [0.0, 0.0]],
+    [[4.0, 4.0], [4.0, 6.0], [6.0, 6.0], [6.0, 4.0], [4.0, 4.0]],
+]
+
+
+def test_cell_roundtrip():
+    cid = int(cell_id([12.3], [45.6], 10)[0])
+    level, x, y = cell_parts(cid)
+    assert level == 10
+    b = cell_bounds(cid)
+    assert b[0] <= 12.3 <= b[2] and b[1] <= 45.6 <= b[3]
+    parent = cell_parent(cid, 5)
+    pb = cell_bounds(parent)
+    assert pb[0] <= b[0] and pb[2] >= b[2]
+
+
+def test_cover_bbox_counts():
+    cells = cover_bbox(0.0, 0.0, 10.0, 10.0, 8)
+    # level 8: cell size 360/256 = 1.40625 lon, 0.703125 lat
+    assert len(cells) == len(set(cells.tolist()))
+    for c in cells.tolist():
+        b = cell_bounds(c)
+        assert b[2] >= 0.0 and b[0] <= 10.0 and b[3] >= 0.0 and b[1] <= 10.0
+
+
+def test_cover_polygon_vs_bbox():
+    tri = [[[0.0, 0.0], [10.0, 0.0], [0.0, 10.0], [0.0, 0.0]]]
+    cp = set(cover_polygon(tri, 8).tolist())
+    cb = set(cover_bbox(0.0, 0.0, 10.0, 10.0, 8).tolist())
+    assert cp <= cb
+    assert len(cp) < len(cb)  # the empty corner of the bbox is excluded
+
+
+def test_points_in_polygon_vectorized_matches_scalar():
+    rng = np.random.default_rng(42)
+    lons = rng.uniform(-2, 12, 500)
+    lats = rng.uniform(-2, 12, 500)
+    got = points_in_polygon(lons, lats, HOLED)
+    want = np.array([point_in_polygon(x, y, HOLED) for x, y in zip(lons, lats)])
+    assert (got == want).all()
+
+
+def _image_points(n, bbox):
+    lon, lat = image_position(np.arange(n), bbox)
+    return pa.Table.from_pydict(
+        {
+            "image_id": [f"img-{i:012d}" for i in range(n)],
+            "lon": lon,
+            "lat": lat,
+        }
+    )
+
+
+def _pip_oracle(tbl, polys):
+    out = set()
+    for row in tbl.to_pylist():
+        for gid, poly in polys:
+            if point_in_polygon(row["lon"], row["lat"], poly):
+                out.add((row["image_id"], gid))
+    return out
+
+
+@pytest.mark.parametrize("join_fn", ["broadcast", "shuffled", "shuffled_salted"])
+def test_pip_join_matches_oracle(ray_session, join_fn):
+    tbl = _image_points(400, (-5.0, -5.0, 15.0, 15.0))
+    polys = [("sq", SQUARE), ("holed", HOLED)]
+    images = ray.data.from_arrow(tbl)
+    if join_fn == "broadcast":
+        ds = broadcast_pip_join(images, polys, level=8, concurrency=2)
+    elif join_fn == "shuffled":
+        ds = shuffled_pip_join(images, polys, level=8, num_partitions=4)
+    else:
+        ds = shuffled_pip_join(images, polys, level=8, num_partitions=4, salt=3)
+    got = {(r["image_id"], r["geom_id"]) for r in ds.take_all()}
+    assert got == _pip_oracle(tbl, polys)
+
+
+def test_tile_assignment_matches_oracle(ray_session):
+    tbl = _image_points(300, (-5.0, -5.0, 15.0, 15.0))
+    polys = [("sq", SQUARE)]
+    images = ray.data.from_arrow(tbl)
+    got = {
+        (r["image_id"], r["geom_id"], r["cell"])
+        for r in tile_assignment(images, polys, level=8, num_partitions=4).take_all()
+    }
+    cover = set(cover_polygon(SQUARE, 8).tolist())
+    want = set()
+    for row in tbl.to_pylist():
+        c = int(cell_id([row["lon"]], [row["lat"]], 8)[0])
+        if c in cover:
+            want.add((row["image_id"], "sq", c))
+    assert got == want
+
+
+def test_phash_knn_matches_bruteforce(ray_session):
+    rng = np.random.default_rng(7)
+    hashes = rng.integers(-(2**62), 2**62, 1000, dtype=np.int64)
+    ids = np.arange(1000, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.Table.from_pydict({"item_id": ids, "phash": hashes}))
+    qids = np.array([0, 1, 2], dtype=np.int64)
+    qh = hashes[:3]
+    got = phash_knn(ds, qids, qh, k=5, concurrency=2).take_all()
+    for qi in range(3):
+        dm = hamming64(qh[qi : qi + 1][:, None], hashes[None, :])[0]
+        order = np.lexsort((ids, dm))[:5]
+        want = [(int(dm[o]), int(ids[o])) for o in order]
+        rows = sorted(
+            [r for r in got if r["query_id"] == qi], key=lambda r: r["rank"]
+        )
+        assert [(int(r["distance"]), r["neighbor_id"]) for r in rows] == want
+
+
+def test_embedding_knn_matches_bruteforce(ray_session):
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(300, 16))
+    ids = np.arange(300, dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.Table.from_pydict({"vec_id": ids, "embedding": [v.tolist() for v in vecs]})
+    )
+    got = embedding_knn(ds, ids[:2], vecs[:2], k=4, concurrency=2).take_all()
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    for qi in range(2):
+        dist = np.round(1.0 - unit[qi] @ unit.T, 9)
+        order = np.lexsort((ids, dist))[:4]
+        want = [int(ids[o]) for o in order]
+        rows = sorted([r for r in got if r["query_id"] == qi], key=lambda r: r["rank"])
+        assert [r["neighbor_id"] for r in rows] == want
+        assert rows[0]["neighbor_id"] == qi  # itself at distance 0
