@@ -33,7 +33,10 @@ def encode_image(pixels: np.ndarray, fmt: str = "rgb8") -> bytes:
     if fmt == "rgb8":
         payload = pixels.tobytes()
     elif fmt == "rgb5":
-        payload = (pixels & 0xF8).tobytes()
+        # round-to-nearest 8-step quantization: max error 4 ->
+        # MSE ~5.5 -> PSNR ~40.7 dB, deterministically above the gate
+        q = np.clip((pixels.astype(np.int32) + 4) // 8 * 8, 0, 255).astype(np.uint8)
+        payload = q.tobytes()
     else:
         raise NotImplementedError(f"encoder for {fmt!r} not available in this environment")
     return _MAGIC + struct.pack("<HHBB", w, h, 0, 0) + payload

@@ -91,7 +91,7 @@ def minhash_lsh_pairs(
                 sig = minhash_signature(text, self.num_hashes, self.k)
                 for b in range(bands):
                     band = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                    bh = int(splitmix64(band ^ np.uint64(b + 1)).sum() & np.uint64(0x7FFFFFFFFFFFFFFF))
+                    bh = int(splitmix64(band ^ np.uint64(b + 1)).sum() & np.uint64(0x3FFFFFFFFFFFFF))
                     out_key.append(bh * bands + b)
                     out_id.append(did)
                     out_text.append(text)
