@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module:
+nothing here (or in the library) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship pipeline at sf0.001 — OSM corpus stitched by
+  the distributed pipeline, assembled polygons broadcast into a
+  cell-indexed point-in-polygon join against deterministic synthetic
+  image points, plus tile assignment counts.
+- ``queries()``: one callable per implemented operator/pipeline
+  (SURVEY.md §2 + graft ops); each takes ``sf_dir``.
+- ``oracle_sql()``: DuckDB-equivalent SQL for the SQL-expressible
+  subset (same column names; float aggregates rounded on both sides).
 """
 
 from __future__ import annotations
@@ -20,25 +20,32 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from osm2geojson_ray.queries import g_pip_join_osm, osm_corpus_features
+
+    sf_dir = "/root/testdata/sf0.001"
+    # stitching correctness (distributed pipeline over the corpus) ...
+    features = osm_corpus_features(sf_dir)
+    # ... feeding the spatial join (broadcast PIP over cell index)
+    pip = g_pip_join_osm(sf_dir)
+    n_matches = pip.count()
+    import pyarrow as pa
+
+    summary = pa.Table.from_pydict(
+        {
+            "stage": ["osm_features", "pip_matches"],
+            "rows": [features.num_rows, n_matches],
+        }
+    )
+    return summary
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from osm2geojson_ray.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from osm2geojson_ray.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

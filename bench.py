@@ -1,0 +1,197 @@
+"""Benchmark driver: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N}
+
+``--scaling`` runs the same job at num_cpus=8 and num_cpus=32 in fresh
+processes and reports both throughputs + scaling efficiency (the
+sandbox stand-in for N vs 4N Ray nodes; BASELINE.md).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# bench scale knobs (deterministic; scaled for the sf0.1 default)
+OSM_NODES = int(os.environ.get("BENCH_OSM_NODES", "120000"))
+OSM_WAYS = int(os.environ.get("BENCH_OSM_WAYS", "12000"))
+OSM_RELS = int(os.environ.get("BENCH_OSM_RELS", "300"))
+N_IMAGES = int(os.environ.get("BENCH_N_IMAGES", "60000"))
+
+
+def _osm_cache_path():
+    return f"/tmp/osm2geojson_ray_bench/elements_{OSM_NODES}_{OSM_WAYS}_{OSM_RELS}.parquet"
+
+
+def prepare_inputs():
+    """Generate+cache synthetic OSM elements; warm the page cache on the
+    sf parquet files so the timed runs measure compute + shuffle."""
+    import pyarrow.parquet as pq
+
+    path = _osm_cache_path()
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        from osm2geojson_ray.model.synth_osm import synth_elements_table
+
+        tbl = synth_elements_table(
+            n_nodes=OSM_NODES, n_ways=OSM_WAYS, n_relations=OSM_RELS
+        )
+        pq.write_table(tbl, path)
+    for name in ("lineitem", "orders", "customer", "events", "documents", "embeddings", "part"):
+        with open(os.path.join(SF_DIR, f"{name}.parquet"), "rb") as f:
+            while f.read(1 << 24):
+                pass
+    return path
+
+
+def bench_osm_stitch(elements_path):
+    import ray.data
+
+    from osm2geojson_ray.pipeline.osm import OsmPipeline
+
+    ds = ray.data.read_parquet(elements_path)
+    pipe = OsmPipeline(num_partitions=max(8, NUM_CPUS))
+    return pipe.features(ds).count()
+
+
+def bench_image_pipeline():
+    import numpy as np
+    import pyarrow as pa
+
+    from osm2geojson_ray.images.synth import image_position, synth_image_table
+    from osm2geojson_ray.queries import corpus_polygons
+    from osm2geojson_ray.spatial.pip import broadcast_pip_join
+
+    ds = synth_image_table(N_IMAGES, partition_rows=max(1024, N_IMAGES // (4 * NUM_CPUS)))
+
+    def add_position(batch: pa.Table) -> pa.Table:
+        idx = np.array([int(s.split("-")[1]) for s in batch["image_id"].to_pylist()],
+                       dtype=np.uint64)
+        lon, lat = image_position(idx, (-10.0, -10.0, 60.0, 60.0))
+        return batch.append_column("lon", pa.array(lon)).append_column("lat", pa.array(lat))
+
+    placed = ds.map_batches(add_position, batch_format="pyarrow")
+    polys = corpus_polygons()
+    matched = broadcast_pip_join(
+        placed, polys, level=10, concurrency=max(2, NUM_CPUS // 2)
+    )
+    return matched.count()
+
+
+def bench_text_dedup():
+    import ray.data
+
+    from osm2geojson_ray.text.analysis import analyze_documents
+    from osm2geojson_ray.text.dedup import exact_dedup
+
+    docs = ray.data.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                                 columns=["doc_id", "text"])
+    analyzed = analyze_documents(docs, concurrency=max(2, NUM_CPUS // 2))
+    n1 = analyzed.count()
+    n2 = exact_dedup(docs).count()
+    return n1 + n2
+
+
+def bench_relational():
+    from osm2geojson_ray.queries import q1_pricing_summary, q2_segment_revenue, q4_events_daily
+
+    n = 0
+    for fn in (q1_pricing_summary, q2_segment_revenue, q4_events_daily):
+        n += fn(SF_DIR).count()
+    return n
+
+
+def bench_knn():
+    from osm2geojson_ray.queries import e_knn_cosine, g_knn_phash
+
+    return g_knn_phash(SF_DIR).count() + e_knn_cosine(SF_DIR).count()
+
+
+PIPELINES = [
+    ("osm_stitch", lambda path: bench_osm_stitch(path)),
+    ("image_pip_join", lambda path: bench_image_pipeline()),
+    ("text_dedup", lambda path: bench_text_dedup()),
+    ("relational", lambda path: bench_relational()),
+    ("knn", lambda path: bench_knn()),
+]
+
+
+def run_bench():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    elements_path = prepare_inputs()
+    timings = {}
+    counts = {}
+    total = 0.0
+    for name, fn in PIPELINES:
+        t0 = time.time()
+        counts[name] = fn(elements_path)
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    out = {
+        "metric": "stitch+tile pipeline suite wall time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "rows": counts,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }
+    print(json.dumps(out))
+    ray.shutdown()
+    return out
+
+
+def run_scaling():
+    def run(ncpu):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "sec_8": r_lo["value"],
+                "sec_32": r_hi["value"],
+                "queries_8": r_lo["queries"],
+                "queries_32": r_hi["queries"],
+                "scaling_efficiency": round(eff, 3),
+                "sf": SF_DIR,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        run_bench()

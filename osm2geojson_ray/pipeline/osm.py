@@ -29,6 +29,7 @@ from __future__ import annotations
 import json
 from typing import Dict, List, Optional
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -116,9 +117,12 @@ class OsmPipeline:
         clf = self.classifier
         nparts = self.num_partitions
 
-        nodes = elements.filter(expr="type == 'node'")
-        ways = elements.filter(expr="type == 'way'")
-        rels = elements.filter(expr="type == 'relation'")
+        # The three type-splits are each consumed by several downstream
+        # stages; materialize so the input scan + filter run once (blocks
+        # pin in the object store and spill if large).
+        nodes = elements.filter(expr="type == 'node'").materialize()
+        ways = elements.filter(expr="type == 'way'").materialize()
+        rels = elements.filter(expr="type == 'relation'").materialize()
 
         # ---- J1: way ⋈ node -----------------------------------------
         def explode_way_edges(batch: pa.Table) -> pa.Table:
@@ -155,33 +159,64 @@ class OsmPipeline:
             num_partitions=nparts,
         )
 
-        # regroup on way id, sort by seq, emit coords + used prefix
-        def assemble_way_group(df):
+        # regroup on way id (hash-partitioned), assemble every way of a
+        # partition in ONE vectorized pass: numpy lexsort on
+        # (way_id, edge_seq) + boundary splits — one Python call per
+        # partition, never per way
+        def assemble_ways_partition(df):
             import pandas as pd
 
-            df = df.sort_values("edge_seq")
-            way_id = int(df["way_id"].iloc[0])
-            found = df["n_lon"].notna().to_numpy()
+            way_ids = df["way_id"].to_numpy()
+            seqs = df["edge_seq"].to_numpy()
+            lons = df["n_lon"].to_numpy(dtype="float64", na_value=np.nan)
+            lats = df["n_lat"].to_numpy(dtype="float64", na_value=np.nan)
             node_ids = df["node_id"].to_numpy()
-            used, coords_list = [], []
-            ok = True
-            for i in range(len(df)):
-                if found[i]:
-                    used.append(int(node_ids[i]))
-                    coords_list.append([float(df["n_lon"].iloc[i]), float(df["n_lat"].iloc[i])])
+            order = np.lexsort((seqs, way_ids))
+            way_ids, lons, lats, node_ids = (
+                way_ids[order], lons[order], lats[order], node_ids[order]
+            )
+            found = ~np.isnan(lons)
+            bounds = np.flatnonzero(np.diff(way_ids)) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [len(way_ids)]))
+            out_way, out_ok, out_coords, out_used = [], [], [], []
+            for s, e in zip(starts, ends):
+                f = found[s:e]
+                miss = np.flatnonzero(~f)
+                if len(miss) == 0:
+                    coords = np.stack([lons[s:e], lats[s:e]], axis=1).tolist()
+                    used = node_ids[s:e].tolist()
+                    ok = True
                 else:
-                    ok = False  # prefix-marking: nodes before the miss stay used
-                    break
+                    cut = s + int(miss[0])  # prefix-marking up to the miss
+                    coords = None
+                    used = node_ids[s:cut].tolist()
+                    ok = False
+                out_way.append(int(way_ids[s]))
+                out_ok.append(ok)
+                out_coords.append(json.dumps(coords) if ok else None)
+                out_used.append(json.dumps(used))
             return pd.DataFrame(
                 {
-                    "way_id": [way_id],
-                    "resolved": [ok],
-                    "coords_json": [json.dumps(coords_list) if ok else None],
-                    "used_nodes_json": [json.dumps(used)],
+                    "way_id": out_way,
+                    "resolved": out_ok,
+                    "coords_json": out_coords,
+                    "used_nodes_json": out_used,
                 }
             )
 
-        way_coords = joined.groupby("way_id").map_groups(assemble_way_group, batch_format="pandas")
+        with_part = joined.map_batches(
+            lambda t: t.append_column(
+                "__wpart",
+                pa.array(t["way_id"].to_numpy(zero_copy_only=False) % nparts),
+            ),
+            batch_format="pyarrow",
+        )
+        way_coords = (
+            with_part.groupby("__wpart")
+            .map_groups(assemble_ways_partition, batch_format="pandas")
+            .materialize()
+        )
 
         # used pairs from the way⋈node stage
         def used_from_ways(batch: pa.Table) -> pa.Table:
@@ -209,7 +244,7 @@ class OsmPipeline:
             r_schema=WAY_COORDS_SCHEMA,
             join_type="left_outer",
             num_partitions=nparts,
-        )
+        ).materialize()  # consumed by standalone conversion AND relations
 
         # ---- standalone way conversion ------------------------------
         def convert_ways(batch: pa.Table):
@@ -255,11 +290,20 @@ class OsmPipeline:
         used = used_nodes.union(used_rel)
 
         # ---- J6 anti-join on bare id --------------------------------
-        used_ids = used.map_batches(
-            lambda t: pa.Table.from_arrays(
-                [pc.unique(t["used_id"])], names=["element_id"]
-            ).append_column("is_used", pa.array([True] * len(pc.unique(t["used_id"])))),
-            batch_format="pyarrow",
+        # GLOBAL distinct (per-batch unique is not enough: duplicate
+        # keys on the right of a left_outer join would fan features out)
+        from ray.data.aggregate import Count as _Count
+
+        used_ids = (
+            used.groupby("used_id")
+            .aggregate(_Count(alias_name="_n"))
+            .map_batches(
+                lambda t: pa.Table.from_arrays(
+                    [t["used_id"], pa.array([True] * len(t))],
+                    names=["element_id", "is_used"],
+                ),
+                batch_format="pyarrow",
+            )
         )
         marked = join_safe(
             features,

@@ -1,0 +1,558 @@
+"""Driver-facing query suite: every entry pairs a Ray Data pipeline
+with (where expressible) an ANSI-SQL oracle DuckDB runs on the same
+parquet tables (see __ray_entry__.py).
+
+Column names match the oracle SQL exactly (the driver hashes values
+after sorting columns by name).  Float aggregates are rounded on BOTH
+sides so distributed summation order can't flip the value hash.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+REFERENCE_DATA = "/root/reference/tests/data"
+CELL_LEVEL = 12
+TILE_LEVEL = 8
+
+
+def _pq(sf_dir: str, table: str, columns=None):
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _int_scale_cols(ds, spec: Dict[str, tuple]):
+    """Replace float columns with integer-scaled versions so the value
+    hash can't be flipped by engine-specific double formatting:
+    spec = {old_col: (new_col, scale, "round"|"floor")}.  Sums of
+    2-decimal values scaled by 100 are integers up to ~1e-7 noise, so
+    round() is exact; pure ratios are identical doubles in both engines,
+    so floor() is exact."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        for col, (new, scale, mode) in spec.items():
+            idx = t.column_names.index(col)
+            arr = t[col].to_numpy(zero_copy_only=False) * scale
+            arr = np.round(arr) if mode == "round" else np.floor(arr)
+            t = t.set_column(idx, new, pa.array(arr.astype(np.int64)))
+        return t
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- TPC-H-ish
+def q1_pricing_summary(sf_dir: str):
+    ds = _pq(sf_dir, "lineitem",
+             ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", disc)
+
+    out = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Count(alias_name="count_order"),
+        )
+    )
+    return _int_scale_cols(
+        out,
+        {
+            "sum_qty": ("sum_qty", 1, "round"),
+            "sum_base_price": ("sum_base_price_cents", 100, "round"),
+            "sum_disc_price": ("sum_disc_price_cents", 100, "round"),
+        },
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,
+       CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_base_price_cents,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS sum_disc_price_cents,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q2_segment_revenue(sf_dir: str):
+    from .relational import hash_join
+
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: pa.Table.from_arrays([t["o_custkey"], t["o_totalprice"]],
+                                       names=["custkey", "o_totalprice"]),
+        batch_format="pyarrow",
+    )
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: pa.Table.from_arrays([t["c_custkey"], t["c_mktsegment"]],
+                                       names=["custkey", "c_mktsegment"]),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(
+        orders,
+        cust,
+        on="custkey",
+        l_schema=pa.schema([("custkey", pa.int64()), ("o_totalprice", pa.float64())]),
+        r_schema=pa.schema([("custkey", pa.int64()), ("c_mktsegment", pa.string())]),
+        how="inner",
+        num_partitions=16,
+    )
+    out = joined.groupby("c_mktsegment").aggregate(
+        Sum("o_totalprice", alias_name="revenue"),
+        Count(alias_name="n_orders"),
+    )
+    return _int_scale_cols(out, {"revenue": ("revenue_cents", 100, "round")})
+
+
+Q2_SQL = """
+SELECT c_mktsegment,
+       CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS revenue_cents,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q3_topk_orders(sf_dir: str):
+    return (
+        _pq(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+        .sort([("o_totalprice"), ("o_orderkey")], descending=[True, False])
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q4_events_daily(sf_dir: str):
+    ds = _pq(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        day = pc.strftime(t["ts"], format="%Y-%m-%d")
+        return pa.Table.from_arrays([day, t["event_type"], t["value"]],
+                                    names=["day", "event_type", "value"])
+
+    out = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("value", alias_name="sum_value"), Count(alias_name="n_events"))
+    )
+    return _int_scale_cols(out, {"sum_value": ("sum_value_cents", 100, "round")})
+
+
+Q4_SQL = """
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+       CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_cents, count(*) AS n_events
+FROM events GROUP BY event_type, day
+"""
+
+
+def q5_distinct_users(sf_dir: str):
+    ds = _pq(sf_dir, "events", ["event_type", "user_id"])
+    # pre-dedup (event_type, user_id) pairs, then count per type:
+    # two small shuffles instead of carrying full rows into one
+    pairs = ds.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="_n"))
+    return (
+        pairs.select_columns(["event_type"])
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_users"))
+    )
+
+
+Q5_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------- text ops
+def t_token_count(sf_dir: str):
+    from .text.analysis import analyze_documents
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return analyze_documents(docs, concurrency=2).select_columns(["doc_id", "n_tokens"])
+
+
+T_TOKEN_SQL = """
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+FROM documents
+"""
+
+
+def t_quality_stats(sf_dir: str):
+    from .text.analysis import analyze_documents
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    out = analyze_documents(docs, concurrency=2).select_columns(
+        ["doc_id", "n_chars_calc", "alpha_ratio"]
+    )
+    return _int_scale_cols(out, {"alpha_ratio": ("alpha_ratio_ppm", 1_000_000, "floor")})
+
+
+T_QUALITY_SQL = """
+SELECT doc_id, length(text) AS n_chars_calc,
+       CAST(floor(CASE WHEN length(text) = 0 THEN 0.0
+            ELSE length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text)
+       END * 1000000) AS BIGINT) AS alpha_ratio_ppm
+FROM documents
+"""
+
+
+def t_exact_dedup(sf_dir: str):
+    from .text.dedup import exact_dedup
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup(docs).select_columns(["doc_id"])
+
+
+T_DEDUP_SQL = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+
+
+def t_minhash_pairs(sf_dir: str):
+    from .text.dedup import minhash_lsh_pairs
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_pairs(docs, jaccard_threshold=0.8).select_columns(["a_id", "b_id"])
+
+
+def t_simhash(sf_dir: str):
+    from .text.dedup import simhash_signatures
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_signatures(docs)
+
+
+# ---------------------------------------------------------------- embeddings
+def e_knn_cosine(sf_dir: str):
+    from .spatial.knn import embedding_knn
+
+    emb = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    head = emb.filter(expr="vec_id < 3").take_all()
+    qids = np.array([r["vec_id"] for r in head], dtype=np.int64)
+    qm = np.array([r["embedding"] for r in head], dtype=np.float64)
+    out = embedding_knn(emb, qids, qm, k=5)
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
+E_KNN_SQL = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
+d AS (
+  SELECT q.qid, e.vec_id,
+         round(1 - list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 9) AS dist
+  FROM q CROSS JOIN embeddings e
+),
+r AS (
+  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rnk
+  FROM d
+)
+SELECT qid AS query_id, vec_id AS neighbor_id, rnk AS rank FROM r WHERE rnk <= 5
+"""
+
+
+def e_neardup_pairs(sf_dir: str):
+    from .text.dedup import embedding_neardup_pairs
+
+    emb = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_neardup_pairs(emb, threshold=0.98).select_columns(["a_id", "b_id"])
+
+
+# ---------------------------------------------------------------- spatial graft
+# Synthetic image points derived from the part table by pure integer /
+# float arithmetic so DuckDB can recompute positions, hashes and cells.
+def _part_image_batch(t: pa.Table) -> pa.Table:
+    k = t["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lon = (k * 2654435761 % 360000000) / 1e6 - 180.0
+    lat = (k * 40503 % 180000000) / 1e6 - 90.0
+    ph_u = (k.astype(np.uint64) * np.uint64(6364136223846793005)
+            + np.uint64(1442695040888963407))
+    phash = ph_u.astype(np.int64)
+    return pa.Table.from_pydict(
+        {"image_id": k, "lon": lon, "lat": lat, "phash": phash},
+        schema=pa.schema(
+            [("image_id", pa.int64()), ("lon", pa.float64()),
+             ("lat", pa.float64()), ("phash", pa.int64())]
+        ),
+    )
+
+
+_PART_IMG_SQL = """
+SELECT p_partkey AS image_id,
+       (p_partkey * 2654435761 % 360000000) / 1e6 - 180 AS lon,
+       (p_partkey * 40503 % 180000000) / 1e6 - 90 AS lat,
+       CAST((CAST(p_partkey AS HUGEINT) * 6364136223846793005 + 1442695040888963407)
+            % 18446744073709551616
+            - CASE WHEN (CAST(p_partkey AS HUGEINT) * 6364136223846793005
+                         + 1442695040888963407) % 18446744073709551616 >= 9223372036854775808
+                   THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS phash
+FROM part
+"""
+
+
+def part_images(sf_dir: str):
+    return _pq(sf_dir, "part", ["p_partkey"]).map_batches(
+        _part_image_batch, batch_format="pyarrow"
+    )
+
+
+def g_cell_encode(sf_dir: str):
+    from .spatial.cells import cell_id
+
+    def encode(t: pa.Table) -> pa.Table:
+        cells = cell_id(
+            t["lon"].to_numpy(zero_copy_only=False),
+            t["lat"].to_numpy(zero_copy_only=False),
+            CELL_LEVEL,
+        )
+        return pa.Table.from_pydict(
+            {"image_id": t["image_id"], "cell_id": pa.array(cells)},
+            schema=pa.schema([("image_id", pa.int64()), ("cell_id", pa.int64())]),
+        )
+
+    return part_images(sf_dir).map_batches(encode, batch_format="pyarrow")
+
+
+G_CELL_SQL = f"""
+WITH img AS ({_PART_IMG_SQL})
+SELECT image_id,
+       {CELL_LEVEL} * 288230376151711744
+       + CAST(floor((lon + 180) / 360 * 4096) AS BIGINT) * 536870912
+       + CAST(floor((lat + 90) / 180 * 4096) AS BIGINT) AS cell_id
+FROM img
+"""
+
+
+def g_tile_counts(sf_dir: str):
+    from .spatial.cells import cell_id
+
+    def encode(t: pa.Table) -> pa.Table:
+        cells = cell_id(
+            t["lon"].to_numpy(zero_copy_only=False),
+            t["lat"].to_numpy(zero_copy_only=False),
+            TILE_LEVEL,
+        )
+        return pa.Table.from_pydict({"cell_id": pa.array(cells)},
+                                    schema=pa.schema([("cell_id", pa.int64())]))
+
+    return (
+        part_images(sf_dir)
+        .map_batches(encode, batch_format="pyarrow")
+        .groupby("cell_id")
+        .aggregate(Count(alias_name="n_images"))
+    )
+
+
+G_TILE_SQL = f"""
+WITH img AS ({_PART_IMG_SQL})
+SELECT {TILE_LEVEL} * 288230376151711744
+       + CAST(floor((lon + 180) / 360 * 256) AS BIGINT) * 536870912
+       + CAST(floor((lat + 90) / 180 * 256) AS BIGINT) AS cell_id,
+       count(*) AS n_images
+FROM img GROUP BY 1
+"""
+
+
+def g_knn_phash(sf_dir: str):
+    from .spatial.knn import phash_knn
+
+    imgs = part_images(sf_dir).map_batches(
+        lambda t: pa.Table.from_arrays([t["image_id"], t["phash"]],
+                                       names=["item_id", "phash"]),
+        batch_format="pyarrow",
+    )
+    head = imgs.filter(expr="item_id < 3").take_all()
+    qids = np.array([r["item_id"] for r in head], dtype=np.int64)
+    qh = np.array([r["phash"] for r in head], dtype=np.int64)
+    out = phash_knn(imgs, qids, qh, k=5)
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
+G_KNN_SQL = f"""
+WITH img AS ({_PART_IMG_SQL}),
+q AS (SELECT image_id AS qid, phash AS qh FROM img WHERE image_id < 3),
+d AS (
+  SELECT q.qid, i.image_id,
+         bit_count(xor(q.qh, i.phash)) AS dist
+  FROM q CROSS JOIN img i
+),
+r AS (
+  SELECT qid, image_id, row_number() OVER (PARTITION BY qid ORDER BY dist, image_id) AS rnk
+  FROM d
+)
+SELECT qid AS query_id, image_id AS neighbor_id, rnk AS rank FROM r WHERE rnk <= 5
+"""
+
+
+# ---------------------------------------------------------------- OSM corpus
+_CORPUS = [
+    "empty", "node", "way", "relation", "map", "barrier-wall",
+    "center-feature", "meta", "issue-4", "issue-6", "issue-7", "issue-9",
+    "issue-16", "issue-35", "issue-52-highway-service-closed",
+]
+
+
+def _corpus_elements() -> List[Tuple[str, list]]:
+    from .model.xml_parse import parse_osm_xml
+
+    docs = []
+    for base in _CORPUS:
+        jp = os.path.join(REFERENCE_DATA, base + ".json")
+        xp = os.path.join(REFERENCE_DATA, base + ".osm")
+        if os.path.exists(jp):
+            with open(jp) as f:
+                doc = json.load(f)
+        else:
+            with open(xp) as f:
+                doc = parse_osm_xml(f.read())
+        docs.append((base, doc["elements"]))
+    return docs
+
+
+def osm_corpus_features(sf_dir: str):
+    """The whole golden corpus through the DISTRIBUTED pipeline; one
+    run per doc keeps ids from colliding across fixtures."""
+    from .pipeline.osm import OsmPipeline, elements_dataset
+
+    rows = []
+    for base, elements in _corpus_elements():
+        ds = elements_dataset(elements)
+        feats = OsmPipeline(num_partitions=4).features(ds).take_all()
+        feats.sort(key=lambda r: r["seq"])
+        for r in feats:
+            rows.append(
+                {
+                    "fixture": base,
+                    "seq": r["seq"],
+                    "element_type": r["element_type"],
+                    "element_id": r["element_id"],
+                    "geom_type": r["geom_type"],
+                }
+            )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("fixture", pa.string()),
+                ("seq", pa.int64()),
+                ("element_type", pa.string()),
+                ("element_id", pa.int64()),
+                ("geom_type", pa.string()),
+            ]
+        ),
+    )
+
+
+def corpus_polygons() -> List[Tuple[str, list]]:
+    """Assembled polygons from the corpus (document path, tiny) as the
+    small side of spatial joins."""
+    from .document import json2shapes
+
+    polys = []
+    for base, elements in _corpus_elements():
+        shapes = json2shapes({"elements": elements})
+        for s in shapes:
+            g = s["shape"]
+            gid = f"{base}/{s['properties']['type']}/{s['properties']['id']}"
+            if g["type"] == "Polygon":
+                polys.append((gid, g["coordinates"]))
+            elif g["type"] == "MultiPolygon":
+                for i, p in enumerate(g["coordinates"]):
+                    polys.append((f"{gid}#{i}", p))
+    return polys
+
+
+def g_pip_join_osm(sf_dir: str):
+    """Synthetic image points against assembled corpus polygons:
+    broadcast cell index + PIP actor pool."""
+    from .spatial.pip import broadcast_pip_join
+
+    polys = corpus_polygons()
+    imgs = part_images(sf_dir)
+    return broadcast_pip_join(imgs, polys, level=10, id_col="image_id", concurrency=2)
+
+
+def m_image_decode(sf_dir: str):
+    """Decode + verify the deterministic image table (actor pool):
+    recomputed phash must equal the stored one, captions non-empty."""
+    from .images.codec import decode_image
+    from .images.phash import phash64
+    from .images.synth import synth_image_table
+
+    ds = synth_image_table(2000, partition_rows=500)
+
+    class DecodeVerify:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ok, lossy = [], []
+            for row in batch.to_pylist():
+                px = decode_image(row["bytes"])
+                ok.append(bool(px.shape == (row["h"], row["w"], 3)))
+                lossy.append(row["fmt"] != "rgb8")
+            return pa.Table.from_pydict(
+                {
+                    "image_id": batch["image_id"],
+                    "decoded_ok": ok,
+                    "lossy": lossy,
+                    "phash": batch["phash"],
+                },
+                schema=pa.schema(
+                    [("image_id", pa.string()), ("decoded_ok", pa.bool_()),
+                     ("lossy", pa.bool_()), ("phash", pa.int64())]
+                ),
+            )
+
+    return ds.map_batches(DecodeVerify, batch_format="pyarrow", concurrency=2,
+                          batch_size=500)
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q2_segment_revenue": q2_segment_revenue,
+    "q3_topk_orders": q3_topk_orders,
+    "q4_events_daily": q4_events_daily,
+    "q5_distinct_users": q5_distinct_users,
+    "t_token_count": t_token_count,
+    "t_quality_stats": t_quality_stats,
+    "t_exact_dedup": t_exact_dedup,
+    "t_minhash_pairs": t_minhash_pairs,
+    "t_simhash": t_simhash,
+    "e_knn_cosine": e_knn_cosine,
+    "e_neardup_pairs": e_neardup_pairs,
+    "g_cell_encode": g_cell_encode,
+    "g_tile_counts": g_tile_counts,
+    "g_knn_phash": g_knn_phash,
+    "g_pip_join_osm": g_pip_join_osm,
+    "osm_corpus_features": osm_corpus_features,
+    "m_image_decode": m_image_decode,
+}
+
+ORACLE_SQL = {
+    "q1_pricing_summary": Q1_SQL,
+    "q2_segment_revenue": Q2_SQL,
+    "q3_topk_orders": Q3_SQL,
+    "q4_events_daily": Q4_SQL,
+    "q5_distinct_users": Q5_SQL,
+    "t_token_count": T_TOKEN_SQL,
+    "t_quality_stats": T_QUALITY_SQL,
+    "t_exact_dedup": T_DEDUP_SQL,
+    "e_knn_cosine": E_KNN_SQL,
+    "g_cell_encode": G_CELL_SQL,
+    "g_tile_counts": G_TILE_SQL,
+    "g_knn_phash": G_KNN_SQL,
+}

@@ -85,7 +85,7 @@ def phash_knn(
     k: int = 10,
     id_col: str = "item_id",
     hash_col: str = "phash",
-    concurrency: int = 4,
+    concurrency: int = 2,
     batch_size: Optional[int] = 8192,
 ):
     """Dataset of (id, phash) x broadcast queries -> global top-k per
@@ -97,7 +97,7 @@ def phash_knn(
         fn_constructor_kwargs={"queries_ref": ref, "k": k, "id_col": id_col, "hash_col": hash_col},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(1, concurrency) if isinstance(concurrency, int) else concurrency,
     )
     return _topk_reduce(local, k)
 
@@ -142,7 +142,7 @@ def embedding_knn(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    concurrency: int = 4,
+    concurrency: int = 2,
     batch_size: Optional[int] = 4096,
 ):
     """Brute-force cosine top-k (distance = 1 - cosine, rounded to 1e-9
@@ -154,7 +154,7 @@ def embedding_knn(
         fn_constructor_kwargs={"queries_ref": ref, "k": k, "id_col": id_col, "vec_col": vec_col},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(1, concurrency) if isinstance(concurrency, int) else concurrency,
     )
     return _topk_reduce(local, k)
 

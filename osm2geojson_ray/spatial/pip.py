@@ -124,7 +124,7 @@ def broadcast_pip_join(
     lon_col: str = "lon",
     lat_col: str = "lat",
     id_col: str = "image_id",
-    concurrency: int = 4,
+    concurrency: int = 2,
     batch_size: Optional[int] = 8192,
 ):
     """images Dataset (with lon/lat columns) x small polygon list ->
@@ -140,7 +140,7 @@ def broadcast_pip_join(
         },
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(1, concurrency) if isinstance(concurrency, int) else concurrency,
     )
 
 

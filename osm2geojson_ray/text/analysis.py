@@ -46,9 +46,9 @@ class TextAnalyzer:
             toks = self.token_re.findall(t)
             n_tokens[i] = len(toks)
             n_chars[i] = len(t)
-            alpha_ratio[i] = (
-                sum(1 for ch in t if ch.isalpha()) / len(t) if t else 0.0
-            )
+            # ASCII-letter ratio ([a-zA-Z], matching the SQL oracle's
+            # regexp_replace semantics)
+            alpha_ratio[i] = len(self.alpha_re.findall(t)) / len(t) if t else 0.0
             words = [w.lower() for w in toks]
             lang, sr = self._lang_of(words)
             langs.append(lang)
@@ -108,12 +108,12 @@ def _hash63(s: str) -> int:
     return h & 0x7FFFFFFFFFFFFFFF
 
 
-def analyze_documents(docs, *, text_col: str = "text", concurrency: int = 4,
+def analyze_documents(docs, *, text_col: str = "text", concurrency: int = 2,
                       batch_size: int = 4096):
     return docs.map_batches(
         TextAnalyzer,
         fn_constructor_kwargs={"text_col": text_col},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(1, concurrency) if isinstance(concurrency, int) else concurrency,
     )

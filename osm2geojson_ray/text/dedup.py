@@ -74,7 +74,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 3,
     jaccard_threshold: float = 0.8,
-    concurrency: int = 4,
+    concurrency: int = 2,
 ):
     """Near-duplicate pairs (a_id < b_id, exact-verified n-gram Jaccard
     >= threshold).  Shuffle key: (band index, band hash)."""

@@ -1,0 +1,50 @@
+"""Resumable partitioned output: a rerun skips completed partitions and
+final output is byte-identical to an uninterrupted run."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from osm2geojson_ray.state.lineage import PartitionedRun
+
+
+def build(part: str) -> pa.Table:
+    n = int(part)
+    return pa.Table.from_pydict({"x": list(range(n * 10, n * 10 + 5)), "part": [part] * 5})
+
+
+def read_all(run: PartitionedRun, parts):
+    return {
+        p: pq.read_table(os.path.join(run.partition_dir(p), "data.parquet"))
+        for p in parts
+    }
+
+
+def test_resume_skips_done(tmp_path):
+    parts = [str(i) for i in range(4)]
+    run = PartitionedRun(str(tmp_path / "out"))
+    # interrupted run: only first two partitions complete
+    run.run(parts[:2], build)
+    assert set(run.completed()) == {"0", "1"}
+
+    calls = []
+
+    def tracking_build(p):
+        calls.append(p)
+        return build(p)
+
+    # resumed run over the full partition list
+    done = run.run(parts, tracking_build)
+    assert calls == ["2", "3"]  # completed partitions skipped
+    assert set(done) == set(parts)
+
+    # byte-identical to an uninterrupted run
+    fresh = PartitionedRun(str(tmp_path / "fresh"))
+    fresh.run(parts, build)
+    got = read_all(run, parts)
+    want = read_all(fresh, parts)
+    for p in parts:
+        assert got[p].equals(want[p])
+        assert done[p]["checksum"] == fresh.completed()[p]["checksum"]
+        assert done[p]["rows"] == 5
