@@ -106,11 +106,27 @@ class OsmPipeline:
         filter_used_refs: bool = True,
         max_relation_rounds: int = 3,
         num_partitions: int = 16,
+        debug_timing: bool = False,
     ):
         self.classifier = classifier or DEFAULT_CLASSIFIER
         self.filter_used_refs = filter_used_refs
         self.max_relation_rounds = max_relation_rounds
         self.num_partitions = num_partitions
+        self.debug_timing = debug_timing
+        self._t0 = None
+
+    def _tick(self, label, ds=None):
+        import time as _time
+
+        if not self.debug_timing:
+            return ds
+        if ds is not None:
+            ds = ds.materialize()
+        now = _time.time()
+        if self._t0 is not None:
+            print(f"[osm-pipeline] {label}: {now - self._t0:.1f}s", flush=True)
+        self._t0 = now
+        return ds
 
     # ------------------------------------------------------------------
     def features(self, elements: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -123,6 +139,7 @@ class OsmPipeline:
         nodes = elements.filter(expr="type == 'node'").materialize()
         ways = elements.filter(expr="type == 'way'").materialize()
         rels = elements.filter(expr="type == 'relation'").materialize()
+        self._tick("split")
 
         # ---- J1: way ⋈ node -----------------------------------------
         def explode_way_edges(batch: pa.Table) -> pa.Table:
@@ -215,8 +232,10 @@ class OsmPipeline:
         way_coords = (
             with_part.groupby("__wpart")
             .map_groups(assemble_ways_partition, batch_format="pandas")
-            .materialize()
-        )
+            .repartition(nparts)  # groupby emits ~200 tiny blocks;
+            .materialize()        # coalesce so later stages don't pay
+        )                         # per-block scheduling for each
+        self._tick("way_coords (edge join + assembly)")
 
         # used pairs from the way⋈node stage
         def used_from_ways(batch: pa.Table) -> pa.Table:
@@ -244,7 +263,8 @@ class OsmPipeline:
             r_schema=WAY_COORDS_SCHEMA,
             join_type="left_outer",
             num_partitions=nparts,
-        ).materialize()  # consumed by standalone conversion AND relations
+        ).repartition(nparts).materialize()  # consumed by standalone conversion AND relations
+        self._tick("ways_resolved join")
 
         # ---- standalone way conversion ------------------------------
         def convert_ways(batch: pa.Table):
@@ -266,11 +286,13 @@ class OsmPipeline:
                     feats.append(_feature_row(row["seq"], "way", row["id"], shape))
             return _feature_table(feats)
 
-        way_features = ways_resolved.map_batches(convert_ways, batch_format="pyarrow")
+        way_features = self._tick("way_features", ways_resolved.map_batches(convert_ways, batch_format="pyarrow")) if self.debug_timing else ways_resolved.map_batches(convert_ways, batch_format="pyarrow")
 
         # ---- relations ----------------------------------------------
         rel_tables = self._relations(rels, ways_resolved, nparts)
         rel_features, used_rel = rel_tables
+        if self.debug_timing:
+            rel_features = self._tick("relations", rel_features)
 
         # ---- nodes --------------------------------------------------
         def convert_nodes(batch: pa.Table) -> pa.Table:
@@ -282,29 +304,38 @@ class OsmPipeline:
             return _feature_table(feats)
 
         node_features = nodes.map_batches(convert_nodes, batch_format="pyarrow")
+        if self.debug_timing:
+            node_features = self._tick("node_features", node_features)
 
         features = node_features.union(way_features).union(rel_features)
+        if self.debug_timing:
+            features = self._tick("features union", features)
         if not self.filter_used_refs:
             return features
 
         used = used_nodes.union(used_rel)
+        if self.debug_timing:
+            used = self._tick("used union", used)
 
         # ---- J6 anti-join on bare id --------------------------------
         # GLOBAL distinct (per-batch unique is not enough: duplicate
-        # keys on the right of a left_outer join would fan features out)
-        from ray.data.aggregate import Count as _Count
+        # keys on the right of a left_outer join would fan features
+        # out); partition-wise dedup, not per-key groupby
+        from ..relational import distinct_on
 
-        used_ids = (
-            used.groupby("used_id")
-            .aggregate(_Count(alias_name="_n"))
-            .map_batches(
+        used_ids = distinct_on(
+            used.map_batches(
                 lambda t: pa.Table.from_arrays(
                     [t["used_id"], pa.array([True] * len(t))],
                     names=["element_id", "is_used"],
                 ),
                 batch_format="pyarrow",
-            )
+            ),
+            "element_id",
+            num_partitions=nparts,
         )
+        if self.debug_timing:
+            used_ids = self._tick("used distinct", used_ids)
         marked = join_safe(
             features,
             used_ids,
@@ -518,7 +549,7 @@ class OsmPipeline:
             # run the round and materialize its three outputs
             round_out = rel_with_members.map_batches(
                 lambda t, f=convert_relations: _pack_multi(f(t)), batch_format="pyarrow"
-            ).materialize()
+            ).repartition(max(2, nparts // 2)).materialize()
 
             feature_tables.append(
                 round_out.filter(expr="kind == 'feature'").map_batches(

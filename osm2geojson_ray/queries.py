@@ -164,10 +164,22 @@ FROM events GROUP BY event_type, day
 
 
 def q5_distinct_users(sf_dir: str):
+    from .relational import distinct_on
+
     ds = _pq(sf_dir, "events", ["event_type", "user_id"])
-    # pre-dedup (event_type, user_id) pairs, then count per type:
-    # two small shuffles instead of carrying full rows into one
-    pairs = ds.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="_n"))
+
+    def pair_key(t: pa.Table) -> pa.Table:
+        from .text.analysis import _hash63
+
+        keys = np.array(
+            [_hash63(f"{et}|{int(u)}")
+             for et, u in zip(t["event_type"].to_pylist(),
+                              t["user_id"].to_numpy(zero_copy_only=False))],
+            dtype=np.int64,
+        )
+        return t.append_column("pair_key", pa.array(keys))
+
+    pairs = distinct_on(ds.map_batches(pair_key, batch_format="pyarrow"), "pair_key")
     return (
         pairs.select_columns(["event_type"])
         .groupby("event_type")
@@ -351,11 +363,12 @@ def g_tile_counts(sf_dir: str):
         return pa.Table.from_pydict({"cell_id": pa.array(cells)},
                                     schema=pa.schema([("cell_id", pa.int64())]))
 
-    return (
-        part_images(sf_dir)
-        .map_batches(encode, batch_format="pyarrow")
-        .groupby("cell_id")
-        .aggregate(Count(alias_name="n_images"))
+    from .relational import grouped_count
+
+    return grouped_count(
+        part_images(sf_dir).map_batches(encode, batch_format="pyarrow"),
+        "cell_id",
+        alias="n_images",
     )
 
 

@@ -110,6 +110,56 @@ def hash_join(
     return both.groupby("__part").map_groups(merge_partition, batch_format="pyarrow")
 
 
+def _with_part(ds, key: str, num_partitions: int):
+    def add(batch: pa.Table) -> pa.Table:
+        keys = batch[key]
+        if pa.types.is_integer(keys.type):
+            part = keys.to_numpy(zero_copy_only=False) % num_partitions
+        else:
+            # process-STABLE hash (builtin str hash is per-process
+            # randomized and would scatter equal keys across partitions)
+            import zlib
+
+            part = np.array(
+                [zlib.crc32(str(x).encode()) % num_partitions for x in keys.to_pylist()],
+                dtype=np.int64,
+            )
+        return batch.append_column("__part", pa.array(part.astype(np.int64)))
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def distinct_on(ds, key: str, *, num_partitions: int = 16, sort_by=None):
+    """Keep one row per distinct ``key`` — partition-wise vectorized
+    pandas dedup (P Python calls), NOT ``groupby(key)`` whose per-group
+    overhead is ~0.1 ms and dominates at high cardinality.
+
+    ``sort_by``: optional column list ordering rows before dedup so
+    "first" is deterministic (e.g. min id wins)."""
+
+    def dedup(df):
+        if sort_by:
+            df = df.sort_values(sort_by, kind="stable")
+        return df.drop_duplicates(subset=[key]).drop(columns="__part")
+
+    return _with_part(ds, key, num_partitions).groupby("__part").map_groups(
+        dedup, batch_format="pandas"
+    )
+
+
+def grouped_count(ds, key: str, *, num_partitions: int = 16, alias: str = "n"):
+    """(key, count) pairs — partition-wise pandas value_counts; complete
+    because partitioning is by the key itself."""
+
+    def count(df):
+        out = df.groupby(key, sort=False).size().reset_index(name=alias)
+        return out
+
+    return _with_part(ds, key, num_partitions).groupby("__part").map_groups(
+        count, batch_format="pandas"
+    )
+
+
 def dataset_from_table(tbl: pa.Table, **kwargs):
     return ray.data.from_arrow(tbl, **kwargs)
 

@@ -190,38 +190,39 @@ def phash_band_pairs(
 
     banded = items.map_batches(band_rows, batch_format="pyarrow")
 
-    def pairs_in_bucket(df):
+    def partition_pairs(df):
         import pandas as pd
 
-        ids = df["item_id"].to_numpy()
-        hs = df["phash"].to_numpy()
-        if len(ids) < 2:
+        df = df[df.duplicated("band_key", keep=False)]
+        frames = []
+        for _, grp in df.groupby("band_key", sort=False):
+            ids = grp["item_id"].to_numpy()
+            hs = grp["phash"].to_numpy()
+            if len(ids) < 2:
+                continue
+            dm = hamming64(hs[:, None], hs[None, :])
+            ai, bi = np.nonzero(np.triu(dm <= max_distance, k=1))
+            if len(ai) == 0:
+                continue
+            a, b = ids[ai], ids[bi]
+            swap = a > b
+            frames.append(pd.DataFrame({
+                "a_id": np.where(swap, b, a),
+                "b_id": np.where(swap, a, b),
+                "distance": dm[ai, bi],
+            }))
+        if not frames:
             return pd.DataFrame({"a_id": [], "b_id": [], "distance": []}).astype(
                 {"a_id": "int64", "b_id": "int64", "distance": "int64"}
             )
-        dm = hamming64(hs[:, None], hs[None, :])
-        ai, bi = np.nonzero(np.triu(dm <= max_distance, k=1))
-        a, b = ids[ai], ids[bi]
-        swap = a > b
-        a2 = np.where(swap, b, a)
-        b2 = np.where(swap, a, b)
-        return pd.DataFrame({"a_id": a2, "b_id": b2, "distance": dm[ai, bi]})
+        return pd.concat(frames, ignore_index=True)
 
-    pairs = banded.groupby("band_key").map_groups(pairs_in_bucket, batch_format="pandas")
+    from ..relational import _with_part
+    from ..text.dedup import _distinct_pairs
 
-    def dedupe(df):
-        return df.drop_duplicates(subset=["a_id", "b_id"])
-
-    key = pairs.map_batches(
-        lambda t: t.append_column(
-            "pair_key",
-            pa.array(
-                t["a_id"].to_numpy(zero_copy_only=False) * np.int64(1_000_003)
-                + t["b_id"].to_numpy(zero_copy_only=False)
-            ),
-        ),
-        batch_format="pyarrow",
+    pairs = (
+        _with_part(banded, "band_key", num_partitions)
+        .groupby("__part")
+        .map_groups(partition_pairs, batch_format="pandas")
     )
-    return key.groupby("pair_key").map_groups(
-        lambda df: df.head(1), batch_format="pandas"
-    ).drop_columns(["pair_key"])
+    return _distinct_pairs(pairs, num_partitions=num_partitions)

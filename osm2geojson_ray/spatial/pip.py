@@ -185,7 +185,13 @@ def shuffled_pip_join(
         cells = cell_id(lons, lats, level)
         ids = batch[id_col]
         if salt > 1:
-            h = np.abs(np.array([hash(x) for x in ids.to_pylist()], dtype=np.int64)) % salt
+            import zlib
+
+            # stable per-image salt (builtin hash is process-randomized)
+            h = np.array(
+                [zlib.crc32(str(x).encode()) % salt for x in ids.to_pylist()],
+                dtype=np.int64,
+            )
         else:
             h = np.zeros(len(batch), dtype=np.int64)
         return pa.Table.from_pydict(

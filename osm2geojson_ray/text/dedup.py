@@ -25,6 +25,26 @@ from .analysis import _hash63
 _TOKEN_RE = re.compile(r"\S+")
 
 
+def _distinct_pairs(pairs, num_partitions: int = 16):
+    """Distinct (a_id, b_id) rows via a synthetic pair key +
+    partition-wise dedup."""
+    from ..relational import distinct_on
+
+    keyed = pairs.map_batches(
+        lambda t: t.append_column(
+            "pair_key",
+            pa.array(
+                t["a_id"].to_numpy(zero_copy_only=False) * np.int64(1_000_003)
+                + t["b_id"].to_numpy(zero_copy_only=False)
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    return distinct_on(keyed, "pair_key", num_partitions=num_partitions).drop_columns(
+        ["pair_key"]
+    )
+
+
 def _content_hash_col(batch: pa.Table, text_col: str) -> pa.Table:
     hashes = np.fromiter(
         (_hash63(t or "") for t in batch[text_col].to_pylist()),
@@ -34,17 +54,19 @@ def _content_hash_col(batch: pa.Table, text_col: str) -> pa.Table:
     return batch.append_column("content_hash", pa.array(hashes))
 
 
-def exact_dedup(docs, *, text_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(docs, *, text_col: str = "text", id_col: str = "doc_id",
+                num_partitions: int = 16):
     """Keep one row (min id) per distinct text. Returns the surviving
-    rows' (id, content_hash)."""
+    rows' (id, content_hash).  Hash-partition + partition-wise dedup
+    (one vectorized pass per partition, not per distinct text)."""
+    from ..relational import distinct_on
+
     hashed = docs.map_batches(
-        lambda t: _content_hash_col(t, text_col), batch_format="pyarrow"
+        lambda t: _content_hash_col(t, text_col).select([id_col, "content_hash"]),
+        batch_format="pyarrow",
     )
-
-    def keep_first(df):
-        return df.sort_values(id_col).head(1)[[id_col, "content_hash"]]
-
-    return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pandas")
+    return distinct_on(hashed, "content_hash", num_partitions=num_partitions,
+                       sort_by=[id_col])
 
 
 def _shingles(words, k: int):
@@ -104,47 +126,41 @@ def minhash_lsh_pairs(
 
     banded = docs.map_batches(Sigs, batch_format="pyarrow", concurrency=concurrency)
 
-    def bucket_pairs(df):
+    # partition by bucket hash; within a partition, singleton buckets
+    # (the vast majority) are dropped VECTORIZED and only multi-member
+    # buckets pay the pairwise Jaccard verify
+    def partition_pairs(df):
         import pandas as pd
 
-        df = df.drop_duplicates(subset=["doc_id_"]).sort_values("doc_id_")
-        ids = df["doc_id_"].tolist()
-        texts = df["text_"].tolist()
+        df = df[df.duplicated("bucket", keep=False)]
         rows = []
-        if len(ids) > 1:
+        for _, grp in df.groupby("bucket", sort=False):
+            grp = grp.drop_duplicates(subset=["doc_id_"]).sort_values("doc_id_")
+            if len(grp) < 2:
+                continue
+            ids = grp["doc_id_"].tolist()
             grams = [
                 set(_shingles([w.lower() for w in _TOKEN_RE.findall(t or "")], shingle_k))
-                for t in texts
+                for t in grp["text_"].tolist()
             ]
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
-                    inter = len(grams[i] & grams[j])
                     union = len(grams[i] | grams[j])
-                    jac = inter / union if union else 0.0
+                    jac = len(grams[i] & grams[j]) / union if union else 0.0
                     if jac >= jaccard_threshold:
                         rows.append((ids[i], ids[j], jac))
         return pd.DataFrame(rows, columns=["a_id", "b_id", "jaccard"]).astype(
             {"a_id": "int64", "b_id": "int64", "jaccard": "float64"}
         )
 
-    pairs = banded.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    from ..relational import _with_part
 
-    # distinct pairs across buckets
-    keyed = pairs.map_batches(
-        lambda t: t.append_column(
-            "pair_key",
-            pa.array(
-                t["a_id"].to_numpy(zero_copy_only=False) * np.int64(1_000_003)
-                + t["b_id"].to_numpy(zero_copy_only=False)
-            ),
-        ),
-        batch_format="pyarrow",
+    pairs = (
+        _with_part(banded, "bucket", 16)
+        .groupby("__part")
+        .map_groups(partition_pairs, batch_format="pandas")
     )
-    return (
-        keyed.groupby("pair_key")
-        .map_groups(lambda df: df.head(1), batch_format="pandas")
-        .drop_columns(["pair_key"])
-    )
+    return _distinct_pairs(pairs)
 
 
 def simhash_signatures(docs, *, text_col: str = "text", id_col: str = "doc_id",
@@ -253,18 +269,4 @@ def embedding_neardup_pairs(
         )
 
     pairs = bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
-    keyed = pairs.map_batches(
-        lambda t: t.append_column(
-            "pair_key",
-            pa.array(
-                t["a_id"].to_numpy(zero_copy_only=False) * np.int64(1_000_003)
-                + t["b_id"].to_numpy(zero_copy_only=False)
-            ),
-        ),
-        batch_format="pyarrow",
-    )
-    return (
-        keyed.groupby("pair_key")
-        .map_groups(lambda df: df.head(1), batch_format="pandas")
-        .drop_columns(["pair_key"])
-    )
+    return _distinct_pairs(pairs)
