@@ -19,10 +19,10 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 # bench scale knobs (deterministic; scaled for the sf0.1 default)
-OSM_NODES = int(os.environ.get("BENCH_OSM_NODES", "120000"))
-OSM_WAYS = int(os.environ.get("BENCH_OSM_WAYS", "12000"))
-OSM_RELS = int(os.environ.get("BENCH_OSM_RELS", "300"))
-N_IMAGES = int(os.environ.get("BENCH_N_IMAGES", "60000"))
+OSM_NODES = int(os.environ.get("BENCH_OSM_NODES", "600000"))
+OSM_WAYS = int(os.environ.get("BENCH_OSM_WAYS", "60000"))
+OSM_RELS = int(os.environ.get("BENCH_OSM_RELS", "1500"))
+N_IMAGES = int(os.environ.get("BENCH_N_IMAGES", "200000"))
 
 
 def _osm_cache_path():
@@ -56,7 +56,9 @@ def bench_osm_stitch(elements_path):
     from osm2geojson_ray.pipeline.osm import OsmPipeline
 
     ds = ray.data.read_parquet(elements_path)
-    pipe = OsmPipeline(num_partitions=max(8, NUM_CPUS))
+    # fixed partition count at every CPU level: partitioning is a DATA
+    # property; worker parallelism is the resource knob
+    pipe = OsmPipeline(num_partitions=32)
     return pipe.features(ds).count()
 
 
@@ -68,7 +70,7 @@ def bench_image_pipeline():
     from osm2geojson_ray.queries import corpus_polygons
     from osm2geojson_ray.spatial.pip import broadcast_pip_join
 
-    ds = synth_image_table(N_IMAGES, partition_rows=max(1024, N_IMAGES // (4 * NUM_CPUS)))
+    ds = synth_image_table(N_IMAGES, partition_rows=max(512, N_IMAGES // 128))
 
     def add_position(batch: pa.Table) -> pa.Table:
         idx = np.array([int(s.split("-")[1]) for s in batch["image_id"].to_pylist()],

@@ -118,8 +118,11 @@ def synth_image_table(
 
     partition_rows = partition_rows or max(1, min(n, 4096))
     starts = list(range(0, n, partition_rows))
+    # one block per partition spec — without override_num_blocks the
+    # spec rows land in one block and generation runs on ONE task
     parts = ray.data.from_items(
-        [{"start": s, "count": min(partition_rows, n - s)} for s in starts]
+        [{"start": s, "count": min(partition_rows, n - s)} for s in starts],
+        override_num_blocks=len(starts),
     )
 
     def gen(batch):

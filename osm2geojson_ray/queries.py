@@ -530,8 +530,7 @@ def m_image_decode(sf_dir: str):
                 ),
             )
 
-    return ds.map_batches(DecodeVerify, batch_format="pyarrow", concurrency=2,
-                          batch_size=500)
+    return ds.map_batches(DecodeVerify, batch_format="pyarrow", concurrency=2)
 
 
 QUERIES = {

@@ -1,0 +1,107 @@
+"""Sources and sinks (SURVEY.md §2.1).
+
+- ``read_osm_files`` / ``read_overpass_json_files``: sharded file
+  reads -> elements Dataset.  XML/JSON documents are not splittable
+  mid-file, so sharding is at file granularity: ``read_binary_files``
+  hands each file to a ``flat_map``-style batch parser.
+- ``overpass_call``: Overpass API POST with bounded retries
+  (reference helpers.py:33-84).  No network in this sandbox — the
+  function is real but will raise on connection failure after retries.
+- ``write_feature_collection`` / ``write_features_parquet``: GeoJSON
+  document sink (small results) and partitioned parquet sink
+  (resumable large results).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import urllib.parse
+import urllib.request
+from typing import List, Optional
+
+import pyarrow as pa
+
+import ray.data
+
+from .model.schema import ELEMENT_SCHEMA, elements_to_rows
+from .model.xml_parse import parse_osm_xml
+
+OVERPASS_URL = "https://overpass-api.de/api/interpreter"
+
+
+def _elements_from_doc(doc: dict, shard: str) -> pa.Table:
+    rows = elements_to_rows(doc.get("elements", []))
+    tbl = pa.Table.from_pylist(rows, schema=ELEMENT_SCHEMA)
+    return tbl.append_column("shard", pa.array([shard] * len(tbl), pa.string()))
+
+
+def read_osm_files(paths: List[str]):
+    """OSM XML shards -> elements Dataset (one task per file)."""
+    files = ray.data.read_binary_files(paths, include_paths=True)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        tables = []
+        for row in batch.to_pylist():
+            doc = parse_osm_xml(row["bytes"].decode("utf-8"))
+            if doc:
+                tables.append(_elements_from_doc(doc, os.path.basename(row["path"])))
+        if not tables:
+            return ELEMENT_SCHEMA.append(pa.field("shard", pa.string())).empty_table()
+        return pa.concat_tables(tables)
+
+    return files.map_batches(parse, batch_format="pyarrow", batch_size=1)
+
+
+def read_overpass_json_files(paths: List[str]):
+    """Overpass JSON shards -> elements Dataset."""
+    files = ray.data.read_binary_files(paths, include_paths=True)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        tables = []
+        for row in batch.to_pylist():
+            doc = json.loads(row["bytes"].decode("utf-8"))
+            tables.append(_elements_from_doc(doc, os.path.basename(row["path"])))
+        if not tables:
+            return ELEMENT_SCHEMA.append(pa.field("shard", pa.string())).empty_table()
+        return pa.concat_tables(tables)
+
+    return files.map_batches(parse, batch_format="pyarrow", batch_size=1)
+
+
+def overpass_call(query: str, *, retries: int = 5, backoff_sec: float = 5.0,
+                  url: str = OVERPASS_URL, timeout: float = 60.0) -> str:
+    """POST an Overpass query with bounded fixed-backoff retries
+    (reference retry_request_multi, helpers.py:33-60).  At scale this
+    is a driver-side fetch feeding ``elements_dataset``; Ray task
+    retries subsume this loop for file-based sources."""
+    data = urllib.parse.urlencode({"data": query}).encode()
+    last_err: Optional[Exception] = None
+    for attempt in range(retries):
+        try:
+            with urllib.request.urlopen(url, data=data, timeout=timeout) as resp:
+                return resp.read().decode("utf-8")
+        except Exception as e:  # URLError / HTTPError / timeout
+            last_err = e
+            if attempt < retries - 1:
+                time.sleep(backoff_sec)
+    raise ConnectionError(f"overpass_call failed after {retries} attempts: {last_err}")
+
+
+def write_feature_collection(features_ds, path: str) -> dict:
+    """Small-result sink: collect feature rows into one FeatureCollection
+    document (ordering by ``seq`` like the reference output)."""
+    from .pipeline.osm import features_to_geojson
+
+    doc = features_to_geojson(features_ds)
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(doc, f)
+    return doc
+
+
+def write_features_parquet(features_ds, out_dir: str, *, min_rows_per_file: int = 100_000):
+    """Large-result sink: a directory of parquet part files (resumable
+    layout; pair with state.PartitionedRun for checkpointed runs)."""
+    features_ds.write_parquet(out_dir, min_rows_per_file=min_rows_per_file)
+    return out_dir

@@ -86,7 +86,7 @@ def phash_knn(
     id_col: str = "item_id",
     hash_col: str = "phash",
     concurrency: int = 2,
-    batch_size: Optional[int] = 8192,
+    batch_size: Optional[int] = None,
 ):
     """Dataset of (id, phash) x broadcast queries -> global top-k per
     query by Hamming distance (ties broken by neighbor id)."""
@@ -97,7 +97,7 @@ def phash_knn(
         fn_constructor_kwargs={"queries_ref": ref, "k": k, "id_col": id_col, "hash_col": hash_col},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, concurrency) if isinstance(concurrency, int) else concurrency,
+        concurrency=concurrency,
     )
     return _topk_reduce(local, k)
 
@@ -143,7 +143,7 @@ def embedding_knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     concurrency: int = 2,
-    batch_size: Optional[int] = 4096,
+    batch_size: Optional[int] = None,
 ):
     """Brute-force cosine top-k (distance = 1 - cosine, rounded to 1e-9
     so rankings are reproducible across float summation orders)."""
@@ -154,7 +154,7 @@ def embedding_knn(
         fn_constructor_kwargs={"queries_ref": ref, "k": k, "id_col": id_col, "vec_col": vec_col},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, concurrency) if isinstance(concurrency, int) else concurrency,
+        concurrency=concurrency,
     )
     return _topk_reduce(local, k)
 
@@ -226,3 +226,83 @@ def phash_band_pairs(
         .map_groups(partition_pairs, batch_format="pandas")
     )
     return _distinct_pairs(pairs, num_partitions=num_partitions)
+
+
+def _ivf_centroids(sample: np.ndarray, n_clusters: int, iters: int = 8) -> np.ndarray:
+    """Deterministic mini k-means (fixed iterations, first-K init) on a
+    driver-side sample — the coarse quantizer for IVF."""
+    n = len(sample)
+    n_clusters = min(n_clusters, n)
+    cents = sample[:n_clusters].copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(n_clusters):
+            mask = assign == c
+            if mask.any():
+                cents[c] = sample[mask].mean(axis=0)
+    return cents
+
+
+def embedding_knn_ivf(
+    items,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    *,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    sample_rows: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency: int = 2,
+    batch_size: Optional[int] = None,
+):
+    """IVF-style approximate cosine kNN — the 10^12-row scale path.
+
+    1. coarse quantizer: k-means centroids from a driver-side sample;
+    2. each batch keeps only vectors whose nearest centroid is among
+       the union of every query's ``n_probe`` closest centroids (the
+       pruning that makes brute force affordable at scale);
+    3. surviving candidates score exactly like ``embedding_knn``.
+
+    Recall < 1.0 by construction; raise ``n_probe`` toward
+    ``n_clusters`` to trade speed for exactness.
+    """
+    sample = np.array(
+        [r[vec_col] for r in items.limit(sample_rows).take_all()], dtype=np.float64
+    )
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    cents = _ivf_centroids(sample, n_clusters)
+    qm = np.asarray(query_matrix, dtype=np.float64)
+    qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    qd = ((qm[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    probes = np.unique(np.argsort(qd, axis=1)[:, : min(n_probe, len(cents))].ravel())
+    state = ray.put({"cents": cents, "probes": set(int(p) for p in probes)})
+
+    class ProbeFilter:
+        def __init__(self):
+            st = ray.get(state)
+            self.cents = st["cents"]
+            self.probes = st["probes"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return batch
+            vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+            vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+            d = ((vecs[:, None, :] - self.cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            keep = np.array([int(a) in self.probes for a in assign])
+            return batch.filter(pa.array(keep))
+
+    pruned = items.map_batches(
+        ProbeFilter,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    return embedding_knn(
+        pruned, query_ids, query_matrix, k=k, id_col=id_col, vec_col=vec_col,
+        concurrency=concurrency, batch_size=batch_size,
+    )

@@ -125,7 +125,7 @@ def broadcast_pip_join(
     lat_col: str = "lat",
     id_col: str = "image_id",
     concurrency: int = 2,
-    batch_size: Optional[int] = 8192,
+    batch_size: Optional[int] = None,
 ):
     """images Dataset (with lon/lat columns) x small polygon list ->
     Dataset of (image_id, geom_id) containment rows."""
@@ -140,7 +140,7 @@ def broadcast_pip_join(
         },
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, concurrency) if isinstance(concurrency, int) else concurrency,
+        concurrency=concurrency,
     )
 
 

@@ -109,11 +109,11 @@ def _hash63(s: str) -> int:
 
 
 def analyze_documents(docs, *, text_col: str = "text", concurrency: int = 2,
-                      batch_size: int = 4096):
+                      batch_size=None):
     return docs.map_batches(
         TextAnalyzer,
         fn_constructor_kwargs={"text_col": text_col},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, concurrency) if isinstance(concurrency, int) else concurrency,
+        concurrency=concurrency,
     )

@@ -1,0 +1,91 @@
+"""File sources, CLI, sinks, IVF ANN."""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from .conftest import REFERENCE_DATA, fixture_path
+
+
+def test_read_osm_files(ray_session, tmp_path):
+    paths = [fixture_path("way.osm"), fixture_path("relation.osm")]
+    local = [str(tmp_path / os.path.basename(p)) for p in paths]
+    for src, dst in zip(paths, local):
+        shutil.copy(src, dst)
+    from osm2geojson_ray.sources import read_osm_files
+
+    ds = read_osm_files(local)
+    rows = ds.take_all()
+    shards = {r["shard"] for r in rows}
+    assert shards == {"way.osm", "relation.osm"}
+    assert any(r["type"] == "relation" for r in rows)
+
+
+def test_read_json_files(ray_session, tmp_path):
+    src = fixture_path("issue-9.json")
+    dst = str(tmp_path / "issue-9.json")
+    shutil.copy(src, dst)
+    from osm2geojson_ray.sources import read_overpass_json_files
+
+    rows = read_overpass_json_files([dst]).take_all()
+    assert len(rows) == len(json.load(open(src))["elements"])
+
+
+def test_cli_matches_document_api(tmp_path):
+    out = str(tmp_path / "out.geojson")
+    r = subprocess.run(
+        [sys.executable, "-m", "osm2geojson_ray", fixture_path("way.osm"), out],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+    from osm2geojson_ray import xml2geojson
+
+    with open(fixture_path("way.osm")) as f:
+        want = xml2geojson(f.read())
+    assert json.load(open(out)) == want
+    # overwrite guard
+    r2 = subprocess.run(
+        [sys.executable, "-m", "osm2geojson_ray", fixture_path("way.osm"), out],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r2.returncode == 1
+
+
+def test_write_feature_collection(ray_session, tmp_path):
+    from osm2geojson_ray import json2geojson
+    from osm2geojson_ray.pipeline.osm import OsmPipeline, elements_dataset
+    from osm2geojson_ray.sources import write_feature_collection
+
+    doc = json.load(open(fixture_path("way.json")))
+    ds = elements_dataset(doc["elements"])
+    out = str(tmp_path / "fc.geojson")
+    got = write_feature_collection(OsmPipeline(num_partitions=2).features(ds), out)
+    assert got == json2geojson(doc)
+    assert json.load(open(out)) == got
+
+
+def test_embedding_knn_ivf_high_probe_is_exact(ray_session):
+    from osm2geojson_ray.spatial.knn import embedding_knn, embedding_knn_ivf
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(400, 16))
+    ids = np.arange(400, dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.Table.from_pydict({"vec_id": ids, "embedding": [v.tolist() for v in vecs]})
+    )
+    exact = embedding_knn(ds, ids[:2], vecs[:2], k=5).take_all()
+    # probing every cluster makes IVF exhaustive -> identical results
+    approx = embedding_knn_ivf(
+        ds, ids[:2], vecs[:2], k=5, n_clusters=8, n_probe=8
+    ).take_all()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(
+        [(r["query_id"], r["rank"], r["neighbor_id"]) for r in approx]
+    ) == sorted([(r["query_id"], r["rank"], r["neighbor_id"]) for r in exact])
