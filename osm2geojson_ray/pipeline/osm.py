@@ -136,9 +136,9 @@ class OsmPipeline:
         # The three type-splits are each consumed by several downstream
         # stages; materialize so the input scan + filter run once (blocks
         # pin in the object store and spill if large).
-        nodes = elements.filter(expr="type == 'node'").materialize()
-        ways = elements.filter(expr="type == 'way'").materialize()
-        rels = elements.filter(expr="type == 'relation'").materialize()
+        nodes = elements.filter(expr="type == 'node'").repartition(nparts).materialize()
+        ways = elements.filter(expr="type == 'way'").repartition(nparts).materialize()
+        rels = elements.filter(expr="type == 'relation'").repartition(nparts).materialize()
         self._tick("split")
 
         # ---- J1: way ⋈ node -----------------------------------------
@@ -318,36 +318,20 @@ class OsmPipeline:
             used = self._tick("used union", used)
 
         # ---- J6 anti-join on bare id --------------------------------
-        # GLOBAL distinct (per-batch unique is not enough: duplicate
-        # keys on the right of a left_outer join would fan features
-        # out); partition-wise dedup, not per-key groupby
-        from ..relational import distinct_on
-
-        used_ids = distinct_on(
-            used.map_batches(
-                lambda t: pa.Table.from_arrays(
-                    [t["used_id"], pa.array([True] * len(t))],
-                    names=["element_id", "is_used"],
-                ),
-                batch_format="pyarrow",
-            ),
-            "element_id",
-            num_partitions=nparts,
+        # single left_anti shuffle (dedup of used ids happens inside
+        # the partition merge — no separate distinct pass)
+        used_keys = used.map_batches(
+            lambda t: pa.Table.from_arrays([t["used_id"]], names=["element_id"]),
+            batch_format="pyarrow",
         )
-        if self.debug_timing:
-            used_ids = self._tick("used distinct", used_ids)
-        marked = join_safe(
+        return join_safe(
             features,
-            used_ids,
+            used_keys,
             on="element_id",
             l_schema=FEATURE_SCHEMA,
-            r_schema=pa.schema([("element_id", pa.int64()), ("is_used", pa.bool_())]),
-            join_type="left_outer",
+            r_schema=pa.schema([("element_id", pa.int64())]),
+            join_type="left_anti",
             num_partitions=nparts,
-        )
-        return marked.map_batches(
-            lambda t: t.filter(pc.is_null(t["is_used"])).drop_columns(["is_used"]),
-            batch_format="pyarrow",
         )
 
     # ------------------------------------------------------------------
@@ -458,64 +442,82 @@ class OsmPipeline:
                 batch_format="pyarrow",
             )
             tagged_members = member_ways.map_batches(
-                lambda t, ids=round_ids: t.filter(
-                    pc.is_in(t["rel_id"], value_set=pa.array(list(ids), pa.int64()))
+                lambda t, ids=round_ids_arr: t.filter(
+                    pc.is_in(t["rel_id"], value_set=ids)
                 ),
                 batch_format="pyarrow",
             )
 
             shapes_ref = resolved_shapes  # closure: broadcast of prior rounds
 
-            def rel_to_row(batch: pa.Table, shapes=None) -> pa.Table:
-                return batch
+            # ONE shuffle: relation rows and member-way payload rows are
+            # tagged into a common (rel_id, kind, payload) stream and
+            # co-partitioned by rel_id; each partition converts all of
+            # its relations in a single Python pass
+            payload_schema = pa.schema(
+                [("rel_id", pa.int64()), ("kind", pa.int8()), ("payload", pa.string())]
+            )
 
-            # group member payloads per relation on the rel side
-            def collect_members(df):
-                import pandas as pd
-
-                rel_id = int(df["rel_id"].iloc[0])
-                payload = [
-                    {
-                        "way_id": int(r.way_id),
-                        "resolved": bool(r.resolved),
-                        "coords_json": r.coords_json,
-                        "way_element_json": r.way_element_json,
-                    }
-                    for r in df.itertuples()
+            def rel_payload(batch: pa.Table) -> pa.Table:
+                rows = [
+                    {"el": row_to_element(r), "seq": r["seq"], "id": r["id"]}
+                    for r in batch.to_pylist()
                 ]
-                return pd.DataFrame(
-                    {"rel_id": [rel_id], "members_payload_json": [json.dumps(payload)]}
+                return pa.Table.from_pydict(
+                    {
+                        "rel_id": [r["id"] for r in rows],
+                        "kind": np.zeros(len(rows), dtype=np.int8),
+                        "payload": [json.dumps(r) for r in rows],
+                    },
+                    schema=payload_schema,
                 )
 
-            grouped_members = tagged_members.groupby("rel_id").map_groups(
-                collect_members, batch_format="pandas"
-            )
-            rels_keyed = round_rels.map_batches(
-                lambda t: t.append_column("rel_id", t["id"]), batch_format="pyarrow"
-            )
-            rel_with_members = join_safe(
-                rels_keyed,
-                grouped_members,
-                on="rel_id",
-                l_schema=ELEMENT_SCHEMA.append(pa.field("rel_id", pa.int64())),
-                r_schema=pa.schema(
-                    [("rel_id", pa.int64()), ("members_payload_json", pa.string())]
-                ),
-                join_type="left_outer",
-                num_partitions=nparts,
+            def member_payload(batch: pa.Table) -> pa.Table:
+                out_ids, out_pay = [], []
+                for r in batch.to_pylist():
+                    out_ids.append(r["rel_id"])
+                    out_pay.append(
+                        json.dumps(
+                            {
+                                "way_id": r["way_id"],
+                                "resolved": bool(r["resolved"]),
+                                "coords_json": r["coords_json"],
+                                "way_element_json": r["way_element_json"],
+                            }
+                        )
+                    )
+                return pa.Table.from_pydict(
+                    {
+                        "rel_id": out_ids,
+                        "kind": np.ones(len(out_ids), dtype=np.int8),
+                        "payload": out_pay,
+                    },
+                    schema=payload_schema,
+                )
+
+            both = round_rels.map_batches(rel_payload, batch_format="pyarrow").union(
+                tagged_members.map_batches(member_payload, batch_format="pyarrow")
             )
 
-            def convert_relations(batch: pa.Table, _shapes=shapes_ref) -> pa.Table:
+            def convert_partition(tbl: pa.Table, _shapes=shapes_ref) -> pa.Table:
+                kinds = tbl["kind"].to_numpy(zero_copy_only=False)
+                rel_ids = tbl["rel_id"].to_numpy(zero_copy_only=False)
+                payloads = tbl["payload"].to_pylist()
+                members_by_rel: Dict[int, list] = {}
+                for i in np.flatnonzero(kinds == 1):
+                    members_by_rel.setdefault(int(rel_ids[i]), []).append(
+                        json.loads(payloads[i])
+                    )
                 feats, used_u, used_c, out_shapes = [], [], [], []
-                for row in batch.to_pylist():
-                    el = row_to_element(row)
+                for i in np.flatnonzero(kinds == 0):
+                    rec = json.loads(payloads[i])
+                    el = rec["el"]
                     index: Dict[str, dict] = {}
-                    if row.get("members_payload_json"):
-                        for p in json.loads(row["members_payload_json"]):
-                            wel = json.loads(p["way_element_json"])
-                            if p["resolved"] and p["coords_json"]:
-                                wel["_coords"] = json.loads(p["coords_json"])
-                            index[assemble.ref_key("way", wel["id"])] = wel
+                    for p in members_by_rel.get(int(rel_ids[i]), []):
+                        wel = json.loads(p["way_element_json"])
+                        if p["resolved"] and p["coords_json"]:
+                            wel["_coords"] = json.loads(p["coords_json"])
+                        index[assemble.ref_key("way", wel["id"])] = wel
                     for m in el.get("members", []):
                         if m["type"] == "relation" and m["ref"] in _shapes:
                             index[assemble.ref_key("relation", m["ref"])] = {
@@ -524,32 +526,35 @@ class OsmPipeline:
                                 "_shape": _shapes[m["ref"]],
                             }
                     shape = assemble.relation_to_shape(el, index, clf)
-                    for key, target in index.items():
+                    for _key, target in index.items():
                         if "used" in target:
                             used_u.append(target["id"])
                             used_c.append(target["used"])
-                    out_shapes.append(
-                        (row["id"], shape["shape"] if shape else None)
-                    )
+                    out_shapes.append((rec["id"], shape["shape"] if shape else None))
                     if shape is not None:
-                        feats.append(_feature_row(row["seq"], "relation", row["id"], shape))
+                        feats.append(_feature_row(rec["seq"], "relation", rec["id"], shape))
                 ft = _feature_table(feats)
                 ut = pa.Table.from_pydict(
                     {"used_id": used_u, "consumer_id": used_c}, schema=USED_SCHEMA
                 )
                 st = pa.Table.from_pydict(
                     {
-                        "rel_id": [s[0] for s in out_shapes],
-                        "shape_json": [json.dumps(s[1]) if s[1] else None for s in out_shapes],
+                        "rel_id": [x[0] for x in out_shapes],
+                        "shape_json": [json.dumps(x[1]) if x[1] else None for x in out_shapes],
                     },
                     schema=pa.schema([("rel_id", pa.int64()), ("shape_json", pa.string())]),
                 )
-                return {"features": ft, "used": ut, "shapes": st}
+                return _pack_multi({"features": ft, "used": ut, "shapes": st})
 
-            # run the round and materialize its three outputs
-            round_out = rel_with_members.map_batches(
-                lambda t, f=convert_relations: _pack_multi(f(t)), batch_format="pyarrow"
-            ).repartition(max(2, nparts // 2)).materialize()
+            from ..relational import _with_part
+
+            round_out = (
+                _with_part(both, "rel_id", nparts)
+                .groupby("__part")
+                .map_groups(convert_partition, batch_format="pyarrow")
+                .repartition(max(2, nparts // 2))
+                .materialize()
+            )
 
             feature_tables.append(
                 round_out.filter(expr="kind == 'feature'").map_batches(

@@ -68,15 +68,22 @@ def hash_join(
 ):
     """Equi-join two Datasets on an int64 key column.
 
-    ``how``: "inner" | "left_outer".  Output schema: key + left columns
-    + right columns.  Robust to empty inputs and arbitrary skew up to
-    one partition's rows per worker heap.
+    ``how``: "inner" | "left_outer" | "left_anti".  Output schema: key +
+    left columns + right columns (left columns only for anti).  Robust
+    to empty inputs and arbitrary skew up to one partition's rows per
+    worker heap.  ``left_anti`` keeps left rows whose key has NO match
+    on the right (duplicate right keys are fine — no pre-distinct
+    shuffle needed).
     """
     superset = _superset_schema(on, l_schema, r_schema)
     out_schema = pa.schema([f for f in superset if f.name not in ("__side", "__part")])
     l_names = [f.name for f in l_schema if f.name != on]
     r_names = [f.name for f in r_schema if f.name != on]
-    pandas_how = {"inner": "inner", "left_outer": "left"}[how]
+    if how == "left_anti":
+        out_schema = pa.schema([superset.field(on)] + [l_schema.field(n) for n in l_names])
+        pandas_how = None
+    else:
+        pandas_how = {"inner": "inner", "left_outer": "left"}[how]
 
     lt = _pad_side(left, on, l_schema, superset, 0, num_partitions)
     rt = _pad_side(right, on, r_schema, superset, 1, num_partitions)
@@ -89,6 +96,11 @@ def hash_join(
         lmask = pc.equal(tbl["__side"], 0)
         lt = tbl.filter(lmask)
         rt = tbl.filter(pc.invert(lmask))
+        if how == "left_anti":
+            lk = lt[on].to_numpy(zero_copy_only=False)
+            rk = rt[on].to_numpy(zero_copy_only=False)
+            keep = ~np.isin(lk, rk)
+            return lt.select([on] + l_names).filter(pa.array(keep))
         # key-index merge in pandas (flat ints, vectorized); payload
         # columns move via arrow take() so nested types survive
         ldf = pd.DataFrame({"k": lt[on].to_numpy(zero_copy_only=False),
