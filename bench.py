@@ -151,12 +151,16 @@ def run_bench():
         timings[name] = round(dt, 3)
         total += dt
 
+    headline = timings["osm_stitch"] + timings["image_pip_join"]
     out = {
-        "metric": "stitch+tile pipeline suite wall time",
-        "value": round(total, 3),
+        "metric": "OSM stitch + image tile/PIP pipeline wall time (suite in queries)",
+        "value": round(headline, 3),
         "unit": "sec",
+        "suite_total_sec": round(total, 3),
         "queries": timings,
         "rows": counts,
+        "geometries_per_sec": round(counts["osm_stitch"] / max(timings["osm_stitch"], 1e-9), 1),
+        "images_per_sec": round(N_IMAGES / max(timings["image_pip_join"], 1e-9), 1),
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
     }
@@ -178,14 +182,27 @@ def run_scaling():
     r_lo = run(lo)
     r_hi = run(hi)
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    suite_eff = (r_lo["suite_total_sec"] / r_hi["suite_total_sec"]) / (hi / lo)
+    per_pipeline = {
+        k: round((r_lo["queries"][k] / r_hi["queries"][k]) / (hi / lo), 3)
+        for k in r_lo["queries"]
+    }
     print(
         json.dumps(
             {
-                "sec_8": r_lo["value"],
-                "sec_32": r_hi["value"],
+                "headline_sec_8": r_lo["value"],
+                "headline_sec_32": r_hi["value"],
+                "suite_sec_8": r_lo["suite_total_sec"],
+                "suite_sec_32": r_hi["suite_total_sec"],
                 "queries_8": r_lo["queries"],
                 "queries_32": r_hi["queries"],
                 "scaling_efficiency": round(eff, 3),
+                "suite_scaling_efficiency": round(suite_eff, 3),
+                "per_pipeline_efficiency": per_pipeline,
+                "throughput_8": {"geometries_per_sec": r_lo["geometries_per_sec"],
+                                  "images_per_sec": r_lo["images_per_sec"]},
+                "throughput_32": {"geometries_per_sec": r_hi["geometries_per_sec"],
+                                   "images_per_sec": r_hi["images_per_sec"]},
                 "sf": SF_DIR,
             }
         )
