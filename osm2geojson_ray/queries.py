@@ -291,8 +291,10 @@ def e_neardup_pairs(sf_dir: str):
 # float arithmetic so DuckDB can recompute positions, hashes and cells.
 def _part_image_batch(t: pa.Table) -> pa.Table:
     k = t["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-    lon = (k * 2654435761 % 360000000) / 1e6 - 180.0
-    lat = (k * 40503 % 180000000) / 1e6 - 90.0
+    # positions confined to [-2, 6) x [-2, 6): dense around the OSM
+    # fixture polygons so the PIP join has non-trivial matches
+    lon = (k * 2654435761 % 8000000) / 1e6 - 2.0
+    lat = (k * 40503 % 8000000) / 1e6 - 2.0
     ph_u = (k.astype(np.uint64) * np.uint64(6364136223846793005)
             + np.uint64(1442695040888963407))
     phash = ph_u.astype(np.int64)
@@ -307,8 +309,8 @@ def _part_image_batch(t: pa.Table) -> pa.Table:
 
 _PART_IMG_SQL = """
 SELECT p_partkey AS image_id,
-       (p_partkey * 2654435761 % 360000000) / 1e6 - 180 AS lon,
-       (p_partkey * 40503 % 180000000) / 1e6 - 90 AS lat,
+       (p_partkey * 2654435761 % 8000000) / 1e6 - 2 AS lon,
+       (p_partkey * 40503 % 8000000) / 1e6 - 2 AS lat,
        CAST((CAST(p_partkey AS HUGEINT) * 6364136223846793005 + 1442695040888963407)
             % 18446744073709551616
             - CASE WHEN (CAST(p_partkey AS HUGEINT) * 6364136223846793005

@@ -110,9 +110,12 @@ class PipTester:
                 for row_i in np.asarray(seg)[mask][hit]:
                     out_img.append(ids[int(row_i)])
                     out_geom.append(gid)
+        # id column keeps the input's type (string image ids or int keys)
         return pa.Table.from_pydict(
             {"image_id": out_img, "geom_id": out_geom},
-            schema=pa.schema([("image_id", pa.string()), ("geom_id", pa.string())]),
+            schema=pa.schema(
+                [("image_id", batch[self.id_col].type), ("geom_id", pa.string())]
+            ),
         )
 
 
