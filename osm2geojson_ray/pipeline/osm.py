@@ -107,12 +107,14 @@ class OsmPipeline:
         max_relation_rounds: int = 3,
         num_partitions: int = 16,
         debug_timing: bool = False,
+        used_filter_strategy: str = "broadcast",
     ):
         self.classifier = classifier or DEFAULT_CLASSIFIER
         self.filter_used_refs = filter_used_refs
         self.max_relation_rounds = max_relation_rounds
         self.num_partitions = num_partitions
         self.debug_timing = debug_timing
+        self.used_filter_strategy = used_filter_strategy
         self._t0 = None
 
     def _tick(self, label, ds=None):
@@ -176,71 +178,124 @@ class OsmPipeline:
             num_partitions=nparts,
         )
 
-        # regroup on way id (hash-partitioned), assemble every way of a
-        # partition in ONE vectorized pass: numpy lexsort on
-        # (way_id, edge_seq) + boundary splits — one Python call per
-        # partition, never per way
-        def assemble_ways_partition(df):
-            import pandas as pd
+        # FUSED regroup-and-attach: edge rows and full way rows are
+        # tagged into one stream and co-partitioned by way_id; each
+        # partition assembles its ways vectorized (numpy lexsort +
+        # boundary splits) and attaches the results to the way elements
+        # directly — one shuffle where a regroup + join would be two
+        element_plus_way = ELEMENT_SCHEMA.append(pa.field("way_id", pa.int64()))
+        edge_cols = pa.schema(
+            [
+                ("edge_seq", pa.int64()),
+                ("node_id", pa.int64()),
+                ("n_lon", pa.float64()),
+                ("n_lat", pa.float64()),
+            ]
+        )
+        fused_schema_fields = (
+            [pa.field("way_id", pa.int64()), pa.field("__kind", pa.int8())]
+            + [f for f in element_plus_way if f.name != "way_id"]
+            + list(edge_cols)
+        )
+        fused_schema = pa.schema(fused_schema_fields)
 
-            way_ids = df["way_id"].to_numpy()
-            seqs = df["edge_seq"].to_numpy()
-            lons = df["n_lon"].to_numpy(dtype="float64", na_value=np.nan)
-            lats = df["n_lat"].to_numpy(dtype="float64", na_value=np.nan)
-            node_ids = df["node_id"].to_numpy()
+        def pad_to_fused(batch: pa.Table, kind: int) -> pa.Table:
+            n = len(batch)
+            arrays = []
+            for f in fused_schema:
+                if f.name == "__kind":
+                    arrays.append(pa.array(np.full(n, kind, dtype=np.int8)))
+                elif f.name in batch.column_names:
+                    arrays.append(batch[f.name])
+                else:
+                    arrays.append(pa.nulls(n, type=f.type))
+            return pa.Table.from_arrays(arrays, schema=fused_schema)
+
+        ways_keyed = ways.map_batches(
+            lambda t: pad_to_fused(t.append_column("way_id", t["id"]), 0),
+            batch_format="pyarrow",
+        )
+        edge_tagged = joined.map_batches(
+            lambda t: pad_to_fused(t, 1), batch_format="pyarrow"
+        )
+
+        out_resolved_schema = pa.schema(
+            list(element_plus_way)
+            + [
+                pa.field("resolved", pa.bool_()),
+                pa.field("coords_json", pa.string()),
+                pa.field("used_nodes_json", pa.string()),
+            ]
+        )
+
+        def assemble_and_attach(tbl: pa.Table) -> pa.Table:
+            kinds = tbl["__kind"].to_numpy(zero_copy_only=False)
+            emask = kinds == 1
+            edges_t = tbl.filter(pa.array(emask))
+            ways_t = tbl.filter(pa.array(~emask))
+            way_ids = edges_t["way_id"].to_numpy(zero_copy_only=False)
+            seqs = edges_t["edge_seq"].to_numpy(zero_copy_only=False)
+            lons = edges_t["n_lon"].to_numpy(zero_copy_only=False)
+            lats = edges_t["n_lat"].to_numpy(zero_copy_only=False)
+            node_ids = edges_t["node_id"].to_numpy(zero_copy_only=False)
+            lons = np.where(np.equal(lons, None), np.nan, lons).astype(np.float64) if lons.dtype == object else lons
             order = np.lexsort((seqs, way_ids))
             way_ids, lons, lats, node_ids = (
                 way_ids[order], lons[order], lats[order], node_ids[order]
             )
             found = ~np.isnan(lons)
             bounds = np.flatnonzero(np.diff(way_ids)) + 1
-            starts = np.concatenate(([0], bounds))
-            ends = np.concatenate((bounds, [len(way_ids)]))
-            out_way, out_ok, out_coords, out_used = [], [], [], []
-            for s, e in zip(starts, ends):
-                f = found[s:e]
+            starts = np.concatenate(([0], bounds)) if len(way_ids) else np.array([], dtype=int)
+            ends = np.concatenate((bounds, [len(way_ids)])) if len(way_ids) else np.array([], dtype=int)
+            per_way = {}
+            for st, en in zip(starts, ends):
+                f = found[st:en]
                 miss = np.flatnonzero(~f)
                 if len(miss) == 0:
-                    coords = np.stack([lons[s:e], lats[s:e]], axis=1).tolist()
-                    used = node_ids[s:e].tolist()
-                    ok = True
+                    coords = np.stack([lons[st:en], lats[st:en]], axis=1).tolist()
+                    used = node_ids[st:en].tolist()
+                    per_way[int(way_ids[st])] = (True, json.dumps(coords), json.dumps(used))
                 else:
-                    cut = s + int(miss[0])  # prefix-marking up to the miss
-                    coords = None
-                    used = node_ids[s:cut].tolist()
-                    ok = False
-                out_way.append(int(way_ids[s]))
-                out_ok.append(ok)
-                out_coords.append(json.dumps(coords) if ok else None)
-                out_used.append(json.dumps(used))
-            return pd.DataFrame(
-                {
-                    "way_id": out_way,
-                    "resolved": out_ok,
-                    "coords_json": out_coords,
-                    "used_nodes_json": out_used,
-                }
-            )
+                    cut = st + int(miss[0])  # prefix-marking up to the miss
+                    used = node_ids[st:cut].tolist()
+                    per_way[int(way_ids[st])] = (False, None, json.dumps(used))
+            w_ids = ways_t["way_id"].to_numpy(zero_copy_only=False)
+            res, cjs, ujs = [], [], []
+            for wid in w_ids:
+                hit = per_way.get(int(wid))
+                if hit is None:
+                    res.append(None)
+                    cjs.append(None)
+                    ujs.append(None)
+                else:
+                    res.append(hit[0])
+                    cjs.append(hit[1])
+                    ujs.append(hit[2])
+            arrays = [ways_t[f.name] for f in element_plus_way]
+            arrays += [
+                pa.array(res, pa.bool_()),
+                pa.array(cjs, pa.string()),
+                pa.array(ujs, pa.string()),
+            ]
+            return pa.Table.from_arrays(arrays, schema=out_resolved_schema)
 
-        with_part = joined.map_batches(
-            lambda t: t.append_column(
-                "__wpart",
-                pa.array(t["way_id"].to_numpy(zero_copy_only=False) % nparts),
-            ),
-            batch_format="pyarrow",
+        from ..relational import _with_part
+
+        ways_resolved = (
+            _with_part(ways_keyed.union(edge_tagged), "way_id", nparts)
+            .groupby("__part")
+            .map_groups(assemble_and_attach, batch_format="pyarrow")
+            .repartition(nparts)
+            .materialize()  # consumed by standalone conversion AND relations
         )
-        way_coords = (
-            with_part.groupby("__wpart")
-            .map_groups(assemble_ways_partition, batch_format="pandas")
-            .repartition(nparts)  # groupby emits ~200 tiny blocks;
-            .materialize()        # coalesce so later stages don't pay
-        )                         # per-block scheduling for each
-        self._tick("way_coords (edge join + assembly)")
+        self._tick("ways_resolved (fused join+assembly)")
 
         # used pairs from the way⋈node stage
         def used_from_ways(batch: pa.Table) -> pa.Table:
             used_ids, consumers = [], []
-            for row in batch.to_pylist():
+            for row in batch.select(["way_id", "used_nodes_json"]).to_pylist():
+                if row["used_nodes_json"] is None:
+                    continue
                 for nid in json.loads(row["used_nodes_json"]):
                     used_ids.append(nid)
                     consumers.append(row["way_id"])
@@ -248,22 +303,7 @@ class OsmPipeline:
                 {"used_id": used_ids, "consumer_id": consumers}, schema=USED_SCHEMA
             )
 
-        used_nodes = way_coords.map_batches(used_from_ways, batch_format="pyarrow")
-
-        # attach coords to full way rows
-        ways_keyed = ways.map_batches(
-            lambda t: t.append_column("way_id", t["id"]), batch_format="pyarrow"
-        )
-        element_plus_way = ELEMENT_SCHEMA.append(pa.field("way_id", pa.int64()))
-        ways_resolved = join_safe(
-            ways_keyed,
-            way_coords,
-            on="way_id",
-            l_schema=element_plus_way,
-            r_schema=WAY_COORDS_SCHEMA,
-            join_type="left_outer",
-            num_partitions=nparts,
-        ).repartition(nparts).materialize()  # consumed by standalone conversion AND relations
+        used_nodes = ways_resolved.map_batches(used_from_ways, batch_format="pyarrow")
         self._tick("ways_resolved join")
 
         # ---- standalone way conversion ------------------------------
@@ -318,12 +358,43 @@ class OsmPipeline:
             used = self._tick("used union", used)
 
         # ---- J6 anti-join on bare id --------------------------------
-        # single left_anti shuffle (dedup of used ids happens inside
-        # the partition merge — no separate distinct pass)
         used_keys = used.map_batches(
             lambda t: pa.Table.from_arrays([t["used_id"]], names=["element_id"]),
             batch_format="pyarrow",
         )
+        if self.used_filter_strategy == "broadcast":
+            # the used set is a plain int64 id set — orders of magnitude
+            # smaller than the feature rows (which carry geometry JSON).
+            # Broadcast it once and anti-filter with np.isin per batch:
+            # zero shuffles of the wide side.  The "shuffle" strategy is
+            # the fallback when even the id set outgrows driver memory.
+            import ray as _ray
+
+            ids = np.unique(
+                np.concatenate(
+                    [
+                        b["element_id"].to_numpy(zero_copy_only=False)
+                        for b in used_keys.iter_batches(batch_format="pyarrow")
+                    ]
+                    or [np.array([], dtype=np.int64)]
+                )
+            )
+            ids_ref = _ray.put(ids)
+
+            class AntiFilter:
+                def __init__(self):
+                    self.ids = _ray.get(ids_ref)
+
+                def __call__(self, batch: pa.Table) -> pa.Table:
+                    keep = ~np.isin(
+                        batch["element_id"].to_numpy(zero_copy_only=False), self.ids
+                    )
+                    return batch.filter(pa.array(keep))
+
+            return features.map_batches(
+                AntiFilter, batch_format="pyarrow", concurrency=2
+            )
+        # shuffle path: one left_anti hash join on bare id
         return join_safe(
             features,
             used_keys,

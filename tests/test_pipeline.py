@@ -54,3 +54,16 @@ def test_pipeline_filter_used_refs_off(ray_session):
     pipe = OsmPipeline(num_partitions=4, filter_used_refs=False)
     got = features_to_geojson(pipe.features(ds))
     assert got == expected
+
+
+def test_pipeline_shuffle_used_filter(ray_session):
+    """The shuffle anti-join path must agree with the broadcast path."""
+    doc = load_doc("issue-9")
+    ds = elements_dataset(doc["elements"])
+    broadcast = features_to_geojson(
+        OsmPipeline(num_partitions=4, used_filter_strategy="broadcast").features(ds)
+    )
+    shuffle = features_to_geojson(
+        OsmPipeline(num_partitions=4, used_filter_strategy="shuffle").features(ds)
+    )
+    assert broadcast == shuffle == json2geojson(doc)
