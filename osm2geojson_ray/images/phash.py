@@ -42,6 +42,21 @@ def phash64_batch(pixel_list) -> np.ndarray:
     return np.array([phash64(p) for p in pixel_list], dtype=np.int64)
 
 
+def phash64_batch_same_size(pixels: np.ndarray) -> np.ndarray:
+    """Fully vectorized phash for a (n, h, w, 3) uint8 stack whose h and
+    w are divisible by 8 — bit-identical to phash64 per image (same
+    float64 block means, same threshold)."""
+    n, h, w, _ = pixels.shape
+    if h % 8 or w % 8:
+        return phash64_batch(list(pixels))
+    g = _gray(pixels)  # (n, h, w)
+    blocks = g.reshape(n, 8, h // 8, 8, w // 8).mean(axis=(2, 4))  # (n, 8, 8)
+    bits = blocks.reshape(n, 64) > blocks.reshape(n, 64).mean(axis=1, keepdims=True)
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
+    vals = np.where(bits, weights, np.uint64(0)).sum(axis=1, dtype=np.uint64)
+    return vals.astype(np.int64)
+
+
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Vectorized Hamming distance between int64 hash arrays
     (broadcasting allowed: (n,1) vs (1,m) gives the full matrix)."""

@@ -70,6 +70,19 @@ def _pixels_for(idx: int, w: int, h: int) -> np.ndarray:
     return np.stack([r, g, b], axis=-1).astype(np.uint8)
 
 
+def _pixels_batch(idx: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Vectorized _pixels_for over an index array -> (n, h, w, 3) uint8
+    (bit-identical to the per-image version: same float64 expressions)."""
+    base = splitmix64(idx.astype(np.uint64))
+    phase = (base % np.uint64(1000)).astype(np.float64) / 1000.0  # (n,)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    p = phase[:, None, None]
+    r = 127.5 * (1 + np.sin(2 * np.pi * (xx[None] / w + p)))
+    g = 127.5 * (1 + np.cos(2 * np.pi * (yy[None] / h + p * 2)))
+    b = 127.5 * (1 + np.sin(2 * np.pi * ((xx + yy)[None] / (w + h) + p * 3)))
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
 def synth_image_batch(
     start: int,
     count: int,
@@ -78,18 +91,20 @@ def synth_image_batch(
     lossy_every: int = 4,
 ) -> pa.Table:
     """One partition of the synthetic table: images [start, start+count)."""
+    from .phash import phash64_batch_same_size
+
     w, h = size
-    ids, blobs, fmts, captions, hashes = [], [], [], [], []
-    for i in range(start, start + count):
-        px = _pixels_for(i, w, h)
+    idx = np.arange(start, start + count, dtype=np.uint64)
+    pixels = _pixels_batch(idx, w, h)
+    hashes = phash64_batch_same_size(pixels).tolist()
+    phases = (splitmix64(idx) % np.uint64(1000)).astype(np.int64)
+    ids, blobs, fmts, captions = [], [], [], []
+    for j, i in enumerate(range(start, start + count)):
         fmt = "rgb5" if lossy_every and i % lossy_every == 0 else "rgb8"
-        blob = encode_image(px, fmt)
-        ph = phash64(px)
+        blobs.append(encode_image(pixels[j], fmt))
         ids.append(f"img-{i:012d}")
-        blobs.append(blob)
         fmts.append(fmt)
-        captions.append(f"synthetic scene {i} phase {int(splitmix64(np.array([i],dtype=np.uint64))[0] % np.uint64(1000))}")
-        hashes.append(ph)
+        captions.append(f"synthetic scene {i} phase {int(phases[j])}")
     return pa.Table.from_pydict(
         {
             "image_id": ids,
