@@ -19,10 +19,10 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 # bench scale knobs (deterministic; scaled for the sf0.1 default)
-OSM_NODES = int(os.environ.get("BENCH_OSM_NODES", "1200000"))
-OSM_WAYS = int(os.environ.get("BENCH_OSM_WAYS", "120000"))
-OSM_RELS = int(os.environ.get("BENCH_OSM_RELS", "3000"))
-N_IMAGES = int(os.environ.get("BENCH_N_IMAGES", "400000"))
+OSM_NODES = int(os.environ.get("BENCH_OSM_NODES", "2400000"))
+OSM_WAYS = int(os.environ.get("BENCH_OSM_WAYS", "240000"))
+OSM_RELS = int(os.environ.get("BENCH_OSM_RELS", "6000"))
+N_IMAGES = int(os.environ.get("BENCH_N_IMAGES", "2000000"))
 
 
 def _osm_cache_path():
