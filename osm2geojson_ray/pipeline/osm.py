@@ -115,6 +115,10 @@ class OsmPipeline:
         self.num_partitions = num_partitions
         self.debug_timing = debug_timing
         self.used_filter_strategy = used_filter_strategy
+        # populated during features(): materialized intermediates the
+        # metrics view derives from (A5 missing-member accounting)
+        self._ways_resolved = None
+        self._round_outs: List = []
         self._t0 = None
 
     def _tick(self, label, ds=None):
@@ -289,6 +293,7 @@ class OsmPipeline:
             .materialize()  # consumed by standalone conversion AND relations
         )
         self._tick("ways_resolved (fused join+assembly)")
+        self._ways_resolved = ways_resolved
 
         # used pairs from the way⋈node stage
         def used_from_ways(batch: pa.Table) -> pa.Table:
@@ -626,6 +631,7 @@ class OsmPipeline:
                 .repartition(max(2, nparts // 2))
                 .materialize()
             )
+            self._round_outs.append(round_out)
 
             feature_tables.append(
                 round_out.filter(expr="kind == 'feature'").map_batches(
@@ -656,6 +662,50 @@ class OsmPipeline:
         else:
             used_rel = _empty(USED_SCHEMA)
         return rel_features, used_rel
+
+
+    # ------------------------------------------------------------------
+    def metrics(self):
+        """Per-stage metrics table from the last ``features()`` run
+        (A5 accounting): way resolution counts and per-relation
+        conversion outcomes.  Aggregated vectorized from the
+        materialized intermediates — no extra passes over the data."""
+        rows = []
+        if self._ways_resolved is not None:
+            def way_stats(batch: pa.Table) -> pa.Table:
+                res = batch["resolved"]
+                n = len(batch)
+                n_resolved = int(pc.sum(pc.fill_null(res.cast(pa.int8()), 0)).as_py() or 0)
+                n_joined = n - res.null_count
+                return pa.Table.from_pydict(
+                    {
+                        "stage": ["way_resolution"],
+                        "rows_in": [n],
+                        "rows_ok": [n_resolved],
+                        "rows_failed": [n_joined - n_resolved],
+                    }
+                )
+
+            for row in (
+                self._ways_resolved.map_batches(way_stats, batch_format="pyarrow")
+                .take_all()
+            ):
+                rows.append(row)
+        for i, ro in enumerate(self._round_outs):
+            shapes = ro.filter(expr="kind == 'shape'").take_all()
+            ok = sum(1 for r in shapes if json.loads(r["payload"])["shape_json"])
+            rows.append(
+                {
+                    "stage": f"relation_round_{i}",
+                    "rows_in": len(shapes),
+                    "rows_ok": ok,
+                    "rows_failed": len(shapes) - ok,
+                }
+            )
+        import pandas as pd
+
+        df = pd.DataFrame(rows, columns=["stage", "rows_in", "rows_ok", "rows_failed"])
+        return df.groupby("stage", as_index=False).sum()
 
 
 # ---------------------------------------------------------------------

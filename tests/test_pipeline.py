@@ -67,3 +67,17 @@ def test_pipeline_shuffle_used_filter(ray_session):
         OsmPipeline(num_partitions=4, used_filter_strategy="shuffle").features(ds)
     )
     assert broadcast == shuffle == json2geojson(doc)
+
+
+def test_pipeline_metrics(ray_session):
+    """A5 accounting: way resolution + relation outcome counters."""
+    doc = load_doc("issue-16")  # inner-only relation fails to convert
+    pipe = OsmPipeline(num_partitions=4)
+    pipe.features(elements_dataset(doc["elements"])).count()
+    m = pipe.metrics().set_index("stage")
+    assert m.loc["way_resolution", "rows_ok"] >= 1
+    rel_rounds = [s for s in m.index if s.startswith("relation_round_")]
+    assert rel_rounds
+    total_rels = int(m.loc[rel_rounds, "rows_in"].sum())
+    failed = int(m.loc[rel_rounds, "rows_failed"].sum())
+    assert total_rels >= 1 and failed >= 1  # the unconvertible relation
