@@ -193,6 +193,53 @@ FROM events GROUP BY event_type
 """
 
 
+def q6_user_sessions(sf_dir: str):
+    """Gap-based session windows per user (streaming-shaped operator:
+    events treated as a user-partitioned log, windows computed over the
+    ts-sorted group — SURVEY §2.5 'windows' extension).  Gap = 7 days."""
+    from .relational import _with_part
+
+    GAP_US = 7 * 24 * 3600 * 1_000_000  # microseconds
+    ds = _pq(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def sessionize(df):
+        import pandas as pd
+
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        ts_us = df["ts"].astype("int64")
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        gap = ts_us - ts_us.shift()
+        df = df.assign(_new=(new_user | (gap > GAP_US)).astype("int64"))
+        df["session_id"] = df.groupby("user_id")["_new"].cumsum()
+        out = (
+            df.groupby(["user_id", "session_id"], sort=False)
+            .size()
+            .reset_index(name="n_events")
+        )
+        return out
+
+    return (
+        _with_part(ds, "user_id", 16)
+        .groupby("__part")
+        .map_groups(sessionize, batch_format="pandas")
+    )
+
+
+Q6_SQL = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 7 DAY THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, count(*) AS n_events FROM s GROUP BY user_id, session_id
+"""
+
+
 # ---------------------------------------------------------------- text ops
 def t_token_count(sf_dir: str):
     from .text.analysis import analyze_documents
@@ -541,6 +588,7 @@ QUERIES = {
     "q3_topk_orders": q3_topk_orders,
     "q4_events_daily": q4_events_daily,
     "q5_distinct_users": q5_distinct_users,
+    "q6_user_sessions": q6_user_sessions,
     "t_token_count": t_token_count,
     "t_quality_stats": t_quality_stats,
     "t_exact_dedup": t_exact_dedup,
@@ -562,6 +610,7 @@ ORACLE_SQL = {
     "q3_topk_orders": Q3_SQL,
     "q4_events_daily": Q4_SQL,
     "q5_distinct_users": Q5_SQL,
+    "q6_user_sessions": Q6_SQL,
     "t_token_count": T_TOKEN_SQL,
     "t_quality_stats": T_QUALITY_SQL,
     "t_exact_dedup": T_DEDUP_SQL,
