@@ -89,3 +89,41 @@ def test_embedding_knn_ivf_high_probe_is_exact(ray_session):
     assert sorted(
         [(r["query_id"], r["rank"], r["neighbor_id"]) for r in approx]
     ) == sorted([(r["query_id"], r["rank"], r["neighbor_id"]) for r in exact])
+
+
+def test_overpass_call_loopback_and_retries():
+    """S3 source against a loopback HTTP server: success path returns
+    the body; a down port exhausts retries and raises ConnectionError."""
+    import http.server
+    import threading
+
+    from osm2geojson_ray.sources import overpass_call
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n)
+            assert b"data=" in body
+            payload = b'{"version": 0.6, "elements": []}'
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        out = overpass_call("[out:json];node(1);out;", url=f"http://127.0.0.1:{port}/")
+        assert json.loads(out) == {"version": 0.6, "elements": []}
+    finally:
+        srv.shutdown()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ConnectionError):
+        overpass_call("q", url=f"http://127.0.0.1:{port}/", retries=2, backoff_sec=0.01)
