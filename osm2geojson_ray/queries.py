@@ -206,7 +206,9 @@ def q6_user_sessions(sf_dir: str):
         import pandas as pd
 
         df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
-        ts_us = df["ts"].astype("int64")
+        # Explicit-unit conversion: parquet timestamps may surface as ns or us
+        # depending on reader defaults; pin to microseconds before int math.
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64")
         new_user = df["user_id"].ne(df["user_id"].shift())
         gap = ts_us - ts_us.shift()
         df = df.assign(_new=(new_user | (gap > GAP_US)).astype("int64"))
@@ -233,10 +235,11 @@ WITH g AS (
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
   SELECT user_id,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM g
 )
-SELECT user_id, session_id, count(*) AS n_events FROM s GROUP BY user_id, session_id
+SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, session_id
 """
 
 
