@@ -149,20 +149,23 @@ class OsmPipeline:
 
         # ---- J1: way ⋈ node -----------------------------------------
         def explode_way_edges(batch: pa.Table) -> pa.Table:
-            out = {"node_id": [], "way_id": [], "edge_seq": []}
-            for row in batch.select(["id", "nodes", "geometry", "center"]).to_pylist():
-                if row["nodes"] is None or row["geometry"] is not None or row["center"] is not None:
-                    continue  # inline geometry / center short-circuits skip the join
-                for i, nid in enumerate(row["nodes"]):
-                    out["node_id"].append(nid)
-                    out["way_id"].append(row["id"])
-                    out["edge_seq"].append(i)
-            return pa.Table.from_pydict(
-                out,
-                schema=pa.schema(
-                    [("node_id", pa.int64()), ("way_id", pa.int64()), ("edge_seq", pa.int64())]
-                ),
-            )
+            """Pure-Arrow list explode: list_flatten + list_parent_indices,
+            edge_seq from per-list offsets (no Python row loop)."""
+            t = batch.select(["id", "nodes", "geometry", "center"])
+            mask = pc.and_(
+                pc.and_(pc.is_valid(t["nodes"]), pc.is_null(t["geometry"])),
+                pc.is_null(t["center"]),
+            )  # inline geometry / center short-circuits skip the join
+            t = t.filter(mask)
+            nodes = t["nodes"].combine_chunks()
+            ids = t["id"].combine_chunks()
+            flat = pc.list_flatten(nodes)
+            way_id = pc.take(ids, pc.list_parent_indices(nodes))
+            lens = pc.list_value_length(nodes).to_numpy(zero_copy_only=False).astype(np.int64)
+            total = int(lens.sum())
+            starts = np.repeat(np.cumsum(lens) - lens, lens)
+            seq = pa.array(np.arange(total, dtype=np.int64) - starts)
+            return pa.Table.from_arrays([flat, way_id, seq], schema=EDGE_SCHEMA)
 
         edges = ways.map_batches(explode_way_edges, batch_format="pyarrow")
 
@@ -341,12 +344,44 @@ class OsmPipeline:
 
         # ---- nodes --------------------------------------------------
         def convert_nodes(batch: pa.Table) -> pa.Table:
-            feats = []
-            for row in batch.to_pylist():
-                el = row_to_element(row)
-                shape = assemble.node_to_shape(el)
-                feats.append(_feature_row(row["seq"], "node", row["id"], shape))
-            return _feature_table(feats)
+            """node -> Point without to_pylist: geometry JSON built from
+            the lon/lat arrays via f-string templates (Python float repr
+            == json.dumps float formatting); untagged/meta-less nodes (the
+            bulk) take a pure-template property path, the rest fall back
+            to the exact element_props projection."""
+            n = len(batch)
+            seqs = batch["seq"].to_numpy(zero_copy_only=False)
+            ids = batch["id"].to_numpy(zero_copy_only=False)
+            lons = batch["lon"].to_numpy(zero_copy_only=False).tolist()
+            lats = batch["lat"].to_numpy(zero_copy_only=False).tolist()
+            geom = [
+                f'{{"type": "Point", "coordinates": [{x!r}, {y!r}]}}'
+                for x, y in zip(lons, lats)
+            ]
+            simple = np.ones(n, dtype=bool)
+            for col in ("tags_keys", "timestamp", "version", "user", "uid"):
+                simple &= pc.is_null(batch[col]).to_numpy(zero_copy_only=False)
+            props: list = [None] * n
+            id_list = ids.tolist()
+            for i in np.flatnonzero(simple):
+                props[i] = f'{{"type": "node", "id": {id_list[i]}}}'
+            complex_idx = np.flatnonzero(~simple)
+            if len(complex_idx):
+                sub = batch.take(pa.array(complex_idx))
+                for j, row in enumerate(sub.to_pylist()):
+                    el = row_to_element(row)
+                    props[complex_idx[j]] = json.dumps(assemble.element_props(el))
+            return pa.Table.from_arrays(
+                [
+                    pa.array(seqs),
+                    pa.array(["node"] * n, pa.string()),
+                    pa.array(ids),
+                    pa.array(["Point"] * n, pa.string()),
+                    pa.array(geom, pa.string()),
+                    pa.array(props, pa.string()),
+                ],
+                schema=FEATURE_SCHEMA,
+            )
 
         node_features = nodes.map_batches(convert_nodes, batch_format="pyarrow")
         if self.debug_timing:
@@ -476,52 +511,83 @@ class OsmPipeline:
             )
 
         rel_edges = rels.map_batches(explode_rel_members, batch_format="pyarrow")
-        rel_edge_rows = rel_edges.take_all()  # relation graph is tiny vs data
+        # The nested-relation EDGE LIST is tiny (parents referencing child
+        # relations are rare), so only it is collected — never the full
+        # relation id set.  Round membership for the bulk of relations is
+        # the implicit complement (round 0 runs with a NOT-in filter over
+        # the tiny nested set, or no filter at all).
+        rel_edge_rows = rel_edges.take_all()
         children_of: Dict[int, List[int]] = {}
         for r in rel_edge_rows:
             children_of.setdefault(r["rel_id"], []).append(r["child_rel_id"])
 
-        all_rel_ids = set(
-            r["id"] for r in rels.select_columns(["id"]).take_all()
-        )
-
-        # schedule relations into rounds: a relation runs once all its
-        # existing child relations are resolved
-        rounds: List[set] = []
-        remaining = set(all_rel_ids)
-        resolved_set: set = set()
-        for _ in range(self.max_relation_rounds):
-            ready = {
-                rid
-                for rid in remaining
-                if all(
-                    (c not in all_rel_ids) or (c in resolved_set)
-                    for c in children_of.get(rid, [])
-                )
+        child_ids = {c for cs in children_of.values() for c in cs}
+        if child_ids:
+            child_arr = pa.array(list(child_ids), pa.int64())
+            present_children = {
+                r["id"]
+                for r in rels.map_batches(
+                    lambda t: t.filter(pc.is_in(t["id"], value_set=child_arr)).select(["id"]),
+                    batch_format="pyarrow",
+                ).take_all()
             }
-            if not ready:
-                break
-            rounds.append(ready)
-            resolved_set |= ready
-            remaining -= ready
-        if remaining:  # cycles / too deep: degrade like the reference (skip+warn)
-            rounds.append(set(remaining))
+        else:
+            present_children = set()
+
+        # depth(rid): rounds a relation must wait for its present child
+        # relations; cycles / too-deep chains degrade to the final lumped
+        # round like the reference (skip+warn on unresolved refs)
+        max_r = self.max_relation_rounds
+        depth_memo: Dict[int, int] = {}
+
+        def depth(rid: int, stack: frozenset) -> int:
+            if rid in depth_memo:
+                return depth_memo[rid]
+            if rid in stack:
+                return max_r  # cycle: lump into the final round
+            kids = [c for c in children_of.get(rid, []) if c in present_children]
+            d = 0
+            if kids:
+                sub = stack | {rid}
+                d = min(max_r, 1 + max(depth(c, sub) for c in kids))
+            depth_memo[rid] = d
+            return d
+
+        nested_ids = set(children_of) | present_children
+        for rid in nested_ids:
+            depth(rid, frozenset())
+        later_ids = sorted(rid for rid, d in depth_memo.items() if d > 0)
+        n_rounds = 1 + (max(depth_memo.values(), default=0) if later_ids else 0)
+        round_filters: List = []  # (is_in_arr or None-for-complement)
+        later_arr = pa.array(later_ids, pa.int64()) if later_ids else None
+        round_filters.append(("not_in", later_arr))
+        for d in range(1, n_rounds):
+            ids_d = [rid for rid, dd in depth_memo.items() if dd == d]
+            round_filters.append(("in", pa.array(sorted(ids_d), pa.int64())))
 
         resolved_shapes: Dict[int, Optional[dict]] = {}
         feature_tables = []
         used_tables = []
 
-        for round_ids in rounds:
-            round_ids_arr = pa.array(list(round_ids), pa.int64())
-            round_rels = rels.map_batches(
-                lambda t, ids=round_ids_arr: t.filter(pc.is_in(t["id"], value_set=ids)),
-                batch_format="pyarrow",
+        def _round_filter(col: str, mode: str, arr):
+            if mode == "not_in":
+                if arr is None:
+                    return None  # no nested relations: single full round
+                return lambda t: t.filter(
+                    pc.invert(pc.fill_null(pc.is_in(t[col], value_set=arr), False))
+                )
+            return lambda t: t.filter(pc.is_in(t[col], value_set=arr))
+
+        for round_no, (mode, ids_arr) in enumerate(round_filters):
+            rel_f = _round_filter("id", mode, ids_arr)
+            mem_f = _round_filter("rel_id", mode, ids_arr)
+            round_rels = (
+                rels if rel_f is None else rels.map_batches(rel_f, batch_format="pyarrow")
             )
-            tagged_members = member_ways.map_batches(
-                lambda t, ids=round_ids_arr: t.filter(
-                    pc.is_in(t["rel_id"], value_set=ids)
-                ),
-                batch_format="pyarrow",
+            tagged_members = (
+                member_ways
+                if mem_f is None
+                else member_ways.map_batches(mem_f, batch_format="pyarrow")
             )
 
             shapes_ref = resolved_shapes  # closure: broadcast of prior rounds
@@ -643,11 +709,34 @@ class OsmPipeline:
                     _unpack_used, batch_format="pyarrow"
                 )
             )
-            for r in round_out.filter(expr="kind == 'shape'").take_all():
-                payload = json.loads(r["payload"])
-                resolved_shapes[payload["rel_id"]] = (
-                    json.loads(payload["shape_json"]) if payload["shape_json"] else None
-                )
+            # Only shapes of relations that are CHILDREN of a later-round
+            # parent are collected to the driver (the nested set is tiny);
+            # the full shape stream — every multipolygon geometry — stays
+            # distributed.
+            if present_children and round_no < n_rounds - 1:
+                need_arr = pa.array(sorted(present_children), pa.int64())
+
+                def pick_child_shapes(t: pa.Table, _need=need_arr) -> pa.Table:
+                    t = t.filter(pc.equal(t["kind"], "shape"))
+                    rids, sjs = [], []
+                    for p in t["payload"].to_pylist():
+                        rec = json.loads(p)
+                        rids.append(rec["rel_id"])
+                        sjs.append(rec["shape_json"])
+                    tbl = pa.Table.from_pydict(
+                        {"rel_id": rids, "shape_json": sjs},
+                        schema=pa.schema(
+                            [("rel_id", pa.int64()), ("shape_json", pa.string())]
+                        ),
+                    )
+                    return tbl.filter(pc.is_in(tbl["rel_id"], value_set=_need))
+
+                for r in round_out.map_batches(
+                    pick_child_shapes, batch_format="pyarrow"
+                ).take_all():
+                    resolved_shapes[r["rel_id"]] = (
+                        json.loads(r["shape_json"]) if r["shape_json"] else None
+                    )
 
         if feature_tables:
             rel_features = feature_tables[0]
@@ -691,17 +780,21 @@ class OsmPipeline:
                 .take_all()
             ):
                 rows.append(row)
-        for i, ro in enumerate(self._round_outs):
-            shapes = ro.filter(expr="kind == 'shape'").take_all()
-            ok = sum(1 for r in shapes if json.loads(r["payload"])["shape_json"])
-            rows.append(
-                {
-                    "stage": f"relation_round_{i}",
-                    "rows_in": len(shapes),
-                    "rows_ok": ok,
-                    "rows_failed": len(shapes) - ok,
-                }
+        def shape_stats(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.equal(batch["kind"], "shape"))
+            n, ok = len(t), 0
+            for p in t["payload"].to_pylist():
+                if json.loads(p)["shape_json"]:
+                    ok += 1
+            return pa.Table.from_pydict(
+                {"rows_in": [n], "rows_ok": [ok], "rows_failed": [n - ok]}
             )
+
+        for i, ro in enumerate(self._round_outs):
+            # per-batch counts computed in tasks; only the tiny count rows
+            # reach the driver
+            for r in ro.map_batches(shape_stats, batch_format="pyarrow").take_all():
+                rows.append({"stage": f"relation_round_{i}", **r})
         import pandas as pd
 
         df = pd.DataFrame(rows, columns=["stage", "rows_in", "rows_ok", "rows_failed"])
