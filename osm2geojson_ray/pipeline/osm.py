@@ -59,12 +59,14 @@ EDGE_SCHEMA = pa.schema(
 COORDS_SCHEMA = pa.schema(
     [("node_id", pa.int64()), ("n_lon", pa.float64()), ("n_lat", pa.float64())]
 )
+from ..model.schema import COORD  # noqa: E402  (struct<lon,lat>)
+
 WAY_COORDS_SCHEMA = pa.schema(
     [
         ("way_id", pa.int64()),
         ("resolved", pa.bool_()),
-        ("coords_json", pa.string()),
-        ("used_nodes_json", pa.string()),
+        ("coords", pa.list_(COORD)),
+        ("used_nodes", pa.list_(pa.int64())),
     ]
 )
 
@@ -230,12 +232,18 @@ class OsmPipeline:
             list(element_plus_way)
             + [
                 pa.field("resolved", pa.bool_()),
-                pa.field("coords_json", pa.string()),
-                pa.field("used_nodes_json", pa.string()),
+                pa.field("coords", pa.list_(COORD)),
+                pa.field("used_nodes", pa.list_(pa.int64())),
             ]
         )
 
         def assemble_and_attach(tbl: pa.Table) -> pa.Table:
+            """Fully vectorized per-partition way assembly: lexsort the
+            joined edges, reduceat over way runs, and emit coordinates as
+            Arrow ``list<struct<lon,lat>>`` (zero JSON through the
+            shuffle).  Unresolved ways get an empty coords list +
+            ``resolved=False`` and a used-node PREFIX up to the first
+            missing node (reference prefix-marking semantics)."""
             kinds = tbl["__kind"].to_numpy(zero_copy_only=False)
             emask = kinds == 1
             edges_t = tbl.filter(pa.array(emask))
@@ -245,45 +253,78 @@ class OsmPipeline:
             lons = edges_t["n_lon"].to_numpy(zero_copy_only=False)
             lats = edges_t["n_lat"].to_numpy(zero_copy_only=False)
             node_ids = edges_t["node_id"].to_numpy(zero_copy_only=False)
-            lons = np.where(np.equal(lons, None), np.nan, lons).astype(np.float64) if lons.dtype == object else lons
+            if lons.dtype == object:
+                lons = np.where(np.equal(lons, None), np.nan, lons).astype(np.float64)
+                lats = np.where(np.equal(lats, None), np.nan, lats).astype(np.float64)
             order = np.lexsort((seqs, way_ids))
             way_ids, lons, lats, node_ids = (
                 way_ids[order], lons[order], lats[order], node_ids[order]
             )
             found = ~np.isnan(lons)
-            bounds = np.flatnonzero(np.diff(way_ids)) + 1
-            starts = np.concatenate(([0], bounds)) if len(way_ids) else np.array([], dtype=int)
-            ends = np.concatenate((bounds, [len(way_ids)])) if len(way_ids) else np.array([], dtype=int)
-            per_way = {}
-            for st, en in zip(starts, ends):
-                f = found[st:en]
-                miss = np.flatnonzero(~f)
-                if len(miss) == 0:
-                    coords = np.stack([lons[st:en], lats[st:en]], axis=1).tolist()
-                    used = node_ids[st:en].tolist()
-                    per_way[int(way_ids[st])] = (True, json.dumps(coords), json.dumps(used))
-                else:
-                    cut = st + int(miss[0])  # prefix-marking up to the miss
-                    used = node_ids[st:cut].tolist()
-                    per_way[int(way_ids[st])] = (False, None, json.dumps(used))
+            n_edges = len(way_ids)
+            if n_edges:
+                bounds = np.flatnonzero(np.diff(way_ids)) + 1
+                starts = np.concatenate(([0], bounds))
+                ends = np.concatenate((bounds, [n_edges]))
+                lens = ends - starts
+                uniq_ids = way_ids[starts]
+                all_found = np.logical_and.reduceat(found, starts)
+                idx = np.arange(n_edges)
+                first_miss = np.minimum.reduceat(
+                    np.where(found, n_edges, idx), starts
+                )
+                cut = np.where(all_found, ends, np.minimum(first_miss, ends))
+                per_edge_cut = np.repeat(cut, lens)
+                keep_used = idx < per_edge_cut
+                used_vals = node_ids[keep_used]
+                used_counts = np.add.reduceat(keep_used.astype(np.int64), starts)
+                # reduceat on an all-False run yields the identity issue
+                # only for empty segments; lens>0 always here
+                keep_c = np.repeat(all_found, lens)
+                c_lon, c_lat = lons[keep_c], lats[keep_c]
+                c_counts = np.where(all_found, lens, 0)
+            else:
+                uniq_ids = np.array([], dtype=np.int64)
+                all_found = np.array([], dtype=bool)
+                used_vals = np.array([], dtype=np.int64)
+                used_counts = np.array([], dtype=np.int64)
+                c_lon = c_lat = np.array([], dtype=np.float64)
+                c_counts = np.array([], dtype=np.int64)
+            used_offsets = np.concatenate(([0], np.cumsum(used_counts))).astype(np.int32)
+            used_list = pa.ListArray.from_arrays(
+                pa.array(used_offsets, pa.int32()), pa.array(used_vals, pa.int64())
+            )
+            c_offsets = np.concatenate(([0], np.cumsum(c_counts))).astype(np.int32)
+            coords_list = pa.ListArray.from_arrays(
+                pa.array(c_offsets, pa.int32()),
+                pa.StructArray.from_arrays(
+                    [pa.array(c_lon), pa.array(c_lat)], names=["lon", "lat"]
+                ),
+            )
+            # align edge-derived arrays to the way element rows
             w_ids = ways_t["way_id"].to_numpy(zero_copy_only=False)
-            res, cjs, ujs = [], [], []
-            for wid in w_ids:
-                hit = per_way.get(int(wid))
-                if hit is None:
-                    res.append(None)
-                    cjs.append(None)
-                    ujs.append(None)
-                else:
-                    res.append(hit[0])
-                    cjs.append(hit[1])
-                    ujs.append(hit[2])
+            pos = np.searchsorted(uniq_ids, w_ids)
+            pos_c = np.minimum(pos, max(len(uniq_ids) - 1, 0))
+            hit = (
+                (pos < len(uniq_ids)) & (uniq_ids[pos_c] == w_ids)
+                if len(uniq_ids)
+                else np.zeros(len(w_ids), dtype=bool)
+            )
             arrays = [ways_t[f.name] for f in element_plus_way]
-            arrays += [
-                pa.array(res, pa.bool_()),
-                pa.array(cjs, pa.string()),
-                pa.array(ujs, pa.string()),
-            ]
+            if len(uniq_ids):
+                take_idx = pa.array(np.where(hit, pos_c, 0).astype(np.int64), mask=~hit)
+                arrays += [
+                    pa.array(np.where(hit, all_found[pos_c], False), mask=~hit),
+                    coords_list.take(take_idx).cast(pa.list_(COORD)),
+                    used_list.take(take_idx),
+                ]
+            else:
+                n_w = len(w_ids)
+                arrays += [
+                    pa.nulls(n_w, pa.bool_()),
+                    pa.nulls(n_w, pa.list_(COORD)),
+                    pa.nulls(n_w, pa.list_(pa.int64())),
+                ]
             return pa.Table.from_arrays(arrays, schema=out_resolved_schema)
 
         from ..relational import _with_part
@@ -298,35 +339,36 @@ class OsmPipeline:
         self._tick("ways_resolved (fused join+assembly)")
         self._ways_resolved = ways_resolved
 
-        # used pairs from the way⋈node stage
+        # used pairs from the way⋈node stage (pure-Arrow list explode)
         def used_from_ways(batch: pa.Table) -> pa.Table:
-            used_ids, consumers = [], []
-            for row in batch.select(["way_id", "used_nodes_json"]).to_pylist():
-                if row["used_nodes_json"] is None:
-                    continue
-                for nid in json.loads(row["used_nodes_json"]):
-                    used_ids.append(nid)
-                    consumers.append(row["way_id"])
-            return pa.Table.from_pydict(
-                {"used_id": used_ids, "consumer_id": consumers}, schema=USED_SCHEMA
-            )
+            t = batch.select(["way_id", "used_nodes"])
+            t = t.filter(pc.is_valid(t["used_nodes"]))
+            un = t["used_nodes"].combine_chunks()
+            used = pc.list_flatten(un)
+            cons = pc.take(t["way_id"].combine_chunks(), pc.list_parent_indices(un))
+            return pa.Table.from_arrays([used, cons], schema=USED_SCHEMA)
 
         used_nodes = ways_resolved.map_batches(used_from_ways, batch_format="pyarrow")
         self._tick("ways_resolved join")
 
         # ---- standalone way conversion ------------------------------
         def convert_ways(batch: pa.Table):
+            coords_np, offs = _list_coords_view(batch["coords"])
+            resolved_np = batch["resolved"].to_numpy(zero_copy_only=False)
             feats = []
-            for row in batch.to_pylist():
+            rows = batch.drop_columns(["coords", "used_nodes"]).to_pylist()
+            for i, row in enumerate(rows):
                 el = row_to_element(row)
-                if row.get("coords_json") is not None:
-                    el["_coords"] = json.loads(row["coords_json"])
-                elif el.get("nodes") and not el.get("geometry") and "center" not in el:
-                    if row.get("resolved") is not None and not row["resolved"]:
-                        el = {k: v for k, v in el.items() if k != "nodes"} | {
-                            "nodes": el["nodes"],
-                            "_unresolved": True,
-                        }
+                resolved = resolved_np[i]
+                if resolved == True:  # noqa: E712  (None-aware tri-state)
+                    el["_coords"] = coords_np[offs[i] : offs[i + 1]].tolist()
+                elif (
+                    resolved == False  # noqa: E712
+                    and el.get("nodes")
+                    and not el.get("geometry")
+                    and "center" not in el
+                ):
+                    el["_unresolved"] = True
                 shape = None
                 if not el.get("_unresolved"):
                     shape = assemble.way_to_shape(dict(el), {}, clf)
@@ -468,10 +510,15 @@ class OsmPipeline:
         member_edges = rels.map_batches(explode_members, batch_format="pyarrow")
 
         def project_ways(batch: pa.Table) -> pa.Table:
-            cols = ["way_id", "resolved", "coords_json"]
-            keep = batch.select([c for c in cols if c in batch.column_names] + ["seq"])
-            # carry the full way element for classifier + props
-            els = [json.dumps(row_to_element(r)) for r in batch.to_pylist()]
+            keep = batch.select(["way_id", "resolved", "coords", "seq"])
+            # carry the full way element for classifier + props (small:
+            # tags + meta only — coordinates ride the Arrow list column)
+            els = [
+                json.dumps(row_to_element(r))
+                for r in batch.drop_columns(
+                    ["coords", "used_nodes", "resolved", "way_id"]
+                ).to_pylist()
+            ]
             return keep.append_column("way_element_json", pa.array(els, pa.string()))
 
         way_payload = ways_resolved.map_batches(project_ways, batch_format="pyarrow")
@@ -480,7 +527,7 @@ class OsmPipeline:
             [
                 ("way_id", pa.int64()),
                 ("resolved", pa.bool_()),
-                ("coords_json", pa.string()),
+                ("coords", pa.list_(COORD)),
                 ("seq", pa.int64()),
                 ("way_element_json", pa.string()),
             ]
@@ -597,7 +644,14 @@ class OsmPipeline:
             # co-partitioned by rel_id; each partition converts all of
             # its relations in a single Python pass
             payload_schema = pa.schema(
-                [("rel_id", pa.int64()), ("kind", pa.int8()), ("payload", pa.string())]
+                [
+                    ("rel_id", pa.int64()),
+                    ("kind", pa.int8()),
+                    ("payload", pa.string()),  # rel: element rec; member: way element
+                    ("resolved", pa.bool_()),
+                    ("coords", pa.list_(COORD)),
+                    ("way_id", pa.int64()),
+                ]
             )
 
             def rel_payload(batch: pa.Table) -> pa.Table:
@@ -605,35 +659,34 @@ class OsmPipeline:
                     {"el": row_to_element(r), "seq": r["seq"], "id": r["id"]}
                     for r in batch.to_pylist()
                 ]
-                return pa.Table.from_pydict(
-                    {
-                        "rel_id": [r["id"] for r in rows],
-                        "kind": np.zeros(len(rows), dtype=np.int8),
-                        "payload": [json.dumps(r) for r in rows],
-                    },
+                n = len(rows)
+                return pa.Table.from_arrays(
+                    [
+                        pa.array([r["id"] for r in rows], pa.int64()),
+                        pa.array(np.zeros(n, dtype=np.int8)),
+                        pa.array([json.dumps(r) for r in rows], pa.string()),
+                        pa.nulls(n, pa.bool_()),
+                        pa.nulls(n, pa.list_(COORD)),
+                        pa.nulls(n, pa.int64()),
+                    ],
                     schema=payload_schema,
                 )
 
             def member_payload(batch: pa.Table) -> pa.Table:
-                out_ids, out_pay = [], []
-                for r in batch.to_pylist():
-                    out_ids.append(r["rel_id"])
-                    out_pay.append(
-                        json.dumps(
-                            {
-                                "way_id": r["way_id"],
-                                "resolved": bool(r["resolved"]),
-                                "coords_json": r["coords_json"],
-                                "way_element_json": r["way_element_json"],
-                            }
-                        )
-                    )
-                return pa.Table.from_pydict(
-                    {
-                        "rel_id": out_ids,
-                        "kind": np.ones(len(out_ids), dtype=np.int8),
-                        "payload": out_pay,
-                    },
+                # pure column projection: coordinates stay an Arrow list
+                # column through the rel_id co-partition shuffle
+                n = len(batch)
+                return pa.Table.from_arrays(
+                    [
+                        batch["rel_id"],
+                        pa.array(np.ones(n, dtype=np.int8)),
+                        batch["way_element_json"],
+                        batch["resolved"],
+                        batch["coords"].combine_chunks().cast(pa.list_(COORD))
+                        if n
+                        else pa.nulls(0, pa.list_(COORD)),
+                        batch["way_id"],
+                    ],
                     schema=payload_schema,
                 )
 
@@ -645,20 +698,20 @@ class OsmPipeline:
                 kinds = tbl["kind"].to_numpy(zero_copy_only=False)
                 rel_ids = tbl["rel_id"].to_numpy(zero_copy_only=False)
                 payloads = tbl["payload"].to_pylist()
+                coords_np, offs = _list_coords_view(tbl["coords"])
+                resolved_np = tbl["resolved"].to_numpy(zero_copy_only=False)
                 members_by_rel: Dict[int, list] = {}
                 for i in np.flatnonzero(kinds == 1):
-                    members_by_rel.setdefault(int(rel_ids[i]), []).append(
-                        json.loads(payloads[i])
-                    )
+                    members_by_rel.setdefault(int(rel_ids[i]), []).append(int(i))
                 feats, used_u, used_c, out_shapes = [], [], [], []
                 for i in np.flatnonzero(kinds == 0):
                     rec = json.loads(payloads[i])
                     el = rec["el"]
                     index: Dict[str, dict] = {}
-                    for p in members_by_rel.get(int(rel_ids[i]), []):
-                        wel = json.loads(p["way_element_json"])
-                        if p["resolved"] and p["coords_json"]:
-                            wel["_coords"] = json.loads(p["coords_json"])
+                    for mi in members_by_rel.get(int(rel_ids[i]), []):
+                        wel = json.loads(payloads[mi])
+                        if resolved_np[mi] == True:  # noqa: E712
+                            wel["_coords"] = coords_np[offs[mi] : offs[mi + 1]].tolist()
                         index[assemble.ref_key("way", wel["id"])] = wel
                     for m in el.get("members", []):
                         if m["type"] == "relation" and m["ref"] in _shapes:
@@ -717,19 +770,10 @@ class OsmPipeline:
                 need_arr = pa.array(sorted(present_children), pa.int64())
 
                 def pick_child_shapes(t: pa.Table, _need=need_arr) -> pa.Table:
-                    t = t.filter(pc.equal(t["kind"], "shape"))
-                    rids, sjs = [], []
-                    for p in t["payload"].to_pylist():
-                        rec = json.loads(p)
-                        rids.append(rec["rel_id"])
-                        sjs.append(rec["shape_json"])
-                    tbl = pa.Table.from_pydict(
-                        {"rel_id": rids, "shape_json": sjs},
-                        schema=pa.schema(
-                            [("rel_id", pa.int64()), ("shape_json", pa.string())]
-                        ),
+                    t = t.filter(pc.equal(t["kind"], "shape")).select(
+                        ["rel_id", "shape_json"]
                     )
-                    return tbl.filter(pc.is_in(tbl["rel_id"], value_set=_need))
+                    return t.filter(pc.is_in(t["rel_id"], value_set=_need))
 
                 for r in round_out.map_batches(
                     pick_child_shapes, batch_format="pyarrow"
@@ -782,10 +826,8 @@ class OsmPipeline:
                 rows.append(row)
         def shape_stats(batch: pa.Table) -> pa.Table:
             t = batch.filter(pc.equal(batch["kind"], "shape"))
-            n, ok = len(t), 0
-            for p in t["payload"].to_pylist():
-                if json.loads(p)["shape_json"]:
-                    ok += 1
+            n = len(t)
+            ok = n - t["shape_json"].null_count
             return pa.Table.from_pydict(
                 {"rows_in": [n], "rows_ok": [ok], "rows_failed": [n - ok]}
             )
@@ -802,6 +844,26 @@ class OsmPipeline:
 
 
 # ---------------------------------------------------------------------
+def _list_coords_view(col: "pa.ChunkedArray"):
+    """(N,2) float view + int offsets for a list<struct<lon,lat>> column;
+    null/empty lists contribute zero-length slices."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    lens = pc.fill_null(pc.list_value_length(arr), 0).to_numpy(zero_copy_only=False)
+    offs = np.concatenate(([0], np.cumsum(lens.astype(np.int64))))
+    values = arr.flatten()
+    if len(values):
+        coords_np = np.stack(
+            [
+                values.field("lon").to_numpy(zero_copy_only=False),
+                values.field("lat").to_numpy(zero_copy_only=False),
+            ],
+            axis=1,
+        )
+    else:
+        coords_np = np.empty((0, 2), dtype=np.float64)
+    return coords_np, offs
+
+
 def _feature_row(seq, el_type, el_id, shape) -> dict:
     return {
         "seq": seq,
@@ -817,41 +879,40 @@ def _feature_table(rows: List[dict]) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=FEATURE_SCHEMA)
 
 
-_PACKED_SCHEMA = pa.schema([("kind", pa.string()), ("payload", pa.string()),
-                            ("element_id", pa.int64())])
+_SHAPE_SCHEMA = pa.schema([("rel_id", pa.int64()), ("shape_json", pa.string())])
+# wide columnar multiplex of the three per-round outputs: no per-row JSON
+# wrapping — each section's columns ride natively, absent sections null
+_PACKED_SCHEMA = pa.schema(
+    [pa.field("kind", pa.string())]
+    + list(FEATURE_SCHEMA)
+    + list(USED_SCHEMA)
+    + list(_SHAPE_SCHEMA)
+)
 
 
 def _pack_multi(parts: Dict[str, pa.Table]) -> pa.Table:
-    kinds, payloads, ids = [], [], []
-    for row in parts["features"].to_pylist():
-        kinds.append("feature")
-        payloads.append(json.dumps(row))
-        ids.append(row["element_id"])
-    for row in parts["used"].to_pylist():
-        kinds.append("used")
-        payloads.append(json.dumps(row))
-        ids.append(row["used_id"])
-    for row in parts["shapes"].to_pylist():
-        kinds.append("shape")
-        payloads.append(json.dumps(row))
-        ids.append(row["rel_id"])
-    return pa.Table.from_pydict(
-        {"kind": kinds, "payload": payloads, "element_id": ids}, schema=_PACKED_SCHEMA
-    )
+    sections = []
+    for kind, tbl in (("feature", parts["features"]), ("used", parts["used"]),
+                      ("shape", parts["shapes"])):
+        n = len(tbl)
+        arrays = [pa.array([kind] * n, pa.string())]
+        for f in _PACKED_SCHEMA:
+            if f.name == "kind":
+                continue
+            arrays.append(tbl[f.name] if f.name in tbl.column_names else pa.nulls(n, f.type))
+        sections.append(pa.Table.from_arrays(arrays, schema=_PACKED_SCHEMA))
+    return pa.concat_tables(sections)
 
 
 def _unpack_feature(batch: pa.Table) -> pa.Table:
-    return _feature_table([json.loads(r["payload"]) for r in batch.to_pylist()])
+    return batch.filter(pc.equal(batch["kind"], "feature")).select(
+        [f.name for f in FEATURE_SCHEMA]
+    )
 
 
 def _unpack_used(batch: pa.Table) -> pa.Table:
-    rows = [json.loads(r["payload"]) for r in batch.to_pylist()]
-    return pa.Table.from_pydict(
-        {
-            "used_id": [r["used_id"] for r in rows],
-            "consumer_id": [r["consumer_id"] for r in rows],
-        },
-        schema=USED_SCHEMA,
+    return batch.filter(pc.equal(batch["kind"], "used")).select(
+        [f.name for f in USED_SCHEMA]
     )
 
 
