@@ -70,11 +70,16 @@ def bench_image_pipeline():
     from osm2geojson_ray.queries import corpus_polygons
     from osm2geojson_ray.spatial.pip import broadcast_pip_join
 
-    ds = synth_image_table(N_IMAGES, partition_rows=max(512, N_IMAGES // 128))
+    ds = synth_image_table(N_IMAGES, partition_rows=max(512, N_IMAGES // 256))
 
     def add_position(batch: pa.Table) -> pa.Table:
-        idx = np.array([int(s.split("-")[1]) for s in batch["image_id"].to_pylist()],
-                       dtype=np.uint64)
+        import pyarrow.compute as pc
+
+        idx = (
+            pc.cast(pc.utf8_slice_codeunits(batch["image_id"], 4), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
         lon, lat = image_position(idx, (-10.0, -10.0, 60.0, 60.0))
         return batch.append_column("lon", pa.array(lon)).append_column("lat", pa.array(lat))
 

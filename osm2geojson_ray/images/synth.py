@@ -72,15 +72,28 @@ def _pixels_for(idx: int, w: int, h: int) -> np.ndarray:
 
 def _pixels_batch(idx: np.ndarray, w: int, h: int) -> np.ndarray:
     """Vectorized _pixels_for over an index array -> (n, h, w, 3) uint8
-    (bit-identical to the per-image version: same float64 expressions)."""
+    (bit-identical to the per-image version: same float64 expressions).
+
+    The gradients are separable — r varies only with x, g only with y,
+    b only with the anti-diagonal x+y — so only n*(w + h + w+h-1)
+    transcendentals are evaluated (≈14× fewer than the dense form) and
+    broadcast/gathered into the dense pixel block."""
+    n = len(idx)
     base = splitmix64(idx.astype(np.uint64))
     phase = (base % np.uint64(1000)).astype(np.float64) / 1000.0  # (n,)
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
-    p = phase[:, None, None]
-    r = 127.5 * (1 + np.sin(2 * np.pi * (xx[None] / w + p)))
-    g = 127.5 * (1 + np.cos(2 * np.pi * (yy[None] / h + p * 2)))
-    b = 127.5 * (1 + np.sin(2 * np.pi * ((xx + yy)[None] / (w + h) + p * 3)))
-    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+    p = phase[:, None]
+    xs = np.arange(w, dtype=np.float64)
+    ys = np.arange(h, dtype=np.float64)
+    ds = np.arange(w + h - 1, dtype=np.float64)
+    r_row = 127.5 * (1 + np.sin(2 * np.pi * (xs[None] / w + p)))  # (n, w)
+    g_col = 127.5 * (1 + np.cos(2 * np.pi * (ys[None] / h + p * 2)))  # (n, h)
+    b_diag = 127.5 * (1 + np.sin(2 * np.pi * (ds[None] / (w + h) + p * 3)))  # (n, w+h-1)
+    out = np.empty((n, h, w, 3), dtype=np.uint8)
+    out[..., 0] = r_row[:, None, :]
+    out[..., 1] = g_col[:, :, None]
+    d_idx = (np.arange(h)[:, None] + np.arange(w)[None, :])  # (h, w)
+    out[..., 2] = b_diag[:, d_idx]
+    return out
 
 
 def synth_image_batch(
@@ -93,28 +106,54 @@ def synth_image_batch(
     """One partition of the synthetic table: images [start, start+count)."""
     from .phash import phash64_batch_same_size
 
+    import struct
+
     w, h = size
     idx = np.arange(start, start + count, dtype=np.uint64)
     pixels = _pixels_batch(idx, w, h)
-    hashes = phash64_batch_same_size(pixels).tolist()
+    hashes = phash64_batch_same_size(pixels)
     phases = (splitmix64(idx) % np.uint64(1000)).astype(np.int64)
-    ids, blobs, fmts, captions = [], [], [], []
-    for j, i in enumerate(range(start, start + count)):
-        fmt = "rgb5" if lossy_every and i % lossy_every == 0 else "rgb8"
-        blobs.append(encode_image(pixels[j], fmt))
-        ids.append(f"img-{i:012d}")
-        fmts.append(fmt)
-        captions.append(f"synthetic scene {i} phase {int(phases[j])}")
-    return pa.Table.from_pydict(
-        {
-            "image_id": ids,
-            "bytes": blobs,
-            "w": np.full(count, w, dtype=np.int32),
-            "h": np.full(count, h, dtype=np.int32),
-            "fmt": fmts,
-            "caption": captions,
-            "phash": np.array(hashes, dtype=np.int64),
-        },
+    # batch-encode: one (count, 8+w*h*3) uint8 buffer — headers tiled,
+    # lossy rows quantized in one vectorized pass; the Arrow binary
+    # column is built straight from the flat buffer with uniform
+    # offsets (bit-identical to per-image encode_image output)
+    lossy = (
+        (idx % np.uint64(lossy_every)) == 0
+        if lossy_every
+        else np.zeros(count, dtype=bool)
+    )
+    flat = pixels.reshape(count, -1).copy()
+    if lossy.any():
+        flat[lossy] = np.clip(
+            (flat[lossy].astype(np.int32) + 4) // 8 * 8, 0, 255
+        ).astype(np.uint8)
+    hdr = np.frombuffer(b"R8" + struct.pack("<HHBB", w, h, 0, 0), dtype=np.uint8)
+    row_len = 8 + flat.shape[1]
+    buf = np.empty((count, row_len), dtype=np.uint8)
+    buf[:, :8] = hdr
+    buf[:, 8:] = flat
+    offsets = (np.arange(count + 1, dtype=np.int32) * row_len)
+    blob_arr = pa.Array.from_buffers(
+        pa.binary(),
+        count,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf.tobytes())],
+    )
+    fmt_arr = pa.Array.from_pandas(np.where(lossy, "rgb5", "rgb8"))
+    idx_list = idx.tolist()
+    ids = [f"img-{i:012d}" for i in idx_list]
+    captions = [
+        f"synthetic scene {i} phase {p}" for i, p in zip(idx_list, phases.tolist())
+    ]
+    return pa.Table.from_arrays(
+        [
+            pa.array(ids, pa.string()),
+            blob_arr,
+            pa.array(np.full(count, w, dtype=np.int32)),
+            pa.array(np.full(count, h, dtype=np.int32)),
+            fmt_arr.cast(pa.string()),
+            pa.array(captions, pa.string()),
+            pa.array(hashes.astype(np.int64)),
+        ],
         schema=IMAGE_SCHEMA,
     )
 
