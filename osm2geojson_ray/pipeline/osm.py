@@ -141,12 +141,51 @@ class OsmPipeline:
         clf = self.classifier
         nparts = self.num_partitions
 
-        # The three type-splits are each consumed by several downstream
-        # stages; materialize so the input scan + filter run once (blocks
-        # pin in the object store and spill if large).
-        nodes = elements.filter(expr="type == 'node'").repartition(nparts).materialize()
-        ways = elements.filter(expr="type == 'way'").repartition(nparts).materialize()
-        rels = elements.filter(expr="type == 'relation'").repartition(nparts).materialize()
+        # ONE source scan: materialize the raw elements, then carve the
+        # three type-splits from the in-memory blocks with per-type
+        # COLUMN PRUNING (nodes never carry members/geometry; relations
+        # never carry lat/lon/nodes) — downstream pad_to_fused /
+        # row_to_element treat absent columns as nulls.  Without the
+        # up-front materialize each filter would re-execute the parquet
+        # decode (lazy lineage runs once per consumer).
+        elements = elements.materialize()
+        nblocks = elements.num_blocks()
+        if nblocks > 2 * nparts:
+            # consolidate to ~nparts right-sized blocks: too-many tiny
+            # blocks cost per-block scheduling in EVERY downstream stage
+            # (concat tasks, not a shuffle)
+            from ..relational import coalesce_blocks
+
+            elements = coalesce_blocks(elements, nparts).materialize()
+        elif nblocks < nparts:
+            # too-few blocks starve parallelism: real repartition
+            elements = elements.repartition(nparts).materialize()
+        _meta_cols = [
+            "tags_keys", "tags_values", "timestamp", "version",
+            "changeset", "user", "uid",
+        ]
+
+        def _split(type_name: str, cols: List[str]):
+            # LAZY over the materialized blocks: consumers re-run the
+            # cheap in-memory filter+project instead of paying a
+            # materialize barrier per type split
+            schema = elements.schema()
+            names = schema.names if schema is not None else [f.name for f in ELEMENT_SCHEMA]
+            keep = [c for c in cols if c in names]
+            return elements.filter(expr=f"type == '{type_name}'").map_batches(
+                lambda t, _k=keep: t.select([c for c in _k if c in t.column_names]),
+                batch_format="pyarrow",
+            )
+
+        nodes = _split("node", ["seq", "type", "id", "lat", "lon"] + _meta_cols)
+        ways = _split(
+            "way",
+            ["seq", "type", "id", "nodes", "geometry", "center", "bounds"] + _meta_cols,
+        )
+        rels = _split(
+            "relation",
+            ["seq", "type", "id", "members", "center", "bounds"] + _meta_cols,
+        )
         self._tick("split")
 
         # ---- J1: way ⋈ node -----------------------------------------
@@ -327,15 +366,15 @@ class OsmPipeline:
                 ]
             return pa.Table.from_arrays(arrays, schema=out_resolved_schema)
 
-        from ..relational import _with_part
+        from ..relational import hash_exchange_map
 
-        ways_resolved = (
-            _with_part(ways_keyed.union(edge_tagged), "way_id", nparts)
-            .groupby("__part")
-            .map_groups(assemble_and_attach, batch_format="pyarrow")
-            .repartition(nparts)
-            .materialize()  # consumed by standalone conversion AND relations
+        ways_resolved = hash_exchange_map(
+            ways_keyed.union(edge_tagged), "way_id", nparts, assemble_and_attach
         )
+        if ways_resolved is None:
+            ways_resolved = _empty(out_resolved_schema)
+        # exchange output is exactly nparts right-sized blocks
+        ways_resolved = ways_resolved.materialize()  # multi-consumer
         self._tick("ways_resolved (fused join+assembly)")
         self._ways_resolved = ways_resolved
 
@@ -452,16 +491,25 @@ class OsmPipeline:
             # the fallback when even the id set outgrows driver memory.
             import ray as _ray
 
-            ids = np.unique(
-                np.concatenate(
-                    [
-                        b["element_id"].to_numpy(zero_copy_only=False)
-                        for b in used_keys.iter_batches(batch_format="pyarrow")
-                    ]
-                    or [np.array([], dtype=np.int64)]
-                )
-            )
-            ids_ref = _ray.put(ids)
+            # the id set is assembled by ONE remote reduce over the used
+            # blocks' refs — the driver never pulls the ids, it only
+            # hands the result ref to the anti-filter actors
+            @_ray.remote
+            def _unique_ids(*blocks):
+                arrs = [
+                    b["element_id"].to_numpy(zero_copy_only=False) for b in blocks
+                ] or [np.array([], dtype=np.int64)]
+                return np.unique(np.concatenate(arrs))
+
+            used_block_refs = []
+            for bundle in used_keys.iter_internal_ref_bundles():
+                for block_ref, meta in bundle.blocks:
+                    if meta.num_rows is None or meta.num_rows > 0:
+                        used_block_refs.append(block_ref)
+            if used_block_refs:
+                ids_ref = _unique_ids.remote(*used_block_refs)
+            else:
+                ids_ref = _ray.put(np.array([], dtype=np.int64))
 
             class AntiFilter:
                 def __init__(self):
@@ -474,7 +522,7 @@ class OsmPipeline:
                     return batch.filter(pa.array(keep))
 
             return features.map_batches(
-                AntiFilter, batch_format="pyarrow", concurrency=2
+                AntiFilter, batch_format="pyarrow", concurrency=(2, max(2, nparts // 2))
             )
         # shuffle path: one left_anti hash join on bare id
         return join_safe(
@@ -741,15 +789,12 @@ class OsmPipeline:
                 )
                 return _pack_multi({"features": ft, "used": ut, "shapes": st})
 
-            from ..relational import _with_part
+            from ..relational import hash_exchange_map
 
-            round_out = (
-                _with_part(both, "rel_id", nparts)
-                .groupby("__part")
-                .map_groups(convert_partition, batch_format="pyarrow")
-                .repartition(max(2, nparts // 2))
-                .materialize()
-            )
+            round_out = hash_exchange_map(both, "rel_id", nparts, convert_partition)
+            if round_out is None:
+                round_out = _empty(_PACKED_SCHEMA)
+            round_out = round_out.materialize()
             self._round_outs.append(round_out)
 
             feature_tables.append(

@@ -32,7 +32,6 @@ def _superset_schema(on: str, l_schema: pa.Schema, r_schema: pa.Schema) -> pa.Sc
                 raise ValueError(f"duplicate non-key column {f.name!r} in join")
             fields.append(f)
     fields.append(pa.field("__side", pa.int8()))
-    fields.append(pa.field("__part", pa.int64()))
     return pa.schema(fields)
 
 
@@ -44,9 +43,6 @@ def _pad_side(ds, on: str, own: pa.Schema, superset: pa.Schema, side: int, npart
             names.append(f.name)
             if f.name == "__side":
                 arrays.append(pa.array(np.full(n, side, dtype=np.int8), type=pa.int8()))
-            elif f.name == "__part":
-                keys = batch[on].to_numpy(zero_copy_only=False)
-                arrays.append(pa.array((keys % nparts).astype(np.int64)))
             elif f.name in batch.column_names:
                 arrays.append(batch[f.name].cast(f.type) if batch[f.name].type != f.type else batch[f.name])
             else:
@@ -119,7 +115,118 @@ def hash_join(
             arrays.append(rt_sel[c].take(ri))
         return pa.Table.from_arrays(arrays, schema=out_schema)
 
-    return both.groupby("__part").map_groups(merge_partition, batch_format="pyarrow")
+    exchanged = hash_exchange_map(both, on, num_partitions, merge_partition)
+    if exchanged is None:
+        return empty_dataset(out_schema)
+    return exchanged
+
+
+def _part_of(keys: "pa.ChunkedArray | pa.Array", num_partitions: int) -> np.ndarray:
+    """Partition id per row: int keys -> key % P (numpy semantics),
+    string keys -> process-stable crc32 % P."""
+    if pa.types.is_integer(keys.type):
+        return keys.to_numpy(zero_copy_only=False) % num_partitions
+    import zlib
+
+    return np.array(
+        [zlib.crc32(str(x).encode()) % num_partitions for x in keys.to_pylist()],
+        dtype=np.int64,
+    )
+
+
+def _exchange_split(block: pa.Table, key: str, num_partitions: int):
+    """Map side of the exchange: slice one block into per-partition
+    shards (argsort + boundary slicing, one pass)."""
+    part = np.asarray(_part_of(block[key], num_partitions), dtype=np.int64)
+    order = np.argsort(part, kind="stable")
+    sorted_parts = part[order]
+    taken = block.take(pa.array(order))
+    cuts = np.searchsorted(sorted_parts, np.arange(num_partitions + 1))
+    return [taken.slice(cuts[p], cuts[p + 1] - cuts[p]) for p in range(num_partitions)]
+
+
+def hash_exchange_map(ds, key: str, num_partitions: int, fn, *, fn_format: str = "pyarrow"):
+    """Hash-partition ``ds`` on ``key`` and apply ``fn`` ONCE per
+    partition — the classic two-stage shuffle (map: split each block
+    into P shards; reduce: concat a shard from every block, run fn)
+    built from raw Ray tasks over the Dataset's blocks.
+
+    This intentionally drops below the Dataset API for the exchange
+    itself: Ray Data's ``groupby`` is sort-based (sample + range
+    partition + merge), which costs several seconds of fixed latency
+    per shuffle regardless of data size.  A hash exchange needs no
+    sort and no sampling; partition count is a data property chosen by
+    the caller.  The result is re-wrapped as a Dataset
+    (``from_arrow_refs``) so everything downstream stays in Ray Data.
+
+    ``fn`` receives one pyarrow Table (or pandas DataFrame with
+    ``fn_format='pandas'``) per partition, with a constant ``__part``
+    column appended for drop-in compatibility with the
+    ``_with_part().groupby('__part').map_groups(fn)`` pattern."""
+    import ray as _ray
+
+    @_ray.remote
+    def _split(block, k, p):
+        return tuple(_exchange_split(block, k, p))
+
+    @_ray.remote
+    def _reduce(f, fmt, part_id, *shards):
+        tbl = pa.concat_tables(shards, promote_options="default")
+        tbl = tbl.append_column(
+            "__part", pa.array(np.full(len(tbl), part_id, dtype=np.int64))
+        )
+        if fmt == "pandas":
+            out = f(tbl.to_pandas())
+            return pa.Table.from_pandas(out, preserve_index=False)
+        return f(tbl)
+
+    # zero-row blocks surface with an EMPTY schema from Ray's executor
+    # and would poison the shard concat — drop them via metadata (no
+    # block fetch needed)
+    block_refs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for block_ref, meta in bundle.blocks:
+            if meta.num_rows is None or meta.num_rows > 0:
+                block_refs.append(block_ref)
+    if not block_refs:
+        return None  # caller supplies the empty-result schema
+    fn_ref = _ray.put(fn)
+    # num_returns=P: each shard is its own object, so a reduce task
+    # fetches ONLY its shard from every block (true all-to-all)
+    shard_refs = [
+        _split.options(num_returns=num_partitions).remote(b, key, num_partitions)
+        for b in block_refs
+    ]
+    if num_partitions == 1:
+        shard_refs = [[r] for r in shard_refs]
+    out_refs = [
+        _reduce.remote(fn_ref, fn_format, p, *[s[p] for s in shard_refs])
+        for p in range(num_partitions)
+    ]
+    return ray.data.from_arrow_refs(out_refs)
+
+
+def coalesce_blocks(ds, num_partitions: int):
+    """Concatenate a too-fragmented Dataset down to ~num_partitions
+    blocks with raw concat tasks — no shuffle, no sort, no row
+    movement beyond the concat (cheap alternative to ``repartition``
+    when blocks only need consolidating, not rebalancing)."""
+    import ray as _ray
+
+    @_ray.remote
+    def _concat(*blocks):
+        return pa.concat_tables(blocks, promote_options="default")
+
+    refs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for block_ref, meta in bundle.blocks:
+            if meta.num_rows is None or meta.num_rows > 0:
+                refs.append(block_ref)
+    if not refs:
+        return ds
+    groups = np.array_split(np.arange(len(refs)), min(num_partitions, len(refs)))
+    out = [_concat.remote(*[refs[i] for i in g]) for g in groups if len(g)]
+    return ray.data.from_arrow_refs(out)
 
 
 def _with_part(ds, key: str, num_partitions: int):
@@ -154,9 +261,12 @@ def distinct_on(ds, key: str, *, num_partitions: int = 16, sort_by=None):
             df = df.sort_values(sort_by, kind="stable")
         return df.drop_duplicates(subset=[key]).drop(columns="__part")
 
-    return _with_part(ds, key, num_partitions).groupby("__part").map_groups(
-        dedup, batch_format="pandas"
-    )
+    out = hash_exchange_map(ds, key, num_partitions, dedup, fn_format="pandas")
+    if out is None:  # empty input: fall back to the (cheap) groupby path
+        return _with_part(ds, key, num_partitions).groupby("__part").map_groups(
+            dedup, batch_format="pandas"
+        )
+    return out
 
 
 def grouped_count(ds, key: str, *, num_partitions: int = 16, alias: str = "n"):
@@ -167,9 +277,12 @@ def grouped_count(ds, key: str, *, num_partitions: int = 16, alias: str = "n"):
         out = df.groupby(key, sort=False).size().reset_index(name=alias)
         return out
 
-    return _with_part(ds, key, num_partitions).groupby("__part").map_groups(
-        count, batch_format="pandas"
-    )
+    res = hash_exchange_map(ds, key, num_partitions, count, fn_format="pandas")
+    if res is None:
+        return _with_part(ds, key, num_partitions).groupby("__part").map_groups(
+            count, batch_format="pandas"
+        )
+    return res
 
 
 def dataset_from_table(tbl: pa.Table, **kwargs):
