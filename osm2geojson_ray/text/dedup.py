@@ -18,6 +18,7 @@ from typing import Optional
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..images.synth import splitmix64
 from .analysis import _hash63
@@ -87,6 +88,11 @@ def minhash_signature(text: str, num_hashes: int, shingle_k: int) -> np.ndarray:
     return perm.min(axis=0)
 
 
+PAIR_SCHEMA = pa.schema(
+    [("a_id", pa.int64()), ("b_id", pa.int64()), ("jaccard", pa.float64())]
+)
+
+
 def minhash_lsh_pairs(
     docs,
     *,
@@ -97,70 +103,203 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     jaccard_threshold: float = 0.8,
     concurrency: int = 2,
+    num_partitions: int = 16,
 ):
     """Near-duplicate pairs (a_id < b_id, exact-verified n-gram Jaccard
-    >= threshold).  Shuffle key: (band index, band hash)."""
-    rows_per_band = num_hashes // bands
+    >= threshold).
 
-    class Sigs:
+    Scale shape (100-TB regime): document TEXT never enters a shuffle.
+    One pass tokenizes each doc into its unique shingle-hash set (grams,
+    ~1x text size); band rows carry only (bucket, doc_id) — 16 rows x
+    16 bytes per doc instead of 16 copies of the text.  Candidate pairs
+    come from the bucket exchange; the exact-Jaccard verify joins the
+    grams back for candidate docs only (|A∩B|/|A∪B| over unique
+    63-bit shingle hashes == string-set Jaccard up to hash collisions).
+    """
+    from ..relational import empty_dataset, hash_exchange_map, hash_join
+
+    rows_per_band = num_hashes // bands
+    seeds = np.arange(1, num_hashes + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+
+    class Grams:
+        """doc -> sorted unique shingle hashes (list<int64>)."""
+
         def __init__(self):
-            self.num_hashes = num_hashes
             self.k = shingle_k
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            out_key, out_id, out_text = [], [], []
-            for did, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-                sig = minhash_signature(text, self.num_hashes, self.k)
-                for b in range(bands):
-                    band = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                    bh = int(splitmix64(band ^ np.uint64(b + 1)).sum() & np.uint64(0x3FFFFFFFFFFFFF))
-                    out_key.append(bh * bands + b)
-                    out_id.append(did)
-                    out_text.append(text)
-            return pa.Table.from_pydict(
-                {"bucket": out_key, "doc_id_": out_id, "text_": out_text},
-                schema=pa.schema(
-                    [("bucket", pa.int64()), ("doc_id_", pa.int64()), ("text_", pa.string())]
-                ),
+            vals, counts = [], []
+            for text in batch[text_col].to_pylist():
+                words = [w.lower() for w in _TOKEN_RE.findall(text or "")]
+                sh = _shingles(words, self.k)
+                g = (
+                    np.unique(np.fromiter((_hash63(s) for s in sh), np.int64, len(sh)))
+                    if sh
+                    else np.array([], dtype=np.int64)
+                )
+                vals.append(g)
+                counts.append(len(g))
+            offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+            values = np.concatenate(vals) if vals else np.array([], dtype=np.int64)
+            grams = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), pa.array(values, pa.int64())
+            )
+            return pa.Table.from_arrays(
+                [batch[id_col], grams],
+                schema=pa.schema([("doc_id", pa.int64()), ("grams", pa.list_(pa.int64()))]),
             )
 
-    banded = docs.map_batches(Sigs, batch_format="pyarrow", concurrency=concurrency)
+    grams_ds = docs.map_batches(
+        Grams, batch_format="pyarrow", concurrency=concurrency
+    ).materialize()  # consumed by banding AND the verify join
 
-    # partition by bucket hash; within a partition, singleton buckets
-    # (the vast majority) are dropped VECTORIZED and only multi-member
-    # buckets pay the pairwise Jaccard verify
+    def band_rows(batch: pa.Table) -> pa.Table:
+        """minhash from the gram sets (no re-tokenization), then slim
+        (bucket, doc_id) rows — one per band."""
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        col = batch["grams"].combine_chunks()
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+        out_key = np.empty(len(ids) * bands, dtype=np.int64)
+        out_id = np.repeat(ids, bands)
+        for i in range(len(ids)):
+            g = flat[offs[i] : offs[i + 1]]
+            if len(g):
+                sig = splitmix64(g[:, None] ^ seeds[None, :]).min(axis=0)
+            else:
+                sig = np.zeros(num_hashes, dtype=np.uint64)
+            bsig = sig.reshape(bands, rows_per_band)
+            bh = (
+                splitmix64(bsig ^ np.arange(1, bands + 1, dtype=np.uint64)[:, None]).sum(axis=1)
+                & np.uint64(0x3FFFFFFFFFFFFF)
+            ).astype(np.int64)
+            out_key[i * bands : (i + 1) * bands] = bh * bands + np.arange(bands)
+        return pa.Table.from_pydict(
+            {"bucket": out_key, "doc_id_": out_id},
+            schema=pa.schema([("bucket", pa.int64()), ("doc_id_", pa.int64())]),
+        )
+
+    banded = grams_ds.map_batches(band_rows, batch_format="pyarrow")
+
     def partition_pairs(df):
         import pandas as pd
 
         df = df[df.duplicated("bucket", keep=False)]
         rows = []
         for _, grp in df.groupby("bucket", sort=False):
-            grp = grp.drop_duplicates(subset=["doc_id_"]).sort_values("doc_id_")
-            if len(grp) < 2:
-                continue
-            ids = grp["doc_id_"].tolist()
-            grams = [
-                set(_shingles([w.lower() for w in _TOKEN_RE.findall(t or "")], shingle_k))
-                for t in grp["text_"].tolist()
-            ]
+            ids = sorted(set(grp["doc_id_"].tolist()))
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
-                    union = len(grams[i] | grams[j])
-                    jac = len(grams[i] & grams[j]) / union if union else 0.0
-                    if jac >= jaccard_threshold:
-                        rows.append((ids[i], ids[j], jac))
-        return pd.DataFrame(rows, columns=["a_id", "b_id", "jaccard"]).astype(
-            {"a_id": "int64", "b_id": "int64", "jaccard": "float64"}
+                    rows.append((ids[i], ids[j]))
+        return pd.DataFrame(rows, columns=["a_id", "b_id"]).astype(
+            {"a_id": "int64", "b_id": "int64"}
         )
 
-    from ..relational import _with_part
+    cands = hash_exchange_map(banded, "bucket", num_partitions, partition_pairs,
+                              fn_format="pandas")
+    if cands is None:
+        return empty_dataset(PAIR_SCHEMA)
+    cands = _distinct_pairs_ids(cands, num_partitions)
 
-    pairs = (
-        _with_part(banded, "bucket", 16)
-        .groupby("__part")
-        .map_groups(partition_pairs, batch_format="pandas")
+    # verify: one row per (pair, side), grams joined back per doc
+    def explode_sides(t: pa.Table) -> pa.Table:
+        a = t["a_id"].to_numpy(zero_copy_only=False)
+        b = t["b_id"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": np.concatenate([a, b]),
+                "a_id": np.concatenate([a, a]),
+                "b_id": np.concatenate([b, b]),
+            },
+            schema=pa.schema(
+                [("doc_id", pa.int64()), ("a_id", pa.int64()), ("b_id", pa.int64())]
+            ),
+        )
+
+    sides = cands.map_batches(explode_sides, batch_format="pyarrow")
+    joined = hash_join(
+        sides,
+        grams_ds,
+        on="doc_id",
+        l_schema=pa.schema(
+            [("doc_id", pa.int64()), ("a_id", pa.int64()), ("b_id", pa.int64())]
+        ),
+        r_schema=pa.schema([("doc_id", pa.int64()), ("grams", pa.list_(pa.int64()))]),
+        how="inner",
+        num_partitions=num_partitions,
     )
-    return _distinct_pairs(pairs)
+
+    def add_pair_key(t: pa.Table) -> pa.Table:
+        a = t["a_id"].to_numpy(zero_copy_only=False)
+        b = t["b_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("pair_key", pa.array(a * np.int64(1_000_003) + b))
+
+    keyed = joined.map_batches(add_pair_key, batch_format="pyarrow")
+
+    def verify(tbl: pa.Table) -> pa.Table:
+        pk = tbl["pair_key"].to_numpy(zero_copy_only=False)
+        a = tbl["a_id"].to_numpy(zero_copy_only=False)
+        b = tbl["b_id"].to_numpy(zero_copy_only=False)
+        dids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        col = tbl["grams"].combine_chunks()
+        lens = pc.fill_null(pc.list_value_length(col), 0).to_numpy(zero_copy_only=False)
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        order = np.argsort(pk, kind="stable")
+        out_a, out_b, out_j = [], [], []
+        i = 0
+        n = len(pk)
+        while i < n:
+            j = i
+            while j < n and pk[order[j]] == pk[order[i]]:
+                j += 1
+            rows = order[i:j]
+            ga = gb = None
+            for r in rows:
+                g = flat[offs[r] : offs[r + 1]]
+                if dids[r] == a[r]:
+                    ga = g
+                else:
+                    gb = g
+            if ga is not None and gb is not None:
+                inter = len(np.intersect1d(ga, gb, assume_unique=True))
+                union = len(ga) + len(gb) - inter
+                jac = inter / union if union else 0.0
+                if jac >= jaccard_threshold:
+                    out_a.append(int(a[rows[0]]))
+                    out_b.append(int(b[rows[0]]))
+                    out_j.append(jac)
+            i = j
+        return pa.Table.from_pydict(
+            {"a_id": out_a, "b_id": out_b, "jaccard": out_j}, schema=PAIR_SCHEMA
+        )
+
+    verified = hash_exchange_map(keyed, "pair_key", num_partitions, verify)
+    if verified is None:
+        return empty_dataset(PAIR_SCHEMA)
+    return verified.map_batches(
+        lambda t: t.select(["a_id", "b_id", "jaccard"]), batch_format="pyarrow"
+    )
+
+
+def _distinct_pairs_ids(pairs, num_partitions: int = 16):
+    """Distinct (a_id, b_id) id pairs (no payload columns)."""
+    from ..relational import distinct_on
+
+    keyed = pairs.map_batches(
+        lambda t: t.append_column(
+            "pair_key",
+            pa.array(
+                t["a_id"].to_numpy(zero_copy_only=False) * np.int64(1_000_003)
+                + t["b_id"].to_numpy(zero_copy_only=False)
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    return distinct_on(keyed, "pair_key", num_partitions=num_partitions).drop_columns(
+        ["pair_key"]
+    )
 
 
 def simhash_signatures(docs, *, text_col: str = "text", id_col: str = "doc_id",
