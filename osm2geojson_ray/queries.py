@@ -330,10 +330,56 @@ SELECT qid AS query_id, vec_id AS neighbor_id, rnk AS rank FROM r WHERE rnk <= 5
 
 
 def e_neardup_pairs(sf_dir: str):
+    """Planted-near-dup recovery: every 10th vector gets a twin
+    (vec_id + 1,000,000) with +0.02 on its first dimension; the
+    operator must recover exactly those pairs at cosine >= 0.95
+    (random pairs on this synthetic table top out near 0.51).  The
+    oracle replays the same construction in SQL."""
     from .text.dedup import embedding_neardup_pairs
 
     emb = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return embedding_neardup_pairs(emb, threshold=0.98).select_columns(["a_id", "b_id"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        keep = ids % 10 == 0
+        t = batch.filter(pa.array(keep))
+        if len(t) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], batch["embedding"].type)],
+                names=["vec_id", "embedding"],
+            )
+        col = t["embedding"].combine_chunks()
+        values = col.flatten().to_numpy(zero_copy_only=False).copy()
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        offs = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        # float32 round-trip matches the oracle's CAST(x+0.02 AS FLOAT)
+        values[offs] = (values[offs].astype(np.float64) + 0.02).astype(np.float32)
+        new_col = pa.ListArray.from_arrays(
+            pa.array(np.concatenate(([0], np.cumsum(lens))).astype(np.int32), pa.int32()),
+            pa.array(values, pa.float32()),
+        )
+        new_ids = t["vec_id"].to_numpy(zero_copy_only=False) + 1_000_000
+        return pa.Table.from_arrays(
+            [pa.array(new_ids), new_col], names=["vec_id", "embedding"]
+        )
+
+    allv = emb.union(emb.map_batches(plant, batch_format="pyarrow"))
+    return embedding_neardup_pairs(allv, threshold=0.95).select_columns(["a_id", "b_id"])
+
+
+E_NEARDUP_SQL = """
+WITH base AS (SELECT vec_id, embedding FROM embeddings),
+planted AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(embedding,
+                        (x, i) -> CASE WHEN i = 1 THEN CAST(x + 0.02 AS FLOAT) ELSE x END)
+           AS embedding
+  FROM base WHERE vec_id % 10 = 0),
+allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id
+FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+"""
 
 
 # ---------------------------------------------------------------- spatial graft
@@ -618,6 +664,7 @@ ORACLE_SQL = {
     "t_quality_stats": T_QUALITY_SQL,
     "t_exact_dedup": T_DEDUP_SQL,
     "e_knn_cosine": E_KNN_SQL,
+    "e_neardup_pairs": E_NEARDUP_SQL,
     "g_cell_encode": G_CELL_SQL,
     "g_tile_counts": G_TILE_SQL,
     "g_knn_phash": G_KNN_SQL,

@@ -338,14 +338,19 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    bucket_bits: int = 4,
-    num_partitions: Optional[int] = None,
+    bucket_bits: int = 8,
+    num_partitions: int = 16,
 ):
     """Pairs with cosine >= threshold.  Coarse LSH: sign bits of
     ``bucket_bits`` fixed random-ish projections (derived from
     splitmix64, deterministic) route vectors to buckets; vectors near
     the boundary of a projection go to BOTH child buckets (multi-probe)
-    so true pairs aren't split."""
+    so true pairs aren't split.
+
+    Scale shape: 2^bucket_bits buckets (256 at the default) keep the
+    in-bucket all-pairs matmul sub-quadratic; buckets are spread over a
+    hash exchange on the bucket id (never a per-key groupby), and each
+    partition loops its buckets with a bounded-size matmul."""
 
     def bucket_rows(batch: pa.Table) -> pa.Table:
         vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
@@ -365,7 +370,12 @@ def embedding_neardup_pairs(
         norms[norms == 0] = 1.0
         unit = vecs / norms
         dots = unit @ proj.T  # (n, bits)
-        margin = 0.05
+        # multi-probe guarantee: a pair with unit-vector distance d
+        # co-locates in some bucket whenever d * max||proj_row|| <
+        # margin (both sides straddle every disagreeing hyperplane and
+        # probe both children).  margin 0.12 covers d≈0.05 at the
+        # ~2.3-norm projections used here.
+        margin = 0.12
         out_bucket, out_id, out_vec = [], [], []
         for i in range(len(vecs)):
             codes = [0]
@@ -391,21 +401,42 @@ def embedding_neardup_pairs(
 
     bucketed = embeddings.map_batches(bucket_rows, batch_format="pyarrow")
 
-    def bucket_pairs(df):
+    def partition_pairs(df):
         import pandas as pd
 
-        df = df.drop_duplicates(subset=["vec_id_"]).sort_values("vec_id_")
-        ids = df["vec_id_"].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame({"a_id": [], "b_id": [], "cosine": []}).astype(
-                {"a_id": "int64", "b_id": "int64", "cosine": "float64"}
-            )
-        mat = np.array(df["vec_"].tolist(), dtype=np.float64)
-        sims = mat @ mat.T
-        ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
-        return pd.DataFrame(
-            {"a_id": ids[ai], "b_id": ids[bi], "cosine": np.round(sims[ai, bi], 9)}
+        out_a, out_b, out_c = [], [], []
+        for _, grp in df.groupby("bucket", sort=False):
+            grp = grp.drop_duplicates(subset=["vec_id_"]).sort_values("vec_id_")
+            ids = grp["vec_id_"].to_numpy()
+            if len(ids) < 2:
+                continue
+            mat = np.array(grp["vec_"].tolist(), dtype=np.float64)
+            sims = mat @ mat.T
+            ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
+            out_a.append(ids[ai])
+            out_b.append(ids[bi])
+            out_c.append(np.round(sims[ai, bi], 9))
+        if out_a:
+            return pd.DataFrame(
+                {
+                    "a_id": np.concatenate(out_a),
+                    "b_id": np.concatenate(out_b),
+                    "cosine": np.concatenate(out_c),
+                }
+            ).astype({"a_id": "int64", "b_id": "int64", "cosine": "float64"})
+        return pd.DataFrame({"a_id": [], "b_id": [], "cosine": []}).astype(
+            {"a_id": "int64", "b_id": "int64", "cosine": "float64"}
         )
 
-    pairs = bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    from ..relational import empty_dataset, hash_exchange_map
+
+    pairs = hash_exchange_map(
+        bucketed, "bucket", num_partitions, partition_pairs, fn_format="pandas"
+    )
+    if pairs is None:
+        return empty_dataset(
+            pa.schema(
+                [("a_id", pa.int64()), ("b_id", pa.int64()), ("cosine", pa.float64())]
+            )
+        )
     return _distinct_pairs(pairs)
