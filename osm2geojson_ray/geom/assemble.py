@@ -156,20 +156,105 @@ def way_to_shape(
             return None
         poly = [ring]
         if not is_valid_polygon(poly):
-            poly = _buffer0_polygon(poly)
-            if poly is None:
+            repaired = _buffer0_polygon(poly)
+            if repaired is None:
                 _fail("failed to build polygon from way", raise_on_failure)
                 return None
+            if len(repaired) > 1:  # buffer(0) split -> MultiPolygon
+                return {
+                    "shape": {"type": "MultiPolygon", "coordinates": repaired},
+                    "properties": props,
+                }
+            poly = repaired[0]
         return {"shape": {"type": "Polygon", "coordinates": poly}, "properties": props}
     return {"shape": {"type": "LineString", "coordinates": coords}, "properties": props}
 
 
 def _buffer0_polygon(poly):
-    """Stand-in for the reference's buffer(0) repair (main.py:264-270).
-    Supported repair: none yet — returns the polygon unchanged so the
-    caller proceeds like the reference does when buffer(0) cannot fix
-    the geometry.  Extend when a corpus case requires an actual repair."""
-    return poly
+    """buffer(0)-style validity repair (reference main.py:264-270,
+    shapely ``poly.buffer(0)``), for the corpus-style defect classes:
+    rings that self-touch or self-cross at a REPEATED VERTEX.
+
+    GEOS zero-buffer semantics emulated:
+    - the ring is decomposed into simple loops at repeated vertices
+      (stack walk: closing a previously-seen vertex pops one loop);
+    - zero-area loops (pinch corridors, spikes) are discarded;
+    - loops wound in the ring's dominant direction become shells;
+    - opposite-wound loops strictly inside a shell become its holes;
+      opposite-wound loops outside any shell are discarded (the
+      negative lobe of a bowtie);
+    - pre-existing holes of the input polygon are re-attached to the
+      shell that contains them.
+
+    Self-crossings at non-vertex points (needing segment noding) are
+    out of scope — the polygon is returned unchanged, like the
+    reference when buffer(0) cannot fix the geometry.
+
+    Returns MULTIPOLYGON coordinates (a list of polygons).
+    """
+    from .kernels import ring_contains_ring, signed_area
+
+    shell = poly[0]
+    open_pts = [tuple(p) for p in shell[:-1]]
+    if len(set(open_pts)) == len(open_pts):
+        return [poly]  # no repeated vertex: not a vertex-touch defect
+
+    # stack walk: pop a loop whenever a vertex repeats on the stack
+    stack: list = []
+    index: dict = {}
+    loops = []
+    for p in open_pts + [open_pts[0]]:
+        if p in index and index[p] is not None:
+            start = index[p]
+            loop = stack[start:]
+            for q in loop[1:]:
+                index[q] = None
+            del stack[start + 1 :]
+            if len(loop) >= 3:
+                loops.append(loop)
+            continue
+        index[p] = len(stack)
+        stack.append(p)
+    if len(stack) > 1 and len(stack) >= 3:
+        loops.append(stack)
+
+    loops = [lp for lp in loops if signed_area(list(lp) + [lp[0]]) != 0]
+    if not loops:
+        return [poly]
+    areas = [signed_area(list(lp) + [lp[0]]) for lp in loops]
+    dominant = 1.0 if sum(areas) >= 0 else -1.0
+    shells = [
+        [list(q) for q in lp] + [list(lp[0])]
+        for lp, a in zip(loops, areas)
+        if a * dominant > 0
+    ]
+    if not shells:
+        return [poly]
+    cut_holes = [
+        [list(q) for q in lp] + [list(lp[0])]
+        for lp, a in zip(loops, areas)
+        if a * dominant < 0
+    ]
+    out = [[s] for s in shells]
+    for hole in cut_holes + [list(map(list, h)) for h in poly[1:]]:
+        for p in out:
+            if ring_contains_ring(p[0], hole):
+                p.append(hole)
+                break
+    return out
+
+
+def _buffer0_multipolygon(mp):
+    """Per-polygon buffer(0) repair over MultiPolygon coordinates."""
+    from .kernels import is_valid_polygon
+
+    out = []
+    for poly in mp:
+        if is_valid_polygon(poly):
+            out.append(poly)
+        else:
+            out.extend(_buffer0_polygon(poly))
+    return out or None
 
 
 def relation_to_shape(
@@ -288,7 +373,7 @@ def multipolygon_relation_to_shape(
         return None
 
     if not is_valid_multipolygon(mp):
-        repaired = _buffer0_polygon(mp)
+        repaired = _buffer0_multipolygon(mp)
         mp = repaired if repaired is not None else mp
     mp = orient_multipolygon(mp)
     return {
@@ -312,7 +397,8 @@ def _lines_to_multipolygon(lines: List[list], raise_on_failure: bool = False):
             if not is_valid_polygon(poly):
                 repaired = _buffer0_polygon(poly)
                 if repaired is not None:
-                    poly = repaired
+                    polys.extend(repaired)
+                    continue
             polys.append(poly)
         return overlay.unary_union(polys)
     if not merged:
