@@ -281,6 +281,51 @@ def relation_to_shape(
         return None
 
 
+def relation_tail_from_lines(
+    el: dict,
+    shapes: List[Tuple[str, list, int]],
+    classifier: PolygonClassifier = DEFAULT_CLASSIFIER,
+) -> Optional[dict]:
+    """relation_to_shape's dispatch + assembly tail over PRE-CONVERTED
+    member lines (the distributed salted path converts members as a
+    flat parallel map first).  ``shapes`` = ordered (role, line coords,
+    member ref) — exactly what the in-process path builds member by
+    member — so the algebra below is byte-identical to it."""
+    props = element_props(el)
+    if "center" in el:
+        c = el["center"]
+        return {
+            "shape": {"type": "Point", "coordinates": [float(c["lon"]), float(c["lat"])]},
+            "properties": props,
+        }
+    try:
+        if classifier.is_polygon(el.get("tags"), ring_closed=element_ring_closed(el)):
+            mp = _shapes_to_multipolygon(shapes, False)
+            if mp is None:
+                return None
+            if not is_valid_multipolygon(mp):
+                repaired = _buffer0_multipolygon(mp)
+                mp = repaired if repaired is not None else mp
+            mp = orient_multipolygon(mp)
+            return {
+                "shape": {"type": "MultiPolygon", "coordinates": mp},
+                "properties": props,
+            }
+        lines = [coords for _role, coords, _ref in shapes]
+        if not lines:
+            return None
+        merged = linemerge(lines)
+        if len(merged) == 1:
+            geom = {"type": "LineString", "coordinates": merged[0]}
+        else:
+            geom = {"type": "MultiLineString", "coordinates": merged}
+        return {"shape": geom, "properties": props}
+    except AssemblyError:
+        raise
+    except Exception:  # mirror relation_to_shape's broad catch
+        return None
+
+
 def _relation_members(rel: dict, refs_index: Dict[str, dict]) -> Optional[List[dict]]:
     if "members" in rel:
         return rel["members"]

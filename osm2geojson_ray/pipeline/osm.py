@@ -53,6 +53,15 @@ FEATURE_SCHEMA = pa.schema(
 
 USED_SCHEMA = pa.schema([("used_id", pa.int64()), ("consumer_id", pa.int64())])
 
+MEMBER_EDGE_SCHEMA = pa.schema(
+    [
+        ("way_id", pa.int64()),
+        ("rel_id", pa.int64()),
+        ("member_idx", pa.int64()),
+        ("role", pa.string()),
+    ]
+)
+
 EDGE_SCHEMA = pa.schema(
     [("node_id", pa.int64()), ("way_id", pa.int64()), ("edge_seq", pa.int64())]
 )
@@ -110,6 +119,7 @@ class OsmPipeline:
         num_partitions: int = 16,
         debug_timing: bool = False,
         used_filter_strategy: str = "broadcast",
+        salt_member_threshold: int = 256,
     ):
         self.classifier = classifier or DEFAULT_CLASSIFIER
         self.filter_used_refs = filter_used_refs
@@ -117,6 +127,11 @@ class OsmPipeline:
         self.num_partitions = num_partitions
         self.debug_timing = debug_timing
         self.used_filter_strategy = used_filter_strategy
+        # relations with more than this many way members take the
+        # skew-safe path: member conversion runs as a flat parallel map
+        # BEFORE the rel_id exchange, so a mega-relation's partition
+        # carries only ready-made coordinate chains (0 disables)
+        self.salt_member_threshold = salt_member_threshold
         # populated during features(): materialized intermediates the
         # metrics view derives from (A5 missing-member accounting)
         self._ways_resolved = None
@@ -542,17 +557,20 @@ class OsmPipeline:
 
         # member edges: (rel_id, member way refs / relation refs)
         def explode_members(batch: pa.Table) -> pa.Table:
-            way_refs, rel_ids = [], []
+            way_refs, rel_ids, m_idx, roles = [], [], [], []
             for row in batch.select(["id", "members", "center"]).to_pylist():
                 if row["members"] is None or row["center"] is not None:
                     continue
-                for m in row["members"]:
+                for i, m in enumerate(row["members"]):
                     if m["type"] == "way" and m.get("geometry") is None:
                         way_refs.append(m["ref"])
                         rel_ids.append(row["id"])
+                        m_idx.append(i)
+                        roles.append(m.get("role") or "")
             return pa.Table.from_pydict(
-                {"way_id": way_refs, "rel_id": rel_ids},
-                schema=pa.schema([("way_id", pa.int64()), ("rel_id", pa.int64())]),
+                {"way_id": way_refs, "rel_id": rel_ids, "member_idx": m_idx,
+                 "role": roles},
+                schema=MEMBER_EDGE_SCHEMA,
             )
 
         member_edges = rels.map_batches(explode_members, batch_format="pyarrow")
@@ -570,7 +588,7 @@ class OsmPipeline:
             return keep.append_column("way_element_json", pa.array(els, pa.string()))
 
         way_payload = ways_resolved.map_batches(project_ways, batch_format="pyarrow")
-        member_edge_schema = pa.schema([("way_id", pa.int64()), ("rel_id", pa.int64())])
+        member_edge_schema = MEMBER_EDGE_SCHEMA
         way_payload_schema = pa.schema(
             [
                 ("way_id", pa.int64()),
@@ -653,8 +671,32 @@ class OsmPipeline:
             depth(rid, frozenset())
         later_ids = sorted(rid for rid, d in depth_memo.items() if d > 0)
         n_rounds = 1 + (max(depth_memo.values(), default=0) if later_ids else 0)
+
+        # ---- mega-relation detection (skew-safe path) ----------------
+        # a relation with more members than the threshold would make its
+        # rel_id exchange partition carry an outsized payload AND pay
+        # per-member Python conversion inside one task.  Such relations
+        # (excluding nested ones, which need the round machinery) are
+        # pulled out of the normal rounds and handled by
+        # _relations_salted.  The count aggregation is distributed; only
+        # the tiny mega id list reaches the driver.
+        mega_ids: List[int] = []
+        if self.salt_member_threshold:
+            from ..relational import grouped_count
+
+            thr = self.salt_member_threshold
+            counts = grouped_count(member_edges, "rel_id", num_partitions=nparts)
+            mega_rows = counts.map_batches(
+                lambda t: t.filter(pc.greater(t["n"], thr)), batch_format="pyarrow"
+            ).take_all()
+            nested_involved = set(depth_memo)
+            mega_ids = sorted(
+                {r["rel_id"] for r in mega_rows} - nested_involved
+            )
+
         round_filters: List = []  # (is_in_arr or None-for-complement)
-        later_arr = pa.array(later_ids, pa.int64()) if later_ids else None
+        excl_round0 = sorted(set(later_ids) | set(mega_ids))
+        later_arr = pa.array(excl_round0, pa.int64()) if excl_round0 else None
         round_filters.append(("not_in", later_arr))
         for d in range(1, n_rounds):
             ids_d = [rid for rid, dd in depth_memo.items() if dd == d]
@@ -827,6 +869,23 @@ class OsmPipeline:
                         json.loads(r["shape_json"]) if r["shape_json"] else None
                     )
 
+        if mega_ids:
+            mega_out = self._relations_salted(
+                rels, member_ways, pa.array(mega_ids, pa.int64()), nparts
+            )
+            if mega_out is not None:
+                self._round_outs.append(mega_out)
+                feature_tables.append(
+                    mega_out.filter(expr="kind == 'feature'").map_batches(
+                        _unpack_feature, batch_format="pyarrow"
+                    )
+                )
+                used_tables.append(
+                    mega_out.filter(expr="kind == 'used'").map_batches(
+                        _unpack_used, batch_format="pyarrow"
+                    )
+                )
+
         if feature_tables:
             rel_features = feature_tables[0]
             for t in feature_tables[1:]:
@@ -841,6 +900,226 @@ class OsmPipeline:
             used_rel = _empty(USED_SCHEMA)
         return rel_features, used_rel
 
+
+    # ------------------------------------------------------------------
+    def _relations_salted(self, rels, member_ways, mega_arr, nparts):
+        """Skew-safe assembly for relations with huge member lists
+        (BASELINE.json north_rule: 'ways/relations spanning cells
+        handled via explicit salted-skew repartitioning').
+
+        The normal path co-partitions RAW member payloads (way element
+        JSON + coords) by rel_id and converts every member inside the
+        relation's one partition — a 60k-member boundary relation makes
+        that partition both byte-heavy and Python-heavy.  Here the
+        per-member conversion (JSON parse, classifier, ring closing)
+        runs as a FLAT parallel map over the member rows BEFORE any
+        keyed exchange — skew-immune because no key is involved — and
+        only ready-made coordinate chains enter the rel_id exchange.
+        The per-relation reduce then runs the identical assembly tail
+        (_shapes_to_multipolygon / linemerge) over chains ordered by
+        member_idx, so output is bit-identical to the normal path.
+
+        Not routed here (stay on the normal path): nested relations
+        (need the round machinery) and member ways resolving BY REF to
+        other member ways (need the full relation-wide refs index).
+        """
+        clf = self.classifier
+
+        mem_mega = member_ways.map_batches(
+            lambda t: t.filter(pc.is_in(t["rel_id"], value_set=mega_arr)),
+            batch_format="pyarrow",
+        )
+        rels_mega = rels.map_batches(
+            lambda t: t.filter(pc.is_in(t["id"], value_set=mega_arr)),
+            batch_format="pyarrow",
+        )
+
+        chain_schema = pa.schema(
+            [
+                ("rel_id", pa.int64()),
+                ("kind", pa.int8()),  # 0 = relation payload, 1 = chain
+                ("payload", pa.string()),
+                ("member_idx", pa.int64()),
+                ("role", pa.string()),
+                ("line", pa.list_(COORD)),
+                ("way_id", pa.int64()),
+                ("used", pa.bool_()),
+            ]
+        )
+
+        def convert_members(tbl: pa.Table) -> pa.Table:
+            """Flat per-member conversion — the Python-heavy half of the
+            relation stage, now spread over every block."""
+            n = len(tbl)
+            coords_np, offs = _list_coords_view(tbl["coords"])
+            resolved = tbl["resolved"].to_numpy(zero_copy_only=False)
+            rel_ids = tbl["rel_id"].to_numpy(zero_copy_only=False)
+            way_ids = tbl["way_id"].to_numpy(zero_copy_only=False)
+            m_idx = tbl["member_idx"].to_numpy(zero_copy_only=False)
+            roles = tbl["role"].to_pylist()
+            wejs = tbl["way_element_json"].to_pylist()
+            lines, used_flags = [], []
+            for i in range(n):
+                wel = json.loads(wejs[i])
+                if resolved[i] == True:  # noqa: E712
+                    wel["_coords"] = coords_np[offs[i] : offs[i + 1]].tolist()
+                member = {
+                    "type": "way",
+                    "ref": int(way_ids[i]),
+                    "role": roles[i],
+                    "used": int(rel_ids[i]),
+                }
+                index = {assemble.ref_key("way", wel["id"]): wel}
+                try:
+                    shape = assemble.way_to_shape(member, index, clf)
+                except Exception:
+                    shape = None
+                used_flags.append(bool(wel.get("used") is not None))
+                line = None
+                if shape is not None:
+                    s = shape["shape"]
+                    if s["type"] == "Polygon":
+                        line = s["coordinates"][0]
+                    elif s["type"] == "LineString":
+                        line = s["coordinates"]
+                lines.append(line)
+            counts = [len(l) if l is not None else 0 for l in lines]
+            values = [p for l in lines if l for p in l]
+            line_col = pa.ListArray.from_arrays(
+                pa.array(
+                    np.concatenate(([0], np.cumsum(counts))).astype(np.int32),
+                    pa.int32(),
+                ),
+                pa.array(
+                    [{"lon": p[0], "lat": p[1]} for p in values], COORD
+                )
+                if values
+                else pa.array([], COORD),
+            )
+            return pa.Table.from_arrays(
+                [
+                    pa.array(rel_ids),
+                    pa.array(np.ones(n, dtype=np.int8)),
+                    pa.nulls(n, pa.string()),
+                    pa.array(m_idx),
+                    pa.array(roles, pa.string()),
+                    line_col,
+                    pa.array(way_ids),
+                    pa.array(used_flags, pa.bool_()),
+                ],
+                schema=chain_schema,
+            )
+
+        def rel_payload_s(batch: pa.Table) -> pa.Table:
+            rows = [
+                {"el": row_to_element(r), "seq": r["seq"], "id": r["id"]}
+                for r in batch.to_pylist()
+            ]
+            n = len(rows)
+            return pa.Table.from_arrays(
+                [
+                    pa.array([r["id"] for r in rows], pa.int64()),
+                    pa.array(np.zeros(n, dtype=np.int8)),
+                    pa.array([json.dumps(r) for r in rows], pa.string()),
+                    pa.nulls(n, pa.int64()),
+                    pa.nulls(n, pa.string()),
+                    pa.nulls(n, pa.list_(COORD)),
+                    pa.nulls(n, pa.int64()),
+                    pa.nulls(n, pa.bool_()),
+                ],
+                schema=chain_schema,
+            )
+
+        stream = mem_mega.map_batches(convert_members, batch_format="pyarrow").union(
+            rels_mega.map_batches(rel_payload_s, batch_format="pyarrow")
+        )
+
+        def assemble_partition(tbl: pa.Table) -> pa.Table:
+            kinds = tbl["kind"].to_numpy(zero_copy_only=False)
+            rel_ids = tbl["rel_id"].to_numpy(zero_copy_only=False)
+            payloads = tbl["payload"].to_pylist()
+            m_idx = tbl["member_idx"].to_numpy(zero_copy_only=False)
+            roles = tbl["role"].to_pylist()
+            way_ids = tbl["way_id"].to_numpy(zero_copy_only=False)
+            used_np = tbl["used"].to_numpy(zero_copy_only=False)
+            line_np, offs = _list_coords_view(tbl["line"])
+            lens = np.diff(offs)
+            chains_by_rel: Dict[int, list] = {}
+            for i in np.flatnonzero(kinds == 1):
+                chains_by_rel.setdefault(int(rel_ids[i]), []).append(int(i))
+            feats, used_u, used_c, out_shapes = [], [], [], []
+            for i in np.flatnonzero(kinds == 0):
+                rec = json.loads(payloads[i])
+                el = rec["el"]
+                rows = sorted(
+                    chains_by_rel.get(int(rel_ids[i]), []), key=lambda r: m_idx[r]
+                )
+                # used-marking parity: ONLY the multipolygon dispatch
+                # marks way members (the multiline path never sets
+                # member["used"], reference main.py — see map.osm's
+                # associatedStreet relation whose house ways stay in
+                # the output)
+                is_mp = "center" not in el and clf.is_polygon(
+                    el.get("tags"), ring_closed=assemble.element_ring_closed(el)
+                )
+                if is_mp:
+                    for r in rows:
+                        if used_np[r] == True:  # noqa: E712
+                            used_u.append(int(way_ids[r]))
+                            used_c.append(int(rel_ids[i]))
+                # walk el["members"] in order: chains for joined ways,
+                # inline-geometry members converted locally (they never
+                # entered the member join)
+                chain_by_midx = {int(m_idx[r]): r for r in rows}
+                shapes = []
+                for mi, m in enumerate(el.get("members", [])):
+                    if m.get("type") != "way":
+                        continue
+                    if m.get("geometry") is not None:
+                        ms = assemble.way_to_shape(dict(m), {}, clf)
+                        if ms is not None:
+                            s = ms["shape"]
+                            coords = (
+                                s["coordinates"][0]
+                                if s["type"] == "Polygon"
+                                else s["coordinates"]
+                            )
+                            shapes.append((m.get("role") or "", coords, m["ref"]))
+                        continue
+                    r = chain_by_midx.get(mi)
+                    if r is not None and lens[r] > 0:
+                        shapes.append(
+                            (
+                                roles[r],
+                                line_np[offs[r] : offs[r + 1]].tolist(),
+                                int(way_ids[r]),
+                            )
+                        )
+                shape = assemble.relation_tail_from_lines(el, shapes, clf)
+                out_shapes.append((rec["id"], shape["shape"] if shape else None))
+                if shape is not None:
+                    feats.append(
+                        _feature_row(rec["seq"], "relation", rec["id"], shape)
+                    )
+            ft = _feature_table(feats)
+            ut = pa.Table.from_pydict(
+                {"used_id": used_u, "consumer_id": used_c}, schema=USED_SCHEMA
+            )
+            st = pa.Table.from_pydict(
+                {
+                    "rel_id": [x[0] for x in out_shapes],
+                    "shape_json": [
+                        json.dumps(x[1]) if x[1] else None for x in out_shapes
+                    ],
+                },
+                schema=_SHAPE_SCHEMA,
+            )
+            return _pack_multi({"features": ft, "used": ut, "shapes": st})
+
+        from ..relational import hash_exchange_map
+
+        out = hash_exchange_map(stream, "rel_id", nparts, assemble_partition)
+        return out.materialize() if out is not None else None
 
     # ------------------------------------------------------------------
     def metrics(self):

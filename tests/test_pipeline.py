@@ -81,3 +81,17 @@ def test_pipeline_metrics(ray_session):
     total_rels = int(m.loc[rel_rounds, "rows_in"].sum())
     failed = int(m.loc[rel_rounds, "rows_failed"].sum())
     assert total_rels >= 1 and failed >= 1  # the unconvertible relation
+
+
+@pytest.mark.parametrize("base", ["relation", "map", "issue-16", "issue-35",
+                                  "issue-54-staffordshire", "issue-9"])
+def test_salted_path_matches_document_converter(ray_session, base):
+    """Mega-relation (salted) path must be byte-identical to the normal
+    path and the document converter — forced by a tiny threshold so
+    every relation takes it."""
+    doc = load_doc(base)
+    expected = json2geojson(doc)
+    ds = elements_dataset(doc["elements"])
+    pipe = OsmPipeline(num_partitions=4, salt_member_threshold=1)
+    got = features_to_geojson(pipe.features(ds))
+    assert got == expected
