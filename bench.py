@@ -183,7 +183,12 @@ def run_scaling():
         )
         return json.loads(proc.stdout.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    # N vs 4N parallelism levels.  Default 8→32; BENCH_SCALING_LEVELS
+    # ("2,8") selects a lower pair — useful on hosts whose shared
+    # page-fault/object-store bandwidth saturates below 32 workers
+    # (see BASELINE.md, round-2 scaling analysis).
+    levels = os.environ.get("BENCH_SCALING_LEVELS", "8,32").split(",")
+    lo, hi = int(levels[0]), int(levels[1])
     r_lo = run(lo)
     r_hi = run(hi)
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)

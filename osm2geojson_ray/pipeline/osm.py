@@ -537,7 +537,7 @@ class OsmPipeline:
                     return batch.filter(pa.array(keep))
 
             return features.map_batches(
-                AntiFilter, batch_format="pyarrow", concurrency=(2, max(2, nparts // 2))
+                AntiFilter, batch_format="pyarrow", concurrency=(1, max(2, nparts // 2))
             )
         # shuffle path: one left_anti hash join on bare id
         return join_safe(

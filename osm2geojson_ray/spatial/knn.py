@@ -97,7 +97,7 @@ def phash_knn(
         fn_constructor_kwargs={"queries_ref": ref, "k": k, "id_col": id_col, "hash_col": hash_col},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(1, concurrency) if isinstance(concurrency, int) else concurrency,
     )
     return _topk_reduce(local, k)
 
@@ -154,7 +154,7 @@ def embedding_knn(
         fn_constructor_kwargs={"queries_ref": ref, "k": k, "id_col": id_col, "vec_col": vec_col},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(1, concurrency) if isinstance(concurrency, int) else concurrency,
     )
     return _topk_reduce(local, k)
 
@@ -300,9 +300,9 @@ def embedding_knn_ivf(
         ProbeFilter,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(1, concurrency) if isinstance(concurrency, int) else concurrency,
     )
     return embedding_knn(
         pruned, query_ids, query_matrix, k=k, id_col=id_col, vec_col=vec_col,
-        concurrency=concurrency, batch_size=batch_size,
+        concurrency=(1, concurrency) if isinstance(concurrency, int) else concurrency, batch_size=batch_size,
     )

@@ -150,7 +150,7 @@ def minhash_lsh_pairs(
             )
 
     grams_ds = docs.map_batches(
-        Grams, batch_format="pyarrow", concurrency=concurrency
+        Grams, batch_format="pyarrow", concurrency=(1, concurrency)
     ).materialize()  # consumed by banding AND the verify join
 
     def band_rows(batch: pa.Table) -> pa.Table:
@@ -329,7 +329,7 @@ def simhash_signatures(docs, *, text_col: str = "text", id_col: str = "doc_id",
                 schema=pa.schema([("doc_id", pa.int64()), ("simhash", pa.int64())]),
             )
 
-    return docs.map_batches(Sim, batch_format="pyarrow", concurrency=concurrency)
+    return docs.map_batches(Sim, batch_format="pyarrow", concurrency=(1, concurrency))
 
 
 def embedding_neardup_pairs(
