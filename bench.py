@@ -200,19 +200,21 @@ def run_scaling():
     print(
         json.dumps(
             {
-                "headline_sec_8": r_lo["value"],
-                "headline_sec_32": r_hi["value"],
-                "suite_sec_8": r_lo["suite_total_sec"],
-                "suite_sec_32": r_hi["suite_total_sec"],
-                "queries_8": r_lo["queries"],
-                "queries_32": r_hi["queries"],
+                "levels": [lo, hi],
+                "measured_cpus": [r_lo.get("num_cpus"), r_hi.get("num_cpus")],
+                f"headline_sec_{lo}": r_lo["value"],
+                f"headline_sec_{hi}": r_hi["value"],
+                f"suite_sec_{lo}": r_lo["suite_total_sec"],
+                f"suite_sec_{hi}": r_hi["suite_total_sec"],
+                f"queries_{lo}": r_lo["queries"],
+                f"queries_{hi}": r_hi["queries"],
                 "scaling_efficiency": round(eff, 3),
                 "suite_scaling_efficiency": round(suite_eff, 3),
                 "per_pipeline_efficiency": per_pipeline,
-                "throughput_8": {"geometries_per_sec": r_lo["geometries_per_sec"],
-                                  "images_per_sec": r_lo["images_per_sec"]},
-                "throughput_32": {"geometries_per_sec": r_hi["geometries_per_sec"],
-                                   "images_per_sec": r_hi["images_per_sec"]},
+                f"throughput_{lo}": {"geometries_per_sec": r_lo["geometries_per_sec"],
+                                     "images_per_sec": r_lo["images_per_sec"]},
+                f"throughput_{hi}": {"geometries_per_sec": r_hi["geometries_per_sec"],
+                                     "images_per_sec": r_hi["images_per_sec"]},
                 "sf": SF_DIR,
             }
         )

@@ -610,18 +610,41 @@ def m_image_decode(sf_dir: str):
 
     class DecodeVerify:
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ok, lossy = [], []
-            for row in batch.to_pylist():
-                px = decode_image(row["bytes"])
-                ok.append(bool(px.shape == (row["h"], row["w"], 3)))
-                lossy.append(row["fmt"] != "rgb8")
-            return pa.Table.from_pydict(
-                {
-                    "image_id": batch["image_id"],
-                    "decoded_ok": ok,
-                    "lossy": lossy,
-                    "phash": batch["phash"],
-                },
+            n = len(batch)
+            w = batch["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+            h = batch["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+            bin_col = batch["bytes"].combine_chunks()
+            offs = np.frombuffer(bin_col.buffers()[1], dtype=np.int32)[
+                bin_col.offset : bin_col.offset + n + 1
+            ].astype(np.int64)
+            lens = np.diff(offs)
+            if n and lens.min() == lens.max():
+                # uniform-size fast path: view the whole binary column
+                # as one (n, L) matrix, verify headers vectorized
+                data = np.frombuffer(bin_col.buffers()[2], dtype=np.uint8)
+                mat = data[offs[0] : offs[-1]].reshape(n, int(lens[0]))
+                hdr = mat[:, :8].astype(np.int64)
+                ok_np = (
+                    (hdr[:, 0] == ord("R"))
+                    & (hdr[:, 1] == ord("8"))
+                    & ((hdr[:, 2] | (hdr[:, 3] << 8)) == w)
+                    & ((hdr[:, 4] | (hdr[:, 5] << 8)) == h)
+                    & (lens - 8 == w * h * 3)
+                )
+                ok = ok_np.tolist()
+            else:
+                ok = []
+                for row in batch.select(["bytes", "w", "h"]).to_pylist():
+                    px = decode_image(row["bytes"])
+                    ok.append(bool(px.shape == (row["h"], row["w"], 3)))
+            lossy = pc.invert(pc.equal(batch["fmt"], "rgb8"))
+            return pa.Table.from_arrays(
+                [
+                    batch["image_id"],
+                    pa.array(ok, pa.bool_()),
+                    lossy.combine_chunks() if isinstance(lossy, pa.ChunkedArray) else lossy,
+                    batch["phash"],
+                ],
                 schema=pa.schema(
                     [("image_id", pa.string()), ("decoded_ok", pa.bool_()),
                      ("lossy", pa.bool_()), ("phash", pa.int64())]
