@@ -82,7 +82,10 @@ def overpass_call(query: str, *, retries: int = 5, backoff_sec: float = 5.0,
         try:
             with urllib.request.urlopen(url, data=data, timeout=timeout) as resp:
                 return resp.read().decode("utf-8")
-        except Exception as e:  # URLError / HTTPError / timeout
+        except urllib.error.HTTPError as e:
+            # reference parity: ONLY HTTP-status errors are retried
+            # (helpers.py:33-60 retries requests HTTPError); transport
+            # errors (DNS, refused, timeout) propagate immediately
             last_err = e
             if attempt < retries - 1:
                 time.sleep(backoff_sec)

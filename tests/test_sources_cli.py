@@ -93,7 +93,9 @@ def test_embedding_knn_ivf_high_probe_is_exact(ray_session):
 
 def test_overpass_call_loopback_and_retries():
     """S3 source against a loopback HTTP server: success path returns
-    the body; a down port exhausts retries and raises ConnectionError."""
+    the body; an HTTP 5xx exhausts retries (ConnectionError); a
+    transport error (down port) propagates IMMEDIATELY — reference
+    parity: only HTTPError is retried (helpers.py:33-60)."""
     import http.server
     import threading
 
@@ -124,6 +126,35 @@ def test_overpass_call_loopback_and_retries():
         srv.shutdown()
 
     import pytest as _pytest
+    import urllib.error
 
-    with _pytest.raises(ConnectionError):
-        overpass_call("q", url=f"http://127.0.0.1:{port}/", retries=2, backoff_sec=0.01)
+    # transport error (connection refused / timeout): NOT retried,
+    # propagates raw (URLError and TimeoutError are both OSError)
+    with _pytest.raises(OSError):
+        overpass_call("q", url=f"http://127.0.0.1:{port}/", retries=2,
+                      backoff_sec=0.01, timeout=1.0)
+
+    # HTTP-status error: retried to exhaustion
+    class FailHandler(http.server.BaseHTTPRequestHandler):
+        hits = []
+
+        def do_POST(self):
+            FailHandler.hits.append(1)
+            self.send_response(503)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv2 = http.server.HTTPServer(("127.0.0.1", 0), FailHandler)
+    port2 = srv2.server_address[1]
+    t2 = threading.Thread(target=srv2.serve_forever, daemon=True)
+    t2.start()
+    try:
+        with _pytest.raises(ConnectionError):
+            overpass_call("q", url=f"http://127.0.0.1:{port2}/", retries=3,
+                          backoff_sec=0.01)
+        assert len(FailHandler.hits) == 3
+    finally:
+        srv2.shutdown()
