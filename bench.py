@@ -59,7 +59,12 @@ def bench_osm_stitch(elements_path):
     # fixed partition count at every CPU level: partitioning is a DATA
     # property; worker parallelism is the resource knob
     pipe = OsmPipeline(num_partitions=32)
-    return pipe.features(ds).count()
+    feats = pipe.features(ds)
+    n = feats.count()
+    if os.environ.get("BENCH_STATS"):
+        # per-operator wall/cpu breakdown of the final consuming DAG
+        sys.stderr.write(feats.stats() + "\n")
+    return n
 
 
 def bench_image_pipeline():
@@ -86,7 +91,10 @@ def bench_image_pipeline():
     placed = ds.map_batches(add_position, batch_format="pyarrow")
     polys = corpus_polygons()
     matched = broadcast_pip_join(
-        placed, polys, level=10, concurrency=max(2, NUM_CPUS // 2)
+        # the fused gen->place->pip actor op is the only stage running:
+        # size the pool to ~3/4 of the CPUs (leave headroom for the
+        # driver + object store)
+        placed, polys, level=10, concurrency=max(2, NUM_CPUS * 3 // 4)
     )
     return matched.count()
 
