@@ -329,6 +329,21 @@ SELECT qid AS query_id, vec_id AS neighbor_id, rnk AS rank FROM r WHERE rnk <= 5
 """
 
 
+def e_knn_ivf(sf_dir: str):
+    """IVF ANN — the 10^12-row scale path — in its probe-all
+    configuration (n_probe == n_clusters => exact, so it shares the
+    brute-force SQL oracle; production lowers n_probe to trade recall
+    for a cluster-pruned candidate set)."""
+    from .spatial.knn import embedding_knn_ivf
+
+    emb = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    head = emb.filter(expr="vec_id < 3").take_all()
+    qids = np.array([r["vec_id"] for r in head], dtype=np.int64)
+    qm = np.array([r["embedding"] for r in head], dtype=np.float64)
+    out = embedding_knn_ivf(emb, qids, qm, k=5, n_clusters=8, n_probe=8)
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
 def e_neardup_pairs(sf_dir: str):
     """Planted-near-dup recovery: every 10th vector gets a twin
     (vec_id + 1,000,000) with +0.02 on its first dimension; the
@@ -667,6 +682,7 @@ QUERIES = {
     "t_minhash_pairs": t_minhash_pairs,
     "t_simhash": t_simhash,
     "e_knn_cosine": e_knn_cosine,
+    "e_knn_ivf": e_knn_ivf,
     "e_neardup_pairs": e_neardup_pairs,
     "g_cell_encode": g_cell_encode,
     "g_tile_counts": g_tile_counts,
@@ -687,6 +703,7 @@ ORACLE_SQL = {
     "t_quality_stats": T_QUALITY_SQL,
     "t_exact_dedup": T_DEDUP_SQL,
     "e_knn_cosine": E_KNN_SQL,
+    "e_knn_ivf": E_KNN_SQL,
     "e_neardup_pairs": E_NEARDUP_SQL,
     "g_cell_encode": G_CELL_SQL,
     "g_tile_counts": G_TILE_SQL,
