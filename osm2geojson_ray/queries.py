@@ -669,6 +669,21 @@ def m_image_decode(sf_dir: str):
     return ds.map_batches(DecodeVerify, batch_format="pyarrow", concurrency=(1, 2))
 
 
+def m_image_features(sf_dir: str):
+    """Multimodal transform chain: synthesize -> resize (actor pool) ->
+    feature-extract (actor pool, deterministic projection) — the Ray
+    plumbing for decode/resize/embed at scale (real codecs for the
+    self-contained container; external formats raise at the documented
+    decode boundary)."""
+    from .images.synth import synth_image_table
+    from .images.transform import extract_features, resize_images
+
+    ds = synth_image_table(2000, partition_rows=500)
+    return extract_features(resize_images(ds, size=(16, 16))).select_columns(
+        ["image_id"]
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_segment_revenue": q2_segment_revenue,
@@ -690,6 +705,7 @@ QUERIES = {
     "g_pip_join_osm": g_pip_join_osm,
     "osm_corpus_features": osm_corpus_features,
     "m_image_decode": m_image_decode,
+    "m_image_features": m_image_features,
 }
 
 ORACLE_SQL = {

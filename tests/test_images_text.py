@@ -123,3 +123,56 @@ def test_embedding_neardup(ray_session):
     )
     pairs = {(r["a_id"], r["b_id"]) for r in embedding_neardup_pairs(ds, threshold=0.99).take_all()}
     assert (0, 20) in pairs
+
+
+def test_image_transform_stages(ray_session):
+    """resize / feature-extract / frame-sample actor stages: real Ray
+    plumbing over the self-contained container."""
+    import numpy as np
+    import pyarrow as pa
+
+    from osm2geojson_ray.images.codec import decode_image
+    from osm2geojson_ray.images.synth import synth_image_table
+    from osm2geojson_ray.images.transform import (
+        FEATURE_DIM,
+        extract_features,
+        resize_images,
+        sample_frames,
+    )
+
+    ds = synth_image_table(64, partition_rows=16)
+
+    small = resize_images(ds, size=(8, 8)).take_all()
+    assert len(small) == 64
+    for r in small[:4]:
+        px = decode_image(r["bytes"])
+        assert px.shape == (8, 8, 3)
+        assert r["w"] == 8 and r["h"] == 8
+
+    feats = extract_features(ds).take_all()
+    assert len(feats) == 64
+    v0 = np.array(feats[0]["embedding"], dtype=np.float32)
+    assert v0.shape == (FEATURE_DIM,)
+    # deterministic: same input row -> same embedding
+    feats2 = extract_features(ds).take_all()
+    by_id = {r["image_id"]: r["embedding"] for r in feats2}
+    assert list(by_id[feats[0]["image_id"]]) == list(feats[0]["embedding"])
+
+    # frame sampling: build 3-frame rows by concatenation, sample every 2nd
+    def to_video(batch: pa.Table) -> pa.Table:
+        blobs = [b * 3 for b in batch["bytes"].to_pylist()]
+        return pa.Table.from_pydict(
+            {
+                "image_id": batch["image_id"],
+                "bytes": blobs,
+                "fmt": batch["fmt"],
+                "n_frames": [3] * len(batch),
+            }
+        )
+
+    frames = sample_frames(ds.map_batches(to_video, batch_format="pyarrow"),
+                           every_k=2).take_all()
+    assert len(frames) == 64 * 2  # frames 0 and 2 of 3
+    assert sorted({r["frame"] for r in frames}) == [0, 2]
+    px = decode_image(frames[0]["bytes"])
+    assert px.shape == (frames[0]["h"], frames[0]["w"], 3)
