@@ -199,6 +199,8 @@ def q6_user_sessions(sf_dir: str):
     ts-sorted group — SURVEY §2.5 'windows' extension).  Gap = 7 days."""
     from .relational import _with_part
 
+    from .relational import hash_exchange_map
+
     GAP_US = 7 * 24 * 3600 * 1_000_000  # microseconds
     ds = _pq(sf_dir, "events", ["event_id", "ts", "user_id"])
 
@@ -220,11 +222,14 @@ def q6_user_sessions(sf_dir: str):
         )
         return out
 
-    return (
-        _with_part(ds, "user_id", 16)
-        .groupby("__part")
-        .map_groups(sessionize, batch_format="pandas")
-    )
+    out = hash_exchange_map(ds, "user_id", 16, sessionize, fn_format="pandas")
+    if out is None:
+        return (
+            _with_part(ds, "user_id", 16)
+            .groupby("__part")
+            .map_groups(sessionize, batch_format="pandas")
+        )
+    return out
 
 
 Q6_SQL = """
