@@ -72,6 +72,13 @@ def element_to_shape(
         return way_to_shape(el, refs_index, classifier, raise_on_failure)
     if t == "relation":
         return relation_to_shape(el, refs_index, classifier, raise_on_failure)
+    # Overpass `count` (and any unknown kind) falls through with a
+    # warning, reference main.py:199-200
+    import logging
+
+    logging.getLogger("osm2geojson_ray").warning(
+        "Failed to convert element to shape"
+    )
     return None
 
 

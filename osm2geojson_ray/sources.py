@@ -54,6 +54,49 @@ def read_osm_files(paths: List[str]):
     return files.map_batches(parse, batch_format="pyarrow", batch_size=1)
 
 
+DOC_META_SCHEMA = pa.schema(
+    [
+        ("shard", pa.string()),
+        ("version", pa.float64()),
+        ("generator", pa.string()),
+        ("timestamp_osm_base", pa.string()),
+        ("copyright", pa.string()),
+    ]
+)
+
+
+def read_doc_meta(paths: List[str]):
+    """Document-header round-trip for sharded sources: one row per shard
+    with the Overpass header fields (version / generator / osm3s) that
+    the element stream intentionally drops (reference format_ojson,
+    parse_xml.py:239-274).  Tiny side table — join on ``shard`` when a
+    consumer needs provenance."""
+    files = ray.data.read_binary_files(paths, include_paths=True)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        rows = []
+        for row in batch.to_pylist():
+            raw = row["bytes"].decode("utf-8")
+            doc = (
+                json.loads(raw)
+                if raw.lstrip()[:1] in ("{", "[")
+                else parse_osm_xml(raw)
+            ) or {}
+            osm3s = doc.get("osm3s") or {}
+            rows.append(
+                {
+                    "shard": os.path.basename(row["path"]),
+                    "version": float(doc["version"]) if doc.get("version") is not None else None,
+                    "generator": doc.get("generator"),
+                    "timestamp_osm_base": osm3s.get("timestamp_osm_base"),
+                    "copyright": osm3s.get("copyright"),
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=DOC_META_SCHEMA)
+
+    return files.map_batches(parse, batch_format="pyarrow", batch_size=1)
+
+
 def read_overpass_json_files(paths: List[str]):
     """Overpass JSON shards -> elements Dataset."""
     files = ray.data.read_binary_files(paths, include_paths=True)

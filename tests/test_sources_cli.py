@@ -158,3 +158,31 @@ def test_overpass_call_loopback_and_retries():
         assert len(FailHandler.hits) == 3
     finally:
         srv2.shutdown()
+
+
+def test_doc_meta_roundtrip(ray_session):
+    """Sharded sources keep the Overpass document header reachable
+    (version/generator/osm3s) via the shard-keyed meta table."""
+    from osm2geojson_ray.sources import read_doc_meta
+
+    rows = {r["shard"]: r for r in read_doc_meta(
+        [fixture_path("issue-35.json"), fixture_path("map.osm")]
+    ).take_all()}
+    j = rows["issue-35.json"]
+    assert j["version"] == 0.6
+    assert j["generator"] and "Overpass" in j["generator"]
+    assert j["timestamp_osm_base"]
+    x = rows["map.osm"]
+    assert x["version"] == 0.6
+
+
+def test_count_element_warns(caplog):
+    """Overpass `count` elements warn and drop, reference main.py:199-200."""
+    import logging
+
+    from osm2geojson_ray.geom.assemble import element_to_shape
+
+    with caplog.at_level(logging.WARNING, logger="osm2geojson_ray"):
+        out = element_to_shape({"type": "count", "id": 1, "tags": {"total": "5"}})
+    assert out is None
+    assert any("Failed to convert element to shape" in r.message for r in caplog.records)
