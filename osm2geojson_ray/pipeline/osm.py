@@ -53,6 +53,10 @@ FEATURE_SCHEMA = pa.schema(
 
 USED_SCHEMA = pa.schema([("used_id", pa.int64()), ("consumer_id", pa.int64())])
 
+# way-element columns carried through the member join (a way element
+# never has "members"); dict construction happens only per member row
+_MEMBER_EL_FIELDS = [f for f in ELEMENT_SCHEMA if f.name != "members"]
+
 MEMBER_EDGE_SCHEMA = pa.schema(
     [
         ("way_id", pa.int64()),
@@ -575,28 +579,18 @@ class OsmPipeline:
 
         member_edges = rels.map_batches(explode_members, batch_format="pyarrow")
 
-        def project_ways(batch: pa.Table) -> pa.Table:
-            keep = batch.select(["way_id", "resolved", "coords", "seq"])
-            # carry the full way element for classifier + props (small:
-            # tags + meta only — coordinates ride the Arrow list column)
-            els = [
-                json.dumps(row_to_element(r))
-                for r in batch.drop_columns(
-                    ["coords", "used_nodes", "resolved", "way_id"]
-                ).to_pylist()
-            ]
-            return keep.append_column("way_element_json", pa.array(els, pa.string()))
-
-        way_payload = ways_resolved.map_batches(project_ways, batch_format="pyarrow")
+        # The way payload carries the ELEMENT COLUMNS natively (plus the
+        # resolved coords list) — way-element dicts are built only for
+        # rows that actually join to a relation member, never for the
+        # full way set (at planet scale members are a small fraction)
+        way_payload = ways_resolved.map_batches(
+            lambda t: t.drop_columns(["used_nodes"]), batch_format="pyarrow"
+        )
         member_edge_schema = MEMBER_EDGE_SCHEMA
+        _epw = ELEMENT_SCHEMA.append(pa.field("way_id", pa.int64()))
         way_payload_schema = pa.schema(
-            [
-                ("way_id", pa.int64()),
-                ("resolved", pa.bool_()),
-                ("coords", pa.list_(COORD)),
-                ("seq", pa.int64()),
-                ("way_element_json", pa.string()),
-            ]
+            list(_epw)
+            + [pa.field("resolved", pa.bool_()), pa.field("coords", pa.list_(COORD))]
         )
         member_ways = join_safe(
             member_edges,
@@ -737,11 +731,12 @@ class OsmPipeline:
                 [
                     ("rel_id", pa.int64()),
                     ("kind", pa.int8()),
-                    ("payload", pa.string()),  # rel: element rec; member: way element
+                    ("payload", pa.string()),  # rel rows: element record JSON
                     ("resolved", pa.bool_()),
                     ("coords", pa.list_(COORD)),
                     ("way_id", pa.int64()),
                 ]
+                + [f for f in _MEMBER_EL_FIELDS]
             )
 
             def rel_payload(batch: pa.Table) -> pa.Table:
@@ -758,25 +753,29 @@ class OsmPipeline:
                         pa.nulls(n, pa.bool_()),
                         pa.nulls(n, pa.list_(COORD)),
                         pa.nulls(n, pa.int64()),
-                    ],
+                    ]
+                    + [pa.nulls(n, f.type) for f in _MEMBER_EL_FIELDS],
                     schema=payload_schema,
                 )
 
             def member_payload(batch: pa.Table) -> pa.Table:
-                # pure column projection: coordinates stay an Arrow list
-                # column through the rel_id co-partition shuffle
+                # pure column projection: coordinates AND the way's
+                # element columns ride natively through the rel_id
+                # exchange — element dicts are built per member in the
+                # reduce, never for non-member ways
                 n = len(batch)
                 return pa.Table.from_arrays(
                     [
                         batch["rel_id"],
                         pa.array(np.ones(n, dtype=np.int8)),
-                        batch["way_element_json"],
+                        pa.nulls(n, pa.string()),
                         batch["resolved"],
                         batch["coords"].combine_chunks().cast(pa.list_(COORD))
                         if n
                         else pa.nulls(0, pa.list_(COORD)),
                         batch["way_id"],
-                    ],
+                    ]
+                    + [batch[f.name] for f in _MEMBER_EL_FIELDS],
                     schema=payload_schema,
                 )
 
@@ -790,8 +789,15 @@ class OsmPipeline:
                 payloads = tbl["payload"].to_pylist()
                 coords_np, offs = _list_coords_view(tbl["coords"])
                 resolved_np = tbl["resolved"].to_numpy(zero_copy_only=False)
+                mem_mask = kinds == 1
+                mem_el_rows = (
+                    tbl.filter(pa.array(mem_mask))
+                    .select([f.name for f in _MEMBER_EL_FIELDS])
+                    .to_pylist()
+                )
+                mem_pos = np.cumsum(mem_mask) - 1  # tbl index -> member row
                 members_by_rel: Dict[int, list] = {}
-                for i in np.flatnonzero(kinds == 1):
+                for i in np.flatnonzero(mem_mask):
                     members_by_rel.setdefault(int(rel_ids[i]), []).append(int(i))
                 feats, used_u, used_c, out_shapes = [], [], [], []
                 for i in np.flatnonzero(kinds == 0):
@@ -799,7 +805,7 @@ class OsmPipeline:
                     el = rec["el"]
                     index: Dict[str, dict] = {}
                     for mi in members_by_rel.get(int(rel_ids[i]), []):
-                        wel = json.loads(payloads[mi])
+                        wel = row_to_element(mem_el_rows[mem_pos[mi]])
                         if resolved_np[mi] == True:  # noqa: E712
                             wel["_coords"] = coords_np[offs[mi] : offs[mi + 1]].tolist()
                         index[assemble.ref_key("way", wel["id"])] = wel
@@ -957,10 +963,10 @@ class OsmPipeline:
             way_ids = tbl["way_id"].to_numpy(zero_copy_only=False)
             m_idx = tbl["member_idx"].to_numpy(zero_copy_only=False)
             roles = tbl["role"].to_pylist()
-            wejs = tbl["way_element_json"].to_pylist()
+            el_rows = tbl.select([f.name for f in _MEMBER_EL_FIELDS]).to_pylist()
             lines, used_flags = [], []
             for i in range(n):
-                wel = json.loads(wejs[i])
+                wel = row_to_element(el_rows[i])
                 if resolved[i] == True:  # noqa: E712
                     wel["_coords"] = coords_np[offs[i] : offs[i + 1]].tolist()
                 member = {
