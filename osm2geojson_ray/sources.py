@@ -135,6 +135,40 @@ def overpass_call(query: str, *, retries: int = 5, backoff_sec: float = 5.0,
     raise ConnectionError(f"overpass_call failed after {retries} attempts: {last_err}")
 
 
+def stitch_osm_resumable(shard_paths: List[str], out_dir: str, **pipe_kwargs):
+    """End-to-end resumable stitching (north_rule: "resumable from
+    checkpoint with per-partition lineage + metrics"): one output
+    partition per input OSM shard, each stitched by the full
+    distributed pipeline; a restart consults the lineage manifest and
+    skips completed shards.  Returns the manifest records."""
+    from .pipeline.osm import OsmPipeline
+    from .state.lineage import PartitionedRun
+
+    run = PartitionedRun(out_dir)
+
+    def build(shard: str) -> pa.Table:
+        from .pipeline.osm import FEATURE_SCHEMA
+
+        path = next(p for p in shard_paths if os.path.basename(p) == shard)
+        elements = read_osm_files([path]).map_batches(
+            lambda t: t.drop_columns(["shard"]), batch_format="pyarrow"
+        )
+        pipe = OsmPipeline(**pipe_kwargs)
+        feats = pipe.features(elements)
+        tbls = list(feats.iter_batches(batch_format="pyarrow"))
+        return (
+            pa.concat_tables(tbls, promote_options="default")
+            if tbls
+            else FEATURE_SCHEMA.empty_table()
+        )
+
+    return run.run(
+        [os.path.basename(p) for p in shard_paths],
+        build,
+        input_refs=lambda shard: [shard],
+    )
+
+
 def write_feature_collection(features_ds, path: str) -> dict:
     """Small-result sink: collect feature rows into one FeatureCollection
     document (ordering by ``seq`` like the reference output)."""

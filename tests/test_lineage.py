@@ -48,3 +48,27 @@ def test_resume_skips_done(tmp_path):
         assert got[p].equals(want[p])
         assert done[p]["checksum"] == fresh.completed()[p]["checksum"]
         assert done[p]["rows"] == 5
+
+
+def test_stitch_osm_resumable(ray_session, tmp_path):
+    """End-to-end resume of the distributed stitch: one partition per
+    OSM shard; a second run skips completed shards."""
+    import json
+    import time
+
+    from osm2geojson_ray.sources import stitch_osm_resumable
+
+    from .conftest import fixture_path
+
+    shards = [fixture_path("way.osm"), fixture_path("relation.osm")]
+    out = str(tmp_path / "stitch")
+    t0 = time.time()
+    done = stitch_osm_resumable(shards, out, num_partitions=2)
+    assert set(done) == {"way.osm", "relation.osm"}
+    assert all(rec["rows"] >= 1 for rec in done.values())
+
+    # resume: manifest satisfied -> no work, identical manifest
+    done2 = stitch_osm_resumable(shards, out, num_partitions=2)
+    assert {k: v["checksum"] for k, v in done2.items()} == {
+        k: v["checksum"] for k, v in done.items()
+    }
