@@ -1,27 +1,33 @@
 """Distributed OSM stitching pipeline (Ray-Data-first re-expression of
 the reference's refs_index walk, SURVEY.md §3.4).
 
-Stages:
+Stages (all shuffles are one-pass HASH EXCHANGES,
+``relational.hash_exchange_map`` — no sort, no sampling):
 
-1. elements Dataset (Arrow, ELEMENT_SCHEMA) split by ``type``
-2. J1  way⋈node: explode ways to (node_id, way_id, seq) edges, hash
-   join against node coordinates (``Dataset.join``), regroup on way_id
-   sorting by seq — ordering is semantic (way-node order, main.py:288)
-3. way conversion: vectorized ``map_batches`` with the broadcast
-   classifier; closed rings become polygons per P6-P8
-4. J3/J4 relation⋈way: explode members, join against resolved ways,
-   ``groupby(rel_id).map_groups`` running the SAME assembly kernels the
-   document converter uses (mini refs_index per group); nested
-   relations resolved over bounded extra rounds
-5. J6 used-filter: consumers emit (used_id, consumer) pair records;
-   distinct + anti-join on bare element id (reference collision
-   semantics, main.py:171)
+1. one source scan -> Arrow elements (ELEMENT_SCHEMA), lazily split by
+   ``type`` with per-type column pruning
+2. J1  way⋈node: pure-Arrow edge explode, hash join on node id, then a
+   FUSED way exchange whose reduce assembles coordinates vectorized
+   (lexsort + reduceat) into ``list<struct<lon,lat>>`` columns —
+   node order is semantic (way-node order, main.py:288)
+3. way conversion: ``map_batches`` with the broadcast classifier;
+   closed rings become polygons per P6-P8
+4. J3/J4 relation⋈way: member edges join the way payload (element
+   columns ride natively, element dicts built only per member); a
+   rel_id exchange runs the SAME assembly kernels the document
+   converter uses; nested relations resolve over bounded extra rounds
+   scheduled from the tiny nested-edge list; relations above
+   ``salt_member_threshold`` take the skew-safe path (member
+   conversion as a flat parallel map BEFORE the exchange)
+5. J6 used-filter: consumers emit (used_id, consumer) pairs; the id
+   set reduces remotely (driver passes a ref) into broadcast
+   anti-filter actors, or a left_anti exchange as the big-set fallback
+   (bare-id collision semantics, main.py:171)
 
 Partitioning keys: node id (J1), way id (J1 regroup + J3/J4), relation
-id (ring assembly), bare id (used-filter) — each one shuffle.  Group
-payloads stay bounded: a relation group carries only its own members'
-coordinates (mega-relations are the block-size hazard; they stream
-through ``map_groups`` one group at a time).
+id (ring assembly), bare id (used-filter fallback).  Exchange outputs
+are ref-backed datasets: multi-consumer reads re-read object refs
+without recompute, so no materialize barriers sit between stages.
 """
 
 from __future__ import annotations
@@ -175,7 +181,7 @@ class OsmPipeline:
             # (concat tasks, not a shuffle)
             from ..relational import coalesce_blocks
 
-            elements = coalesce_blocks(elements, nparts).materialize()
+            elements = coalesce_blocks(elements, nparts)  # ref-backed
         elif nblocks < nparts:
             # too-few blocks starve parallelism: real repartition
             elements = elements.repartition(nparts).materialize()
@@ -392,8 +398,9 @@ class OsmPipeline:
         )
         if ways_resolved is None:
             ways_resolved = _empty(out_resolved_schema)
-        # exchange output is exactly nparts right-sized blocks
-        ways_resolved = ways_resolved.materialize()  # multi-consumer
+        # exchange output is from_arrow_refs over ALREADY-COMPUTED object
+        # refs: re-consumption re-reads the refs without recompute, so no
+        # materialize barrier is needed despite multiple consumers
         self._tick("ways_resolved (fused join+assembly)")
         self._ways_resolved = ways_resolved
 
@@ -842,7 +849,8 @@ class OsmPipeline:
             round_out = hash_exchange_map(both, "rel_id", nparts, convert_partition)
             if round_out is None:
                 round_out = _empty(_PACKED_SCHEMA)
-            round_out = round_out.materialize()
+            # ref-backed exchange output: re-consumption re-reads refs
+            # without recompute — no materialize barrier needed
             self._round_outs.append(round_out)
 
             feature_tables.append(
@@ -1125,7 +1133,7 @@ class OsmPipeline:
         from ..relational import hash_exchange_map
 
         out = hash_exchange_map(stream, "rel_id", nparts, assemble_partition)
-        return out.materialize() if out is not None else None
+        return out  # ref-backed; may be None (no mega members arrived)
 
     # ------------------------------------------------------------------
     def metrics(self):
