@@ -300,6 +300,55 @@ def t_minhash_pairs(sf_dir: str):
     return minhash_lsh_pairs(docs, jaccard_threshold=0.8).select_columns(["a_id", "b_id"])
 
 
+def t_jaccard_pairs(sf_dir: str):
+    """EXACT n-gram Jaccard near-dup pairs via gram-inverted-index
+    candidates + per-pair set verify — the completeness anchor the
+    approximate MinHash-LSH pairs are measured against."""
+    from .text.dedup import jaccard_pairs
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return jaccard_pairs(docs, jaccard_threshold=0.8).select_columns(["a_id", "b_id"])
+
+
+T_JACCARD_SQL = r"""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents WHERE trim(text) <> ''
+),
+toks AS (
+  SELECT doc_id, lower(ws[i]) AS w, i
+  FROM words, UNNEST(generate_series(1, len(ws))) AS u(i)
+),
+nw AS (SELECT doc_id, len(ws) AS n FROM words),
+tri AS (
+  SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+),
+short AS (
+  SELECT t.doc_id, string_agg(t.w, ' ' ORDER BY t.i) AS g
+  FROM toks t JOIN nw ON nw.doc_id = t.doc_id
+  WHERE nw.n < 3
+  GROUP BY t.doc_id
+),
+grams AS (
+  SELECT DISTINCT doc_id, g FROM tri
+  UNION
+  SELECT DISTINCT doc_id, g FROM short
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT g1.doc_id AS a_id, g2.doc_id AS b_id, count(*) AS i
+  FROM grams g1 JOIN grams g2 ON g1.g = g2.g AND g1.doc_id < g2.doc_id
+  GROUP BY g1.doc_id, g2.doc_id
+)
+SELECT a_id, b_id
+FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+"""
+
+
 def t_simhash(sf_dir: str):
     from .text.dedup import simhash_signatures
 
@@ -700,6 +749,7 @@ QUERIES = {
     "t_quality_stats": t_quality_stats,
     "t_exact_dedup": t_exact_dedup,
     "t_minhash_pairs": t_minhash_pairs,
+    "t_jaccard_pairs": t_jaccard_pairs,
     "t_simhash": t_simhash,
     "e_knn_cosine": e_knn_cosine,
     "e_knn_ivf": e_knn_ivf,
@@ -723,6 +773,7 @@ ORACLE_SQL = {
     "t_token_count": T_TOKEN_SQL,
     "t_quality_stats": T_QUALITY_SQL,
     "t_exact_dedup": T_DEDUP_SQL,
+    "t_jaccard_pairs": T_JACCARD_SQL,
     "e_knn_cosine": E_KNN_SQL,
     "e_knn_ivf": E_KNN_SQL,
     "e_neardup_pairs": E_NEARDUP_SQL,

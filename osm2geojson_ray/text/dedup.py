@@ -88,6 +88,49 @@ def minhash_signature(text: str, num_hashes: int, shingle_k: int) -> np.ndarray:
     return perm.min(axis=0)
 
 
+GRAMS_SCHEMA = pa.schema([("doc_id", pa.int64()), ("grams", pa.list_(pa.int64()))])
+
+
+def grams_dataset(docs, *, text_col: str = "text", id_col: str = "doc_id",
+                  shingle_k: int = 3, concurrency: int = 2):
+    """One tokenization pass: doc -> sorted unique shingle-hash set
+    (list<int64>).  Shared by MinHash-LSH banding and the exact-Jaccard
+    operators; materialized because it is consumed by both the
+    candidate stage and the verify join."""
+
+    class Grams:
+        """doc -> sorted unique shingle hashes (list<int64>)."""
+
+        def __init__(self):
+            self.k = shingle_k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vals, counts = [], []
+            for text in batch[text_col].to_pylist():
+                words = [w.lower() for w in _TOKEN_RE.findall(text or "")]
+                sh = _shingles(words, self.k)
+                g = (
+                    np.unique(np.fromiter((_hash63(s) for s in sh), np.int64, len(sh)))
+                    if sh
+                    else np.array([], dtype=np.int64)
+                )
+                vals.append(g)
+                counts.append(len(g))
+            offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+            values = np.concatenate(vals) if vals else np.array([], dtype=np.int64)
+            grams = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), pa.array(values, pa.int64())
+            )
+            return pa.Table.from_arrays(
+                [batch[id_col], grams],
+                schema=pa.schema([("doc_id", pa.int64()), ("grams", pa.list_(pa.int64()))]),
+            )
+
+    return docs.map_batches(
+        Grams, batch_format="pyarrow", concurrency=(1, concurrency)
+    ).materialize()
+
+
 PAIR_SCHEMA = pa.schema(
     [("a_id", pa.int64()), ("b_id", pa.int64()), ("jaccard", pa.float64())]
 )
@@ -121,37 +164,8 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     seeds = np.arange(1, num_hashes + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
 
-    class Grams:
-        """doc -> sorted unique shingle hashes (list<int64>)."""
-
-        def __init__(self):
-            self.k = shingle_k
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            vals, counts = [], []
-            for text in batch[text_col].to_pylist():
-                words = [w.lower() for w in _TOKEN_RE.findall(text or "")]
-                sh = _shingles(words, self.k)
-                g = (
-                    np.unique(np.fromiter((_hash63(s) for s in sh), np.int64, len(sh)))
-                    if sh
-                    else np.array([], dtype=np.int64)
-                )
-                vals.append(g)
-                counts.append(len(g))
-            offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
-            values = np.concatenate(vals) if vals else np.array([], dtype=np.int64)
-            grams = pa.ListArray.from_arrays(
-                pa.array(offsets, pa.int32()), pa.array(values, pa.int64())
-            )
-            return pa.Table.from_arrays(
-                [batch[id_col], grams],
-                schema=pa.schema([("doc_id", pa.int64()), ("grams", pa.list_(pa.int64()))]),
-            )
-
-    grams_ds = docs.map_batches(
-        Grams, batch_format="pyarrow", concurrency=(1, concurrency)
-    ).materialize()  # consumed by banding AND the verify join
+    grams_ds = grams_dataset(docs, text_col=text_col, id_col=id_col,
+                              shingle_k=shingle_k, concurrency=concurrency)
 
     def band_rows(batch: pa.Table) -> pa.Table:
         """minhash from the gram sets (no re-tokenization), then slim
@@ -201,8 +215,16 @@ def minhash_lsh_pairs(
     if cands is None:
         return empty_dataset(PAIR_SCHEMA)
     cands = _distinct_pairs_ids(cands, num_partitions)
+    return _verify_exact_jaccard(cands, grams_ds, jaccard_threshold, num_partitions)
 
-    # verify: one row per (pair, side), grams joined back per doc
+
+def _verify_exact_jaccard(cands, grams_ds, jaccard_threshold, num_partitions):
+    """Exact per-pair n-gram Jaccard verify: explode candidate pairs to
+    (pair, side) rows, join the per-doc gram sets back (candidates
+    only — the corpus never re-shuffles), regroup by pair and compare
+    sorted-unique hash sets."""
+    from ..relational import empty_dataset, hash_exchange_map, hash_join
+
     def explode_sides(t: pa.Table) -> pa.Table:
         a = t["a_id"].to_numpy(zero_copy_only=False)
         b = t["b_id"].to_numpy(zero_copy_only=False)
@@ -283,6 +305,8 @@ def minhash_lsh_pairs(
     )
 
 
+
+
 def _distinct_pairs_ids(pairs, num_partitions: int = 16):
     """Distinct (a_id, b_id) id pairs (no payload columns)."""
     from ..relational import distinct_on
@@ -300,6 +324,71 @@ def _distinct_pairs_ids(pairs, num_partitions: int = 16):
     return distinct_on(keyed, "pair_key", num_partitions=num_partitions).drop_columns(
         ["pair_key"]
     )
+
+
+
+
+def jaccard_pairs(
+    docs,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.8,
+    concurrency: int = 2,
+    num_partitions: int = 16,
+    hot_gram_cap: int = 0,
+):
+    """EXACT n-gram Jaccard near-dup pairs (no LSH approximation):
+    candidates = every pair sharing at least one shingle, found with a
+    gram-hash inverted index (exchange keyed on the gram hash), then the
+    shared exact-Jaccard verify.  Complete by construction — a pair with
+    Jaccard > 0 shares a gram.
+
+    Scale note: a hot gram with D docs emits D*(D-1)/2 candidate rows.
+    ``hot_gram_cap`` > 0 skips grams with more than that many docs (a
+    standard prefix-filter trade: pairs sharing ONLY ultra-common grams
+    cannot reach a high threshold anyway when their sets are large);
+    0 keeps exact completeness (the oracle-checked configuration).
+    """
+    from ..relational import empty_dataset, hash_exchange_map
+
+    grams_ds = grams_dataset(docs, text_col=text_col, id_col=id_col,
+                             shingle_k=shingle_k, concurrency=concurrency)
+
+    def invert(batch: pa.Table) -> pa.Table:
+        col = batch["grams"].combine_chunks()
+        flat = col.flatten()
+        parent = pc.list_parent_indices(col)
+        return pa.Table.from_arrays(
+            [flat, pc.take(batch["doc_id"].combine_chunks(), parent)],
+            schema=pa.schema([("gram", pa.int64()), ("doc_id_", pa.int64())]),
+        )
+
+    inverted = grams_ds.map_batches(invert, batch_format="pyarrow")
+
+    def partition_pairs(df):
+        import pandas as pd
+
+        df = df[df.duplicated("gram", keep=False)]
+        rows = []
+        for _, grp in df.groupby("gram", sort=False):
+            ids = sorted(set(grp["doc_id_"].tolist()))
+            if hot_gram_cap and len(ids) > hot_gram_cap:
+                continue
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    rows.append((ids[i], ids[j]))
+        return pd.DataFrame(rows, columns=["a_id", "b_id"]).astype(
+            {"a_id": "int64", "b_id": "int64"}
+        )
+
+    cands = hash_exchange_map(inverted, "gram", num_partitions, partition_pairs,
+                              fn_format="pandas")
+    if cands is None:
+        return empty_dataset(PAIR_SCHEMA)
+    cands = _distinct_pairs_ids(cands, num_partitions)
+    return _verify_exact_jaccard(cands, grams_ds, jaccard_threshold, num_partitions)
 
 
 def simhash_signatures(docs, *, text_col: str = "text", id_col: str = "doc_id",

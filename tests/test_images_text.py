@@ -176,3 +176,20 @@ def test_image_transform_stages(ray_session):
     assert sorted({r["frame"] for r in frames}) == [0, 2]
     px = decode_image(frames[0]["bytes"])
     assert px.shape == (frames[0]["h"], frames[0]["w"], 3)
+
+
+def test_jaccard_pairs_exact_superset_of_lsh(ray_session):
+    """Exact gram-index Jaccard pairs are complete: every LSH pair (an
+    approximation of the same predicate) must be found."""
+    from osm2geojson_ray.text.dedup import jaccard_pairs
+
+    exact = {
+        (r["a_id"], r["b_id"])
+        for r in jaccard_pairs(_docs_ds(), jaccard_threshold=0.5).take_all()
+    }
+    assert (0, 1) in exact
+    lsh = {
+        (r["a_id"], r["b_id"])
+        for r in minhash_lsh_pairs(_docs_ds(), jaccard_threshold=0.5).take_all()
+    }
+    assert lsh <= exact
