@@ -175,20 +175,36 @@ def minhash_lsh_pairs(
         lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
         offs = np.concatenate(([0], np.cumsum(lens)))
         flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
-        out_key = np.empty(len(ids) * bands, dtype=np.int64)
+        n = len(ids)
         out_id = np.repeat(ids, bands)
-        for i in range(len(ids)):
-            g = flat[offs[i] : offs[i + 1]]
-            if len(g):
-                sig = splitmix64(g[:, None] ^ seeds[None, :]).min(axis=0)
-            else:
-                sig = np.zeros(num_hashes, dtype=np.uint64)
-            bsig = sig.reshape(bands, rows_per_band)
-            bh = (
-                splitmix64(bsig ^ np.arange(1, bands + 1, dtype=np.uint64)[:, None]).sum(axis=1)
-                & np.uint64(0x3FFFFFFFFFFFFF)
-            ).astype(np.int64)
-            out_key[i * bands : (i + 1) * bands] = bh * bands + np.arange(bands)
+        # segment-min over ONE (total_grams, num_hashes) permutation
+        # matrix (np.minimum.reduceat over doc boundaries) — no per-doc
+        # Python loop; chunked so the intermediate stays ~64 MB
+        sigs = np.zeros((n, num_hashes), dtype=np.uint64)
+        nonempty = np.flatnonzero(lens > 0)
+        if len(nonempty):
+            CHUNK = 1 << 17  # grams per slice
+            doc_of = np.repeat(np.arange(n), lens)
+            g_start = 0
+            while g_start < len(flat):
+                g_end = min(g_start + CHUNK, len(flat))
+                # extend to a doc boundary so reduceat segments align
+                while g_end < len(flat) and doc_of[g_end] == doc_of[g_end - 1]:
+                    g_end += 1
+                docs_sl = np.unique(doc_of[g_start:g_end])
+                starts = np.maximum(offs[docs_sl], g_start) - g_start
+                perm = splitmix64(
+                    flat[g_start:g_end, None] ^ seeds[None, :]
+                )
+                part = np.minimum.reduceat(perm, starts, axis=0)
+                sigs[docs_sl] = part
+                g_start = g_end
+        bsig = sigs.reshape(n, bands, rows_per_band)
+        band_seeds = np.arange(1, bands + 1, dtype=np.uint64)[None, :, None]
+        bh = (
+            splitmix64(bsig ^ band_seeds).sum(axis=2) & np.uint64(0x3FFFFFFFFFFFFF)
+        ).astype(np.int64)  # (n, bands)
+        out_key = (bh * bands + np.arange(bands, dtype=np.int64)[None, :]).ravel()
         return pa.Table.from_pydict(
             {"bucket": out_key, "doc_id_": out_id},
             schema=pa.schema([("bucket", pa.int64()), ("doc_id_", pa.int64())]),
