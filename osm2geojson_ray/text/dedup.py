@@ -413,24 +413,32 @@ def simhash_signatures(docs, *, text_col: str = "text", id_col: str = "doc_id",
 
     class Sim:
         def __call__(self, batch: pa.Table) -> pa.Table:
-            out = []
-            for text in batch[text_col].to_pylist():
+            texts = batch[text_col].to_pylist()
+            flat, counts = [], []
+            for text in texts:
                 words = [w.lower() for w in _TOKEN_RE.findall(text or "")]
-                if not words:
-                    out.append(0)
-                    continue
-                hs = np.array([_hash63(w) for w in words], dtype=np.uint64)
-                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-                    np.int64
-                )
-                votes = (2 * bits - 1).sum(axis=0)
-                sig = np.uint64(0)
-                for b in range(64):
-                    if votes[b] > 0:
-                        sig |= np.uint64(1) << np.uint64(b)
-                out.append(int(sig.astype(np.int64)))
+                flat.extend(_hash63(w) for w in words)
+                counts.append(len(words))
+            n = len(texts)
+            counts = np.array(counts, dtype=np.int64)
+            sigs = np.zeros(n, dtype=np.uint64)
+            nz = np.flatnonzero(counts > 0)
+            if len(nz):
+                hs = np.array(flat, dtype=np.uint64)
+                # (G, 64) bit matrix -> per-doc vote sums via reduceat;
+                # bit b set when strictly more ones than zeros
+                bits = (
+                    (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)
+                ).astype(np.int64)
+                offs = np.concatenate(([0], np.cumsum(counts)))
+                ones = np.add.reduceat(bits, offs[nz], axis=0)
+                votes = 2 * ones - counts[nz, None]
+                sigs[nz] = ((votes > 0).astype(np.uint64)
+                            << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1)
             return pa.Table.from_pydict(
-                {"doc_id": batch[id_col], "simhash": pa.array(out, pa.int64())},
+                {"doc_id": batch[id_col],
+                 "simhash": pa.array(sigs.astype(np.int64))},
                 schema=pa.schema([("doc_id", pa.int64()), ("simhash", pa.int64())]),
             )
 
