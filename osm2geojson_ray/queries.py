@@ -197,9 +197,7 @@ def q6_user_sessions(sf_dir: str):
     """Gap-based session windows per user (streaming-shaped operator:
     events treated as a user-partitioned log, windows computed over the
     ts-sorted group — SURVEY §2.5 'windows' extension).  Gap = 7 days."""
-    from .relational import _with_part
-
-    from .relational import hash_exchange_map
+    from .relational import _with_part, hash_exchange_map
 
     GAP_US = 7 * 24 * 3600 * 1_000_000  # microseconds
     ds = _pq(sf_dir, "events", ["event_id", "ts", "user_id"])

@@ -1,14 +1,21 @@
 """Deduplication operators over document Datasets.
 
-- exact_dedup: content-hash -> hash-partitioned groupby -> keep the
-  min doc id per distinct content (one shuffle on the hash key).
-- minhash_lsh_pairs: shingle -> minhash -> band -> bucket groupby ->
-  candidate pairs -> exact Jaccard verify.
-- simhash_signatures: 64-bit simhash per document (near-dup key).
-- embedding_neardup_pairs: cosine > threshold pairs via coarse bucket
-  (sign of first principal-ish hash dims) + in-bucket matmul verify.
+- exact_dedup: content-hash -> hash exchange -> keep the min doc id per
+  distinct content (one exchange on the hash key).
+- minhash_lsh_pairs: one tokenization pass -> per-doc unique
+  shingle-hash sets -> vectorized minhash banding -> slim
+  (bucket, doc_id) exchange -> candidate pairs -> exact-Jaccard verify
+  from the gram sets (text never enters a shuffle).
+- jaccard_pairs: EXACT n-gram Jaccard pairs — gram-hash inverted index
+  for candidates (complete: any pair with Jaccard > 0 shares a gram),
+  same verify.
+- simhash_signatures: 64-bit simhash per document, bit votes reduced
+  over one bit matrix.
+- embedding_neardup_pairs: cosine >= threshold pairs via multi-probe
+  sign-LSH buckets (guaranteed co-location margin) + in-bucket matmul.
 
-All hashes are process-stable (FNV/splitmix), never builtin hash().
+All hashes are process-stable (FNV/splitmix), never builtin hash();
+every shuffle is a one-pass hash exchange (relational.hash_exchange_map).
 """
 
 from __future__ import annotations
