@@ -1,0 +1,106 @@
+"""Unit tests for the relational primitives: the hash-exchange shuffle,
+the partitioned hash join, distinct/count, and block coalescing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from osm2geojson_ray.relational import (
+    coalesce_blocks,
+    distinct_on,
+    grouped_count,
+    hash_exchange_map,
+    hash_join,
+)
+
+
+def _ds(tbl: pa.Table, blocks: int = 4):
+    return ray.data.from_arrow(tbl, override_num_blocks=blocks)
+
+
+def test_hash_exchange_partitions_by_key(ray_session):
+    rng = np.random.RandomState(7)
+    keys = rng.randint(0, 1000, 5000).astype(np.int64)
+    vals = rng.randint(0, 10, 5000).astype(np.int64)
+    ds = _ds(pa.table({"k": keys, "v": vals}), blocks=7)
+
+    def check(t: pa.Table) -> pa.Table:
+        ks = t["k"].to_numpy(zero_copy_only=False)
+        parts = set((ks % 8).tolist())
+        assert len(parts) <= 1  # every row in a partition shares k % P
+        return pa.table({"k": ks, "v": t["v"]})
+
+    out = hash_exchange_map(ds, "k", 8, check)
+    rows = out.take_all()
+    got = sorted((r["k"], r["v"]) for r in rows)
+    want = sorted(zip(keys.tolist(), vals.tolist()))
+    assert got == want  # exchange is a permutation, nothing lost
+
+
+def test_hash_exchange_pandas_format_and_part_column(ray_session):
+    ds = _ds(pa.table({"k": pa.array([1, 2, 3, 9, 10], pa.int64())}), blocks=2)
+
+    def fn(df):
+        assert "__part" in df.columns
+        assert (df["k"] % 4 == df["__part"]).all()
+        return df[["k"]]
+
+    out = hash_exchange_map(ds, "k", 4, fn, fn_format="pandas")
+    assert sorted(r["k"] for r in out.take_all()) == [1, 2, 3, 9, 10]
+
+
+def test_hash_exchange_empty_input(ray_session):
+    ds = ray.data.from_arrow(pa.schema([("k", pa.int64())]).empty_table())
+    assert hash_exchange_map(ds, "k", 4, lambda t: t) is None
+
+
+def test_hash_join_matches_pandas(ray_session):
+    rng = np.random.RandomState(3)
+    lk = rng.randint(0, 50, 300).astype(np.int64)
+    rk = rng.randint(25, 75, 200).astype(np.int64)
+    left = pa.table({"k": lk, "lv": np.arange(300, dtype=np.int64)})
+    right = pa.table({"k": rk, "rv": np.arange(200, dtype=np.int64)})
+    l_schema = pa.schema([("k", pa.int64()), ("lv", pa.int64())])
+    r_schema = pa.schema([("k", pa.int64()), ("rv", pa.int64())])
+
+    ldf = left.to_pandas()
+    rdf = right.to_pandas()
+
+    for how, pandas_how in (("inner", "inner"), ("left_outer", "left")):
+        got = hash_join(_ds(left), _ds(right), on="k", l_schema=l_schema,
+                        r_schema=r_schema, how=how, num_partitions=8).take_all()
+        want = ldf.merge(rdf, on="k", how=pandas_how)
+        got_sorted = sorted(
+            (r["k"], r["lv"], r["rv"] if r["rv"] is not None else -1) for r in got
+        )
+        want_sorted = sorted(
+            (int(k), int(lv), int(rv) if pd.notna(rv) else -1)
+            for k, lv, rv in want[["k", "lv", "rv"]].itertuples(index=False)
+        )
+        assert got_sorted == want_sorted, how
+
+    anti = hash_join(_ds(left), _ds(right), on="k", l_schema=l_schema,
+                     r_schema=r_schema, how="left_anti", num_partitions=8).take_all()
+    want_anti = ldf[~ldf["k"].isin(rdf["k"])]
+    assert sorted((r["k"], r["lv"]) for r in anti) == sorted(
+        (int(k), int(v)) for k, v in want_anti[["k", "lv"]].itertuples(index=False)
+    )
+
+
+def test_distinct_and_count(ray_session):
+    keys = np.array([5, 5, 7, 9, 9, 9, 11], dtype=np.int64)
+    ds = _ds(pa.table({"k": keys, "v": np.arange(7, dtype=np.int64)}), blocks=3)
+    kept = distinct_on(ds, "k", num_partitions=4, sort_by=["v"]).take_all()
+    assert sorted((r["k"], r["v"]) for r in kept) == [(5, 0), (7, 2), (9, 3), (11, 6)]
+    counts = {r["k"]: r["n"] for r in grouped_count(ds, "k", num_partitions=4).take_all()}
+    assert counts == {5: 2, 7: 1, 9: 3, 11: 1}
+
+
+def test_coalesce_blocks(ray_session):
+    tbl = pa.table({"x": np.arange(1000, dtype=np.int64)})
+    ds = ray.data.from_arrow(tbl, override_num_blocks=97).materialize()
+    out = coalesce_blocks(ds, 8).materialize()
+    assert out.num_blocks() <= 8
+    assert sorted(r["x"] for r in out.take_all()) == list(range(1000))
