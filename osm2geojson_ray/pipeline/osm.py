@@ -207,10 +207,13 @@ class OsmPipeline:
             "way",
             ["seq", "type", "id", "nodes", "geometry", "center", "bounds"] + _meta_cols,
         )
+        # relations are consumed by MANY stages (member/rel edges, the
+        # per-round filters, payloads, the salted path) — materialize the
+        # small filtered subset once instead of re-filtering per consumer
         rels = _split(
             "relation",
             ["seq", "type", "id", "members", "center", "bounds"] + _meta_cols,
-        )
+        ).materialize()
         self._tick("split")
 
         # ---- J1: way ⋈ node -----------------------------------------
@@ -584,7 +587,10 @@ class OsmPipeline:
                 schema=MEMBER_EDGE_SCHEMA,
             )
 
-        member_edges = rels.map_batches(explode_members, batch_format="pyarrow")
+        # consumed by the join, the mega count and the round filters
+        member_edges = rels.map_batches(
+            explode_members, batch_format="pyarrow"
+        ).materialize()
 
         # The way payload carries the ELEMENT COLUMNS natively (plus the
         # resolved coords list) — way-element dicts are built only for
