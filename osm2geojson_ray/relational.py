@@ -167,7 +167,10 @@ def hash_exchange_map(ds, key: str, num_partitions: int, fn, *, fn_format: str =
 
     @_ray.remote
     def _split(block, k, p):
-        return tuple(_exchange_split(block, k, p))
+        parts = _exchange_split(block, k, p)
+        # with num_returns=1 Ray ships the return value whole: hand back
+        # the single shard, not a 1-tuple
+        return parts[0] if p == 1 else tuple(parts)
 
     @_ray.remote
     def _reduce(f, fmt, part_id, *shards):

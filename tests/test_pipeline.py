@@ -95,3 +95,14 @@ def test_salted_path_matches_document_converter(ray_session, base):
     pipe = OsmPipeline(num_partitions=4, salt_member_threshold=1)
     got = features_to_geojson(pipe.features(ds))
     assert got == expected
+
+
+@pytest.mark.parametrize("nparts", [1, 3, 7])
+def test_partition_count_independence(ray_session, nparts):
+    """Output must not depend on the partition count (hash exchange
+    routing, block boundaries, round scheduling)."""
+    doc = load_doc("map")
+    expected = json2geojson(doc)
+    ds = elements_dataset(doc["elements"], override_num_blocks=max(2, nparts))
+    got = features_to_geojson(OsmPipeline(num_partitions=nparts).features(ds))
+    assert got == expected
