@@ -57,15 +57,19 @@ def q1_pricing_summary(sf_dir: str):
         disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
         return t.append_column("disc_price", disc)
 
-    out = (
-        ds.map_batches(derive, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Count(alias_name="count_order"),
-        )
+    from .relational import partial_grouped_agg
+
+    # combiner push-down: each batch reduces to <=6 partial rows, so raw
+    # lineitem rows never shuffle
+    out = partial_grouped_agg(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("l_quantity", "sum"),
+            "sum_base_price": ("l_extendedprice", "sum"),
+            "sum_disc_price": ("disc_price", "sum"),
+            "count_order": (None, "count"),
+        },
     )
     return _int_scale_cols(
         out,
@@ -110,9 +114,12 @@ def q2_segment_revenue(sf_dir: str):
         how="inner",
         num_partitions=16,
     )
-    out = joined.groupby("c_mktsegment").aggregate(
-        Sum("o_totalprice", alias_name="revenue"),
-        Count(alias_name="n_orders"),
+    from .relational import partial_grouped_agg
+
+    out = partial_grouped_agg(
+        joined,
+        ["c_mktsegment"],
+        {"revenue": ("o_totalprice", "sum"), "n_orders": (None, "count")},
     )
     return _int_scale_cols(out, {"revenue": ("revenue_cents", 100, "round")})
 
@@ -148,10 +155,12 @@ def q4_events_daily(sf_dir: str):
         return pa.Table.from_arrays([day, t["event_type"], t["value"]],
                                     names=["day", "event_type", "value"])
 
-    out = (
-        ds.map_batches(derive, batch_format="pyarrow")
-        .groupby(["event_type", "day"])
-        .aggregate(Sum("value", alias_name="sum_value"), Count(alias_name="n_events"))
+    from .relational import partial_grouped_agg
+
+    out = partial_grouped_agg(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        ["event_type", "day"],
+        {"sum_value": ("value", "sum"), "n_events": (None, "count")},
     )
     return _int_scale_cols(out, {"sum_value": ("sum_value_cents", 100, "round")})
 

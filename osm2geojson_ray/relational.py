@@ -12,7 +12,7 @@ inputs and crashes on empty sides (observed on pyarrow Table.join:
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import pyarrow as pa
@@ -286,6 +286,31 @@ def grouped_count(ds, key: str, *, num_partitions: int = 16, alias: str = "n"):
             count, batch_format="pandas"
         )
     return res
+
+
+def partial_grouped_agg(ds, keys: List[str], aggs: Dict[str, Tuple[str, str]]):
+    """Combiner push-down for grouped aggregation: each batch reduces to
+    one partial row per group key ("sum"/"count" specs), so only
+    #groups x #blocks tiny partial rows reach the final (small) groupby
+    — raw rows never shuffle.  ``aggs``: {out_col: (in_col, "sum") |
+    (None, "count")}.  The scale pattern for low-cardinality keys; for
+    high-cardinality keys use hash_exchange_map instead."""
+    import pandas as pd
+
+    def partial(df):
+        g = df.groupby(keys, sort=False)
+        out = {}
+        for out_col, (in_col, how) in aggs.items():
+            out[out_col] = g[in_col].sum() if how == "sum" else g.size()
+        return pd.DataFrame(out).reset_index()
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    final = partials.groupby(keys).aggregate(
+        *[Sum(out_col, alias_name=out_col) for out_col in aggs]
+    )
+    return final
 
 
 def dataset_from_table(tbl: pa.Table, **kwargs):
