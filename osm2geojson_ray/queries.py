@@ -178,14 +178,23 @@ def q5_distinct_users(sf_dir: str):
     ds = _pq(sf_dir, "events", ["event_type", "user_id"])
 
     def pair_key(t: pa.Table) -> pa.Table:
+        from .images.synth import splitmix64
         from .text.analysis import _hash63
 
-        keys = np.array(
-            [_hash63(f"{et}|{int(u)}")
-             for et, u in zip(t["event_type"].to_pylist(),
-                              t["user_id"].to_numpy(zero_copy_only=False))],
-            dtype=np.int64,
+        # one string hash per DISTINCT event type (a handful), then a
+        # vectorized mix with the user id — no per-row Python hashing
+        ets = t["event_type"].to_pylist()
+        memo: dict = {}
+        et_h = np.fromiter(
+            (memo.get(et) or memo.setdefault(et, _hash63(et)) for et in ets),
+            dtype=np.uint64,
+            count=len(ets),
         )
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        keys = (
+            splitmix64(et_h ^ (uid * np.uint64(0x9E3779B97F4A7C15)))
+            >> np.uint64(1)
+        ).astype(np.int64)
         return t.append_column("pair_key", pa.array(keys))
 
     pairs = distinct_on(ds.map_batches(pair_key, batch_format="pyarrow"), "pair_key")
