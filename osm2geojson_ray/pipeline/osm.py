@@ -658,24 +658,37 @@ class OsmPipeline:
         # relations; cycles / too-deep chains degrade to the final lumped
         # round like the reference (skip+warn on unresolved refs)
         max_r = self.max_relation_rounds
-        depth_memo: Dict[int, int] = {}
-
-        def depth(rid: int, stack: frozenset) -> int:
-            if rid in depth_memo:
-                return depth_memo[rid]
-            if rid in stack:
-                return max_r  # cycle: lump into the final round
-            kids = [c for c in children_of.get(rid, []) if c in present_children]
-            d = 0
-            if kids:
-                sub = stack | {rid}
-                d = min(max_r, 1 + max(depth(c, sub) for c in kids))
-            depth_memo[rid] = d
-            return d
-
         nested_ids = set(children_of) | present_children
-        for rid in nested_ids:
-            depth(rid, frozenset())
+        # iterative Kahn-style rounds (no recursion — a deep parent
+        # chain must not hit the interpreter recursion limit): resolve
+        # nodes whose present kids are all resolved; anything left at
+        # the end sits on a cycle and lumps into the final round
+        kids_of: Dict[int, List[int]] = {
+            rid: [c for c in children_of.get(rid, []) if c in present_children]
+            for rid in nested_ids
+        }
+        parents_of: Dict[int, List[int]] = {}
+        unresolved_kids: Dict[int, int] = {}
+        for rid, kids in kids_of.items():
+            unresolved_kids[rid] = len(kids)
+            for c in kids:
+                parents_of.setdefault(c, []).append(rid)
+        depth_memo: Dict[int, int] = {}
+        ready = [rid for rid, n in unresolved_kids.items() if n == 0]
+        while ready:
+            nxt: List[int] = []
+            for rid in ready:
+                kids = kids_of[rid]
+                depth_memo[rid] = (
+                    min(max_r, 1 + max(depth_memo[c] for c in kids)) if kids else 0
+                )
+                for p in parents_of.get(rid, []):
+                    unresolved_kids[p] -= 1
+                    if unresolved_kids[p] == 0:
+                        nxt.append(p)
+            ready = nxt
+        for rid in nested_ids:  # cycle members: final lumped round
+            depth_memo.setdefault(rid, max_r)
         later_ids = sorted(rid for rid, d in depth_memo.items() if d > 0)
         n_rounds = 1 + (max(depth_memo.values(), default=0) if later_ids else 0)
 
@@ -978,7 +991,7 @@ class OsmPipeline:
             m_idx = tbl["member_idx"].to_numpy(zero_copy_only=False)
             roles = tbl["role"].to_pylist()
             el_rows = tbl.select([f.name for f in _MEMBER_EL_FIELDS]).to_pylist()
-            lines, used_flags = [], []
+            lines, used_flags, payloads_out = [], [], []
             for i in range(n):
                 wel = row_to_element(el_rows[i])
                 if resolved[i] == True:  # noqa: E712
@@ -996,13 +1009,30 @@ class OsmPipeline:
                     shape = None
                 used_flags.append(bool(wel.get("used") is not None))
                 line = None
+                payload = None
                 if shape is not None:
                     s = shape["shape"]
                     if s["type"] == "Polygon":
                         line = s["coordinates"][0]
                     elif s["type"] == "LineString":
                         line = s["coordinates"]
+                    else:
+                        payload = json.dumps(s)
+                    # A by-ref member whose way buffer(0)-split into a
+                    # MultiPolygon re-classifies as "LineString" whose
+                    # coordinates are NESTED (the member dict has no
+                    # tags).  Nested coordinates can't ride the flat
+                    # line column — ship the shape JSON in the
+                    # (member-row-unused) payload column instead; the
+                    # assembly tail passes s["coordinates"] through
+                    # exactly like the in-process path does.
+                    if line is not None and len(line) and not isinstance(
+                        line[0][0], (int, float)
+                    ):
+                        payload = json.dumps({"type": s["type"], "coordinates": line})
+                        line = None
                 lines.append(line)
+                payloads_out.append(payload)
             counts = [len(l) if l is not None else 0 for l in lines]
             values = [p for l in lines if l for p in l]
             line_col = pa.ListArray.from_arrays(
@@ -1020,7 +1050,7 @@ class OsmPipeline:
                 [
                     pa.array(rel_ids),
                     pa.array(np.ones(n, dtype=np.int8)),
-                    pa.nulls(n, pa.string()),
+                    pa.array(payloads_out, pa.string()),
                     pa.array(m_idx),
                     pa.array(roles, pa.string()),
                     line_col,
@@ -1115,6 +1145,13 @@ class OsmPipeline:
                                 int(way_ids[r]),
                             )
                         )
+                    elif r is not None and payloads[r] is not None:
+                        # MultiPolygon member shape shipped as JSON
+                        # (buffer(0) split): pass its coordinates through
+                        # exactly like multipolygon_relation_to_shape's
+                        # non-Polygon branch
+                        s = json.loads(payloads[r])
+                        shapes.append((roles[r], s["coordinates"], int(way_ids[r])))
                 shape = assemble.relation_tail_from_lines(el, shapes, clf)
                 out_shapes.append((rec["id"], shape["shape"] if shape else None))
                 if shape is not None:

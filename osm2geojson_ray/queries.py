@@ -601,6 +601,7 @@ _CORPUS = [
     "empty", "node", "way", "relation", "map", "barrier-wall",
     "center-feature", "meta", "issue-4", "issue-6", "issue-7", "issue-9",
     "issue-16", "issue-35", "issue-52-highway-service-closed",
+    "issue-54-staffordshire",
 ]
 
 

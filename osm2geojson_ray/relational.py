@@ -121,17 +121,68 @@ def hash_join(
     return exchanged
 
 
+_CRC32_TABLE = None
+
+
+def _crc32_table() -> np.ndarray:
+    """The standard zlib/IEEE crc32 lookup table (poly 0xEDB88320)."""
+    global _CRC32_TABLE
+    if _CRC32_TABLE is None:
+        c = np.arange(256, dtype=np.uint32)
+        for _ in range(8):
+            c = np.where(c & 1, 0xEDB88320 ^ (c >> 1), c >> 1).astype(np.uint32)
+        _CRC32_TABLE = c
+    return _CRC32_TABLE
+
+
+def _crc32_vectorized(arr: pa.Array) -> np.ndarray:
+    """zlib.crc32-identical hashes for a string array, computed with
+    one vectorized pass per BYTE POSITION (not per row): rows are laid
+    out as a padded (n, Lmax) byte matrix straight from the Arrow
+    buffers, then the crc recurrence runs Lmax times over all rows at
+    once.  Keys are short (ids/names), so Lmax is small; no per-row
+    Python in the loop."""
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = arr.cast(pa.large_binary())
+    arr = pc.fill_null(arr, b"")
+    buf_off, buf_data = arr.buffers()[1], arr.buffers()[2]
+    # the offsets buffer starts at the array's logical offset
+    offsets = np.frombuffer(buf_off, dtype=np.int64, count=len(arr) + 1 + arr.offset)[arr.offset:]
+    data = np.frombuffer(buf_data, dtype=np.uint8) if buf_data is not None else np.empty(0, np.uint8)
+    lengths = np.diff(offsets)
+    lmax = int(lengths.max()) if len(lengths) else 0
+    table = _crc32_table()
+    crc = np.full(len(arr), 0xFFFFFFFF, dtype=np.uint32)
+    if lmax:
+        idx = offsets[:-1, None] + np.arange(lmax)[None, :]
+        mask = np.arange(lmax)[None, :] < lengths[:, None]
+        mat = data[np.where(mask, idx, 0)]
+        for j in range(lmax):
+            active = mask[:, j]
+            cj = crc[active]
+            crc[active] = table[(cj ^ mat[active, j]) & 0xFF] ^ (cj >> 8)
+    return (crc ^ np.uint32(0xFFFFFFFF)).astype(np.int64)
+
+
 def _part_of(keys: "pa.ChunkedArray | pa.Array", num_partitions: int) -> np.ndarray:
     """Partition id per row: int keys -> key % P (numpy semantics),
-    string keys -> process-stable crc32 % P."""
+    string keys -> process-stable vectorized crc32 % P.  Null keys
+    route deterministically (int nulls as 0, string nulls as "") so
+    they land in a real partition instead of vanishing — a null left
+    key in a left_outer/left_anti join must still survive the
+    exchange."""
     if pa.types.is_integer(keys.type):
-        return keys.to_numpy(zero_copy_only=False) % num_partitions
-    import zlib
+        if keys.null_count:
+            import pyarrow.compute as pc
 
-    return np.array(
-        [zlib.crc32(str(x).encode()) % num_partitions for x in keys.to_pylist()],
-        dtype=np.int64,
-    )
+            keys = pc.fill_null(keys, 0)
+        return keys.to_numpy(zero_copy_only=False).astype(np.int64) % num_partitions
+    return _crc32_vectorized(
+        keys if not isinstance(keys, pa.ChunkedArray) else keys.combine_chunks()
+    ) % num_partitions
 
 
 def _exchange_split(block: pa.Table, key: str, num_partitions: int):
@@ -234,35 +285,29 @@ def coalesce_blocks(ds, num_partitions: int):
 
 def _with_part(ds, key: str, num_partitions: int):
     def add(batch: pa.Table) -> pa.Table:
-        keys = batch[key]
-        if pa.types.is_integer(keys.type):
-            part = keys.to_numpy(zero_copy_only=False) % num_partitions
-        else:
-            # process-STABLE hash (builtin str hash is per-process
-            # randomized and would scatter equal keys across partitions)
-            import zlib
-
-            part = np.array(
-                [zlib.crc32(str(x).encode()) % num_partitions for x in keys.to_pylist()],
-                dtype=np.int64,
-            )
+        part = _part_of(batch[key], num_partitions)
         return batch.append_column("__part", pa.array(part.astype(np.int64)))
 
     return ds.map_batches(add, batch_format="pyarrow")
 
 
-def distinct_on(ds, key: str, *, num_partitions: int = 16, sort_by=None):
+def distinct_on(ds, key: str, *, num_partitions: int = 16, sort_by=None, subset=None):
     """Keep one row per distinct ``key`` — partition-wise vectorized
     pandas dedup (P Python calls), NOT ``groupby(key)`` whose per-group
     overhead is ~0.1 ms and dominates at high cardinality.
 
     ``sort_by``: optional column list ordering rows before dedup so
-    "first" is deterministic (e.g. min id wins)."""
+    "first" is deterministic (e.g. min id wins).
+    ``subset``: columns defining row identity for the dedup itself
+    (default ``[key]``).  When ``key`` is a derived routing hash, pass
+    the real identity columns here so a hash collision cannot merge two
+    distinct rows — equal subsets always share a hash, so partitioning
+    by the hash keeps the dedup complete."""
 
     def dedup(df):
         if sort_by:
             df = df.sort_values(sort_by, kind="stable")
-        return df.drop_duplicates(subset=[key]).drop(columns="__part")
+        return df.drop_duplicates(subset=subset or [key]).drop(columns="__part")
 
     out = hash_exchange_map(ds, key, num_partitions, dedup, fn_format="pandas")
     if out is None:  # empty input: fall back to the (cheap) groupby path
@@ -298,7 +343,9 @@ def partial_grouped_agg(ds, keys: List[str], aggs: Dict[str, Tuple[str, str]]):
     import pandas as pd
 
     def partial(df):
-        g = df.groupby(keys, sort=False)
+        # dropna=False: null group keys must aggregate like any other
+        # key (matching Dataset.groupby / SQL GROUP BY semantics)
+        g = df.groupby(keys, sort=False, dropna=False)
         out = {}
         for out_col, (in_col, how) in aggs.items():
             out[out_col] = g[in_col].sum() if how == "sum" else g.size()

@@ -33,24 +33,34 @@ from .analysis import _hash63
 _TOKEN_RE = re.compile(r"\S+")
 
 
+def _pair_route_key(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Routing/grouping key for an id pair: splitmix64 mix of both ids.
+    Equal pairs always share the key (deterministic), and because every
+    consumer groups/dedups on the REAL (a_id, b_id) columns, a rare
+    collision only co-locates two pairs in one partition — it can never
+    merge them (the old ``a*1_000_003+b`` key collided at ids ≥ 1e6)."""
+    mixed = splitmix64(a.astype(np.uint64) ^ splitmix64(b.astype(np.uint64) + np.uint64(0x9E3779B9)))
+    return (mixed >> np.uint64(1)).astype(np.int64)
+
+
 def _distinct_pairs(pairs, num_partitions: int = 16):
-    """Distinct (a_id, b_id) rows via a synthetic pair key +
-    partition-wise dedup."""
+    """Distinct (a_id, b_id) rows: route on the mixed pair key, dedup
+    on the actual id columns (collision-free)."""
     from ..relational import distinct_on
 
     keyed = pairs.map_batches(
         lambda t: t.append_column(
             "pair_key",
-            pa.array(
-                t["a_id"].to_numpy(zero_copy_only=False) * np.int64(1_000_003)
-                + t["b_id"].to_numpy(zero_copy_only=False)
-            ),
+            pa.array(_pair_route_key(
+                t["a_id"].to_numpy(zero_copy_only=False),
+                t["b_id"].to_numpy(zero_copy_only=False),
+            )),
         ),
         batch_format="pyarrow",
     )
-    return distinct_on(keyed, "pair_key", num_partitions=num_partitions).drop_columns(
-        ["pair_key"]
-    )
+    return distinct_on(
+        keyed, "pair_key", num_partitions=num_partitions, subset=["a_id", "b_id"]
+    ).drop_columns(["pair_key"])
 
 
 def _content_hash_col(batch: pa.Table, text_col: str) -> pa.Table:
@@ -278,12 +288,11 @@ def _verify_exact_jaccard(cands, grams_ds, jaccard_threshold, num_partitions):
     def add_pair_key(t: pa.Table) -> pa.Table:
         a = t["a_id"].to_numpy(zero_copy_only=False)
         b = t["b_id"].to_numpy(zero_copy_only=False)
-        return t.append_column("pair_key", pa.array(a * np.int64(1_000_003) + b))
+        return t.append_column("pair_key", pa.array(_pair_route_key(a, b)))
 
     keyed = joined.map_batches(add_pair_key, batch_format="pyarrow")
 
     def verify(tbl: pa.Table) -> pa.Table:
-        pk = tbl["pair_key"].to_numpy(zero_copy_only=False)
         a = tbl["a_id"].to_numpy(zero_copy_only=False)
         b = tbl["b_id"].to_numpy(zero_copy_only=False)
         dids = tbl["doc_id"].to_numpy(zero_copy_only=False)
@@ -291,13 +300,15 @@ def _verify_exact_jaccard(cands, grams_ds, jaccard_threshold, num_partitions):
         lens = pc.fill_null(pc.list_value_length(col), 0).to_numpy(zero_copy_only=False)
         offs = np.concatenate(([0], np.cumsum(lens)))
         flat = col.flatten().to_numpy(zero_copy_only=False)
-        order = np.argsort(pk, kind="stable")
+        # group on the REAL id pair (lexsort), never the routing hash —
+        # a hash collision must not fuse two different pairs
+        order = np.lexsort((b, a))
         out_a, out_b, out_j = [], [], []
         i = 0
-        n = len(pk)
+        n = len(a)
         while i < n:
             j = i
-            while j < n and pk[order[j]] == pk[order[i]]:
+            while j < n and a[order[j]] == a[order[i]] and b[order[j]] == b[order[i]]:
                 j += 1
             rows = order[i:j]
             ga = gb = None
@@ -332,21 +343,7 @@ def _verify_exact_jaccard(cands, grams_ds, jaccard_threshold, num_partitions):
 
 def _distinct_pairs_ids(pairs, num_partitions: int = 16):
     """Distinct (a_id, b_id) id pairs (no payload columns)."""
-    from ..relational import distinct_on
-
-    keyed = pairs.map_batches(
-        lambda t: t.append_column(
-            "pair_key",
-            pa.array(
-                t["a_id"].to_numpy(zero_copy_only=False) * np.int64(1_000_003)
-                + t["b_id"].to_numpy(zero_copy_only=False)
-            ),
-        ),
-        batch_format="pyarrow",
-    )
-    return distinct_on(keyed, "pair_key", num_partitions=num_partitions).drop_columns(
-        ["pair_key"]
-    )
+    return _distinct_pairs(pairs, num_partitions)
 
 
 

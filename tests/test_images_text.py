@@ -193,3 +193,23 @@ def test_jaccard_pairs_exact_superset_of_lsh(ray_session):
         for r in minhash_lsh_pairs(_docs_ds(), jaccard_threshold=0.5).take_all()
     }
     assert lsh <= exact
+
+
+def test_jaccard_pairs_large_ids_no_key_collision(ray_session):
+    """Doc ids straddling 1e6: under the old a*1_000_003+b pair key,
+    pairs (2,5) and (1,1_000_008) collided to the same key and one was
+    silently merged away.  The mixed routing key + real-column grouping
+    must emit both."""
+    from osm2geojson_ray.text.dedup import jaccard_pairs
+
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    text_b = "completely different content about distributed shuffles and arrow"
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([2, 5, 1, 1_000_008], pa.int64()),
+        "text": pa.array([text_a, text_a, text_b, text_b]),
+    }))
+    pairs = {
+        (r["a_id"], r["b_id"])
+        for r in jaccard_pairs(docs, jaccard_threshold=0.9).take_all()
+    }
+    assert (2, 5) in pairs and (1, 1_000_008) in pairs, pairs

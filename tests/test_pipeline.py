@@ -28,6 +28,7 @@ CASES = [
     "issue-16",
     "issue-35",
     "issue-52-highway-service-closed",
+    "issue-54-staffordshire",
 ]
 
 
@@ -106,3 +107,53 @@ def test_partition_count_independence(ray_session, nparts):
     ds = elements_dataset(doc["elements"], override_num_blocks=max(2, nparts))
     got = features_to_geojson(OsmPipeline(num_partitions=nparts).features(ds))
     assert got == expected
+
+
+def test_salted_path_multipolygon_split_member(ray_session):
+    """A member way whose invalid ring buffer(0)-splits into a
+    MultiPolygon arrives at the salted converter as a LineString with
+    NESTED coordinates (the by-ref member dict has no tags).  That
+    shape must ride the payload fallback and match the normal path and
+    the document converter (previously: IndexError building the flat
+    line column).  The relation has 2 members so it actually exceeds
+    salt_member_threshold=1 and takes the mega path."""
+    # self-crossing ring that decomposes at repeated vertex (1,1) into
+    # two same-winding loops -> MultiPolygon after repair
+    ring = [[0, 0], [1, 0], [1, 1], [4, 1], [2, 2], [2, 0], [1, 1], [0, 1], [0, 0]]
+    sq = [[10, 10], [11, 10], [11, 11], [10, 11], [10, 10]]
+    nodes = [
+        {"type": "node", "id": 100 + i, "lon": float(x), "lat": float(y)}
+        for i, (x, y) in enumerate(ring[:-1])
+    ] + [
+        {"type": "node", "id": 200 + i, "lon": float(x), "lat": float(y)}
+        for i, (x, y) in enumerate(sq[:-1])
+    ]
+    doc = {
+        "elements": nodes
+        + [
+            {"type": "way", "id": 7, "tags": {"area": "yes"},
+             "nodes": [100 + i for i in range(len(ring) - 1)] + [100]},
+            {"type": "way", "id": 8,
+             "nodes": [200 + i for i in range(len(sq) - 1)] + [200]},
+            {
+                "type": "relation",
+                "id": 9,
+                "tags": {"type": "multipolygon", "building": "yes"},
+                "members": [
+                    {"type": "way", "ref": 7, "role": "outer"},
+                    {"type": "way", "ref": 8, "role": "outer"},
+                ],
+            },
+        ]
+    }
+    expected = json2geojson(doc)
+    normal = features_to_geojson(
+        OsmPipeline(num_partitions=4).features(elements_dataset(doc["elements"]))
+    )
+    salted = features_to_geojson(
+        OsmPipeline(num_partitions=4, salt_member_threshold=1).features(
+            elements_dataset(doc["elements"])
+        )
+    )
+    assert normal == expected
+    assert salted == expected

@@ -104,3 +104,64 @@ def test_coalesce_blocks(ray_session):
     out = coalesce_blocks(ds, 8).materialize()
     assert out.num_blocks() <= 8
     assert sorted(r["x"] for r in out.take_all()) == list(range(1000))
+
+def test_exchange_null_keys_survive(ray_session):
+    """Null keys route to a deterministic partition instead of being
+    dropped (previously NaN%P -> INT64_MIN fell outside every shard)."""
+    tbl = pa.table({"k": pa.array([1, None, 3, None], pa.int64()),
+                    "v": pa.array([10, 20, 30, 40], pa.int64())})
+    out = hash_exchange_map(_ds(tbl, blocks=2), "k", 4, lambda t: t)
+    rows = out.take_all()
+    assert len(rows) == 4
+    assert sorted(r["v"] for r in rows) == [10, 20, 30, 40]
+
+
+def test_hash_join_left_outer_null_left_key(ray_session):
+    """A left row with a null key survives a left_outer join unmatched."""
+    left = pa.table({"k": pa.array([1, None], pa.int64()),
+                     "lv": pa.array([100, 200], pa.int64())})
+    right = pa.table({"k": pa.array([1], pa.int64()),
+                      "rv": pa.array([7], pa.int64())})
+    got = hash_join(
+        _ds(left, blocks=1), _ds(right, blocks=1), on="k",
+        l_schema=pa.schema([("k", pa.int64()), ("lv", pa.int64())]),
+        r_schema=pa.schema([("k", pa.int64()), ("rv", pa.int64())]),
+        how="left_outer", num_partitions=4,
+    ).take_all()
+    assert sorted((r["lv"], r["rv"]) for r in got) == [(100, 7), (200, None)]
+
+
+def test_string_key_exchange_vectorized_crc32(ray_session):
+    """String-keyed exchange: vectorized crc32 routes identically to
+    per-row zlib.crc32, including nulls and non-ASCII."""
+    import zlib
+    from osm2geojson_ray.relational import _crc32_vectorized, _part_of
+
+    strs = [f"key-{i}-é{i % 13}" for i in range(2000)] + [""]
+    arr = pa.array(strs, pa.string())
+    got = _crc32_vectorized(arr)
+    want = np.array([zlib.crc32(s.encode()) for s in strs], dtype=np.int64)
+    assert (got == want).all()
+
+    tbl = pa.table({"k": pa.array(strs + [None]), "v": np.arange(len(strs) + 1, dtype=np.int64)})
+    out = hash_exchange_map(_ds(tbl, blocks=3), "k", 8, lambda t: t)
+    rows = out.take_all()
+    assert len(rows) == len(strs) + 1  # nulls retained
+    # routing: every row landed in the partition its crc32 dictates
+    def check(t: pa.Table) -> pa.Table:
+        parts = set(_part_of(t["k"], 8).tolist())
+        assert len(parts) <= 1
+        return t.select(["v"])
+    hash_exchange_map(_ds(tbl, blocks=3), "k", 8, check).materialize()
+
+
+def test_distinct_on_subset_no_hash_merge(ray_session):
+    """distinct_on with a derived routing key and subset= identity
+    columns never merges distinct rows even if the routing key collides."""
+    a = pa.array([1, 1, 2, 2], pa.int64())
+    b = pa.array([5, 5, 6, 7], pa.int64())
+    collide = pa.array([9, 9, 9, 9], pa.int64())  # all rows same routing key
+    ds = _ds(pa.table({"rk": collide, "a": a, "b": b}), blocks=2)
+    kept = distinct_on(ds, "rk", num_partitions=4, sort_by=["a", "b"],
+                       subset=["a", "b"]).take_all()
+    assert sorted((r["a"], r["b"]) for r in kept) == [(1, 5), (2, 6), (2, 7)]
