@@ -43,6 +43,7 @@ import ray.data
 
 from ..classify import DEFAULT_CLASSIFIER, PolygonClassifier
 from ..geom import assemble
+from ..geom.kernels import is_valid_polygon
 from ..model.schema import ELEMENT_SCHEMA, elements_table, row_to_element
 from ..relational import hash_join
 
@@ -421,11 +422,128 @@ class OsmPipeline:
 
         # ---- standalone way conversion ------------------------------
         def convert_ways(batch: pa.Table):
+            """Way -> LineString/Polygon with a TEMPLATED fast path (like
+            convert_nodes): join-resolved ways with no inline geometry /
+            center / meta get their geometry JSON string-built from the
+            Arrow coords column and their properties from a memoized
+            tags template — no element dicts, no per-way way_to_shape.
+            Rows needing the full semantics (inline geometry, center,
+            meta fields, invalid rings requiring buffer(0) repair) fall
+            back to the exact per-row path."""
+            n = len(batch)
             coords_np, offs = _list_coords_view(batch["coords"])
             resolved_np = batch["resolved"].to_numpy(zero_copy_only=False)
+            geom_null = pc.is_null(batch["geometry"]).to_numpy(zero_copy_only=False)
+            center_null = pc.is_null(batch["center"]).to_numpy(zero_copy_only=False)
+            meta_simple = np.ones(n, dtype=bool)
+            for colname in ("timestamp", "version", "user", "uid"):
+                meta_simple &= pc.is_null(batch[colname]).to_numpy(zero_copy_only=False)
+            res_true = np.array([r == True for r in resolved_np], dtype=bool)  # noqa: E712
+            fast = res_true & geom_null & center_null & meta_simple
+
+            seqs = batch["seq"].to_numpy(zero_copy_only=False)
+            ids = batch["id"].to_numpy(zero_copy_only=False)
+            tk_col = batch["tags_keys"].to_pylist()
+            tv_col = batch["tags_values"].to_pylist()
+            nodes_col = batch["nodes"].to_pylist()
+
+            # one point-string per coordinate, batch-wide (shared by all
+            # fast rows; repr of a Python float == json.dumps formatting)
+            flat_pts = coords_np.tolist()
+            pt_strs = [f"[{p[0]!r}, {p[1]!r}]" for p in flat_pts]
+
+            # memoized per-tags-combo classification + tags JSON
+            tag_cache: Dict[tuple, tuple] = {}
+
+            def tag_info(i: int) -> tuple:
+                tk, tv = tk_col[i], tv_col[i]
+                nd = nodes_col[i]
+                closed = bool(nd) and nd[0] == nd[-1]
+                key = (tuple(tk) if tk is not None else None,
+                       tuple(tv) if tv is not None else None, closed)
+                hit = tag_cache.get(key)
+                if hit is None:
+                    tags = dict(zip(tk, tv)) if tk is not None else None
+                    is_poly = clf.is_polygon(tags, ring_closed=closed)
+                    tags_json = json.dumps(tags) if tags is not None else None
+                    hit = (is_poly, tags_json)
+                    tag_cache[key] = hit
+                return hit
+
+            out_seq: list = []
+            out_id: list = []
+            out_gtype: list = []
+            out_geom: list = []
+            out_props: list = []
+            slow_idx: list = []
+            ids_list = ids.tolist()
+            seqs_list = seqs.tolist()
+            for i in np.flatnonzero(fast):
+                o0, o1 = int(offs[i]), int(offs[i + 1])
+                npts = o1 - o0
+                if npts < 2:
+                    continue  # way_to_shape: not enough coords -> skipped
+                is_poly, tags_json = tag_info(i)
+                if is_poly:
+                    # coordinate-value closure (close_ring), distinct
+                    # from the node-id closure used for classification
+                    value_closed = flat_pts[o0] == flat_pts[o1 - 1]
+                    ring_len = npts if value_closed else npts + 1
+                    if ring_len < 4:
+                        continue  # degenerate polygon -> skipped
+                    ring = (
+                        flat_pts[o0:o1]
+                        if value_closed
+                        else flat_pts[o0:o1] + [flat_pts[o0]]
+                    )
+                    if not is_valid_polygon([ring]):
+                        slow_idx.append(int(i))  # buffer(0) repair path
+                        continue
+                    body = ", ".join(pt_strs[o0:o1])
+                    if not value_closed:
+                        body += ", " + pt_strs[o0]
+                    geom = '{"type": "Polygon", "coordinates": [[' + body + "]]}"
+                    gtype = "Polygon"
+                else:
+                    geom = (
+                        '{"type": "LineString", "coordinates": ['
+                        + ", ".join(pt_strs[o0:o1])
+                        + "]}"
+                    )
+                    gtype = "LineString"
+                props = '{"type": "way", "id": ' + str(ids_list[i])
+                if tags_json is not None:
+                    props += ', "tags": ' + tags_json
+                props += ', "nodes": ' + str(nodes_col[i]) + "}"
+                out_seq.append(seqs_list[i])
+                out_id.append(ids_list[i])
+                out_gtype.append(gtype)
+                out_geom.append(geom)
+                out_props.append(props)
+
+            fast_tbl = pa.Table.from_arrays(
+                [
+                    pa.array(out_seq, pa.int64()),
+                    pa.array(["way"] * len(out_seq), pa.string()),
+                    pa.array(out_id, pa.int64()),
+                    pa.array(out_gtype, pa.string()),
+                    pa.array(out_geom, pa.string()),
+                    pa.array(out_props, pa.string()),
+                ],
+                schema=FEATURE_SCHEMA,
+            )
+
+            slow_mask = ~fast
+            slow_rows = np.concatenate(
+                [np.flatnonzero(slow_mask), np.asarray(slow_idx, dtype=np.int64)]
+            ).astype(np.int64) if (slow_mask.any() or slow_idx) else np.empty(0, np.int64)
+            if not len(slow_rows):
+                return fast_tbl
             feats = []
-            rows = batch.drop_columns(["coords", "used_nodes"]).to_pylist()
-            for i, row in enumerate(rows):
+            sub = batch.drop_columns(["coords", "used_nodes"]).take(pa.array(slow_rows))
+            rows = sub.to_pylist()
+            for j, row in enumerate(rows):
+                i = int(slow_rows[j])
                 el = row_to_element(row)
                 resolved = resolved_np[i]
                 if resolved == True:  # noqa: E712  (None-aware tri-state)
@@ -442,7 +560,7 @@ class OsmPipeline:
                     shape = assemble.way_to_shape(dict(el), {}, clf)
                 if shape is not None:
                     feats.append(_feature_row(row["seq"], "way", row["id"], shape))
-            return _feature_table(feats)
+            return pa.concat_tables([fast_tbl, _feature_table(feats)])
 
         way_features = self._tick("way_features", ways_resolved.map_batches(convert_ways, batch_format="pyarrow")) if self.debug_timing else ways_resolved.map_batches(convert_ways, batch_format="pyarrow")
 
@@ -542,16 +660,23 @@ class OsmPipeline:
 
             class AntiFilter:
                 def __init__(self):
+                    # np.unique output is sorted: membership via
+                    # searchsorted per batch (np.isin would re-sort the
+                    # multi-million-id set on EVERY batch)
                     self.ids = _ray.get(ids_ref)
 
                 def __call__(self, batch: pa.Table) -> pa.Table:
-                    keep = ~np.isin(
-                        batch["element_id"].to_numpy(zero_copy_only=False), self.ids
-                    )
+                    el = batch["element_id"].to_numpy(zero_copy_only=False)
+                    if len(self.ids):
+                        pos = np.searchsorted(self.ids, el)
+                        pos_c = np.minimum(pos, len(self.ids) - 1)
+                        keep = self.ids[pos_c] != el
+                    else:
+                        keep = np.ones(len(el), dtype=bool)
                     return batch.filter(pa.array(keep))
 
             return features.map_batches(
-                AntiFilter, batch_format="pyarrow", concurrency=(1, max(2, nparts // 2))
+                AntiFilter, batch_format="pyarrow", concurrency=(2, max(2, nparts // 2))
             )
         # shuffle path: one left_anti hash join on bare id
         return join_safe(
