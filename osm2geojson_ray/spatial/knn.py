@@ -66,15 +66,51 @@ class _HashKnnScorer:
 
 
 def _topk_reduce(ds, k: int, descending: bool = False):
-    def keep_topk(df):
-        df = df.sort_values(
-            ["distance", "neighbor_id"], ascending=[not descending, True]
-        ).head(k)
-        df = df.reset_index(drop=True)
-        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        return df
+    """Global top-k per query from the batch-local candidates.
 
-    return ds.groupby("query_id").map_groups(keep_topk, batch_format="pandas")
+    The candidate set is tiny by construction (<= queries x k x blocks
+    rows), so ONE remote concat + vectorized lexsort task replaces a
+    sort-based ``groupby(query_id).map_groups`` — Ray Data's sort
+    shuffle costs ~3 s of fixed latency regardless of size, which
+    dominated the whole kNN pipeline."""
+    import ray.data as rd
+
+    @ray.remote
+    def _reduce(*blocks):
+        tbl = pa.concat_tables(blocks, promote_options="default")
+        q = tbl["query_id"].to_numpy(zero_copy_only=False)
+        d = tbl["distance"].to_numpy(zero_copy_only=False)
+        nid = tbl["neighbor_id"].to_numpy(zero_copy_only=False)
+        sort_d = -d if descending else d
+        # primary query_id, then distance, ties by neighbor id —
+        # matching the old per-group sort_values exactly
+        order = np.lexsort((nid, sort_d, q))
+        qs, dsrt, ns = q[order], d[order], nid[order]
+        n = len(qs)
+        if n:
+            new_q = np.concatenate(([True], qs[1:] != qs[:-1]))
+            run_start = np.maximum.accumulate(np.where(new_q, np.arange(n), 0))
+            rank = np.arange(n) - run_start + 1
+            keep = rank <= k
+            return pa.Table.from_pydict(
+                {
+                    "query_id": qs[keep],
+                    "neighbor_id": ns[keep],
+                    "distance": dsrt[keep],
+                    "rank": rank[keep].astype(np.int64),
+                },
+                schema=KNN_SCHEMA,
+            )
+        return KNN_SCHEMA.empty_table()
+
+    refs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for block_ref, meta in bundle.blocks:
+            if meta.num_rows is None or meta.num_rows > 0:
+                refs.append(block_ref)
+    if not refs:
+        return rd.from_arrow(KNN_SCHEMA.empty_table())
+    return rd.from_arrow_refs([_reduce.remote(*refs)])
 
 
 def phash_knn(
