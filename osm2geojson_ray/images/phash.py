@@ -13,8 +13,15 @@ _POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 
 def _gray(pixels: np.ndarray) -> np.ndarray:
-    p = pixels.astype(np.float64)
-    return 0.299 * p[..., 0] + 0.587 * p[..., 1] + 0.114 * p[..., 2]
+    """Luma from uint8 RGB, channel-at-a-time: bit-identical to
+    ``0.299*p0 + 0.587*p1 + 0.114*p2`` over a float64 copy (scalar
+    promotion is exact; += is the same f64 add), but never materializes
+    the (…, 3) float64 pixel copy — ~4x less allocation in the synth /
+    decode hot path."""
+    out = np.multiply(np.ascontiguousarray(pixels[..., 0]), 0.299)
+    out += np.multiply(np.ascontiguousarray(pixels[..., 1]), 0.587)
+    out += np.multiply(np.ascontiguousarray(pixels[..., 2]), 0.114)
+    return out
 
 
 def _block_mean_8x8(gray: np.ndarray) -> np.ndarray:

@@ -70,7 +70,7 @@ def _pixels_for(idx: int, w: int, h: int) -> np.ndarray:
     return np.stack([r, g, b], axis=-1).astype(np.uint8)
 
 
-def _pixels_batch(idx: np.ndarray, w: int, h: int) -> np.ndarray:
+def _pixels_batch(idx: np.ndarray, w: int, h: int, out: Optional[np.ndarray] = None) -> np.ndarray:
     """Vectorized _pixels_for over an index array -> (n, h, w, 3) uint8
     (bit-identical to the per-image version: same float64 expressions).
 
@@ -88,7 +88,8 @@ def _pixels_batch(idx: np.ndarray, w: int, h: int) -> np.ndarray:
     r_row = 127.5 * (1 + np.sin(2 * np.pi * (xs[None] / w + p)))  # (n, w)
     g_col = 127.5 * (1 + np.cos(2 * np.pi * (ys[None] / h + p * 2)))  # (n, h)
     b_diag = 127.5 * (1 + np.sin(2 * np.pi * (ds[None] / (w + h) + p * 3)))  # (n, w+h-1)
-    out = np.empty((n, h, w, 3), dtype=np.uint8)
+    if out is None:
+        out = np.empty((n, h, w, 3), dtype=np.uint8)
     out[..., 0] = r_row[:, None, :]
     out[..., 1] = g_col[:, :, None]
     d_idx = (np.arange(h)[:, None] + np.arange(w)[None, :])  # (h, w)
@@ -110,33 +111,33 @@ def synth_image_batch(
 
     w, h = size
     idx = np.arange(start, start + count, dtype=np.uint64)
-    pixels = _pixels_batch(idx, w, h)
+    # allocation diet: ONE (count, 8+w*h*3) uint8 buffer is the only
+    # full-size allocation — pixels are generated straight into its
+    # payload view (each row is contiguous, so the (count, h, w, 3)
+    # reshape is stride-compatible), the phash reads the same view, the
+    # Arrow binary column wraps the buffer zero-copy, and lossy rows
+    # quantize in place.  Bit-identical bytes to per-image encode_image.
+    hdr = np.frombuffer(b"R8" + struct.pack("<HHBB", w, h, 0, 0), dtype=np.uint8)
+    row_len = 8 + w * h * 3
+    buf = np.empty((count, row_len), dtype=np.uint8)
+    buf[:, :8] = hdr
+    pixels = buf[:, 8:].reshape(count, h, w, 3)
+    _pixels_batch(idx, w, h, out=pixels)
     hashes = phash64_batch_same_size(pixels)
     phases = (splitmix64(idx) % np.uint64(1000)).astype(np.int64)
-    # batch-encode: one (count, 8+w*h*3) uint8 buffer — headers tiled,
-    # lossy rows quantized in one vectorized pass; the Arrow binary
-    # column is built straight from the flat buffer with uniform
-    # offsets (bit-identical to per-image encode_image output)
     lossy = (
         (idx % np.uint64(lossy_every)) == 0
         if lossy_every
         else np.zeros(count, dtype=bool)
     )
-    flat = pixels.reshape(count, -1).copy()
     if lossy.any():
-        flat[lossy] = np.clip(
-            (flat[lossy].astype(np.int32) + 4) // 8 * 8, 0, 255
-        ).astype(np.uint8)
-    hdr = np.frombuffer(b"R8" + struct.pack("<HHBB", w, h, 0, 0), dtype=np.uint8)
-    row_len = 8 + flat.shape[1]
-    buf = np.empty((count, row_len), dtype=np.uint8)
-    buf[:, :8] = hdr
-    buf[:, 8:] = flat
+        q = buf[lossy, 8:].astype(np.int16)
+        buf[lossy, 8:] = np.clip((q + 4) // 8 * 8, 0, 255).astype(np.uint8)
     offsets = (np.arange(count + 1, dtype=np.int32) * row_len)
     blob_arr = pa.Array.from_buffers(
         pa.binary(),
         count,
-        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf.tobytes())],
+        [None, pa.py_buffer(offsets), pa.py_buffer(buf.reshape(-1))],
     )
     fmt_arr = pa.Array.from_pandas(np.where(lossy, "rgb5", "rgb8"))
     idx_list = idx.tolist()

@@ -80,9 +80,8 @@ class PipTester:
     def __call__(self, batch: pa.Table) -> pa.Table:
         lons = batch[self.lon_col].to_numpy(zero_copy_only=False)
         lats = batch[self.lat_col].to_numpy(zero_copy_only=False)
-        ids = batch[self.id_col].to_pylist()
         cells = cell_id(lons, lats, self.index.level)
-        out_img, out_geom = [], []
+        out_rows, out_geom = [], []
         # group batch rows by cell, then test each candidate polygon
         # against all points of that cell at once
         order = np.argsort(cells, kind="stable")
@@ -107,14 +106,21 @@ class PipTester:
                 if not mask.any():
                     continue
                 hit = points_in_polygon(seg_lons[mask], seg_lats[mask], poly)
-                for row_i in np.asarray(seg)[mask][hit]:
-                    out_img.append(ids[int(row_i)])
-                    out_geom.append(gid)
-        # id column keeps the input's type (string image ids or int keys)
-        return pa.Table.from_pydict(
-            {"image_id": out_img, "geom_id": out_geom},
+                hit_rows = np.asarray(seg)[mask][hit]
+                out_rows.extend(hit_rows.tolist())
+                out_geom.extend([gid] * len(hit_rows))
+        # ids come straight from the Arrow column via take — the match
+        # set is tiny, so the batch's id strings are never pythonized
+        id_col = batch[self.id_col]
+        ids = (
+            id_col.take(pa.array(out_rows, pa.int64()))
+            if out_rows
+            else pa.chunked_array([], type=id_col.type)
+        )
+        return pa.Table.from_arrays(
+            [ids, pa.array(out_geom, pa.string())],
             schema=pa.schema(
-                [("image_id", batch[self.id_col].type), ("geom_id", pa.string())]
+                [("image_id", id_col.type), ("geom_id", pa.string())]
             ),
         )
 
