@@ -165,7 +165,7 @@ def resize_images(ds, *, size: Tuple[int, int] = (16, 16), concurrency: int = 2,
         fn_constructor_kwargs={"size": size},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, concurrency) if isinstance(concurrency, int) else concurrency,
+        concurrency=concurrency,
     )
 
 
@@ -176,7 +176,7 @@ def extract_features(ds, *, dim: int = FEATURE_DIM, concurrency: int = 2,
         fn_constructor_kwargs={"dim": dim},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, concurrency) if isinstance(concurrency, int) else concurrency,
+        concurrency=concurrency,
     )
 
 
@@ -185,5 +185,5 @@ def sample_frames(ds, *, every_k: int = 2, concurrency: int = 2):
         SampleFrames,
         fn_constructor_kwargs={"every_k": every_k},
         batch_format="pyarrow",
-        concurrency=(1, concurrency) if isinstance(concurrency, int) else concurrency,
+        concurrency=concurrency,
     )

@@ -133,7 +133,7 @@ def phash_knn(
         fn_constructor_kwargs={"queries_ref": ref, "k": k, "id_col": id_col, "hash_col": hash_col},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, concurrency) if isinstance(concurrency, int) else concurrency,
+        concurrency=concurrency,
     )
     return _topk_reduce(local, k)
 
@@ -190,7 +190,7 @@ def embedding_knn(
         fn_constructor_kwargs={"queries_ref": ref, "k": k, "id_col": id_col, "vec_col": vec_col},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, concurrency) if isinstance(concurrency, int) else concurrency,
+        concurrency=concurrency,
     )
     return _topk_reduce(local, k)
 
@@ -336,9 +336,9 @@ def embedding_knn_ivf(
         ProbeFilter,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, concurrency) if isinstance(concurrency, int) else concurrency,
+        concurrency=concurrency,
     )
     return embedding_knn(
         pruned, query_ids, query_matrix, k=k, id_col=id_col, vec_col=vec_col,
-        concurrency=(1, concurrency) if isinstance(concurrency, int) else concurrency, batch_size=batch_size,
+        concurrency=concurrency, batch_size=batch_size,
     )

@@ -149,7 +149,7 @@ def broadcast_pip_join(
         },
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, concurrency) if isinstance(concurrency, int) else concurrency,
+        concurrency=concurrency,
     )
 
 

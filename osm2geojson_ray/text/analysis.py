@@ -115,5 +115,5 @@ def analyze_documents(docs, *, text_col: str = "text", concurrency: int = 2,
         fn_constructor_kwargs={"text_col": text_col},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, concurrency) if isinstance(concurrency, int) else concurrency,
+        concurrency=concurrency,
     )

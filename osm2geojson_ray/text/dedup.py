@@ -144,7 +144,7 @@ def grams_dataset(docs, *, text_col: str = "text", id_col: str = "doc_id",
             )
 
     return docs.map_batches(
-        Grams, batch_format="pyarrow", concurrency=(1, concurrency)
+        Grams, batch_format="pyarrow", concurrency=concurrency
     ).materialize()
 
 
@@ -446,7 +446,7 @@ def simhash_signatures(docs, *, text_col: str = "text", id_col: str = "doc_id",
                 schema=pa.schema([("doc_id", pa.int64()), ("simhash", pa.int64())]),
             )
 
-    return docs.map_batches(Sim, batch_format="pyarrow", concurrency=(1, concurrency))
+    return docs.map_batches(Sim, batch_format="pyarrow", concurrency=concurrency)
 
 
 def embedding_neardup_pairs(
