@@ -137,6 +137,26 @@ PIPELINES = [
 ]
 
 
+def _container_cpu_ns():
+    """Container-scoped cumulative CPU ns (cgroup v1/v2) — includes all
+    Ray workers, excludes co-tenants of the shared host."""
+    for path, scale in (
+        ("/sys/fs/cgroup/cpuacct/cpuacct.usage", 1),
+        ("/sys/fs/cgroup/cpu.stat", None),
+    ):
+        try:
+            with open(path) as f:
+                txt = f.read()
+            if scale == 1:
+                return int(txt.strip())
+            for line in txt.splitlines():
+                if line.startswith("usage_usec"):
+                    return int(line.split()[1]) * 1000
+        except OSError:
+            continue
+    return None
+
+
 def run_bench():
     import ray
 
@@ -156,11 +176,15 @@ def run_bench():
     elements_path = prepare_inputs()
     timings = {}
     counts = {}
+    cpu_secs = {}
     total = 0.0
     for name, fn in PIPELINES:
         t0 = time.time()
+        c0 = _container_cpu_ns()
         counts[name] = fn(elements_path)
         dt = time.time() - t0
+        if c0 is not None:
+            cpu_secs[name] = round((_container_cpu_ns() - c0) / 1e9, 1)
         timings[name] = round(dt, 3)
         total += dt
 
@@ -174,6 +198,7 @@ def run_bench():
         "rows": counts,
         "geometries_per_sec": round(counts["osm_stitch"] / max(timings["osm_stitch"], 1e-9), 1),
         "images_per_sec": round(N_IMAGES / max(timings["image_pip_join"], 1e-9), 1),
+        "cpu_sec": cpu_secs,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
     }
@@ -183,7 +208,7 @@ def run_bench():
 
 
 def run_scaling():
-    def run(ncpu):
+    def run_once(ncpu):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -196,9 +221,20 @@ def run_scaling():
     # page-fault/object-store bandwidth saturates below 32 workers
     # (see BASELINE.md, round-2 scaling analysis).
     levels = os.environ.get("BENCH_SCALING_LEVELS", "8,32").split(",")
+    reps = int(os.environ.get("BENCH_SCALING_REPS", "3"))
     lo, hi = int(levels[0]), int(levels[1])
-    r_lo = run(lo)
-    r_hi = run(hi)
+    # Best-of-N per level, INTERLEAVED lo/hi so shared-host drift hits
+    # both levels equally; identical runs vary up to 3x on this host
+    # (BASELINE.md), and the minimum is the least-contended observation
+    # of the same fixed work.
+    runs_lo, runs_hi = [], []
+    for _ in range(reps):
+        runs_lo.append(run_once(lo))
+        runs_hi.append(run_once(hi))
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
+    r_lo["all_headline_sec"] = [r["value"] for r in runs_lo]
+    r_hi["all_headline_sec"] = [r["value"] for r in runs_hi]
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     suite_eff = (r_lo["suite_total_sec"] / r_hi["suite_total_sec"]) / (hi / lo)
     per_pipeline = {
@@ -216,6 +252,10 @@ def run_scaling():
                 f"suite_sec_{hi}": r_hi["suite_total_sec"],
                 f"queries_{lo}": r_lo["queries"],
                 f"queries_{hi}": r_hi["queries"],
+                f"cpu_sec_{lo}": r_lo.get("cpu_sec", {}),
+                f"cpu_sec_{hi}": r_hi.get("cpu_sec", {}),
+                f"all_headline_sec_{lo}": r_lo["all_headline_sec"],
+                f"all_headline_sec_{hi}": r_hi["all_headline_sec"],
                 "scaling_efficiency": round(eff, 3),
                 "suite_scaling_efficiency": round(suite_eff, 3),
                 "per_pipeline_efficiency": per_pipeline,

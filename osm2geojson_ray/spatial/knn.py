@@ -150,7 +150,9 @@ class _CosineKnnScorer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
             return KNN_SCHEMA.empty_table()
-        vecs = np.array(batch[self.vec_col].to_pylist(), dtype=np.float64)
+        from ..vectors import vec_matrix
+
+        vecs = vec_matrix(batch[self.vec_col])
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
@@ -314,7 +316,7 @@ def embedding_knn_ivf(
     qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
     qd = ((qm[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
     probes = np.unique(np.argsort(qd, axis=1)[:, : min(n_probe, len(cents))].ravel())
-    state = ray.put({"cents": cents, "probes": set(int(p) for p in probes)})
+    state = ray.put({"cents": cents, "probes": probes.astype(np.int64)})
 
     class ProbeFilter:
         def __init__(self):
@@ -325,11 +327,12 @@ def embedding_knn_ivf(
         def __call__(self, batch: pa.Table) -> pa.Table:
             if len(batch) == 0:
                 return batch
-            vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+            from ..vectors import vec_matrix
+
+            vecs = vec_matrix(batch[vec_col])
             vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
             d = ((vecs[:, None, :] - self.cents[None, :, :]) ** 2).sum(axis=2)
-            assign = d.argmin(axis=1)
-            keep = np.array([int(a) in self.probes for a in assign])
+            keep = np.isin(d.argmin(axis=1), self.probes)
             return batch.filter(pa.array(keep))
 
     pruned = items.map_batches(

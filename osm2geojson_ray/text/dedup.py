@@ -449,6 +449,53 @@ def simhash_signatures(docs, *, text_col: str = "text", id_col: str = "doc_id",
     return docs.map_batches(Sim, batch_format="pyarrow", concurrency=concurrency)
 
 
+def _probe_bucket_codes(
+    dots: np.ndarray,
+    bucket_bits: int,
+    max_probe_planes: Optional[int],
+    margin: float = 0.12,
+):
+    """Per-vector LSH bucket codes with BOUNDED multi-probe fan-out.
+
+    Multi-probe guarantee: a pair with unit-vector distance d
+    co-locates in some bucket whenever d * max||proj_row|| < margin
+    (both sides straddle every disagreeing hyperplane and probe both
+    children); margin 0.12 covers d≈0.05 at ~2.3-norm projections.
+
+    Bound: only the ``max_probe_planes`` straddled planes CLOSEST to
+    their boundary probe both children — exactly the planes most likely
+    to disagree between two near-identical vectors; further straddles
+    take their sign branch (deterministic, so near-identical vectors
+    agree on it).  A degenerate near-zero/centroid-like vector that
+    straddles every plane therefore emits at most 2^max_probe_planes
+    bucket copies instead of 2^bucket_bits.
+    """
+    straddle = np.abs(dots) < margin
+    if max_probe_planes is not None:
+        over = np.flatnonzero(straddle.sum(axis=1) > max_probe_planes)
+        for i in over:
+            planes = np.flatnonzero(straddle[i])
+            keep = planes[np.argsort(np.abs(dots[i, planes]), kind="stable")][
+                :max_probe_planes
+            ]
+            row = np.zeros(bucket_bits, dtype=bool)
+            row[keep] = True
+            straddle[i] = row
+    out = []
+    for i in range(len(dots)):
+        codes = [0]
+        for b in range(bucket_bits):
+            if straddle[i, b]:
+                branches = (1, 0)
+            elif dots[i, b] > 0:
+                branches = (1,)
+            else:
+                branches = (0,)
+            codes = [c * 2 + br for c in codes for br in branches]
+        out.append(set(codes))
+    return out
+
+
 def embedding_neardup_pairs(
     embeddings,
     *,
@@ -457,6 +504,7 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     bucket_bits: int = 8,
     num_partitions: int = 16,
+    max_probe_planes: Optional[int] = 4,
 ):
     """Pairs with cosine >= threshold.  Coarse LSH: sign bits of
     ``bucket_bits`` fixed random-ish projections (derived from
@@ -470,7 +518,9 @@ def embedding_neardup_pairs(
     partition loops its buckets with a bounded-size matmul."""
 
     def bucket_rows(batch: pa.Table) -> pa.Table:
-        vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        from ..vectors import vec_matrix
+
+        vecs = vec_matrix(batch[vec_col])
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         if len(vecs) == 0:
             return pa.Table.from_pydict(
@@ -487,24 +537,10 @@ def embedding_neardup_pairs(
         norms[norms == 0] = 1.0
         unit = vecs / norms
         dots = unit @ proj.T  # (n, bits)
-        # multi-probe guarantee: a pair with unit-vector distance d
-        # co-locates in some bucket whenever d * max||proj_row|| <
-        # margin (both sides straddle every disagreeing hyperplane and
-        # probe both children).  margin 0.12 covers d≈0.05 at the
-        # ~2.3-norm projections used here.
-        margin = 0.12
+        code_sets = _probe_bucket_codes(dots, bucket_bits, max_probe_planes)
         out_bucket, out_id, out_vec = [], [], []
-        for i in range(len(vecs)):
-            codes = [0]
-            for b in range(bucket_bits):
-                d = dots[i, b]
-                branches = []
-                if d > -margin:
-                    branches.append(1)
-                if d < margin:
-                    branches.append(0)
-                codes = [c * 2 + br for c in codes for br in branches]
-            for c in set(codes):
+        for i, codes in enumerate(code_sets):
+            for c in codes:
                 out_bucket.append(c)
                 out_id.append(int(ids[i]))
                 out_vec.append(unit[i].tolist())

@@ -125,6 +125,36 @@ def test_embedding_neardup(ray_session):
     assert (0, 20) in pairs
 
 
+def test_embedding_neardup_probe_cap(ray_session):
+    """An adversarial near-zero vector straddles every projection's
+    margin; the probe cap must bound its bucket fan-out to
+    2^max_probe_planes instead of 2^bucket_bits, while planted near
+    -duplicate pairs are still found."""
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(10, 8))
+    near_zero = np.full(8, 1e-9)
+    vecs = np.vstack([base, base[0] + rng.normal(scale=0.01, size=8),
+                      near_zero, near_zero * 1.0001])
+    ds = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {"vec_id": np.arange(len(vecs), dtype=np.int64),
+             "embedding": [v.tolist() for v in vecs]}
+        )
+    )
+    pairs = {(r["a_id"], r["b_id"])
+             for r in embedding_neardup_pairs(ds, threshold=0.99,
+                                              max_probe_planes=3).take_all()}
+    assert (0, 10) in pairs          # planted near-dup survives the cap
+    assert (11, 12) in pairs         # the degenerate twins still co-locate
+    # direct fan-out bound on the code enumeration: a vector straddling
+    # every plane emits 2^cap codes, not 2^bucket_bits
+    from osm2geojson_ray.text.dedup import _probe_bucket_codes
+
+    dots = np.zeros((1, 8))          # straddles all 8 planes
+    assert len(_probe_bucket_codes(dots, 8, 3)[0]) == 2 ** 3
+    assert len(_probe_bucket_codes(dots, 8, None)[0]) == 2 ** 8
+
+
 def test_image_transform_stages(ray_session):
     """resize / feature-extract / frame-sample actor stages: real Ray
     plumbing over the self-contained container."""
