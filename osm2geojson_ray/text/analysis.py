@@ -1,17 +1,19 @@
 """Text analysis stages: token counting, quality scoring, language ID,
 document fingerprinting.
 
-One actor-pool stage computes all signals in a single pass (regexes
-compiled once per actor in ``__init__``, vectorized pandas string ops
-per batch).
+One actor-pool stage computes all signals in a single pass, fully
+vectorized: Arrow string kernels tokenize and count, stopword hits come
+from one ``is_in`` + ``bincount`` per language over the flattened token
+array, and the n-gram fingerprint runs FNV-1a as ~L vectorized passes
+over a (grams, max_len) byte matrix instead of a Python loop per
+document.
 """
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 # tiny per-language stopword lists (deterministic heuristic language ID)
 _STOPWORDS = {
@@ -21,39 +23,113 @@ _STOPWORDS = {
     "de": {"der", "die", "das", "und", "ein", "eine", "zu", "von", "mit", "ist"},
 }
 
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+_MASK63 = 0x7FFFFFFFFFFFFFFF
+
+
+def _hash63(s: str) -> int:
+    """Deterministic 63-bit FNV-1a (stable across processes, unlike
+    builtin hash)."""
+    h = 0xCBF29CE484222325
+    for b in s.encode("utf-8"):
+        h ^= b
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h & 0x7FFFFFFFFFFFFFFF
+
+
+def _hash63_batch(strings: pa.Array) -> np.ndarray:
+    """Vectorized FNV-1a over a utf8/binary Arrow array: one pass per
+    byte POSITION (max string length passes), each vectorized over all
+    strings — identical results to ``_hash63`` per element."""
+    n = len(strings)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    arr = strings.combine_chunks() if isinstance(strings, pa.ChunkedArray) else strings
+    if arr.null_count:
+        arr = pc.fill_null(arr, "")
+    buffers = arr.buffers()
+    # utf8/binary layout: [validity, offsets(int32), data]
+    offsets = np.frombuffer(buffers[1], dtype=np.int32)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(buffers[2], dtype=np.uint8) if buffers[2] is not None else np.empty(0, np.uint8)
+    lengths = offsets[1:] - offsets[:-1]
+    max_len = int(lengths.max()) if n else 0
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    if max_len == 0:
+        return (h & np.uint64(_MASK63)).astype(np.int64)
+    # gather the (n, max_len) byte matrix once (padded positions are
+    # masked out of the update)
+    pos = np.arange(max_len, dtype=np.int64)
+    idx = np.minimum(offsets[:-1, None] + pos[None, :], len(data) - 1)
+    mat = data[idx]
+    live = pos[None, :] < lengths[:, None]
+    for p in range(max_len):
+        m = live[:, p]
+        if not m.any():
+            break
+        hb = h[m]
+        hb ^= mat[m, p].astype(np.uint64)
+        hb *= _FNV_PRIME
+        h[m] = hb
+    return (h & np.uint64(_MASK63)).astype(np.int64)
+
 
 class TextAnalyzer:
     """Batch -> batch + analysis columns (n_tokens, n_chars_calc,
     alpha_ratio, stopword_ratio, quality, lang_pred, fingerprint)."""
 
-    def __init__(self, text_col: str = "text"):
+    def __init__(self, text_col: str = "text", gram: int = 3):
         self.text_col = text_col
-        self.token_re = re.compile(r"\S+")
-        self.word_re = re.compile(r"[a-zA-Z]+")
-        self.alpha_re = re.compile(r"[a-zA-Z]")
+        self.gram = gram
+        self.langs = list(_STOPWORDS)
+        self.stop_arrays = [
+            pa.array(sorted(_STOPWORDS[lang]), pa.string()) for lang in self.langs
+        ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        n = len(texts)
-        n_tokens = np.zeros(n, dtype=np.int64)
-        n_chars = np.zeros(n, dtype=np.int64)
-        alpha_ratio = np.zeros(n, dtype=np.float64)
-        stop_ratio = np.zeros(n, dtype=np.float64)
-        langs = []
-        fingerprints = np.zeros(n, dtype=np.int64)
-        for i, t in enumerate(texts):
-            t = t or ""
-            toks = self.token_re.findall(t)
-            n_tokens[i] = len(toks)
-            n_chars[i] = len(t)
-            # ASCII-letter ratio ([a-zA-Z], matching the SQL oracle's
-            # regexp_replace semantics)
-            alpha_ratio[i] = len(self.alpha_re.findall(t)) / len(t) if t else 0.0
-            words = [w.lower() for w in toks]
-            lang, sr = self._lang_of(words)
-            langs.append(lang)
-            stop_ratio[i] = sr
-            fingerprints[i] = self._fingerprint(words)
+        col = batch[self.text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = pc.fill_null(col, "")
+        n = len(col)
+
+        n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_alpha = (
+            pc.count_substring_regex(col, "[a-zA-Z]")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        with np.errstate(invalid="ignore"):
+            alpha_ratio = np.where(n_chars > 0, n_alpha / np.maximum(n_chars, 1), 0.0)
+
+        # tokenize once: \S+ runs, lowercased for stopwords/fingerprint
+        tokens = pc.split_pattern_regex(col, r"\s+")
+        # regex split emits empty strings at leading/trailing whitespace
+        # — drop them to match re.findall(r"\S+") exactly
+        flat = pc.list_flatten(tokens)
+        parent = pc.list_parent_indices(tokens).to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(nonempty))
+        parent = parent[nonempty]
+        n_tokens = np.bincount(parent, minlength=n).astype(np.int64)
+
+        flat_lower = pc.utf8_lower(flat)
+        hits = np.zeros((len(self.langs), n), dtype=np.int64)
+        for li, stops in enumerate(self.stop_arrays):
+            m = pc.is_in(flat_lower, value_set=stops).to_numpy(zero_copy_only=False)
+            if m.any():
+                hits[li] = np.bincount(parent[m], minlength=n)
+        best_li = hits.argmax(axis=0)
+        best_hits = hits[best_li, np.arange(n)]
+        lang_codes = np.array(self.langs)
+        langs = np.where(best_hits > 0, lang_codes[best_li], "und")
+        with np.errstate(invalid="ignore"):
+            stop_ratio = np.where(n_tokens > 0, best_hits / np.maximum(n_tokens, 1), 0.0)
+
+        fingerprints = self._fingerprint_batch(flat_lower, parent, n_tokens, n)
+
         quality = np.clip(
             0.4 * alpha_ratio
             + 0.3 * np.minimum(n_tokens / 64.0, 1.0)
@@ -68,44 +144,54 @@ class TextAnalyzer:
             ("alpha_ratio", pa.array(alpha_ratio)),
             ("stopword_ratio", pa.array(stop_ratio)),
             ("quality", pa.array(quality)),
-            ("lang_pred", pa.array(langs, pa.string())),
+            ("lang_pred", pa.array(langs.tolist(), pa.string())),
             ("fingerprint", pa.array(fingerprints)),
         ]:
             out = out.append_column(name, arr)
         return out
 
-    def _lang_of(self, words):
-        if not words:
-            return "und", 0.0
-        best, best_hits = "und", 0
-        for lang, stops in _STOPWORDS.items():
-            hits = sum(1 for w in words if w in stops)
-            if hits > best_hits:
-                best, best_hits = lang, hits
-        return best, best_hits / len(words)
+    def _fingerprint_batch(
+        self, flat_lower: pa.Array, parent: np.ndarray, n_tokens: np.ndarray, n: int
+    ) -> np.ndarray:
+        """Rolling min-hash over word n-grams (documents sharing
+        phrasing collide) — int64 per document.
 
-    def _fingerprint(self, words, gram: int = 3) -> int:
-        """Rolling min-hash over word n-grams (documents sharing phrasing
-        collide) — int64."""
-        if len(words) < gram:
-            basis = " ".join(words)
-            return _hash63(basis)
-        best = None
-        for i in range(len(words) - gram + 1):
-            h = _hash63(" ".join(words[i : i + gram]))
-            if best is None or h < best:
-                best = h
-        return best
-
-
-def _hash63(s: str) -> int:
-    """Deterministic 63-bit FNV-1a (stable across processes, unlike
-    builtin hash)."""
-    h = 0xCBF29CE484222325
-    for b in s.encode("utf-8"):
-        h ^= b
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h & 0x7FFFFFFFFFFFFFFF
+        Documents with >= gram tokens: min FNV over all gram-token
+        windows, built as ONE element-wise join over shifted views of
+        the flattened token array.  Shorter documents hash their full
+        joined text.  Identical to the former per-document loop."""
+        g = self.gram
+        out = np.zeros(n, dtype=np.int64)
+        total = len(flat_lower)
+        # gram windows exist only inside a single document's token run:
+        # token positions are doc-ordered, so window starts are those
+        # positions whose (g-1)-ahead neighbour shares the parent doc
+        if total >= g:
+            starts = np.flatnonzero(parent[: total - g + 1] == parent[g - 1 :])
+        else:
+            starts = np.empty(0, dtype=np.int64)
+        if len(starts):
+            parts = [flat_lower.take(pa.array(starts + k, pa.int64())) for k in range(g)]
+            grams = pc.binary_join_element_wise(*parts, " ")
+            gram_hash = _hash63_batch(grams)
+            gram_doc = parent[starts]
+            order_docs, first_idx = np.unique(gram_doc, return_index=True)
+            mins = np.minimum.reduceat(gram_hash, first_idx)
+            out[order_docs] = mins
+        short = np.flatnonzero((n_tokens < g))
+        if len(short):
+            # join each short document's tokens with single spaces
+            joined = np.empty(len(short), dtype=object)
+            doc_to_slot = {int(d): s for s, d in enumerate(short)}
+            pieces: dict = {int(d): [] for d in short}
+            short_mask = np.isin(parent, short)
+            toks = flat_lower.take(pa.array(np.flatnonzero(short_mask), pa.int64()))
+            for t, d in zip(toks.to_pylist(), parent[short_mask]):
+                pieces[int(d)].append(t)
+            for d, s in doc_to_slot.items():
+                joined[s] = " ".join(pieces[d])
+            out[short] = _hash63_batch(pa.array(joined.tolist(), pa.string()))
+        return out
 
 
 def analyze_documents(docs, *, text_col: str = "text", concurrency: int = 2,
