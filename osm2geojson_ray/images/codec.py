@@ -50,6 +50,41 @@ def decode_image(data: bytes) -> np.ndarray:
     return arr.reshape(h, w, 3)
 
 
+def batch_pixel_view(bin_col):
+    """Uniform-size fast path: an Arrow binary column whose rows are
+    equal-length containers of one (w, h) becomes a zero-copy
+    (n, h, w, 3) uint8 view over the values buffer.  Returns
+    ``(pixels, w, h)`` or ``None`` when rows are ragged / mixed-size /
+    not this container (callers fall back to per-row decode_image)."""
+    import pyarrow as pa
+
+    if isinstance(bin_col, pa.ChunkedArray):
+        bin_col = bin_col.combine_chunks()
+    n = len(bin_col)
+    if n == 0 or bin_col.null_count:
+        return None
+    offs = np.frombuffer(bin_col.buffers()[1], dtype=np.int32)[
+        bin_col.offset : bin_col.offset + n + 1
+    ].astype(np.int64)
+    lens = offs[1:] - offs[:-1]
+    if lens.min() != lens.max():
+        return None
+    data = np.frombuffer(bin_col.buffers()[2], dtype=np.uint8)
+    mat = data[offs[0] : offs[-1]].reshape(n, int(lens[0]))
+    if not (mat[:, 0] == _MAGIC[0]).all() or not (mat[:, 1] == _MAGIC[1]).all():
+        return None
+    w = int(mat[0, 2]) | (int(mat[0, 3]) << 8)
+    h = int(mat[0, 4]) | (int(mat[0, 5]) << 8)
+    hdr = mat[:, 2:6].astype(np.int64)
+    if not (
+        ((hdr[:, 0] | (hdr[:, 1] << 8)) == w).all()
+        and ((hdr[:, 2] | (hdr[:, 3] << 8)) == h).all()
+        and int(lens[0]) == 8 + w * h * 3
+    ):
+        return None
+    return mat[:, 8:].reshape(n, h, w, 3), w, h
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     diff = a.astype(np.float64) - b.astype(np.float64)
     mse = float(np.mean(diff * diff))

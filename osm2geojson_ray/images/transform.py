@@ -40,21 +40,54 @@ class ResizeImages:
         self.w, self.h = size
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out_blobs = []
-        fmts = batch["fmt"].to_pylist()
-        for i, buf in enumerate(batch["bytes"].to_pylist()):
-            px = decode_image(buf)  # raises NotImplementedError for
-            # external formats — the documented stub boundary
-            src_h, src_w = px.shape[0], px.shape[1]
+        from .codec import batch_pixel_view
+
+        n = len(batch)
+        view = batch_pixel_view(batch["bytes"])
+        if view is not None:
+            # uniform-size fast path: gather-resize the whole batch as
+            # one (n, h, w, 3) view and build the output binary column
+            # from a single buffer (byte-identical to per-row encode)
+            px, src_w, src_h = view
             ys = (np.arange(self.h) * src_h // self.h).astype(np.int64)
             xs = (np.arange(self.w) * src_w // self.w).astype(np.int64)
-            small = px[ys][:, xs]
-            out_blobs.append(encode_image(small, fmts[i]))
-        n = len(batch)
+            small = px[:, ys][:, :, xs]  # (n, th, tw, 3)
+            row_len = 8 + self.w * self.h * 3
+            buf = np.empty((n, row_len), dtype=np.uint8)
+            buf[:, :8] = np.frombuffer(
+                b"R8" + struct.pack("<HHBB", self.w, self.h, 0, 0), dtype=np.uint8
+            )
+            out_px = buf[:, 8:].reshape(n, self.h, self.w, 3)
+            out_px[:] = small
+            lossy = np.asarray(
+                pa.compute.not_equal(batch["fmt"], "rgb8").to_numpy(
+                    zero_copy_only=False
+                )
+            )
+            if lossy.any():
+                q = buf[lossy, 8:].astype(np.int16)
+                buf[lossy, 8:] = np.clip((q + 4) // 8 * 8, 0, 255).astype(np.uint8)
+            offsets = np.arange(n + 1, dtype=np.int32) * row_len
+            blob_arr = pa.Array.from_buffers(
+                pa.binary(), n,
+                [None, pa.py_buffer(offsets), pa.py_buffer(buf.reshape(-1))],
+            )
+        else:
+            out_blobs = []
+            fmts = batch["fmt"].to_pylist()
+            for i, buf_b in enumerate(batch["bytes"].to_pylist()):
+                px = decode_image(buf_b)  # raises NotImplementedError for
+                # external formats — the documented stub boundary
+                src_h, src_w = px.shape[0], px.shape[1]
+                ys = (np.arange(self.h) * src_h // self.h).astype(np.int64)
+                xs = (np.arange(self.w) * src_w // self.w).astype(np.int64)
+                small = px[ys][:, xs]
+                out_blobs.append(encode_image(small, fmts[i]))
+            blob_arr = pa.array(out_blobs, pa.binary())
         return pa.Table.from_arrays(
             [
                 batch["image_id"],
-                pa.array(out_blobs, pa.binary()),
+                blob_arr,
                 pa.array(np.full(n, self.w, dtype=np.int32)),
                 pa.array(np.full(n, self.h, dtype=np.int32)),
                 batch["fmt"],
@@ -81,19 +114,37 @@ class ExtractFeatures:
         ).astype(np.float32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from .codec import batch_pixel_view
         from .phash import _block_mean_8x8, _gray
 
-        feats = np.empty((len(batch), self.dim), dtype=np.float32)
-        for i, buf in enumerate(batch["bytes"].to_pylist()):
-            px = decode_image(buf).astype(np.float32)
-            raw = np.concatenate(
-                [
-                    px.mean(axis=(0, 1)) / 255.0,
-                    px.std(axis=(0, 1)) / 255.0,
-                    _block_mean_8x8(_gray(px.astype(np.uint8))).ravel() / 255.0,
-                ]
-            ).astype(np.float32)
-            feats[i] = raw @ self.proj
+        n = len(batch)
+        view = batch_pixel_view(batch["bytes"])
+        if view is not None and view[1] % 8 == 0 and view[2] % 8 == 0:
+            # uniform-size fast path: moments + 8x8 grid for the whole
+            # batch in a handful of vectorized passes
+            px, w, h = view
+            pf = px.astype(np.float32)
+            means = pf.mean(axis=(1, 2)) / 255.0  # (n, 3)
+            stds = pf.std(axis=(1, 2)) / 255.0
+            g = _gray(px)  # (n, h, w) float64
+            grid = (
+                g.reshape(n, 8, h // 8, 8, w // 8).mean(axis=(2, 4)).reshape(n, 64)
+                / 255.0
+            )
+            raw = np.concatenate([means, stds, grid], axis=1).astype(np.float32)
+            feats = raw @ self.proj
+        else:
+            feats = np.empty((n, self.dim), dtype=np.float32)
+            for i, buf in enumerate(batch["bytes"].to_pylist()):
+                px = decode_image(buf).astype(np.float32)
+                raw = np.concatenate(
+                    [
+                        px.mean(axis=(0, 1)) / 255.0,
+                        px.std(axis=(0, 1)) / 255.0,
+                        _block_mean_8x8(_gray(px.astype(np.uint8))).ravel() / 255.0,
+                    ]
+                ).astype(np.float32)
+                feats[i] = raw @ self.proj
         emb = pa.FixedSizeListArray.from_arrays(
             pa.array(feats.ravel(), pa.float32()), self.dim
         )

@@ -737,7 +737,7 @@ def m_image_decode(sf_dir: str):
                 ),
             )
 
-    return ds.map_batches(DecodeVerify, batch_format="pyarrow", concurrency=(1, 2))
+    return ds.map_batches(DecodeVerify, batch_format="pyarrow", concurrency=2)
 
 
 def m_image_features(sf_dir: str):
