@@ -32,6 +32,12 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="run through the Ray Data pipeline (starts a local Ray session)",
     )
+    p.add_argument(
+        "--geojsonl-dir",
+        help="with --distributed: write a sharded .geojsonl directory "
+        "(one Feature per line, one part file per block) instead of "
+        "collecting a single FeatureCollection on the driver",
+    )
     return p
 
 
@@ -81,7 +87,19 @@ def main(argv=None) -> int:
         if area_keys is not None or polygon_features is not None:
             clf = PolygonClassifier(polygon_features, area_keys)
         pipe = OsmPipeline(classifier=clf, filter_used_refs=not args.no_filter_used_refs)
-        result = features_to_geojson(pipe.features(elements_dataset(doc["elements"])))
+        feats = pipe.features(elements_dataset(doc["elements"]))
+        if args.geojsonl_dir:
+            from .sources import write_features_geojsonl
+
+            manifest = write_features_geojsonl(feats, args.geojsonl_dir)
+            ray.shutdown()
+            print(
+                json.dumps({"out_dir": args.geojsonl_dir,
+                            "files": len(manifest),
+                            "rows": sum(m["rows"] for m in manifest)})
+            )
+            return 0
+        result = features_to_geojson(feats)
         ray.shutdown()
     else:
         from .document import json2geojson, xml2geojson

@@ -185,3 +185,63 @@ def write_features_parquet(features_ds, out_dir: str, *, min_rows_per_file: int 
     layout; pair with state.PartitionedRun for checkpointed runs)."""
     features_ds.write_parquet(out_dir, min_rows_per_file=min_rows_per_file)
     return out_dir
+
+
+def write_features_geojsonl(features_ds, out_dir: str) -> List[dict]:
+    """Distributed GeoJSON sink: one ``.geojsonl`` part file per block,
+    one Feature per line (reference CLI emits one FeatureCollection,
+    __main__.py:115-135 — at scale that single document cannot exist,
+    so the sharded line-delimited form is the faithful analogue).
+
+    Each Feature line is assembled by pure Arrow string concatenation
+    of the already-serialized properties/geometry JSON (no per-row
+    json.dumps); lines are written seq-sorted per file and files are
+    named by their smallest seq so a directory listing reads in
+    document order when blocks hold contiguous ranges.  Returns the
+    manifest (path, rows) per part file."""
+    import pyarrow.compute as pc
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_shard(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.Table.from_pydict(
+                {"path": [], "rows": []},
+                schema=pa.schema([("path", pa.string()), ("rows", pa.int64())]),
+            )
+        batch = batch.sort_by("seq")
+        lines = pc.binary_join_element_wise(
+            '{"type": "Feature", "properties": ',
+            batch["properties_json"],
+            ', "geometry": ',
+            batch["geometry_json"],
+            "}\n",
+            "",
+        )
+        min_seq = pc.min(batch["seq"]).as_py()
+        path = os.path.join(out_dir, f"part-{min_seq:012d}.geojsonl")
+        with open(path, "w", encoding="utf-8") as f:
+            f.writelines(lines.to_pylist())
+        return pa.Table.from_pydict(
+            {"path": [path], "rows": [len(batch)]},
+            schema=pa.schema([("path", pa.string()), ("rows", pa.int64())]),
+        )
+
+    return features_ds.map_batches(
+        write_shard, batch_format="pyarrow", batch_size=None
+    ).take_all()
+
+
+def read_features_geojsonl(out_dir: str) -> List[dict]:
+    """Read a sharded ``.geojsonl`` directory back into a Feature list
+    (files in name order = seq order for contiguous blocks)."""
+    feats: List[dict] = []
+    for name in sorted(os.listdir(out_dir)):
+        if not name.endswith(".geojsonl"):
+            continue
+        with open(os.path.join(out_dir, name), encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    feats.append(json.loads(line))
+    return feats

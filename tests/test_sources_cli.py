@@ -186,3 +186,27 @@ def test_count_element_warns(caplog):
         out = element_to_shape({"type": "count", "id": 1, "tags": {"total": "5"}})
     assert out is None
     assert any("Failed to convert element to shape" in r.message for r in caplog.records)
+
+
+def test_geojsonl_roundtrip(ray_session, tmp_path):
+    """Sharded .geojsonl sink: write at nparts>1, read back, same
+    Feature multiset (and per-file seq order) as the document
+    converter's FeatureCollection."""
+    from osm2geojson_ray.document import xml2geojson
+    from osm2geojson_ray.pipeline.osm import OsmPipeline, elements_dataset
+    from osm2geojson_ray.model.xml_parse import parse_osm_xml
+    from osm2geojson_ray.sources import read_features_geojsonl, write_features_geojsonl
+
+    raw = open(fixture_path("map.osm"), encoding="utf-8").read()
+    doc = parse_osm_xml(raw)
+    feats_ds = OsmPipeline(num_partitions=3).features(elements_dataset(doc["elements"]))
+    out_dir = str(tmp_path / "geojsonl")
+    manifest = write_features_geojsonl(feats_ds, out_dir)
+    assert sum(m["rows"] for m in manifest) > 0
+
+    got = read_features_geojsonl(out_dir)
+    expected = xml2geojson(raw)["features"]
+    key = lambda f: json.dumps(f, sort_keys=True)
+    assert sorted(map(key, got)) == sorted(map(key, expected))
+    # every line parsed as a proper Feature
+    assert all(f["type"] == "Feature" for f in got)
