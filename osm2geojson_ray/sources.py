@@ -135,12 +135,16 @@ def overpass_call(query: str, *, retries: int = 5, backoff_sec: float = 5.0,
     raise ConnectionError(f"overpass_call failed after {retries} attempts: {last_err}")
 
 
-def stitch_osm_resumable(shard_paths: List[str], out_dir: str, **pipe_kwargs):
+def stitch_osm_resumable(
+    shard_paths: List[str], out_dir: str, *, max_concurrent: int = 1, **pipe_kwargs
+):
     """End-to-end resumable stitching (north_rule: "resumable from
     checkpoint with per-partition lineage + metrics"): one output
     partition per input OSM shard, each stitched by the full
     distributed pipeline; a restart consults the lineage manifest and
-    skips completed shards.  Returns the manifest records."""
+    skips completed shards.  ``max_concurrent`` bounds how many shard
+    pipelines run at once (keep the cluster busy across shard DAG
+    boundaries at large shard counts).  Returns the manifest records."""
     from .pipeline.osm import OsmPipeline
     from .state.lineage import PartitionedRun
 
@@ -166,6 +170,7 @@ def stitch_osm_resumable(shard_paths: List[str], out_dir: str, **pipe_kwargs):
         [os.path.basename(p) for p in shard_paths],
         build,
         input_refs=lambda shard: [shard],
+        max_concurrent=max_concurrent,
     )
 
 

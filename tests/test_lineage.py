@@ -72,3 +72,36 @@ def test_stitch_osm_resumable(ray_session, tmp_path):
     assert {k: v["checksum"] for k, v in done2.items()} == {
         k: v["checksum"] for k, v in done.items()
     }
+
+
+def test_checksum_order_insensitive():
+    from osm2geojson_ray.state.lineage import _table_checksum
+
+    a = pa.Table.from_pydict({"x": [1, 2, 3], "s": ["a", "b", None], "f": [1.5, None, 0.0]})
+    b = a.take([2, 0, 1])
+    assert _table_checksum(a) == _table_checksum(b)
+    c = pa.Table.from_pydict({"x": [1, 2, 4], "s": ["a", "b", None], "f": [1.5, None, 0.0]})
+    assert _table_checksum(a) != _table_checksum(c)
+    # null vs empty string distinguished
+    d = pa.Table.from_pydict({"x": [1], "s": [None], "f": [0.0]})
+    e = pa.Table.from_pydict({"x": [1], "s": [""], "f": [0.0]})
+    assert _table_checksum(d) != _table_checksum(e)
+
+
+def test_concurrent_partitions(tmp_path):
+    """max_concurrent > 1: same manifest and identical partition files
+    as the serial loop, every partition present exactly once."""
+    parts = [str(i) for i in range(8)]
+    serial = PartitionedRun(str(tmp_path / "serial"))
+    serial.run(parts, build)
+    conc = PartitionedRun(str(tmp_path / "conc"))
+    done = conc.run(parts, build, max_concurrent=4)
+    assert set(done) == set(parts)
+    assert {k: v["checksum"] for k, v in serial.completed().items()} == {
+        k: v["checksum"] for k, v in conc.completed().items()
+    }
+    for p in parts:
+        assert read_all(serial, [p])[p].equals(read_all(conc, [p])[p])
+    # manifest has one line per partition
+    with open(conc.manifest_path) as f:
+        assert len(f.readlines()) == len(parts)
