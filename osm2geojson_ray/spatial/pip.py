@@ -75,6 +75,9 @@ class PipTester:
 
     def __init__(self, index_ref, lon_col="lon", lat_col="lat", id_col="image_id"):
         self.index: _CellPolygonIndex = ray.get(index_ref)
+        # sorted key array: one vectorized membership test per batch
+        # replaces a Python candidates() lookup per distinct cell
+        self.cell_keys = np.array(sorted(self.index.cells), dtype=np.int64)
         self.lon_col, self.lat_col, self.id_col = lon_col, lat_col, id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -82,9 +85,20 @@ class PipTester:
         lats = batch[self.lat_col].to_numpy(zero_copy_only=False)
         cells = cell_id(lons, lats, self.index.level)
         out_rows, out_geom = [], []
-        # group batch rows by cell, then test each candidate polygon
-        # against all points of that cell at once
-        order = np.argsort(cells, kind="stable")
+        # most rows fall in cells no polygon covers: one searchsorted
+        # membership pass keeps only candidate rows, then the group
+        # loop runs over that (tiny) subset
+        pos = np.searchsorted(self.cell_keys, cells)
+        pos_clip = np.minimum(pos, len(self.cell_keys) - 1)
+        hit_mask = (
+            (self.cell_keys[pos_clip] == cells)
+            if len(self.cell_keys)
+            else np.zeros(len(cells), dtype=bool)
+        )
+        cand_rows = np.flatnonzero(hit_mask)
+        # group candidate rows by cell, then test each candidate
+        # polygon against all points of that cell at once
+        order = cand_rows[np.argsort(cells[cand_rows], kind="stable")]
         sorted_cells = cells[order]
         boundaries = np.flatnonzero(np.diff(sorted_cells)) + 1
         for seg in np.split(order, boundaries):
