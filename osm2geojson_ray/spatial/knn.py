@@ -212,15 +212,20 @@ def phash_band_pairs(
     def band_rows(batch: pa.Table) -> pa.Table:
         hashes = batch[hash_col].to_numpy(zero_copy_only=False).astype(np.uint64)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        out_key, out_id, out_hash = [], [], []
-        for b in range(4):
-            band = ((hashes >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
-            key = band * 4 + b
-            out_key.extend(key.tolist())
-            out_id.extend(ids.tolist())
-            out_hash.extend(hashes.astype(np.int64).tolist())
+        keys = np.concatenate(
+            [
+                ((hashes >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+                * 4
+                + b
+                for b in range(4)
+            ]
+        )
         return pa.Table.from_pydict(
-            {"band_key": out_key, "item_id": out_id, "phash": out_hash},
+            {
+                "band_key": pa.array(keys),
+                "item_id": pa.array(np.tile(ids, 4)),
+                "phash": pa.array(np.tile(hashes.astype(np.int64), 4)),
+            },
             schema=pa.schema(
                 [("band_key", pa.int64()), ("item_id", pa.int64()), ("phash", pa.int64())]
             ),

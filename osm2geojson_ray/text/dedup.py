@@ -538,14 +538,25 @@ def embedding_neardup_pairs(
         unit = vecs / norms
         dots = unit @ proj.T  # (n, bits)
         code_sets = _probe_bucket_codes(dots, bucket_bits, max_probe_planes)
-        out_bucket, out_id, out_vec = [], [], []
-        for i, codes in enumerate(code_sets):
-            for c in codes:
-                out_bucket.append(c)
-                out_id.append(int(ids[i]))
-                out_vec.append(unit[i].tolist())
-        return pa.Table.from_pydict(
-            {"bucket": out_bucket, "vec_id_": out_id, "vec_": out_vec},
+        counts = np.fromiter((len(c) for c in code_sets), dtype=np.int64, count=len(code_sets))
+        row_idx = np.repeat(np.arange(len(code_sets)), counts)
+        buckets = np.fromiter(
+            (c for codes in code_sets for c in codes), dtype=np.int64,
+            count=int(counts.sum()),
+        )
+        dim = unit.shape[1]
+        n_out = int(counts.sum())
+        offsets = np.arange(n_out + 1, dtype=np.int32) * dim
+        vec_arr = pa.ListArray.from_arrays(
+            pa.array(offsets),
+            pa.array(unit[row_idx].ravel()),
+        )
+        return pa.Table.from_arrays(
+            [
+                pa.array(buckets),
+                pa.array(ids[row_idx].astype(np.int64)),
+                vec_arr,
+            ],
             schema=pa.schema(
                 [("bucket", pa.int64()), ("vec_id_", pa.int64()),
                  ("vec_", pa.list_(pa.float64()))]
