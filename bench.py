@@ -315,7 +315,7 @@ def run_compute_once():
 
     DataContext.get_current().enable_progress_bars = False
     n_tasks = int(os.environ.get("BENCH_COMPUTE_TASKS", "768"))
-    reps = int(os.environ.get("BENCH_COMPUTE_REPS", "24"))
+    reps = int(os.environ.get("BENCH_COMPUTE_REPS", "192"))
     run_probe(NUM_CPUS * 2, 2)  # warm worker pool / imports
     c0 = _container_cpu_ns()
     t0 = time.time()

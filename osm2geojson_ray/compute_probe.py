@@ -24,7 +24,11 @@ import pyarrow as pa
 
 _STATE: dict = {}
 
-Q, D, V = 512, 256, 512  # per-iteration matmul: 2*Q*D*V = 134 MFLOP
+# cache-resident shapes: q+v+acc ≈ 1.1 MB per worker, so 32 workers fit
+# in shared L3 and the probe measures arithmetic scaling, not DRAM write
+# bandwidth (Q=V=512,D=256 wrote a 2 MB accumulator per 134 MFLOP —
+# ~37 GB of memory writes per run — and capped measured efficiency)
+Q, D, V = 128, 512, 128  # per-iteration matmul: 2*Q*D*V = 16.8 MFLOP
 
 
 def _state():
@@ -56,7 +60,7 @@ def score_batch(batch: pa.Table, *, reps: int) -> pa.Table:
     )
 
 
-def run_probe(n_tasks: int = 768, reps: int = 24) -> int:
+def run_probe(n_tasks: int = 768, reps: int = 192) -> int:
     """Fixed total work: n_tasks * reps * 134 MFLOP, spread over the
     task pool as one block per task."""
     import functools
