@@ -97,6 +97,29 @@ def _pixels_batch(idx: np.ndarray, w: int, h: int, out: Optional[np.ndarray] = N
     return out
 
 
+_BUF_POOL: dict = {}
+
+
+def _pooled_buffer(shape) -> np.ndarray:
+    """Per-worker reusable uint8 buffer.  A pooled array is handed out
+    wrapped zero-copy into an Arrow column; it is only REUSED when its
+    refcount shows no outstanding holder (the fused-stage case, where
+    each batch's table dies before the next call).  If a consumer still
+    references the previous table (e.g. the stage's output block
+    builder when synth is the last op before the object store), the
+    refcount stays elevated and a fresh buffer is allocated — pooling
+    degrades to the old behavior instead of corrupting live data."""
+    import sys
+
+    arr = _BUF_POOL.get(shape)
+    # refcount: _BUF_POOL entry + the getrefcount argument == 2
+    if arr is not None and sys.getrefcount(arr) == 2:
+        return arr
+    arr = np.empty(shape, dtype=np.uint8)
+    _BUF_POOL[shape] = arr
+    return arr
+
+
 def synth_image_batch(
     start: int,
     count: int,
@@ -119,7 +142,7 @@ def synth_image_batch(
     # quantize in place.  Bit-identical bytes to per-image encode_image.
     hdr = np.frombuffer(b"R8" + struct.pack("<HHBB", w, h, 0, 0), dtype=np.uint8)
     row_len = 8 + w * h * 3
-    buf = np.empty((count, row_len), dtype=np.uint8)
+    buf = _pooled_buffer((count, row_len))
     buf[:, :8] = hdr
     pixels = buf[:, 8:].reshape(count, h, w, 3)
     _pixels_batch(idx, w, h, out=pixels)
