@@ -42,7 +42,9 @@ def prepare_inputs():
         tbl = synth_elements_table(
             n_nodes=OSM_NODES, n_ways=OSM_WAYS, n_relations=OSM_RELS
         )
-        pq.write_table(tbl, path)
+        # small row groups: parquet row groups bound the scan parallelism
+        # (the default ~1M-row groups cap a 2.7M-row file at 3 read tasks)
+        pq.write_table(tbl, path, row_group_size=65536)
     for name in ("lineitem", "orders", "customer", "events", "documents", "embeddings", "part"):
         with open(os.path.join(SF_DIR, f"{name}.parquet"), "rb") as f:
             while f.read(1 << 24):
@@ -55,7 +57,10 @@ def bench_osm_stitch(elements_path):
 
     from osm2geojson_ray.pipeline.osm import OsmPipeline
 
-    ds = ray.data.read_parquet(elements_path)
+    # block count is a DATA property: fix it at 32 at every CPU level
+    # (the default splitter makes ~270 tiny blocks from one file and every
+    # downstream stage pays per-block scheduling)
+    ds = ray.data.read_parquet(elements_path, override_num_blocks=32)
     # fixed partition count at every CPU level: partitioning is a DATA
     # property; worker parallelism is the resource knob
     pipe = OsmPipeline(num_partitions=32)
