@@ -67,24 +67,63 @@ def phash64_batch(pixel_list) -> np.ndarray:
     return np.array([phash64(p) for p in pixel_list], dtype=np.int64)
 
 
+_SCRATCH: dict = {}
+
+
+def _scratch(key: str, shape, dtype) -> np.ndarray:
+    """Per-worker pooled intermediate (never escapes the function, so
+    unconditional reuse is safe): repeated batches re-fill the same
+    pages instead of faulting fresh ones — the synth/phash hot path is
+    allocation-bound on shared hosts (BASELINE.md)."""
+    arr = _SCRATCH.get(key)
+    if arr is None or arr.shape != tuple(shape) or arr.dtype != dtype:
+        arr = np.empty(shape, dtype)
+        _SCRATCH[key] = arr
+    return arr
+
+
 def phash64_batch_same_size(pixels: np.ndarray) -> np.ndarray:
     """Fully vectorized phash for a (n, h, w, 3) uint8 stack whose h and
     w are divisible by 8 — bit-identical to phash64 per image (exact
-    integer block sums, same float combine and threshold)."""
+    integer block sums, same float combine order and threshold).
+
+    All full-size intermediates live in pooled scratch buffers and the
+    block sums stay uint16 when the exact bound fits (255*h*w/64 <
+    2^16): fresh allocation per call is just the (n, 64) bool bit
+    matrix and the (n,) output."""
     n, h, w, _ = pixels.shape
     if h % 8 or w % 8:
         return phash64_batch(list(pixels))
-    # two-step int32 block sums (exact: block sum <= 255*h*w/64 << 2^31)
-    # — strided 6-D reduction is ~3x slower than two 5-D passes
-    s = pixels.reshape(n, 8, h // 8, w, 3).sum(axis=2, dtype=np.int32)
-    s = s.reshape(n, 8, 8, w // 8, 3).sum(axis=3, dtype=np.int32)
+    # two-step block sums, H axis first, accumulated with EXPLICIT
+    # pairwise adds: ndarray.sum over a short strided axis runs ~6x
+    # slower than a Python loop of full-width vectorized adds (measured
+    # 51 ms -> 10 ms per 7812x16x24 batch)
+    dt = np.uint16 if 255 * (h // 8) * (w // 8) < (1 << 16) else np.int32
+    p6 = pixels.reshape(n, 8, h // 8, w, 3)
+    s1 = _scratch("s1", (n, 8, w, 3), dt)
+    np.copyto(s1, p6[:, :, 0], casting="unsafe")
+    for j in range(1, h // 8):
+        np.add(s1, p6[:, :, j], out=s1)
+    s1r = s1.reshape(n, 8, 8, w // 8, 3)
+    s2 = _scratch("s2", (n, 8, 8, 3), dt)
+    np.copyto(s2, s1r[:, :, :, 0], casting="unsafe")
+    for j in range(1, w // 8):
+        np.add(s2, s1r[:, :, :, j], out=s2)
     cnt = float((h // 8) * (w // 8))
-    g = (0.299 * s[..., 0] + 0.587 * s[..., 1] + 0.114 * s[..., 2]) / cnt  # (n,8,8)
+    # g = (0.299*b0 + 0.587*b1 + 0.114*b2) / cnt with the same add order
+    g = _scratch("g", (n, 8, 8), np.float64)
+    tmp = _scratch("tmp", (n, 8, 8), np.float64)
+    np.multiply(s2[..., 0], 0.299, out=g)
+    np.multiply(s2[..., 1], 0.587, out=tmp)
+    g += tmp
+    np.multiply(s2[..., 2], 0.114, out=tmp)
+    g += tmp
+    g /= cnt
     gf = g.reshape(n, 64)
     bits = gf > gf.mean(axis=1, keepdims=True)
-    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
-    vals = np.where(bits, weights, np.uint64(0)).sum(axis=1, dtype=np.uint64)
-    return vals.astype(np.int64)
+    # sum(bit_i << i) == little-endian packbits of the bit row
+    packed = np.packbits(bits, axis=1, bitorder="little")
+    return packed.view(np.uint64).ravel().astype(np.int64)
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -85,9 +85,14 @@ def _pixels_batch(idx: np.ndarray, w: int, h: int, out: Optional[np.ndarray] = N
     xs = np.arange(w, dtype=np.float64)
     ys = np.arange(h, dtype=np.float64)
     ds = np.arange(w + h - 1, dtype=np.float64)
-    r_row = 127.5 * (1 + np.sin(2 * np.pi * (xs[None] / w + p)))  # (n, w)
-    g_col = 127.5 * (1 + np.cos(2 * np.pi * (ys[None] / h + p * 2)))  # (n, h)
-    b_diag = 127.5 * (1 + np.sin(2 * np.pi * (ds[None] / (w + h) + p * 3)))  # (n, w+h-1)
+    # cast the SMALL per-channel profiles to uint8 BEFORE broadcasting /
+    # gathering: float->uint8 conversion is per-element, so casting the
+    # (n, w) profile then copying equals casting after the broadcast —
+    # but the b-channel gather then materializes an (n, h, w) uint8 temp
+    # instead of float64 (8x less fresh allocation in the hot path)
+    r_row = (127.5 * (1 + np.sin(2 * np.pi * (xs[None] / w + p)))).astype(np.uint8)
+    g_col = (127.5 * (1 + np.cos(2 * np.pi * (ys[None] / h + p * 2)))).astype(np.uint8)
+    b_diag = (127.5 * (1 + np.sin(2 * np.pi * (ds[None] / (w + h) + p * 3)))).astype(np.uint8)
     if out is None:
         out = np.empty((n, h, w, 3), dtype=np.uint8)
     out[..., 0] = r_row[:, None, :]
@@ -96,6 +101,10 @@ def _pixels_batch(idx: np.ndarray, w: int, h: int, out: Optional[np.ndarray] = N
     out[..., 2] = b_diag[:, d_idx]
     return out
 
+
+_LOSSY_LUT = np.clip(
+    (np.arange(256, dtype=np.int16) + 4) // 8 * 8, 0, 255
+).astype(np.uint8)
 
 _BUF_POOL: dict = {}
 
@@ -154,8 +163,10 @@ def synth_image_batch(
         else np.zeros(count, dtype=bool)
     )
     if lossy.any():
-        q = buf[lossy, 8:].astype(np.int16)
-        buf[lossy, 8:] = np.clip((q + 4) // 8 * 8, 0, 255).astype(np.uint8)
+        # value-only transform -> 256-entry LUT gather (uint8 in/out):
+        # identical to clip((v+4)//8*8, 0, 255) per element, without the
+        # int16 promotion chain (~6 full-size temps) per batch
+        buf[lossy, 8:] = _LOSSY_LUT[buf[lossy, 8:]]
     offsets = (np.arange(count + 1, dtype=np.int32) * row_len)
     blob_arr = pa.Array.from_buffers(
         pa.binary(),
