@@ -172,6 +172,138 @@ FROM events GROUP BY event_type, day
 """
 
 
+def q7_asof_prev_event(sf_dir: str):
+    """Backward as-of SELF-join: each event enriched with the same
+    user's most recent STRICTLY-earlier event (temporal.asof_join —
+    hash exchange on user_id, vectorized lexsort/cummax merge per
+    partition).  Unmatched firsts coalesce to (-1, 0.0) so the value
+    hash has no nulls on either side."""
+    from .temporal import asof_join
+
+    schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("value", pa.float64()),
+        ]
+    )
+    cols = ["user_id", "event_id", "ts", "value"]
+    ev_l = _pq(sf_dir, "events", cols)
+    ev_r = _pq(sf_dir, "events", cols)
+    out = asof_join(
+        ev_l, ev_r, by="user_id", on="ts", l_schema=schema, r_schema=schema,
+        strict=True, r_suffix="_prev", num_partitions=16,
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                t["event_id"],
+                t["user_id"],
+                pc.fill_null(t["event_id_prev"], -1),
+                pc.fill_null(t["value_prev"], 0.0),
+            ],
+            names=["event_id", "user_id", "prev_event_id", "prev_value"],
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+Q7_SQL = """
+SELECT e.event_id, e.user_id,
+       COALESCE(p.event_id, -1) AS prev_event_id,
+       COALESCE(p.value, 0.0) AS prev_value
+FROM events e ASOF LEFT JOIN events p
+  ON e.user_id = p.user_id AND e.ts > p.ts
+"""
+
+
+def q8_nation_revenue(sf_dir: str):
+    """Multi-way join with mixed strategies: lineitem x orders is
+    big x big (hash-exchange join on orderkey); customer->nation and
+    nation->name are SMALL sides broadcast once via ray.put and applied
+    as vectorized lookups inside map_batches — no shuffle for the small
+    dimensions (the 100-TB pattern: shuffle only what cannot be
+    broadcast)."""
+    import ray as _ray
+    import pyarrow.parquet as _pqt
+
+    from .relational import hash_join, partial_grouped_agg
+
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [
+                t["l_orderkey"],
+                pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            ],
+            names=["orderkey", "rev"],
+        ),
+        batch_format="pyarrow",
+    )
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        lambda t: pa.Table.from_arrays([t["o_orderkey"], t["o_custkey"]],
+                                       names=["orderkey", "custkey"]),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(
+        li,
+        orders,
+        on="orderkey",
+        l_schema=pa.schema([("orderkey", pa.int64()), ("rev", pa.float64())]),
+        r_schema=pa.schema([("orderkey", pa.int64()), ("custkey", pa.int64())]),
+        how="inner",
+        num_partitions=16,
+    )
+    cust = _pqt.read_table(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_nationkey"])
+    nat = _pqt.read_table(os.path.join(sf_dir, "nation.parquet"),
+                          columns=["n_nationkey", "n_name"])
+    ck = cust["c_custkey"].to_numpy()
+    order = np.argsort(ck)
+    nk = nat["n_nationkey"].to_numpy()
+    names_by_key = np.empty(int(nk.max()) + 1, dtype=object)
+    names_by_key[nk] = nat["n_name"].to_pylist()
+    side_ref = _ray.put(
+        {"ck_sorted": ck[order],
+         "cnat": cust["c_nationkey"].to_numpy()[order],
+         "nat_name": names_by_key}
+    )
+
+    def attach_nation(t: pa.Table) -> pa.Table:
+        from .worker_state import cache_key_for_ref, get_or_build
+
+        side = get_or_build(
+            ("q8_dims", cache_key_for_ref(side_ref)), lambda: _ray.get(side_ref)
+        )
+        cks = t["custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(side["ck_sorted"], cks)
+        nation = side["nat_name"][side["cnat"][np.minimum(pos, len(side["cnat"]) - 1)]]
+        return pa.Table.from_arrays(
+            [pa.array(nation.tolist(), pa.string()), t["rev"]],
+            names=["n_name", "rev"],
+        )
+
+    out = partial_grouped_agg(
+        joined.map_batches(attach_nation, batch_format="pyarrow"),
+        ["n_name"],
+        {"revenue": ("rev", "sum"), "n_rows": (None, "count")},
+    )
+    return _int_scale_cols(out, {"revenue": ("revenue_cents", 100, "round")})
+
+
+Q8_SQL = """
+SELECT n_name,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS revenue_cents,
+       count(*) AS n_rows
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
 def q5_distinct_users(sf_dir: str):
     from .relational import distinct_on
 
@@ -856,6 +988,8 @@ QUERIES = {
     "q4_events_daily": q4_events_daily,
     "q5_distinct_users": q5_distinct_users,
     "q6_user_sessions": q6_user_sessions,
+    "q7_asof_prev_event": q7_asof_prev_event,
+    "q8_nation_revenue": q8_nation_revenue,
     "t_token_count": t_token_count,
     "t_quality_stats": t_quality_stats,
     "t_exact_dedup": t_exact_dedup,
@@ -881,6 +1015,8 @@ ORACLE_SQL = {
     "q4_events_daily": Q4_SQL,
     "q5_distinct_users": Q5_SQL,
     "q6_user_sessions": Q6_SQL,
+    "q7_asof_prev_event": Q7_SQL,
+    "q8_nation_revenue": Q8_SQL,
     "t_token_count": T_TOKEN_SQL,
     "t_quality_stats": T_QUALITY_SQL,
     "t_exact_dedup": T_DEDUP_SQL,

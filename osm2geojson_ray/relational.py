@@ -351,13 +351,35 @@ def partial_grouped_agg(ds, keys: List[str], aggs: Dict[str, Tuple[str, str]]):
             out[out_col] = g[in_col].sum() if how == "sum" else g.size()
         return pd.DataFrame(out).reset_index()
 
-    from ray.data.aggregate import Sum
+    import ray as _ray
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    final = partials.groupby(keys).aggregate(
-        *[Sum(out_col, alias_name=out_col) for out_col in aggs]
-    )
-    return final
+
+    # final reduce: the partial stream holds <= #groups x #blocks tiny
+    # rows, so ONE remote concat+groupby task replaces Ray Data's
+    # SORT-based groupby (which pays ~2-4s of fixed sample/sort latency
+    # regardless of size — the banked hash-exchange lesson applies to
+    # the combine side too)
+    @_ray.remote
+    def _final(*blocks):
+        import pandas as _pd
+
+        frames = [
+            b if isinstance(b, _pd.DataFrame) else b.to_pandas() for b in blocks
+        ]
+        df = _pd.concat(frames, ignore_index=True)
+        g = df.groupby(keys, sort=False, dropna=False)
+        out = {c: g[c].sum() for c in aggs}
+        return pa.Table.from_pandas(_pd.DataFrame(out).reset_index(), preserve_index=False)
+
+    refs = []
+    for bundle in partials.iter_internal_ref_bundles():
+        for block_ref, meta in bundle.blocks:
+            if meta.num_rows is None or meta.num_rows > 0:
+                refs.append(block_ref)
+    if not refs:
+        return partials
+    return ray.data.from_arrow_refs([_final.remote(*refs)])
 
 
 def dataset_from_table(tbl: pa.Table, **kwargs):

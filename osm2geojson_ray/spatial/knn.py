@@ -113,6 +113,45 @@ def _topk_reduce(ds, k: int, descending: bool = False):
     return rd.from_arrow_refs([_reduce.remote(*refs)])
 
 
+def _probe_filter_task(batch: pa.Table, *, state_ref, vec_col) -> pa.Table:
+    """IVF coarse filter in task mode: centroids + probe set fetched
+    once per worker process (worker_state cache)."""
+    from ..worker_state import cache_key_for_ref, get_or_build
+
+    st = get_or_build(
+        ("ivf_state", cache_key_for_ref(state_ref)), lambda: ray.get(state_ref)
+    )
+    if len(batch) == 0:
+        return batch
+    from ..vectors import vec_matrix
+
+    vecs = vec_matrix(batch[vec_col])
+    vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    d = ((vecs[:, None, :] - st["cents"][None, :, :]) ** 2).sum(axis=2)
+    keep = np.isin(d.argmin(axis=1), st["probes"])
+    return batch.filter(pa.array(keep))
+
+
+def _hash_knn_task(batch, *, queries_ref, k, id_col, hash_col):
+    from ..worker_state import cache_key_for_ref, get_or_build
+
+    scorer = get_or_build(
+        ("hash_knn", cache_key_for_ref(queries_ref), k, id_col, hash_col),
+        lambda: _HashKnnScorer(queries_ref=queries_ref, k=k, id_col=id_col, hash_col=hash_col),
+    )
+    return scorer(batch)
+
+
+def _cosine_knn_task(batch, *, queries_ref, k, id_col, vec_col):
+    from ..worker_state import cache_key_for_ref, get_or_build
+
+    scorer = get_or_build(
+        ("cosine_knn", cache_key_for_ref(queries_ref), k, id_col, vec_col),
+        lambda: _CosineKnnScorer(queries_ref=queries_ref, k=k, id_col=id_col, vec_col=vec_col),
+    )
+    return scorer(batch)
+
+
 def phash_knn(
     items,
     query_ids: np.ndarray,
@@ -126,14 +165,17 @@ def phash_knn(
 ):
     """Dataset of (id, phash) x broadcast queries -> global top-k per
     query by Hamming distance (ties broken by neighbor id)."""
+    import functools
+
     ref = ray.put({"ids": np.asarray(query_ids, dtype=np.int64),
                    "hashes": np.asarray(query_hashes, dtype=np.int64)})
+    # task mode + per-worker scorer cache: the broadcast query set is
+    # tiny, so actor-pool spawn would dominate (see worker_state)
     local = items.map_batches(
-        _HashKnnScorer,
-        fn_constructor_kwargs={"queries_ref": ref, "k": k, "id_col": id_col, "hash_col": hash_col},
+        functools.partial(_hash_knn_task, queries_ref=ref, k=k,
+                          id_col=id_col, hash_col=hash_col),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
     )
     return _topk_reduce(local, k)
 
@@ -185,14 +227,15 @@ def embedding_knn(
 ):
     """Brute-force cosine top-k (distance = 1 - cosine, rounded to 1e-9
     so rankings are reproducible across float summation orders)."""
+    import functools
+
     ref = ray.put({"ids": np.asarray(query_ids, dtype=np.int64),
                    "matrix": np.asarray(query_matrix)})
     local = items.map_batches(
-        _CosineKnnScorer,
-        fn_constructor_kwargs={"queries_ref": ref, "k": k, "id_col": id_col, "vec_col": vec_col},
+        functools.partial(_cosine_knn_task, queries_ref=ref, k=k,
+                          id_col=id_col, vec_col=vec_col),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
     )
     return _topk_reduce(local, k)
 
@@ -321,30 +364,13 @@ def embedding_knn_ivf(
     qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
     qd = ((qm[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
     probes = np.unique(np.argsort(qd, axis=1)[:, : min(n_probe, len(cents))].ravel())
+    import functools
+
     state = ray.put({"cents": cents, "probes": probes.astype(np.int64)})
-
-    class ProbeFilter:
-        def __init__(self):
-            st = ray.get(state)
-            self.cents = st["cents"]
-            self.probes = st["probes"]
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if len(batch) == 0:
-                return batch
-            from ..vectors import vec_matrix
-
-            vecs = vec_matrix(batch[vec_col])
-            vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
-            d = ((vecs[:, None, :] - self.cents[None, :, :]) ** 2).sum(axis=2)
-            keep = np.isin(d.argmin(axis=1), self.probes)
-            return batch.filter(pa.array(keep))
-
     pruned = items.map_batches(
-        ProbeFilter,
+        functools.partial(_probe_filter_task, state_ref=state, vec_col=vec_col),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
     )
     return embedding_knn(
         pruned, query_ids, query_matrix, k=k, id_col=id_col, vec_col=vec_col,

@@ -139,6 +139,18 @@ class PipTester:
         )
 
 
+def _pip_task(batch: pa.Table, *, index_ref, lon_col, lat_col, id_col) -> pa.Table:
+    """Task-mode PIP: the prepared tester is built once per WORKER
+    process (worker_state cache keyed by the broadcast ref) and reused
+    by every task that lands there — actor-pool state without the
+    actor-pool spawn cost."""
+    from ..worker_state import cache_key_for_ref, get_or_build
+
+    key = ("pip_tester", cache_key_for_ref(index_ref), lon_col, lat_col, id_col)
+    tester = get_or_build(key, lambda: PipTester(index_ref, lon_col, lat_col, id_col))
+    return tester(batch)
+
+
 def broadcast_pip_join(
     images,
     polygons: List[Tuple[str, list]],
@@ -149,10 +161,30 @@ def broadcast_pip_join(
     id_col: str = "image_id",
     concurrency: int = 2,
     batch_size: Optional[int] = None,
+    compute: str = "tasks",
 ):
     """images Dataset (with lon/lat columns) x small polygon list ->
-    Dataset of (image_id, geom_id) containment rows."""
+    Dataset of (image_id, geom_id) containment rows.
+
+    ``compute="tasks"`` (default) runs on the warm task pool with the
+    index cached per worker process; ``"actors"`` keeps the classic
+    fixed actor pool (sized by ``concurrency``) for when per-process
+    state build is the dominant cost."""
+    import functools
+
     index_ref = build_polygon_index(polygons, level)
+    if compute == "tasks":
+        return images.map_batches(
+            functools.partial(
+                _pip_task,
+                index_ref=index_ref,
+                lon_col=lon_col,
+                lat_col=lat_col,
+                id_col=id_col,
+            ),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
     return images.map_batches(
         PipTester,
         fn_constructor_kwargs={

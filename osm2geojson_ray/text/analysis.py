@@ -194,8 +194,29 @@ class TextAnalyzer:
         return out
 
 
+def _analyze_task(batch, *, text_col):
+    """Task-mode analyzer: the compiled-pattern/stopword state builds
+    once per worker process (worker_state cache) — actor-pool state
+    without per-stage actor spawn (the state here is milliseconds to
+    build, so the spawn cost was pure overhead)."""
+    from ..worker_state import get_or_build
+
+    analyzer = get_or_build(
+        ("text_analyzer", text_col), lambda: TextAnalyzer(text_col=text_col)
+    )
+    return analyzer(batch)
+
+
 def analyze_documents(docs, *, text_col: str = "text", concurrency: int = 2,
-                      batch_size=None):
+                      batch_size=None, compute: str = "tasks"):
+    if compute == "tasks":
+        import functools
+
+        return docs.map_batches(
+            functools.partial(_analyze_task, text_col=text_col),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
     return docs.map_batches(
         TextAnalyzer,
         fn_constructor_kwargs={"text_col": text_col},

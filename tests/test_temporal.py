@@ -1,0 +1,156 @@
+"""As-of join: kernel vs brute force, dataset op vs pandas merge_asof,
+partition-count independence, null/empty robustness."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from osm2geojson_ray.temporal import _asof_merge_indices, asof_join
+
+L_SCHEMA = pa.schema(
+    [("k", pa.int64()), ("ts", pa.int64()), ("lv", pa.float64())]
+)
+R_SCHEMA = pa.schema(
+    [("k", pa.int64()), ("ts", pa.int64()), ("rv", pa.int64())]
+)
+
+
+def test_kernel_matches_bruteforce():
+    rng = np.random.RandomState(0)
+    for trial in range(120):
+        nl, nr = rng.randint(0, 30), rng.randint(0, 30)
+        lk = rng.randint(0, 5, nl).astype(np.int64)
+        rk = rng.randint(0, 5, nr).astype(np.int64)
+        lts = rng.randint(0, 25, nl).astype(np.int64)
+        rts = rng.randint(0, 25, nr).astype(np.int64)
+        for strict in (False, True):
+            match = _asof_merge_indices(lk, lts, rk, rts, strict)
+            for i in range(nl):
+                mask = (rk == lk[i]) & ((rts < lts[i]) if strict else (rts <= lts[i]))
+                if not mask.any():
+                    assert match[i] == -1
+                else:
+                    best = rts[mask].max()
+                    cands = np.flatnonzero(mask & (rts == best))
+                    assert match[i] == cands.max()  # last-row tie-break
+
+
+def _pandas_asof(ldf, rdf, strict):
+    ldf = ldf.sort_values("ts", kind="stable").reset_index(drop=True)
+    rdf = (
+        rdf.dropna()
+        .sort_values(["ts", "rv"], kind="stable")  # last-row tie-break
+        .reset_index(drop=True)
+    )
+    out = pd.merge_asof(
+        ldf,
+        rdf.rename(columns={"ts": "ts_r", "rv": "rv_r"}),
+        left_on="ts",
+        right_on="ts_r",
+        left_by="k",
+        right_by="k",
+        allow_exact_matches=not strict,
+        direction="backward",
+    )
+    return out
+
+
+def _run_asof(ldf, rdf, strict, nparts):
+    out = asof_join(
+        ray.data.from_arrow(pa.Table.from_pandas(ldf, schema=L_SCHEMA)),
+        ray.data.from_arrow(pa.Table.from_pandas(rdf, schema=R_SCHEMA)),
+        by="k",
+        on="ts",
+        l_schema=L_SCHEMA,
+        r_schema=R_SCHEMA,
+        strict=strict,
+        num_partitions=nparts,
+    )
+    return out.to_pandas()
+
+
+def test_asof_join_matches_pandas(ray_session):
+    rng = np.random.RandomState(7)
+    nl, nr = 400, 300
+    ldf = pd.DataFrame(
+        {
+            "k": rng.randint(0, 20, nl).astype(np.int64),
+            "ts": rng.randint(0, 10_000, nl).astype(np.int64),
+            "lv": rng.rand(nl),
+        }
+    )
+    # unique (k, ts) on the right so merge_asof tie-break is moot
+    rdf = pd.DataFrame(
+        {
+            "k": rng.randint(0, 20, nr).astype(np.int64),
+            "ts": rng.randint(0, 10_000, nr).astype(np.int64),
+            "rv": np.arange(nr, dtype=np.int64),
+        }
+    ).drop_duplicates(["k", "ts"])
+    for strict in (False, True):
+        got = (
+            _run_asof(ldf, rdf, strict, 4)
+            .sort_values(["k", "ts", "lv"], kind="stable")
+            .reset_index(drop=True)
+        )
+        want = (
+            _pandas_asof(ldf, rdf, strict)
+            .sort_values(["k", "ts", "lv"], kind="stable")
+            .reset_index(drop=True)
+        )
+        for col in ("k", "ts", "lv", "ts_r", "rv_r"):
+            pd.testing.assert_series_equal(
+                got[col], want[col], check_names=False, check_dtype=False
+            )
+
+
+def test_asof_join_partition_count_independent(ray_session):
+    rng = np.random.RandomState(11)
+    ldf = pd.DataFrame(
+        {
+            "k": rng.randint(0, 7, 100).astype(np.int64),
+            "ts": rng.randint(0, 50, 100).astype(np.int64),
+            "lv": rng.rand(100),
+        }
+    )
+    rdf = pd.DataFrame(
+        {
+            "k": rng.randint(0, 7, 80).astype(np.int64),
+            "ts": rng.randint(0, 50, 80).astype(np.int64),
+            "rv": np.arange(80, dtype=np.int64),
+        }
+    )
+    outs = [
+        _run_asof(ldf, rdf, False, p)
+        .sort_values(["k", "ts", "lv"], kind="stable")
+        .reset_index(drop=True)
+        for p in (1, 3, 8)
+    ]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    pd.testing.assert_frame_equal(outs[0], outs[2])
+
+
+def test_asof_join_nulls_and_empty(ray_session):
+    ldf = pd.DataFrame(
+        {"k": pd.array([1, None, 2], dtype="Int64"),
+         "ts": pd.array([5, 5, None], dtype="Int64"),
+         "lv": [0.1, 0.2, 0.3]}
+    )
+    rdf = pd.DataFrame(
+        {"k": pd.array([1, 2], dtype="Int64"),
+         "ts": pd.array([3, None], dtype="Int64"),
+         "rv": pd.array([10, 20], dtype="Int64")}
+    )
+    out = _run_asof(ldf, rdf, False, 3).sort_values("lv").reset_index(drop=True)
+    # row 0: k=1 matches rv=10; rows 1-2: null key / null ts stay unmatched
+    assert len(out) == 3
+    assert out.loc[0, "rv_r"] == 10
+    assert pd.isna(out.loc[1, "rv_r"]) and pd.isna(out.loc[2, "rv_r"])
+    # empty right: all left rows kept, nulls
+    empty_r = pd.DataFrame({"k": pd.array([], dtype="Int64"),
+                            "ts": pd.array([], dtype="Int64"),
+                            "rv": pd.array([], dtype="Int64")})
+    out2 = _run_asof(ldf, empty_r, False, 2)
+    assert len(out2) == 3 and out2["rv_r"].isna().all()
