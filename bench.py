@@ -80,7 +80,10 @@ def bench_image_pipeline():
     from osm2geojson_ray.queries import corpus_polygons
     from osm2geojson_ray.spatial.pip import broadcast_pip_join
 
-    ds = synth_image_table(N_IMAGES, partition_rows=max(512, N_IMAGES // 256))
+    # 64 partitions (a fixed DATA property): with the vectorized synth at
+    # ~180k img/s/core, 256 tasks of ~60ms each were bounded by the
+    # streaming executor's per-task dispatch, not compute
+    ds = synth_image_table(N_IMAGES, partition_rows=max(512, N_IMAGES // 64))
 
     def add_position(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -166,18 +166,67 @@ def points_in_ring_many(xs, ys, ring: Ring):
         nedge = len(xi)
         if nedge == 0:
             return out
-    chunk = max(1, int(4_000_000 // nedge))
-    for s in range(0, npts, chunk):
-        e = min(npts, s + chunk)
-        x = xs[s:e, None]
-        y = ys[s:e, None]
-        crossing = (yi[None, :] > y) != (yj[None, :] > y)
-        t = (y - yi[None, :]) / np.where(crossing, yj[None, :] - yi[None, :], 1.0)
-        xcross = xi[None, :] + t * (xj[None, :] - xi[None, :])
+    def eval_pairs(p_idx: "np.ndarray", e_idx: "np.ndarray"):
+        """The exact per-pair predicate over a points x edges block —
+        identical float expressions regardless of which (superset of
+        relevant) edges are enumerated, because an edge whose y-interval
+        misses a point's y contributes neither a crossing, an on-edge
+        hit, nor a vertex match."""
+        x = xs[p_idx][:, None]
+        y = ys[p_idx][:, None]
+        exi, eyi, exj, eyj = xi[e_idx], yi[e_idx], xj[e_idx], yj[e_idx]
+        crossing = (eyi[None, :] > y) != (eyj[None, :] > y)
+        t = (y - eyi[None, :]) / np.where(crossing, eyj[None, :] - eyi[None, :], 1.0)
+        xcross = exi[None, :] + t * (exj[None, :] - exi[None, :])
         inside = ((crossing & (x < xcross)).sum(axis=1) % 2) == 1
         on_edge = (crossing & (x == xcross)).any(axis=1)
-        at_vertex = ((yi[None, :] == y) & (xi[None, :] == x)).any(axis=1)
-        out[s:e] = inside | on_edge | at_vertex
+        at_vertex = ((eyi[None, :] == y) & (exi[None, :] == x)).any(axis=1)
+        out[p_idx] = inside | on_edge | at_vertex
+
+    all_edges = np.arange(nedge)
+    if npts * nedge <= 500_000 or nedge < 64:
+        chunk = max(1, int(500_000 // nedge))
+        for s in range(0, npts, chunk):
+            eval_pairs(np.arange(s, min(npts, s + chunk)), all_edges)
+        return out
+    # large case: Y-BINNED pair enumeration.  Every edge relevant to a
+    # point's predicate has the point's y inside its [min(yi,yj),
+    # max(yi,yj)] interval, and floor((v - ymin) * scale) is monotone in
+    # v (IEEE multiply/subtract are monotone), so replicating each edge
+    # to its bin RANGE guarantees the point's bin is covered — the bin
+    # pass only prunes pairs whose predicate is identically false.
+    # 21k points x 21k edges: 454M pairs -> a few M.
+    e_lo = np.minimum(yi, yj)
+    e_hi = np.maximum(yi, yj)
+    ymin = min(float(ys.min()), float(e_lo.min()))
+    ymax = max(float(ys.max()), float(e_hi.max()))
+    if ymax <= ymin:
+        chunk = max(1, int(4_000_000 // nedge))
+        for s in range(0, npts, chunk):
+            eval_pairs(np.arange(s, min(npts, s + chunk)), all_edges)
+        return out
+    nbins = int(np.clip(np.sqrt(min(npts, nedge)) * 4, 16, 2048))
+    scale = nbins / (ymax - ymin)
+    p_bin = np.clip(((ys - ymin) * scale).astype(np.int64), 0, nbins - 1)
+    e_b0 = np.clip(((e_lo - ymin) * scale).astype(np.int64), 0, nbins - 1)
+    e_b1 = np.clip(((e_hi - ymin) * scale).astype(np.int64), 0, nbins - 1)
+    counts = e_b1 - e_b0 + 1
+    rep_edges = np.repeat(all_edges, counts)
+    offs = np.arange(len(rep_edges)) - np.repeat(np.cumsum(counts) - counts, counts)
+    rep_bins = np.repeat(e_b0, counts) + offs
+    e_order = np.argsort(rep_bins, kind="stable")
+    rep_edges_sorted = rep_edges[e_order]
+    bin_starts = np.searchsorted(rep_bins[e_order], np.arange(nbins + 1))
+    p_order = np.argsort(p_bin, kind="stable")
+    p_starts = np.searchsorted(p_bin[p_order], np.arange(nbins + 1))
+    for b in range(nbins):
+        ps = p_order[p_starts[b] : p_starts[b + 1]]
+        if not len(ps):
+            continue
+        es = rep_edges_sorted[bin_starts[b] : bin_starts[b + 1]]
+        if not len(es):
+            continue
+        eval_pairs(ps, es)
     return out
 
 

@@ -788,23 +788,45 @@ def osm_corpus_features(sf_dir: str):
     )
 
 
+def _fixture_polygons(base: str) -> List[Tuple[str, list]]:
+    """Document-convert ONE fixture and extract its polygons."""
+    from .document import json2shapes
+    from .model.xml_parse import parse_osm_xml
+
+    jp = os.path.join(REFERENCE_DATA, base + ".json")
+    xp = os.path.join(REFERENCE_DATA, base + ".osm")
+    if os.path.exists(jp):
+        with open(jp) as f:
+            doc = json.load(f)
+    else:
+        with open(xp) as f:
+            doc = parse_osm_xml(f.read())
+    polys = []
+    for s in json2shapes({"elements": doc["elements"]}):
+        g = s["shape"]
+        gid = f"{base}/{s['properties']['type']}/{s['properties']['id']}"
+        if g["type"] == "Polygon":
+            polys.append((gid, g["coordinates"]))
+        elif g["type"] == "MultiPolygon":
+            for i, p in enumerate(g["coordinates"]):
+                polys.append((f"{gid}#{i}", p))
+    return polys
+
+
 def corpus_polygons() -> List[Tuple[str, list]]:
     """Assembled polygons from the corpus (document path, tiny) as the
-    small side of spatial joins."""
-    from .document import json2shapes
+    small side of spatial joins.  Fixture conversions are independent,
+    so they fan out as Ray tasks when a session is live (the serial
+    driver loop was ~1.4s of fixed latency in every PIP bench run);
+    output order is the fixture list order either way."""
+    import ray as _ray
 
-    polys = []
-    for base, elements in _corpus_elements():
-        shapes = json2shapes({"elements": elements})
-        for s in shapes:
-            g = s["shape"]
-            gid = f"{base}/{s['properties']['type']}/{s['properties']['id']}"
-            if g["type"] == "Polygon":
-                polys.append((gid, g["coordinates"]))
-            elif g["type"] == "MultiPolygon":
-                for i, p in enumerate(g["coordinates"]):
-                    polys.append((f"{gid}#{i}", p))
-    return polys
+    if _ray.is_initialized():
+        fp = _ray.remote(_fixture_polygons)
+        per_fixture = _ray.get([fp.remote(b) for b in _CORPUS])
+    else:
+        per_fixture = [_fixture_polygons(b) for b in _CORPUS]
+    return [p for sub in per_fixture for p in sub]
 
 
 def g_pip_join_osm(sf_dir: str):

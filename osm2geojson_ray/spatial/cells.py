@@ -82,16 +82,26 @@ def cover_bbox(min_lon, min_lat, max_lon, max_lat, level: int) -> np.ndarray:
 
 def _rect_intersects_polygon(rect, poly) -> bool:
     """Exact rectangle x polygon intersection (vertex-in-rect,
-    rect-corner-in-polygon, or edge crossing)."""
-    from ..geom.kernels import point_in_polygon
+    rect-corner-in-polygon, or edge crossing).  Vertex containment and
+    corner-in-ring run vectorized; the scalar proper-intersection test
+    only sees edges whose bbox overlaps the rectangle (an exact
+    prefilter: two segments can only intersect inside both bboxes), so
+    a 21k-vertex shell costs one numpy pass per cell, not 84k Python
+    segment tests."""
+    from ..geom.kernels import _segments_properly_intersect, points_in_ring_many
 
     rx0, ry0, rx1, ry1 = rect
-    shell = poly[0]
-    for p in shell[:-1]:
-        if rx0 <= p[0] <= rx1 and ry0 <= p[1] <= ry1:
-            return True
-    for cx, cy in ((rx0, ry0), (rx0, ry1), (rx1, ry0), (rx1, ry1)):
-        if point_in_polygon(cx, cy, poly):
+    shell = np.asarray(poly[0], dtype=np.float64)
+    sx, sy = shell[:-1, 0], shell[:-1, 1]
+    if bool(np.any((sx >= rx0) & (sx <= rx1) & (sy >= ry0) & (sy <= ry1))):
+        return True
+    cx = np.array([rx0, rx0, rx1, rx1], dtype=np.float64)
+    cy = np.array([ry0, ry1, ry0, ry1], dtype=np.float64)
+    inside = np.asarray(points_in_ring_many(cx, cy, poly[0]), dtype=bool)
+    if inside.any():
+        for hole in poly[1:]:
+            inside &= ~np.asarray(points_in_ring_many(cx, cy, hole), dtype=bool)
+        if inside.any():
             return True
     # edge crossings: any polygon edge crossing any rect edge
     rect_edges = [
@@ -100,11 +110,19 @@ def _rect_intersects_polygon(rect, poly) -> bool:
         ((rx1, ry1), (rx0, ry1)),
         ((rx0, ry1), (rx0, ry0)),
     ]
-    from ..geom.kernels import _segments_properly_intersect
-
     for ring in poly:
-        for i in range(len(ring) - 1):
-            a, b = ring[i], ring[i + 1]
+        r = np.asarray(ring, dtype=np.float64)
+        ax, ay = r[:-1, 0], r[:-1, 1]
+        bx, by = r[1:, 0], r[1:, 1]
+        cand = (
+            (np.maximum(ax, bx) >= rx0)
+            & (np.minimum(ax, bx) <= rx1)
+            & (np.maximum(ay, by) >= ry0)
+            & (np.minimum(ay, by) <= ry1)
+        )
+        for i in np.flatnonzero(cand):
+            a = (ax[i], ay[i])
+            b = (bx[i], by[i])
             for r0, r1 in rect_edges:
                 if _segments_properly_intersect(a, b, r0, r1):
                     return True
@@ -155,8 +173,18 @@ def _any_edge_crossing(rect, ring) -> bool:
         ((rx1, ry1), (rx0, ry1)),
         ((rx0, ry1), (rx0, ry0)),
     ]
-    for i in range(len(ring) - 1):
+    # exact bbox prefilter (see _rect_intersects_polygon)
+    r = np.asarray(ring, dtype=np.float64)
+    ax, ay = r[:-1, 0], r[:-1, 1]
+    bx, by = r[1:, 0], r[1:, 1]
+    cand = (
+        (np.maximum(ax, bx) >= rx0)
+        & (np.minimum(ax, bx) <= rx1)
+        & (np.maximum(ay, by) >= ry0)
+        & (np.minimum(ay, by) <= ry1)
+    )
+    for i in np.flatnonzero(cand):
         for r0, r1 in rect_edges:
-            if _segments_properly_intersect(ring[i], ring[i + 1], r0, r1):
+            if _segments_properly_intersect((ax[i], ay[i]), (bx[i], by[i]), r0, r1):
                 return True
     return False

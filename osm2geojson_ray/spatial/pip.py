@@ -46,15 +46,21 @@ def _points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndar
 
 
 class _CellPolygonIndex:
-    """cell id -> list of (geom_id, polygon, bbox)."""
+    """cell id -> list of (geom_id, polygon, bbox).
 
-    def __init__(self, polygons: List[Tuple[str, list]], level: int):
+    ``covers``: optional precomputed ``cover_polygon`` results (one int
+    array per polygon) so the driver can fan the cover computation out
+    as Ray tasks; insertion order stays polygon-list order regardless."""
+
+    def __init__(self, polygons: List[Tuple[str, list]], level: int, covers=None):
         self.level = level
         self.cells: Dict[int, List[int]] = {}
         self.polys = polygons
         self.bboxes = [ring_bbox(p[1][0]) for p in polygons]
-        for i, (_gid, poly) in enumerate(polygons):
-            for c in cover_polygon(poly, level).tolist():
+        if covers is None:
+            covers = [cover_polygon(poly, level) for _gid, poly in polygons]
+        for i, cov in enumerate(covers):
+            for c in cov.tolist():
                 self.cells.setdefault(c, []).append(i)
 
     def candidates(self, cell: int) -> List[int]:
@@ -62,8 +68,15 @@ class _CellPolygonIndex:
 
 
 def build_polygon_index(polygons: List[Tuple[str, list]], level: int) -> "ray.ObjectRef":
-    """Build + broadcast the cell index (one ray.put, read per actor)."""
-    return ray.put(_CellPolygonIndex(polygons, level))
+    """Build + broadcast the cell index (one ray.put, read per actor/
+    worker).  Per-polygon cell covers are independent — computed as Ray
+    tasks when a session is live (a large polygon's cover was ~1s of
+    serial driver latency); the index assembly itself is order-stable."""
+    covers = None
+    if ray.is_initialized() and len(polygons) > 1:
+        cov_task = ray.remote(cover_polygon)
+        covers = ray.get([cov_task.remote(poly, level) for _gid, poly in polygons])
+    return ray.put(_CellPolygonIndex(polygons, level, covers=covers))
 
 
 class PipTester:
