@@ -104,7 +104,8 @@ def _empty(schema: pa.Schema):
 
 
 def join_safe(left, right, *, on: str, l_schema: pa.Schema, r_schema: pa.Schema,
-              join_type: str, num_partitions: int):
+              join_type: str, num_partitions: int, post_fn=None,
+              emit_split_on=None):
     """Partitioned hash join (see relational.hash_join).  Ray's native
     Dataset.join crashes on empty-input partitions in 2.49, so joins go
     through the explicit groupby-based implementation."""
@@ -116,6 +117,8 @@ def join_safe(left, right, *, on: str, l_schema: pa.Schema, r_schema: pa.Schema,
         r_schema=r_schema,
         how=join_type,
         num_partitions=num_partitions,
+        post_fn=post_fn,
+        emit_split_on=emit_split_on,
     )
 
 
@@ -245,15 +248,6 @@ class OsmPipeline:
             )
 
         coords = nodes.map_batches(node_coords, batch_format="pyarrow")
-        joined = join_safe(
-            edges,
-            coords,
-            on="node_id",
-            l_schema=EDGE_SCHEMA,
-            r_schema=COORDS_SCHEMA,
-            join_type="left_outer",
-            num_partitions=nparts,
-        )
 
         # FUSED regroup-and-attach: edge rows and full way rows are
         # tagged into one stream and co-partitioned by way_id; each
@@ -292,8 +286,21 @@ class OsmPipeline:
             lambda t: pad_to_fused(t.append_column("way_id", t["id"]), 0),
             batch_format="pyarrow",
         )
-        edge_tagged = joined.map_batches(
-            lambda t: pad_to_fused(t, 1), batch_format="pyarrow"
+        # FUSED join->exchange: the node-id join's reduce pads its
+        # output to the fused schema and splits it by way_id in place
+        # (ShardedRefs) — the way_id exchange consumes those refs
+        # directly, skipping one barrier + materialize + re-split hop
+        # of the full edge stream (a FLAT cost at every CPU level)
+        edge_sharded = join_safe(
+            edges,
+            coords,
+            on="node_id",
+            l_schema=EDGE_SCHEMA,
+            r_schema=COORDS_SCHEMA,
+            join_type="left_outer",
+            num_partitions=nparts,
+            post_fn=lambda t: pad_to_fused(t, 1),
+            emit_split_on=("way_id", nparts),
         )
 
         out_resolved_schema = pa.schema(
@@ -398,7 +405,7 @@ class OsmPipeline:
         from ..relational import hash_exchange_map
 
         ways_resolved = hash_exchange_map(
-            ways_keyed.union(edge_tagged), "way_id", nparts, assemble_and_attach
+            [ways_keyed, edge_sharded], "way_id", nparts, assemble_and_attach
         )
         if ways_resolved is None:
             ways_resolved = _empty(out_resolved_schema)
@@ -717,28 +724,107 @@ class OsmPipeline:
             explode_members, batch_format="pyarrow"
         ).materialize()
 
-        # The way payload carries the ELEMENT COLUMNS natively (plus the
-        # resolved coords list) — way-element dicts are built only for
-        # rows that actually join to a relation member, never for the
-        # full way set (at planet scale members are a small fraction)
-        way_payload = ways_resolved.map_batches(
-            lambda t: t.drop_columns(["used_nodes"]), batch_format="pyarrow"
+        # ---- PARTITION-WISE member join (no re-exchange of ways) ----
+        # ways_resolved partition p already holds way_id % nparts == p
+        # (it is the way_id exchange's output, one block per partition).
+        # Split the member-edge table (small: only relation members) the
+        # same way and join per partition; each join task emits member
+        # payload rows PRE-SPLIT by rel_id (ShardedRefs) for the round
+        # exchanges.  Removes one full way_id exchange + barrier and the
+        # per-round member re-splits — all FLAT latency at every level.
+        ext_payload_schema = pa.schema(
+            [
+                ("rel_id", pa.int64()),
+                ("kind", pa.int8()),
+                ("payload", pa.string()),
+                ("resolved", pa.bool_()),
+                ("coords", pa.list_(COORD)),
+                ("way_id", pa.int64()),
+            ]
+            + [f for f in _MEMBER_EL_FIELDS]
+            + [pa.field("member_idx", pa.int64()), pa.field("role", pa.string())]
         )
-        member_edge_schema = MEMBER_EDGE_SCHEMA
-        _epw = ELEMENT_SCHEMA.append(pa.field("way_id", pa.int64()))
-        way_payload_schema = pa.schema(
-            list(_epw)
-            + [pa.field("resolved", pa.bool_()), pa.field("coords", pa.list_(COORD))]
-        )
-        member_ways = join_safe(
-            member_edges,
-            way_payload,
-            on="way_id",
-            l_schema=member_edge_schema,
-            r_schema=way_payload_schema,
-            join_type="inner",
-            num_partitions=nparts,
-        )
+
+        import ray as _ray
+
+        from ..relational import ShardedRefs, _exchange_split
+
+        @_ray.remote
+        def _edge_split(block, p):
+            parts = _exchange_split(block, "way_id", p)
+            return parts[0] if p == 1 else tuple(parts)
+
+        @_ray.remote
+        def _member_join_split(p2, ways_block, *edge_shards):
+            import pandas as _pd
+
+            edges_t = pa.concat_tables(edge_shards, promote_options="default")
+            wt = ways_block.drop_columns(["used_nodes"])
+            ldf = _pd.DataFrame(
+                {"k": edges_t["way_id"].to_numpy(zero_copy_only=False),
+                 "li": np.arange(len(edges_t))}
+            )
+            rdf = _pd.DataFrame(
+                {"k": wt["way_id"].to_numpy(zero_copy_only=False),
+                 "ri": np.arange(len(wt))}
+            )
+            m = ldf.merge(rdf, on="k", how="inner")
+            li = pa.array(m["li"].to_numpy().astype(np.int64))
+            ri = pa.array(m["ri"].to_numpy().astype(np.int64))
+            n = len(m)
+            arrays = [
+                edges_t["rel_id"].take(li),
+                pa.array(np.ones(n, dtype=np.int8)),
+                pa.nulls(n, pa.string()),
+                wt["resolved"].take(ri),
+                wt["coords"].take(ri).combine_chunks().cast(pa.list_(COORD))
+                if n
+                else pa.nulls(0, pa.list_(COORD)),
+                edges_t["way_id"].take(li),
+            ]
+            arrays += [wt[f.name].take(ri) for f in _MEMBER_EL_FIELDS]
+            arrays += [edges_t["member_idx"].take(li), edges_t["role"].take(li)]
+            out = pa.Table.from_arrays(arrays, schema=ext_payload_schema)
+            parts = _exchange_split(out, "rel_id", p2)
+            return parts[0] if p2 == 1 else tuple(parts)
+
+        edge_blocks = []
+        for bundle in member_edges.iter_internal_ref_bundles():
+            for block_ref, meta in bundle.blocks:
+                if meta.num_rows is None or meta.num_rows > 0:
+                    edge_blocks.append(block_ref)
+        ways_blocks = []
+        for bundle in ways_resolved.iter_internal_ref_bundles():
+            for block_ref, meta in bundle.blocks:
+                ways_blocks.append(block_ref)
+        member_sharded = None
+        if edge_blocks and ways_blocks:
+            edge_mat = []
+            for b in edge_blocks:
+                r = _edge_split.options(num_returns=len(ways_blocks)).remote(
+                    b, len(ways_blocks)
+                )
+                edge_mat.append([r] if len(ways_blocks) == 1 else list(r))
+            out_shards = []
+            for p, wb in enumerate(ways_blocks):
+                r = _member_join_split.options(num_returns=nparts).remote(
+                    nparts, wb, *[s[p] for s in edge_mat]
+                )
+                out_shards.append([r] if nparts == 1 else list(r))
+            member_sharded = ShardedRefs(out_shards, nparts)
+        def member_ways_view():
+            """Dataset view of the joined member rows (salted path only
+            — built lazily and coalesced: the raw shard matrix is
+            nparts^2 tiny blocks, which would charge every downstream
+            map per-block scheduling)."""
+            if member_sharded is None:
+                return _empty(ext_payload_schema)
+            from ..relational import coalesce_blocks
+
+            flat = ray.data.from_arrow_refs(
+                [r for shard in member_sharded.shards for r in shard]
+            )
+            return coalesce_blocks(flat, nparts)
 
         # nested relation refs
         def explode_rel_members(batch: pa.Table) -> pa.Table:
@@ -827,17 +913,37 @@ class OsmPipeline:
         # the tiny mega id list reaches the driver.
         mega_ids: List[int] = []
         if self.salt_member_threshold:
-            from ..relational import grouped_count
+            import ray as _ray
 
             thr = self.salt_member_threshold
-            counts = grouped_count(member_edges, "rel_id", num_partitions=nparts)
-            mega_rows = counts.map_batches(
-                lambda t: t.filter(pc.greater(t["n"], thr)), batch_format="pyarrow"
-            ).take_all()
+
+            # per-block partial counts over the ALREADY-MATERIALIZED
+            # member edges, merged on the driver: distinct relation ids
+            # are tiny (one row per relation per block), so a dedicated
+            # exchange execution here was pure fixed latency
+            @_ray.remote
+            def _rel_counts(block):
+                ids, cnt = np.unique(
+                    block["rel_id"].to_numpy(zero_copy_only=False), return_counts=True
+                )
+                return ids.astype(np.int64), cnt.astype(np.int64)
+
+            crefs = []
+            for bundle in member_edges.iter_internal_ref_bundles():
+                for block_ref, meta in bundle.blocks:
+                    if meta.num_rows is None or meta.num_rows > 0:
+                        crefs.append(_rel_counts.remote(block_ref))
+            parts = _ray.get(crefs)
+            if parts:
+                all_ids = np.concatenate([p[0] for p in parts])
+                all_cnt = np.concatenate([p[1] for p in parts])
+                uids, inv = np.unique(all_ids, return_inverse=True)
+                totals = np.bincount(inv, weights=all_cnt.astype(np.float64))
+                heavy = set(uids[totals > thr].tolist())
+            else:
+                heavy = set()
             nested_involved = set(depth_memo)
-            mega_ids = sorted(
-                {r["rel_id"] for r in mega_rows} - nested_involved
-            )
+            mega_ids = sorted(heavy - nested_involved)
 
         round_filters: List = []  # (is_in_arr or None-for-complement)
         excl_round0 = sorted(set(later_ids) | set(mega_ids))
@@ -862,33 +968,18 @@ class OsmPipeline:
 
         for round_no, (mode, ids_arr) in enumerate(round_filters):
             rel_f = _round_filter("id", mode, ids_arr)
-            mem_f = _round_filter("rel_id", mode, ids_arr)
             round_rels = (
                 rels if rel_f is None else rels.map_batches(rel_f, batch_format="pyarrow")
-            )
-            tagged_members = (
-                member_ways
-                if mem_f is None
-                else member_ways.map_batches(mem_f, batch_format="pyarrow")
             )
 
             shapes_ref = resolved_shapes  # closure: broadcast of prior rounds
 
-            # ONE shuffle: relation rows and member-way payload rows are
-            # tagged into a common (rel_id, kind, payload) stream and
-            # co-partitioned by rel_id; each partition converts all of
-            # its relations in a single Python pass
-            payload_schema = pa.schema(
-                [
-                    ("rel_id", pa.int64()),
-                    ("kind", pa.int8()),
-                    ("payload", pa.string()),  # rel rows: element record JSON
-                    ("resolved", pa.bool_()),
-                    ("coords", pa.list_(COORD)),
-                    ("way_id", pa.int64()),
-                ]
-                + [f for f in _MEMBER_EL_FIELDS]
-            )
+            # ONE shuffle per round: relation rows co-partition with the
+            # PRE-SPLIT member shards (member_sharded, rel_id-keyed refs
+            # computed once by the partition-wise join) — member rows of
+            # other rounds ride along unconverted (convert_partition is
+            # driven by the relation rows, which ARE round-filtered)
+            payload_schema = ext_payload_schema
 
             def rel_payload(batch: pa.Table) -> pa.Table:
                 rows = [
@@ -905,34 +996,14 @@ class OsmPipeline:
                         pa.nulls(n, pa.list_(COORD)),
                         pa.nulls(n, pa.int64()),
                     ]
-                    + [pa.nulls(n, f.type) for f in _MEMBER_EL_FIELDS],
+                    + [pa.nulls(n, f.type) for f in _MEMBER_EL_FIELDS]
+                    + [pa.nulls(n, pa.int64()), pa.nulls(n, pa.string())],
                     schema=payload_schema,
                 )
 
-            def member_payload(batch: pa.Table) -> pa.Table:
-                # pure column projection: coordinates AND the way's
-                # element columns ride natively through the rel_id
-                # exchange — element dicts are built per member in the
-                # reduce, never for non-member ways
-                n = len(batch)
-                return pa.Table.from_arrays(
-                    [
-                        batch["rel_id"],
-                        pa.array(np.ones(n, dtype=np.int8)),
-                        pa.nulls(n, pa.string()),
-                        batch["resolved"],
-                        batch["coords"].combine_chunks().cast(pa.list_(COORD))
-                        if n
-                        else pa.nulls(0, pa.list_(COORD)),
-                        batch["way_id"],
-                    ]
-                    + [batch[f.name] for f in _MEMBER_EL_FIELDS],
-                    schema=payload_schema,
-                )
-
-            both = round_rels.map_batches(rel_payload, batch_format="pyarrow").union(
-                tagged_members.map_batches(member_payload, batch_format="pyarrow")
-            )
+            both = [round_rels.map_batches(rel_payload, batch_format="pyarrow")]
+            if member_sharded is not None:
+                both.append(member_sharded)
 
             def convert_partition(tbl: pa.Table, _shapes=shapes_ref) -> pa.Table:
                 kinds = tbl["kind"].to_numpy(zero_copy_only=False)
@@ -941,17 +1012,25 @@ class OsmPipeline:
                 coords_np, offs = _list_coords_view(tbl["coords"])
                 resolved_np = tbl["resolved"].to_numpy(zero_copy_only=False)
                 mem_mask = kinds == 1
-                mem_el_rows = (
-                    tbl.filter(pa.array(mem_mask))
-                    .select([f.name for f in _MEMBER_EL_FIELDS])
-                    .to_pylist()
-                )
-                mem_pos = np.cumsum(mem_mask) - 1  # tbl index -> member row
+                rel_rows = np.flatnonzero(kinds == 0)
                 members_by_rel: Dict[int, list] = {}
                 for i in np.flatnonzero(mem_mask):
                     members_by_rel.setdefault(int(rel_ids[i]), []).append(int(i))
+                # pythonize ONLY the member rows this round's relations
+                # reference (the shards carry every round's members)
+                needed = [
+                    mi
+                    for i in rel_rows
+                    for mi in members_by_rel.get(int(rel_ids[i]), [])
+                ]
+                mem_el_rows = (
+                    tbl.take(pa.array(needed, pa.int64()))
+                    .select([f.name for f in _MEMBER_EL_FIELDS])
+                    .to_pylist()
+                )
+                mem_pos = {mi: j for j, mi in enumerate(needed)}
                 feats, used_u, used_c, out_shapes = [], [], [], []
-                for i in np.flatnonzero(kinds == 0):
+                for i in rel_rows:
                     rec = json.loads(payloads[i])
                     el = rec["el"]
                     index: Dict[str, dict] = {}
@@ -1029,7 +1108,7 @@ class OsmPipeline:
 
         if mega_ids:
             mega_out = self._relations_salted(
-                rels, member_ways, pa.array(mega_ids, pa.int64()), nparts
+                rels, member_ways_view(), pa.array(mega_ids, pa.int64()), nparts
             )
             if mega_out is not None:
                 self._round_outs.append(mega_out)

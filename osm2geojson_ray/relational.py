@@ -61,6 +61,8 @@ def hash_join(
     r_schema: pa.Schema,
     how: str = "inner",
     num_partitions: int = 16,
+    post_fn=None,
+    emit_split_on: "Optional[Tuple[str, int]]" = None,
 ):
     """Equi-join two Datasets on an int64 key column.
 
@@ -70,6 +72,13 @@ def hash_join(
     worker heap.  ``left_anti`` keeps left rows whose key has NO match
     on the right (duplicate right keys are fine — no pre-distinct
     shuffle needed).
+
+    ``post_fn``: applied to each partition's merged table INSIDE the
+    join reduce (e.g. padding to a downstream union schema).
+    ``emit_split_on=(key2, P2)``: the reduce also splits its (post_fn'd)
+    output by the next stage's key and the join returns a
+    ``ShardedRefs`` (fused join->exchange; see hash_exchange_map) —
+    ``None`` when both inputs are empty.
     """
     superset = _superset_schema(on, l_schema, r_schema)
     out_schema = pa.schema([f for f in superset if f.name not in ("__side", "__part")])
@@ -115,8 +124,13 @@ def hash_join(
             arrays.append(rt_sel[c].take(ri))
         return pa.Table.from_arrays(arrays, schema=out_schema)
 
-    exchanged = hash_exchange_map(both, on, num_partitions, merge_partition)
-    if exchanged is None:
+    fn = merge_partition if post_fn is None else (
+        lambda t, _m=merge_partition, _p=post_fn: _p(_m(t))
+    )
+    exchanged = hash_exchange_map(
+        both, on, num_partitions, fn, emit_split_on=emit_split_on
+    )
+    if exchanged is None and emit_split_on is None:
         return empty_dataset(out_schema)
     return exchanged
 
@@ -196,8 +210,30 @@ def _exchange_split(block: pa.Table, key: str, num_partitions: int):
     return [taken.slice(cuts[p], cuts[p + 1] - cuts[p]) for p in range(num_partitions)]
 
 
-def hash_exchange_map(ds, key: str, num_partitions: int, fn, *, fn_format: str = "pyarrow"):
-    """Hash-partition ``ds`` on ``key`` and apply ``fn`` ONCE per
+class ShardedRefs:
+    """A PRE-SPLIT exchange stream: ``shards[i][p]`` is the partition-p
+    shard emitted by source task i.  Produced by an exchange (or join)
+    whose reduce also split its output on the NEXT stage's key
+    (``emit_split_on``) — the downstream exchange consumes these refs
+    directly, skipping one full barrier + materialize + re-split hop.
+    Exchange barriers are FLAT costs (identical at every parallelism
+    level), so removing hops directly buys scaling efficiency."""
+
+    def __init__(self, shards: List[list], num_partitions: int):
+        self.shards = shards
+        self.num_partitions = num_partitions
+
+
+def hash_exchange_map(
+    ds,
+    key: str,
+    num_partitions: int,
+    fn,
+    *,
+    fn_format: str = "pyarrow",
+    emit_split_on: "Optional[Tuple[str, int]]" = None,
+):
+    """Hash-partition input(s) on ``key`` and apply ``fn`` ONCE per
     partition — the classic two-stage shuffle (map: split each block
     into P shards; reduce: concat a shard from every block, run fn)
     built from raw Ray tasks over the Dataset's blocks.
@@ -210,10 +246,17 @@ def hash_exchange_map(ds, key: str, num_partitions: int, fn, *, fn_format: str =
     the caller.  The result is re-wrapped as a Dataset
     (``from_arrow_refs``) so everything downstream stays in Ray Data.
 
+    ``ds`` may be a Dataset, a ``ShardedRefs`` (pre-split by ``key``
+    with the same partition count), or a list mixing both (a union).
     ``fn`` receives one pyarrow Table (or pandas DataFrame with
     ``fn_format='pandas'``) per partition, with a constant ``__part``
     column appended for drop-in compatibility with the
-    ``_with_part().groupby('__part').map_groups(fn)`` pattern."""
+    ``_with_part().groupby('__part').map_groups(fn)`` pattern.
+
+    ``emit_split_on=(next_key, next_parts)``: the reduce additionally
+    splits fn's output by ``next_key`` and returns one object per
+    next-partition — the result is a ``ShardedRefs`` for the next
+    exchange instead of a Dataset (operator fusion across shuffles)."""
     import ray as _ray
 
     @_ray.remote
@@ -234,27 +277,61 @@ def hash_exchange_map(ds, key: str, num_partitions: int, fn, *, fn_format: str =
             return pa.Table.from_pandas(out, preserve_index=False)
         return f(tbl)
 
-    # zero-row blocks surface with an EMPTY schema from Ray's executor
-    # and would poison the shard concat — drop them via metadata (no
-    # block fetch needed)
-    block_refs = []
-    for bundle in ds.iter_internal_ref_bundles():
-        for block_ref, meta in bundle.blocks:
-            if meta.num_rows is None or meta.num_rows > 0:
-                block_refs.append(block_ref)
-    if not block_refs:
+    @_ray.remote
+    def _reduce_split(f, fmt, part_id, k2, p2, *shards):
+        tbl = pa.concat_tables(shards, promote_options="default")
+        tbl = tbl.append_column(
+            "__part", pa.array(np.full(len(tbl), part_id, dtype=np.int64))
+        )
+        if fmt == "pandas":
+            out = pa.Table.from_pandas(f(tbl.to_pandas()), preserve_index=False)
+        else:
+            out = f(tbl)
+        if "__part" in out.column_names:
+            out = out.drop_columns(["__part"])
+        parts = _exchange_split(out, k2, p2)
+        return parts[0] if p2 == 1 else tuple(parts)
+
+    inputs = ds if isinstance(ds, list) else [ds]
+    shard_matrices: List[list] = []
+    for inp in inputs:
+        if inp is None:
+            continue
+        if isinstance(inp, ShardedRefs):
+            if inp.num_partitions != num_partitions:
+                raise ValueError(
+                    f"pre-split input has {inp.num_partitions} partitions, "
+                    f"exchange wants {num_partitions}"
+                )
+            shard_matrices.extend(inp.shards)
+            continue
+        # zero-row blocks surface with an EMPTY schema from Ray's
+        # executor and would poison the shard concat — drop them via
+        # metadata (no block fetch needed)
+        block_refs = []
+        for bundle in inp.iter_internal_ref_bundles():
+            for block_ref, meta in bundle.blocks:
+                if meta.num_rows is None or meta.num_rows > 0:
+                    block_refs.append(block_ref)
+        # num_returns=P: each shard is its own object, so a reduce task
+        # fetches ONLY its shard from every block (true all-to-all)
+        for b in block_refs:
+            r = _split.options(num_returns=num_partitions).remote(b, key, num_partitions)
+            shard_matrices.append([r] if num_partitions == 1 else list(r))
+    if not shard_matrices:
         return None  # caller supplies the empty-result schema
     fn_ref = _ray.put(fn)
-    # num_returns=P: each shard is its own object, so a reduce task
-    # fetches ONLY its shard from every block (true all-to-all)
-    shard_refs = [
-        _split.options(num_returns=num_partitions).remote(b, key, num_partitions)
-        for b in block_refs
-    ]
-    if num_partitions == 1:
-        shard_refs = [[r] for r in shard_refs]
+    if emit_split_on is not None:
+        k2, p2 = emit_split_on
+        out_shards = []
+        for p in range(num_partitions):
+            r = _reduce_split.options(num_returns=p2).remote(
+                fn_ref, fn_format, p, k2, p2, *[s[p] for s in shard_matrices]
+            )
+            out_shards.append([r] if p2 == 1 else list(r))
+        return ShardedRefs(out_shards, p2)
     out_refs = [
-        _reduce.remote(fn_ref, fn_format, p, *[s[p] for s in shard_refs])
+        _reduce.remote(fn_ref, fn_format, p, *[s[p] for s in shard_matrices])
         for p in range(num_partitions)
     ]
     return ray.data.from_arrow_refs(out_refs)
