@@ -280,6 +280,20 @@ def run_scaling():
         k: round((r_lo["queries"][k] / r_hi["queries"][k]) / (hi / lo), 3)
         for k in r_lo["queries"]
     }
+    # COMPONENT-WISE minima: the shared host's co-tenant storms hit
+    # individual reps (observed 3x spread at identical code+config), and
+    # a whole-run minimum still mixes one pipeline's quiet window with
+    # another's contended one.  Each pipeline's own least-contended
+    # observation at each level is the same fixed work and the fairest
+    # estimate of uncontended wall time; both views are reported.
+    qmin_lo = {k: min(r["queries"][k] for r in runs_lo) for k in r_lo["queries"]}
+    qmin_hi = {k: min(r["queries"][k] for r in runs_hi) for k in r_hi["queries"]}
+    head_min_lo = qmin_lo["osm_stitch"] + qmin_lo["image_pip_join"]
+    head_min_hi = qmin_hi["osm_stitch"] + qmin_hi["image_pip_join"]
+    eff_cw = (head_min_lo / head_min_hi) / (hi / lo)
+    per_pipeline_cw = {
+        k: round((qmin_lo[k] / qmin_hi[k]) / (hi / lo), 3) for k in qmin_lo
+    }
     print(
         json.dumps(
             {
@@ -300,6 +314,12 @@ def run_scaling():
                 "scaling_efficiency": round(eff, 3),
                 "suite_scaling_efficiency": round(suite_eff, 3),
                 "per_pipeline_efficiency": per_pipeline,
+                f"queries_min_{lo}": qmin_lo,
+                f"queries_min_{hi}": qmin_hi,
+                f"headline_min_sec_{lo}": round(head_min_lo, 3),
+                f"headline_min_sec_{hi}": round(head_min_hi, 3),
+                "scaling_efficiency_componentwise": round(eff_cw, 3),
+                "per_pipeline_efficiency_componentwise": per_pipeline_cw,
                 f"throughput_{lo}": {"geometries_per_sec": r_lo["geometries_per_sec"],
                                      "images_per_sec": r_lo["images_per_sec"]},
                 f"throughput_{hi}": {"geometries_per_sec": r_hi["geometries_per_sec"],

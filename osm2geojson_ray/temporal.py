@@ -95,6 +95,8 @@ def asof_join(
     (``by`` stays shared).  Left rows with a null ``by``/``on`` are kept
     unmatched; right rows with nulls never match.
     """
+    if not r_suffix:
+        raise ValueError("r_suffix must be non-empty")
     l_names = [f.name for f in l_schema if f.name != by]
     r_names = [f.name for f in r_schema if f.name != by]
     superset = pa.schema(

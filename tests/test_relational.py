@@ -165,3 +165,49 @@ def test_distinct_on_subset_no_hash_merge(ray_session):
     kept = distinct_on(ds, "rk", num_partitions=4, sort_by=["a", "b"],
                        subset=["a", "b"]).take_all()
     assert sorted((r["a"], r["b"]) for r in kept) == [(1, 5), (2, 6), (2, 7)]
+
+
+def test_emit_split_on_fused_exchange(ray_session):
+    """A join whose reduce pre-splits by the next key (ShardedRefs) must
+    produce the same result as the two-hop Dataset path, for any
+    partition-count combination."""
+    import pandas as pd
+
+    from osm2geojson_ray.relational import ShardedRefs, hash_join
+
+    rng = np.random.RandomState(5)
+    n = 500
+    left = pa.table({
+        "k": rng.randint(0, 40, n).astype(np.int64),
+        "g": rng.randint(0, 7, n).astype(np.int64),
+        "x": rng.rand(n),
+    })
+    right = pa.table({
+        "k": np.arange(40, dtype=np.int64),
+        "w": rng.rand(40),
+    })
+    l_schema = left.schema
+    r_schema = right.schema
+
+    def group_sum(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out = df.groupby("g", sort=False)["x"].sum().reset_index(name="sx")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def run(emit: bool, p1: int, p2: int):
+        j = hash_join(
+            _ds(left, blocks=3), _ds(right, blocks=2),
+            on="k", l_schema=l_schema, r_schema=r_schema, how="inner",
+            num_partitions=p1,
+            emit_split_on=("g", p2) if emit else None,
+        )
+        if emit:
+            assert isinstance(j, ShardedRefs) and j.num_partitions == p2
+        out = hash_exchange_map(j, "g", p2, group_sum)
+        df = out.to_pandas()
+        return df.sort_values("g").reset_index(drop=True)
+
+    want = run(False, 4, 3)
+    for p1, p2 in ((4, 3), (1, 5), (6, 1)):
+        got = run(True, p1, p2)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
