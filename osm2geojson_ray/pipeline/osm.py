@@ -826,44 +826,38 @@ class OsmPipeline:
             )
             return coalesce_blocks(flat, nparts)
 
-        # nested relation refs
-        def explode_rel_members(batch: pa.Table) -> pa.Table:
+        # nested-relation edges + present ids, ONE remote pass per block:
+        # the edge list is tiny (parents referencing child relations are
+        # rare) and the id set is one int per relation — three separate
+        # Dataset executions here (edge take_all, present-children
+        # filter+take_all) were pure fixed latency at every CPU level.
+        @_ray.remote
+        def _rel_sched_info(block: pa.Table):
             child, parent = [], []
-            for row in batch.select(["id", "members", "center"]).to_pylist():
+            for row in block.select(["id", "members", "center"]).to_pylist():
                 if row["members"] is None or row["center"] is not None:
                     continue
                 for m in row["members"]:
                     if m["type"] == "relation":
                         child.append(m["ref"])
                         parent.append(row["id"])
-            return pa.Table.from_pydict(
-                {"child_rel_id": child, "rel_id": parent},
-                schema=pa.schema([("child_rel_id", pa.int64()), ("rel_id", pa.int64())]),
-            )
+            ids = block["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return child, parent, ids
 
-        rel_edges = rels.map_batches(explode_rel_members, batch_format="pyarrow")
-        # The nested-relation EDGE LIST is tiny (parents referencing child
-        # relations are rare), so only it is collected — never the full
-        # relation id set.  Round membership for the bulk of relations is
-        # the implicit complement (round 0 runs with a NOT-in filter over
-        # the tiny nested set, or no filter at all).
-        rel_edge_rows = rel_edges.take_all()
+        sched_refs = []
+        for bundle in rels.iter_internal_ref_bundles():
+            for block_ref, meta in bundle.blocks:
+                if meta.num_rows is None or meta.num_rows > 0:
+                    sched_refs.append(_rel_sched_info.remote(block_ref))
         children_of: Dict[int, List[int]] = {}
-        for r in rel_edge_rows:
-            children_of.setdefault(r["rel_id"], []).append(r["child_rel_id"])
+        all_rel_ids: set = set()
+        for child, parent, ids in _ray.get(sched_refs):
+            for c, p in zip(child, parent):
+                children_of.setdefault(p, []).append(c)
+            all_rel_ids.update(ids.tolist())
 
         child_ids = {c for cs in children_of.values() for c in cs}
-        if child_ids:
-            child_arr = pa.array(list(child_ids), pa.int64())
-            present_children = {
-                r["id"]
-                for r in rels.map_batches(
-                    lambda t: t.filter(pc.is_in(t["id"], value_set=child_arr)).select(["id"]),
-                    batch_format="pyarrow",
-                ).take_all()
-            }
-        else:
-            present_children = set()
+        present_children = child_ids & all_rel_ids
 
         # depth(rid): rounds a relation must wait for its present child
         # relations; cycles / too-deep chains degrade to the final lumped
