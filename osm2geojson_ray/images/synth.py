@@ -154,8 +154,17 @@ def synth_image_batch(
     buf = _pooled_buffer((count, row_len))
     buf[:, :8] = hdr
     pixels = buf[:, 8:].reshape(count, h, w, 3)
-    _pixels_batch(idx, w, h, out=pixels)
-    hashes = phash64_batch_same_size(pixels)
+    # generate + hash in CHUNKS: per-image work is independent, so the
+    # float profile temps and the phash scratch shrink from batch-sized
+    # (~45 MB at 31k rows) to chunk-sized (~6 MB) — the stage is bound
+    # by the host's shared allocation bandwidth, so resident-scratch
+    # bytes convert directly into throughput
+    chunk = 4096
+    hashes = np.empty(count, dtype=np.int64)
+    for lo in range(0, count, chunk):
+        hi = min(count, lo + chunk)
+        _pixels_batch(idx[lo:hi], w, h, out=pixels[lo:hi])
+        hashes[lo:hi] = phash64_batch_same_size(pixels[lo:hi])
     phases = (splitmix64(idx) % np.uint64(1000)).astype(np.int64)
     lossy = (
         (idx % np.uint64(lossy_every)) == 0
