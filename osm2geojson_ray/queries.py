@@ -18,7 +18,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Count, Sum
 
 REFERENCE_DATA = "/root/reference/tests/data"
 CELL_LEVEL = 12
@@ -134,10 +133,16 @@ GROUP BY c_mktsegment
 
 
 def q3_topk_orders(sf_dir: str):
-    return (
-        _pq(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-        .sort([("o_totalprice"), ("o_orderkey")], descending=[True, False])
-        .limit(10)
+    """Top-10 orders by price WITHOUT a global sort: per-block lexsort
+    top-k + one concat reduce (relational.topk) — a global Dataset.sort
+    for a LIMIT 10 is an all-to-all shuffle with fixed seconds of
+    sample/sort latency at any scale."""
+    from .relational import topk
+
+    return topk(
+        _pq(sf_dir, "orders", ["o_orderkey", "o_totalprice"]),
+        [("o_totalprice", True), ("o_orderkey", False)],
+        k=10,
     )
 
 
@@ -277,8 +282,16 @@ def q8_nation_revenue(sf_dir: str):
             ("q8_dims", cache_key_for_ref(side_ref)), lambda: _ray.get(side_ref)
         )
         cks = t["custkey"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(side["ck_sorted"], cks)
-        nation = side["nat_name"][side["cnat"][np.minimum(pos, len(side["cnat"]) - 1)]]
+        pos = np.minimum(np.searchsorted(side["ck_sorted"], cks),
+                         len(side["ck_sorted"]) - 1)
+        # exact-match mask: a custkey absent from customer must DROP
+        # (inner-join semantics, matching the SQL oracle) — an unchecked
+        # searchsorted would silently read a neighboring customer's nation
+        hit = side["ck_sorted"][pos] == cks
+        if not hit.all():
+            t = t.filter(pa.array(hit))
+            pos = pos[hit]
+        nation = side["nat_name"][side["cnat"][pos]]
         return pa.Table.from_arrays(
             [pa.array(nation.tolist(), pa.string()), t["rev"]],
             names=["n_name", "rev"],
@@ -329,11 +342,15 @@ def q5_distinct_users(sf_dir: str):
         ).astype(np.int64)
         return t.append_column("pair_key", pa.array(keys))
 
+    from .relational import partial_grouped_agg
+
     pairs = distinct_on(ds.map_batches(pair_key, batch_format="pyarrow"), "pair_key")
-    return (
-        pairs.select_columns(["event_type"])
-        .groupby("event_type")
-        .aggregate(Count(alias_name="n_users"))
+    # final count via combiner push-down — the post-distinct stream is
+    # tiny, so Ray's sort-based groupby would be pure fixed latency
+    return partial_grouped_agg(
+        pairs.select_columns(["event_type"]),
+        ["event_type"],
+        {"n_users": (None, "count")},
     )
 
 

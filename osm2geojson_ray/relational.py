@@ -459,6 +459,60 @@ def partial_grouped_agg(ds, keys: List[str], aggs: Dict[str, Tuple[str, str]]):
     return ray.data.from_arrow_refs([_final.remote(*refs)])
 
 
+def _sort_view(a: np.ndarray, desc: bool) -> np.ndarray:
+    """Order-preserving (or order-reversing) view of a sort key for
+    np.lexsort.  Descending integers use bitwise complement (exact, no
+    overflow, no float round-trip); descending floats negate (exact)."""
+    if not desc:
+        return a
+    if np.issubdtype(a.dtype, np.integer):
+        return ~a
+    if np.issubdtype(a.dtype, np.floating):
+        return -a
+    raise TypeError(f"descending sort unsupported for dtype {a.dtype}")
+
+
+def topk(ds, keys: List[Tuple[str, bool]], *, k: int):
+    """Global top-k rows ordered by ``keys`` ([(col, descending)], first
+    key primary) WITHOUT a sort shuffle: each batch reduces to its local
+    top-k via one vectorized lexsort inside ``map_batches``, then ONE
+    remote concat+lexsort task picks the global winners from the tiny
+    candidate stream (<= k x blocks rows).  Replaces
+    ``Dataset.sort(...).limit(k)``, whose sort is an all-to-all shuffle
+    with seconds of fixed sample/sort latency — a scale-killer for a
+    LIMIT k (same lesson as spatial/knn._topk_reduce, generalized).
+    Null keys are unsupported (raise upstream); string keys ascending
+    only."""
+    import ray as _ray
+
+    def _order(tbl: pa.Table) -> np.ndarray:
+        views = []
+        for col, desc in reversed(keys):  # lexsort: last key is primary
+            views.append(_sort_view(tbl[col].to_numpy(zero_copy_only=False), desc))
+        return np.lexsort(views)
+
+    def local(tbl: pa.Table) -> pa.Table:
+        if len(tbl) <= k:
+            return tbl
+        return tbl.take(pa.array(_order(tbl)[:k]))
+
+    candidates = ds.map_batches(local, batch_format="pyarrow")
+
+    @_ray.remote
+    def _final(*blocks):
+        tbl = pa.concat_tables(blocks, promote_options="default")
+        return tbl.take(pa.array(_order(tbl)[:k]))
+
+    refs = []
+    for bundle in candidates.iter_internal_ref_bundles():
+        for block_ref, meta in bundle.blocks:
+            if meta.num_rows is None or meta.num_rows > 0:
+                refs.append(block_ref)
+    if not refs:
+        return candidates
+    return ray.data.from_arrow_refs([_final.remote(*refs)])
+
+
 def dataset_from_table(tbl: pa.Table, **kwargs):
     return ray.data.from_arrow(tbl, **kwargs)
 

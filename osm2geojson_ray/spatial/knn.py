@@ -164,7 +164,11 @@ def phash_knn(
     batch_size: Optional[int] = None,
 ):
     """Dataset of (id, phash) x broadcast queries -> global top-k per
-    query by Hamming distance (ties broken by neighbor id)."""
+    query by Hamming distance (ties broken by neighbor id).
+
+    ``concurrency`` is accepted for API compatibility but IGNORED: the
+    scorer runs on the warm task pool (per-worker state cache), which
+    auto-scales with the cluster — capping it would starve workers."""
     import functools
 
     ref = ray.put({"ids": np.asarray(query_ids, dtype=np.int64),
@@ -226,7 +230,9 @@ def embedding_knn(
     batch_size: Optional[int] = None,
 ):
     """Brute-force cosine top-k (distance = 1 - cosine, rounded to 1e-9
-    so rankings are reproducible across float summation orders)."""
+    so rankings are reproducible across float summation orders).
+    ``concurrency`` is accepted for API compatibility but ignored (warm
+    task pool; see phash_knn)."""
     import functools
 
     ref = ray.put({"ids": np.asarray(query_ids, dtype=np.int64),

@@ -182,7 +182,8 @@ def broadcast_pip_join(
     ``compute="tasks"`` (default) runs on the warm task pool with the
     index cached per worker process; ``"actors"`` keeps the classic
     fixed actor pool (sized by ``concurrency``) for when per-process
-    state build is the dominant cost."""
+    state build is the dominant cost.  ``concurrency`` only applies in
+    actor mode — the task pool auto-scales with the cluster."""
     import functools
 
     index_ref = build_polygon_index(polygons, level)

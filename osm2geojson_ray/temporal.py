@@ -67,12 +67,19 @@ def _asof_merge_indices(
 
 
 def _order_as_int64(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
-    """Order column -> int64 numpy (timestamps via epoch cast); nulls
-    surface as a mask handled by the caller."""
+    """Order column -> int64 numpy (timestamps via epoch cast).  Nulls
+    are filled with 0 IN ARROW first: pyarrow converts a column with any
+    null through float64, which would silently round valid int64 values
+    above 2^53 (callers mask null rows separately, so the fill value is
+    never read)."""
+    import pyarrow.compute as pc
+
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if pa.types.is_timestamp(col.type):
         col = col.cast(pa.int64())
+    if col.null_count:
+        col = pc.fill_null(col, 0)
     return col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
 
 
@@ -158,9 +165,12 @@ def asof_join(
         match = np.full(nl, -1, np.int64)
         if nr and l_ok.any():
             li = np.flatnonzero(l_ok)
-            lk = lt[by].to_numpy(zero_copy_only=False).astype(np.int64)[li]
+            # null-safe int extraction via _order_as_int64 (fill_null in
+            # Arrow first): a single null in the column would otherwise
+            # route to_numpy through float64 and round valid keys > 2^53
+            lk = _order_as_int64(lt[by])[li]
             lts_np = _order_as_int64(lt[on])[li]
-            rk = rt[by].to_numpy(zero_copy_only=False).astype(np.int64)
+            rk = _order_as_int64(rt[by])
             rts_np = _order_as_int64(rt[on_r])
             match[li] = _asof_merge_indices(lk, lts_np, rk, rts_np, strict)
         matched = match >= 0

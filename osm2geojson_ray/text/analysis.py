@@ -209,6 +209,9 @@ def _analyze_task(batch, *, text_col):
 
 def analyze_documents(docs, *, text_col: str = "text", concurrency: int = 2,
                       batch_size=None, compute: str = "tasks"):
+    """``concurrency`` sizes the actor pool when ``compute="actors"``;
+    in the default task mode it is IGNORED (the warm task pool
+    auto-scales with the cluster — capping it would starve workers)."""
     if compute == "tasks":
         import functools
 

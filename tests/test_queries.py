@@ -87,3 +87,42 @@ def test_entry_smoke(ray_session):
 
     out = to_pandas(entrymod.entry())
     assert len(out) >= 1
+
+
+def test_q8_missing_custkey_drops(ray_session, tmp_path):
+    """An order whose custkey is absent from customer must DROP (inner
+    semantics, matching the SQL oracle) — the broadcast searchsorted
+    lookup must not silently read a neighboring customer's nation."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from osm2geojson_ray.queries import Q8_SQL, q8_nation_revenue
+
+    d = tmp_path
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 3], pa.int64()),
+        "l_extendedprice": pa.array([100.0, 50.0, 70.0, 30.0]),
+        "l_discount": pa.array([0.0, 0.1, 0.0, 0.0]),
+    }), str(d / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        # custkey 99 is missing from customer; 11 sorts right after 10
+        "o_custkey": pa.array([10, 99, 11], pa.int64()),
+    }), str(d / "orders.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([10, 11], pa.int64()),
+        "c_nationkey": pa.array([0, 1], pa.int64()),
+    }), str(d / "customer.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1], pa.int64()),
+        "n_name": pa.array(["ALPHA", "BETA"], pa.string()),
+    }), str(d / "nation.parquet"))
+
+    got = q8_nation_revenue(str(d)).to_pandas().sort_values("n_name")
+    c = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "nation"):
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d / t}.parquet')")
+    want = c.execute(Q8_SQL).fetchdf().sort_values("n_name")
+    assert got["n_name"].tolist() == want["n_name"].tolist() == ["ALPHA", "BETA"]
+    assert got["revenue_cents"].tolist() == want["revenue_cents"].tolist()
+    assert got["n_rows"].tolist() == want["n_rows"].tolist()

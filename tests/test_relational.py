@@ -211,3 +211,36 @@ def test_emit_split_on_fused_exchange(ray_session):
     for p1, p2 in ((4, 3), (1, 5), (6, 1)):
         got = run(True, p1, p2)
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_topk_matches_full_sort(ray_session):
+    from osm2geojson_ray.relational import topk
+
+    rng = np.random.RandomState(11)
+    n = 5000
+    tbl = pa.table({
+        "id": np.arange(n, dtype=np.int64),
+        "price": rng.randint(0, 800, n).astype(np.int64),  # many ties
+        "score": rng.rand(n),
+    })
+    df = tbl.to_pandas()
+    for keys, k in (
+        ([("price", True), ("id", False)], 10),
+        ([("score", False), ("id", False)], 7),
+        ([("price", False), ("score", True), ("id", False)], 25),
+    ):
+        got = topk(_ds(tbl, blocks=9), keys, k=k).to_pandas()
+        want = df.sort_values(
+            [c for c, _ in keys], ascending=[not d for _, d in keys], kind="stable"
+        ).head(k).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True)[want.columns], want, check_dtype=False
+        )
+
+
+def test_topk_smaller_than_k(ray_session):
+    from osm2geojson_ray.relational import topk
+
+    tbl = pa.table({"v": pa.array([3, 1, 2], pa.int64())})
+    got = topk(_ds(tbl, blocks=2), [("v", True)], k=10).to_pandas()
+    assert got["v"].tolist() == [3, 2, 1]

@@ -154,3 +154,34 @@ def test_asof_join_nulls_and_empty(ray_session):
                             "rv": pd.array([], dtype="Int64")})
     out2 = _run_asof(ldf, empty_r, False, 2)
     assert len(out2) == 3 and out2["rv_r"].isna().all()
+
+
+def test_asof_bigint_keys_survive_nulls(ray_session):
+    """A null in the 'by'/'on' column must NOT route extraction through
+    float64 (which rounds int64 keys above 2^53 and mis-joins)."""
+    big = (1 << 60) + 1  # not representable in float64
+    ldf = pd.DataFrame(
+        {
+            "k": pd.array([big, big + 1, None, big], dtype="Int64"),
+            "ts": pd.array([10, 10, 10, None], dtype="Int64"),
+            "lv": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    rdf = pd.DataFrame(
+        {
+            "k": pd.array([big, big + 1], dtype="Int64"),
+            "ts": pd.array([5, 5], dtype="Int64"),
+            "rv": pd.array([100, 200], dtype="Int64"),
+        }
+    )
+    out = asof_join(
+        ray.data.from_arrow(pa.Table.from_pandas(ldf, schema=L_SCHEMA)),
+        ray.data.from_arrow(pa.Table.from_pandas(rdf, schema=R_SCHEMA)),
+        by="k", on="ts", l_schema=L_SCHEMA, r_schema=R_SCHEMA,
+        num_partitions=3,
+    ).to_pandas()
+    by_lv = {row.lv: row for row in out.itertuples()}
+    assert by_lv[1.0].rv_r == 100      # exact key match, no float rounding
+    assert by_lv[2.0].rv_r == 200      # adjacent key must not collide
+    assert pd.isna(by_lv[3.0].rv_r)    # null key stays unmatched
+    assert pd.isna(by_lv[4.0].rv_r)    # null ts stays unmatched
