@@ -521,6 +521,52 @@ def t_simhash(sf_dir: str):
     return simhash_signatures(docs)
 
 
+# FNV-1a + bit votes are pure integer arithmetic, so DuckDB can recompute
+# the full simhash: tokenize with the same \S+ regex, fold FNV-1a over
+# each distinct word's characters via a recursive CTE (the documents
+# table is ASCII, so codepoints == utf-8 bytes), mask to 63 bits, then
+# majority-vote every bit weighted by word multiplicity.  2^64 wraparound
+# stays inside HUGEINT because h < 2^64 and the FNV prime is ~2^40.
+T_SIMHASH_SQL = r"""
+WITH RECURSIVE tokens AS (
+  SELECT doc_id, lower(u.w) AS w
+  FROM documents, UNNEST(regexp_extract_all(text, '\S+')) AS u(w)
+),
+wcount AS (SELECT doc_id, w, count(*) AS c FROM tokens GROUP BY doc_id, w),
+uw AS (SELECT DISTINCT w FROM wcount),
+fnv AS (
+  SELECT w, 1 AS pos, CAST(14695981039346656037 AS HUGEINT) AS h FROM uw
+  UNION ALL
+  SELECT w, pos + 1,
+         (xor(h, CAST(ord(substr(w, pos, 1)) AS HUGEINT)) * 1099511628211)
+           % 18446744073709551616
+  FROM fnv WHERE pos <= length(w)
+),
+whash AS (
+  SELECT w, CAST(h % 9223372036854775808 AS BIGINT) AS h63
+  FROM fnv WHERE pos = length(w) + 1
+),
+bits AS (
+  SELECT wc.doc_id, b.b,
+         sum(wc.c * ((wh.h63 // (CAST(1 AS BIGINT) << CAST(b.b AS INTEGER))) % 2)) AS ones,
+         sum(wc.c) AS cnt
+  FROM wcount wc
+  JOIN whash wh ON wc.w = wh.w
+  CROSS JOIN (SELECT range AS b FROM range(0, 63)) b
+  GROUP BY wc.doc_id, b.b
+),
+sigs AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN 2 * ones > cnt
+                       THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER) ELSE 0 END) AS BIGINT)
+           AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+FROM documents d LEFT JOIN sigs s ON d.doc_id = s.doc_id
+"""
+
+
 # ---------------------------------------------------------------- embeddings
 def e_knn_cosine(sf_dir: str):
     from .spatial.knn import embedding_knn
@@ -805,6 +851,48 @@ def osm_corpus_features(sf_dir: str):
     )
 
 
+# The corpus is FIXED (the reference's own fixture files), so the
+# flagship stitching query's output is a deterministic 27-row table —
+# frozen here as a VALUES literal so the driver hash-gates it like any
+# SQL-expressible query.  pytest independently verifies the same rows
+# against the document-converter path and the reference's golden
+# .geojson files (tests/test_pipeline.py), so this literal is pinned by
+# an independent oracle, not by the pipeline under test.
+OSM_CORPUS_SQL = """
+SELECT fixture, CAST(seq AS BIGINT) AS seq, element_type,
+       CAST(element_id AS BIGINT) AS element_id, geom_type
+FROM (VALUES
+  ('node', 0, 'node', 1, 'Point'),
+  ('way', 0, 'way', 1, 'LineString'),
+  ('relation', 0, 'relation', 1, 'MultiPolygon'),
+  ('map', 84, 'way', 110768775, 'Polygon'),
+  ('map', 85, 'way', 110768780, 'Polygon'),
+  ('map', 87, 'way', 110768785, 'Polygon'),
+  ('map', 88, 'way', 111451113, 'Polygon'),
+  ('map', 89, 'way', 202526713, 'LineString'),
+  ('map', 90, 'way', 496671186, 'Polygon'),
+  ('map', 91, 'way', 496671187, 'LineString'),
+  ('map', 92, 'way', 496671188, 'Polygon'),
+  ('map', 93, 'way', 496671189, 'Polygon'),
+  ('map', 94, 'relation', 1562147, 'MultiPolygon'),
+  ('map', 95, 'relation', 1802915, 'LineString'),
+  ('barrier-wall', 4, 'way', 43934658, 'LineString'),
+  ('center-feature', 0, 'relation', 448930, 'Point'),
+  ('meta', 0, 'node', 4883483009, 'Point'),
+  ('meta', 1, 'node', 6657522239, 'Point'),
+  ('meta', 2, 'way', 110768779, 'Polygon'),
+  ('issue-4', 1, 'relation', 7390177, 'LineString'),
+  ('issue-6', 0, 'way', 155575971, 'LineString'),
+  ('issue-7', 0, 'way', 387345429, 'LineString'),
+  ('issue-9', 6, 'way', 361110018, 'LineString'),
+  ('issue-16', 5, 'way', 4402690, 'LineString'),
+  ('issue-35', 0, 'relation', 2718379, 'MultiPolygon'),
+  ('issue-52-highway-service-closed', 0, 'way', 60611389, 'LineString'),
+  ('issue-54-staffordshire', 0, 'relation', 195444, 'MultiPolygon')
+) AS t(fixture, seq, element_type, element_id, geom_type)
+"""
+
+
 def _fixture_polygons(base: str) -> List[Tuple[str, list]]:
     """Document-convert ONE fixture and extract its polygons."""
     from .document import json2shapes
@@ -1060,6 +1148,8 @@ ORACLE_SQL = {
     "t_quality_stats": T_QUALITY_SQL,
     "t_exact_dedup": T_DEDUP_SQL,
     "t_jaccard_pairs": T_JACCARD_SQL,
+    "t_simhash": T_SIMHASH_SQL,
+    "osm_corpus_features": OSM_CORPUS_SQL,
     "e_knn_cosine": E_KNN_SQL,
     "e_knn_ivf": E_KNN_SQL,
     "e_neardup_pairs": E_NEARDUP_SQL,
