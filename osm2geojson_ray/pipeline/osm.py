@@ -79,7 +79,7 @@ EDGE_SCHEMA = pa.schema(
 COORDS_SCHEMA = pa.schema(
     [("node_id", pa.int64()), ("n_lon", pa.float64()), ("n_lat", pa.float64())]
 )
-from ..model.schema import COORD  # noqa: E402  (struct<lon,lat>)
+from ..model.schema import COORD, MEMBER  # noqa: E402  (struct<lon,lat>)
 
 WAY_COORDS_SCHEMA = pa.schema(
     [
@@ -701,23 +701,39 @@ class OsmPipeline:
         """Bounded multi-round relation resolution (nested relations)."""
         clf = self.classifier
 
-        # member edges: (rel_id, member way refs / relation refs)
+        # member edges: (rel_id, member way refs / relation refs) —
+        # pure-Arrow member-list explode (list_flatten + parent indices +
+        # struct_field), the same shape J1 uses for node refs: no Python
+        # row loop, members structs never pythonize here
         def explode_members(batch: pa.Table) -> pa.Table:
-            way_refs, rel_ids, m_idx, roles = [], [], [], []
-            for row in batch.select(["id", "members", "center"]).to_pylist():
-                if row["members"] is None or row["center"] is not None:
-                    continue
-                for i, m in enumerate(row["members"]):
-                    if m["type"] == "way" and m.get("geometry") is None:
-                        way_refs.append(m["ref"])
-                        rel_ids.append(row["id"])
-                        m_idx.append(i)
-                        roles.append(m.get("role") or "")
-            return pa.Table.from_pydict(
-                {"way_id": way_refs, "rel_id": rel_ids, "member_idx": m_idx,
-                 "role": roles},
+            t = batch.select(["id", "members", "center"])
+            t = t.filter(pc.and_(pc.is_valid(t["members"]), pc.is_null(t["center"])))
+            members = t["members"].combine_chunks()
+            ids = t["id"].combine_chunks()
+            flat = pc.list_flatten(members)
+            rel_id = pc.take(ids, pc.list_parent_indices(members))
+            lens = pc.list_value_length(members).to_numpy(zero_copy_only=False)
+            lens = np.nan_to_num(lens.astype(np.float64), nan=0).astype(np.int64)
+            total = int(lens.sum())
+            starts = np.repeat(np.cumsum(lens) - lens, lens)
+            m_idx = pa.array(np.arange(total, dtype=np.int64) - starts)
+            keep = pc.fill_null(
+                pc.and_(
+                    pc.equal(pc.struct_field(flat, "type"), "way"),
+                    pc.is_null(pc.struct_field(flat, "geometry")),
+                ),
+                False,
+            )
+            out = pa.Table.from_arrays(
+                [
+                    pc.struct_field(flat, "ref"),
+                    rel_id,
+                    m_idx,
+                    pc.fill_null(pc.struct_field(flat, "role"), ""),
+                ],
                 schema=MEMBER_EDGE_SCHEMA,
             )
+            return out.filter(keep)
 
         # consumed by the join, the mega count and the round filters
         member_edges = rels.map_batches(
@@ -732,11 +748,15 @@ class OsmPipeline:
         # payload rows PRE-SPLIT by rel_id (ShardedRefs) for the round
         # exchanges.  Removes one full way_id exchange + barrier and the
         # per-round member re-splits — all FLAT latency at every level.
+        # fully columnar payload stream: member rows (kind=1) carry the
+        # joined way element columns + coords; relation rows (kind=0)
+        # carry their OWN element columns plus the members struct-list —
+        # no JSON payload anywhere in the stitch exchange
         ext_payload_schema = pa.schema(
             [
                 ("rel_id", pa.int64()),
                 ("kind", pa.int8()),
-                ("payload", pa.string()),
+                ("members", pa.list_(MEMBER)),
                 ("resolved", pa.bool_()),
                 ("coords", pa.list_(COORD)),
                 ("way_id", pa.int64()),
@@ -755,11 +775,25 @@ class OsmPipeline:
             return parts[0] if p == 1 else tuple(parts)
 
         @_ray.remote
-        def _member_join_split(p2, ways_block, *edge_shards):
+        def _member_join_split(p2, part_id, n_ways_parts, ways_block, *edge_shards):
             import pandas as _pd
 
             edges_t = pa.concat_tables(edge_shards, promote_options="default")
             wt = ways_block.drop_columns(["used_nodes"])
+            # partition-layout invariant: this join routes edges by
+            # way_id % n_ways_parts and assumes ways_resolved block
+            # part_id holds exactly that residue class (the way_id
+            # exchange's one-block-per-partition output).  A re-blocked
+            # / reordered ways input would otherwise mis-route edges
+            # SILENTLY (empty inner joins -> relations assembled without
+            # members); validate the whole block vectorized and fail loud.
+            wk_check = wt["way_id"].to_numpy(zero_copy_only=False)
+            if len(wk_check) and not (wk_check % n_ways_parts == part_id).all():
+                raise RuntimeError(
+                    "ways_resolved block layout violates way_id % "
+                    f"{n_ways_parts} == {part_id}; the partition-wise "
+                    "member join requires the hash exchange's block order"
+                )
             ldf = _pd.DataFrame(
                 {"k": edges_t["way_id"].to_numpy(zero_copy_only=False),
                  "li": np.arange(len(edges_t))}
@@ -775,7 +809,7 @@ class OsmPipeline:
             arrays = [
                 edges_t["rel_id"].take(li),
                 pa.array(np.ones(n, dtype=np.int8)),
-                pa.nulls(n, pa.string()),
+                pa.nulls(n, pa.list_(MEMBER)),
                 wt["resolved"].take(ri),
                 wt["coords"].take(ri).combine_chunks().cast(pa.list_(COORD))
                 if n
@@ -808,7 +842,7 @@ class OsmPipeline:
             out_shards = []
             for p, wb in enumerate(ways_blocks):
                 r = _member_join_split.options(num_returns=nparts).remote(
-                    nparts, wb, *[s[p] for s in edge_mat]
+                    nparts, p, len(ways_blocks), wb, *[s[p] for s in edge_mat]
                 )
                 out_shards.append([r] if nparts == 1 else list(r))
             member_sharded = ShardedRefs(out_shards, nparts)
@@ -976,21 +1010,27 @@ class OsmPipeline:
             payload_schema = ext_payload_schema
 
             def rel_payload(batch: pa.Table) -> pa.Table:
-                rows = [
-                    {"el": row_to_element(r), "seq": r["seq"], "id": r["id"]}
-                    for r in batch.to_pylist()
-                ]
-                n = len(rows)
+                """Pure columnar projection: the relation's own element
+                columns + its members struct-list ride the exchange
+                natively (the old path json.dumps'd every relation
+                element — the last JSON in the stitch path)."""
+                n = len(batch)
+                cols = set(batch.column_names)
                 return pa.Table.from_arrays(
                     [
-                        pa.array([r["id"] for r in rows], pa.int64()),
+                        batch["id"],
                         pa.array(np.zeros(n, dtype=np.int8)),
-                        pa.array([json.dumps(r) for r in rows], pa.string()),
+                        batch["members"].combine_chunks().cast(pa.list_(MEMBER))
+                        if "members" in cols
+                        else pa.nulls(n, pa.list_(MEMBER)),
                         pa.nulls(n, pa.bool_()),
                         pa.nulls(n, pa.list_(COORD)),
                         pa.nulls(n, pa.int64()),
                     ]
-                    + [pa.nulls(n, f.type) for f in _MEMBER_EL_FIELDS]
+                    + [
+                        batch[f.name] if f.name in cols else pa.nulls(n, f.type)
+                        for f in _MEMBER_EL_FIELDS
+                    ]
                     + [pa.nulls(n, pa.int64()), pa.nulls(n, pa.string())],
                     schema=payload_schema,
                 )
@@ -1002,7 +1042,6 @@ class OsmPipeline:
             def convert_partition(tbl: pa.Table, _shapes=shapes_ref) -> pa.Table:
                 kinds = tbl["kind"].to_numpy(zero_copy_only=False)
                 rel_ids = tbl["rel_id"].to_numpy(zero_copy_only=False)
-                payloads = tbl["payload"].to_pylist()
                 coords_np, offs = _list_coords_view(tbl["coords"])
                 resolved_np = tbl["resolved"].to_numpy(zero_copy_only=False)
                 mem_mask = kinds == 1
@@ -1023,10 +1062,19 @@ class OsmPipeline:
                     .to_pylist()
                 )
                 mem_pos = {mi: j for j, mi in enumerate(needed)}
+                # relation elements rebuilt from their own columns (the
+                # members struct-list included) — rel rows only, so the
+                # pythonize cost is one dict per relation this round
+                rel_el_rows = (
+                    tbl.take(pa.array(rel_rows, pa.int64()))
+                    .select([f.name for f in _MEMBER_EL_FIELDS] + ["members"])
+                    .to_pylist()
+                )
                 feats, used_u, used_c, out_shapes = [], [], [], []
-                for i in rel_rows:
-                    rec = json.loads(payloads[i])
-                    el = rec["el"]
+                for ri, i in enumerate(rel_rows):
+                    rrow = rel_el_rows[ri]
+                    el = row_to_element(rrow)
+                    rec = {"seq": rrow["seq"], "id": rrow["id"]}
                     index: Dict[str, dict] = {}
                     for mi in members_by_rel.get(int(rel_ids[i]), []):
                         wel = row_to_element(mem_el_rows[mem_pos[mi]])

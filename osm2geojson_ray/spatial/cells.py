@@ -129,32 +129,169 @@ def _rect_intersects_polygon(rect, poly) -> bool:
     return False
 
 
+def _orient_sign_vec(ax, ay, bx, by, cx, cy):
+    """np.sign of the 2D cross product — the same float expression as
+    kernels._segments_properly_intersect's orient2, vectorized."""
+    return np.sign((bx - ax) * (cy - ay) - (by - ay) * (cx - ax))
+
+
+def _segments_cross_own_rect(ax, ay, bx, by, rx0, ry0, rx1, ry1) -> np.ndarray:
+    """Pairwise proper-intersection of segment i against rect i's four
+    edges (identical predicate to _segments_properly_intersect)."""
+    out = np.zeros(len(ax), dtype=bool)
+    for qx1, qy1, qx2, qy2 in (
+        (rx0, ry0, rx1, ry0),
+        (rx1, ry0, rx1, ry1),
+        (rx1, ry1, rx0, ry1),
+        (rx0, ry1, rx0, ry0),
+    ):
+        d1 = _orient_sign_vec(qx1, qy1, qx2, qy2, ax, ay)
+        d2 = _orient_sign_vec(qx1, qy1, qx2, qy2, bx, by)
+        d3 = _orient_sign_vec(ax, ay, bx, by, qx1, qy1)
+        d4 = _orient_sign_vec(ax, ay, bx, by, qx2, qy2)
+        out |= (
+            (d1 != d2) & (d3 != d4)
+            & (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0)
+        )
+    return out
+
+
+def _ring_cross_grid(
+    ring, level: int, x0: int, x1: int, y0: int, y1: int,
+    max_pairs: int = 1 << 21,
+) -> np.ndarray:
+    """(nx, ny) bool grid: cells properly crossed by any ring edge.
+    Pairs (edge, cell) are enumerated per edge over its bbox'd cell
+    span (expanded one cell so float rounding can't drop a boundary
+    pair — the exact orientation predicate is authoritative), chunked
+    so the pair arrays stay bounded."""
+    n = 1 << level
+    w = _LON_SPAN / n
+    h = _LAT_SPAN / n
+    nx, ny = x1 - x0 + 1, y1 - y0 + 1
+    out = np.zeros((nx, ny), dtype=bool)
+    r = np.asarray(ring, dtype=np.float64)
+    ax, ay = r[:-1, 0], r[:-1, 1]
+    bx, by = r[1:, 0], r[1:, 1]
+    ne = len(ax)
+    if ne == 0:
+        return out
+    exi0 = np.clip(np.floor((np.minimum(ax, bx) + 180.0) / w).astype(np.int64) - 1, x0, x1)
+    exi1 = np.clip(np.floor((np.maximum(ax, bx) + 180.0) / w).astype(np.int64) + 1, x0, x1)
+    eyi0 = np.clip(np.floor((np.minimum(ay, by) + 90.0) / h).astype(np.int64) - 1, y0, y1)
+    eyi1 = np.clip(np.floor((np.maximum(ay, by) + 90.0) / h).astype(np.int64) + 1, y0, y1)
+    counts = (exi1 - exi0 + 1) * (eyi1 - eyi0 + 1)
+    bounds = np.concatenate(([0], np.cumsum(counts)))
+    start = 0
+    while start < ne:
+        # widest edge slice whose pair count fits the budget
+        stop = int(np.searchsorted(bounds, bounds[start] + max_pairs, side="right")) - 1
+        stop = max(stop, start + 1)
+        sl = slice(start, stop)
+        c = counts[sl]
+        total = int(c.sum())
+        if total:
+            nye = (eyi1[sl] - eyi0[sl] + 1)
+            k = np.arange(total) - np.repeat(np.cumsum(c) - c, c)
+            nye_r = np.repeat(nye, c)
+            ex = np.repeat(exi0[sl], c) + k // nye_r
+            ey = np.repeat(eyi0[sl], c) + k % nye_r
+            rx0 = -180.0 + ex * w
+            rx1 = -180.0 + (ex + 1) * w
+            ry0 = -90.0 + ey * h
+            ry1 = -90.0 + (ey + 1) * h
+            cross = _segments_cross_own_rect(
+                np.repeat(ax[sl], c), np.repeat(ay[sl], c),
+                np.repeat(bx[sl], c), np.repeat(by[sl], c),
+                rx0, ry0, rx1, ry1,
+            )
+            out[ex[cross] - x0, ey[cross] - y0] = True
+        start = stop
+    return out
+
+
+def _vertices_in_cells(
+    ring, level: int, x0: int, x1: int, y0: int, y1: int
+) -> np.ndarray:
+    """(nx, ny) bool grid: cells whose CLOSED rect contains a ring
+    vertex.  Approximate grid index per vertex, then the exact >=/<=
+    rect comparisons over the +-1 neighborhood (a vertex exactly on a
+    shared cell edge belongs to both cells)."""
+    n = 1 << level
+    w = _LON_SPAN / n
+    h = _LAT_SPAN / n
+    out = np.zeros((x1 - x0 + 1, y1 - y0 + 1), dtype=bool)
+    r = np.asarray(ring, dtype=np.float64)
+    vx, vy = r[:-1, 0], r[:-1, 1]
+    ix = np.floor((vx + 180.0) / w).astype(np.int64)
+    iy = np.floor((vy + 90.0) / h).astype(np.int64)
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            cx, cy = ix + dx, iy + dy
+            m = (cx >= x0) & (cx <= x1) & (cy >= y0) & (cy <= y1)
+            if not m.any():
+                continue
+            cxm, cym, vxm, vym = cx[m], cy[m], vx[m], vy[m]
+            hit = (
+                (vxm >= -180.0 + cxm * w) & (vxm <= -180.0 + (cxm + 1) * w)
+                & (vym >= -90.0 + cym * h) & (vym <= -90.0 + (cym + 1) * h)
+            )
+            out[cxm[hit] - x0, cym[hit] - y0] = True
+    return out
+
+
+def _corner_grid_in_ring(
+    ring, level: int, x0: int, x1: int, y0: int, y1: int
+) -> np.ndarray:
+    """(nx+1, ny+1) bool grid: CELL CORNERS inside the ring (even-odd,
+    kernels.points_in_ring_many — identical float expressions to the
+    scalar corner test, evaluated once per unique corner instead of 4x
+    per cell)."""
+    from ..geom.kernels import points_in_ring_many
+
+    n = 1 << level
+    w = _LON_SPAN / n
+    h = _LAT_SPAN / n
+    gx = -180.0 + np.arange(x0, x1 + 2, dtype=np.float64) * w
+    gy = -90.0 + np.arange(y0, y1 + 2, dtype=np.float64) * h
+    px = np.repeat(gx, len(gy))
+    py = np.tile(gy, len(gx))
+    ins = np.asarray(points_in_ring_many(px, py, ring), dtype=bool)
+    return ins.reshape(len(gx), len(gy))
+
+
 def cover_polygon(poly: List[List[List[float]]], level: int) -> np.ndarray:
     """Cell ids whose squares intersect the polygon (shell minus holes
-    at rectangle granularity: a cell fully inside a hole is excluded)."""
+    at rectangle granularity: a cell fully inside a hole is excluded).
+
+    Fully vectorized across the candidate grid: shell-vertex-in-cell
+    marks, a corner-grid even-odd pass, and chunked edge x cell-edge
+    proper-intersection tests — the per-cell Python loop (one
+    _rect_intersects_polygon call per candidate; 10^5 calls for a
+    continent-sized cover) is gone.  The scalar predicate remains the
+    test oracle (tests/test_spatial.py)."""
     from ..geom.kernels import ring_bbox
 
     bb = ring_bbox(poly[0])
     candidates = cover_bbox(bb[0], bb[1], bb[2], bb[3], level)
-    out = [c for c in candidates.tolist() if _rect_intersects_polygon(cell_bounds(c), [poly[0]])]
-    if len(poly) > 1:
+    x0g, y0g = _grid_xy(np.array([bb[0]]), np.array([bb[1]]), level)
+    x1g, y1g = _grid_xy(np.array([bb[2]]), np.array([bb[3]]), level)
+    x0, y0, x1, y1 = int(x0g[0]), int(y0g[0]), int(x1g[0]), int(y1g[0])
+    shell = poly[0]
+    corners = _corner_grid_in_ring(shell, level, x0, x1, y0, y1)
+    keep = (
+        _vertices_in_cells(shell, level, x0, x1, y0, y1)
+        | corners[:-1, :-1] | corners[1:, :-1] | corners[:-1, 1:] | corners[1:, 1:]
+        | _ring_cross_grid(shell, level, x0, x1, y0, y1)
+    )
+    for hole in poly[1:]:
         # exclude cells fully inside a hole: all 4 corners in the hole
         # and no hole edge crossing the cell
-        def in_hole(c):
-            rect = cell_bounds(c)
-            corners = (
-                (rect[0], rect[1]),
-                (rect[0], rect[3]),
-                (rect[2], rect[1]),
-                (rect[2], rect[3]),
-            )
-            for hole in poly[1:]:
-                if all(_point_in_ring(cx, cy, hole) for cx, cy in corners) and not _any_edge_crossing(rect, hole):
-                    return True
-            return False
-
-        out = [c for c in out if not in_hole(c)]
-    return np.asarray(out, dtype=np.int64)
+        cih = _corner_grid_in_ring(hole, level, x0, x1, y0, y1)
+        all4 = cih[:-1, :-1] & cih[1:, :-1] & cih[:-1, 1:] & cih[1:, 1:]
+        if all4.any():
+            keep &= ~(all4 & ~_ring_cross_grid(hole, level, x0, x1, y0, y1))
+    return candidates[keep.ravel()]
 
 
 def _point_in_ring(x, y, ring):

@@ -29,6 +29,57 @@ KNN_SCHEMA = pa.schema(
 )
 
 
+def _batch_topk_rows(qids: np.ndarray, ids: np.ndarray, dm: np.ndarray, k: int,
+                     max_pairs: int = 1 << 24) -> pa.Table:
+    """(q, n) distance matrix -> batch-local top-k candidate table,
+    ordered by (distance, neighbor id) per query — ONE lexsort over the
+    flattened (query, distance, id) block instead of a Python loop per
+    query, chunked over queries so the q x n pair arrays stay bounded
+    (a 10^4-query batch against 10^5 rows never materializes 10^9
+    pairs at once)."""
+    nq, n = dm.shape
+    k = min(k, n)
+    rows_per_chunk = max(1, max_pairs // max(n, 1))
+    parts_q, parts_n, parts_d = [], [], []
+    for s in range(0, nq, rows_per_chunk):
+        e = min(nq, s + rows_per_chunk)
+        m = e - s
+        block = dm[s:e]
+        # O(n) selection of the k smallest distances per row; ties at
+        # the kth distance are then REPAIRED per affected row so the
+        # candidate set is exactly the (distance, id)-lexicographic
+        # top-k — a dropped equal-distance smaller-id candidate here
+        # could win the GLOBAL reduce, so boundary ties must be exact
+        part = (
+            np.argpartition(block, k - 1, axis=1)[:, :k]
+            if k < n
+            else np.tile(np.arange(n), (m, 1))
+        )
+        sel_d = np.take_along_axis(block, part, axis=1)
+        kth = sel_d.max(axis=1)
+        n_le = (block <= kth[:, None]).sum(axis=1)
+        for r in np.flatnonzero(n_le > k):  # rare: ties across the cut
+            idx = np.flatnonzero(block[r] <= kth[r])
+            part[r] = idx[np.lexsort((ids[idx], block[r][idx]))[:k]]
+        cand_d = np.take_along_axis(block, part, axis=1).ravel()
+        cand_i = ids[part].ravel()
+        # final (distance, id) ordering of the m x k survivors — one
+        # small flat lexsort with the query index as primary key
+        order = np.lexsort((cand_i, cand_d, np.repeat(np.arange(m), k)))
+        parts_q.append(np.repeat(qids[s:e], k))
+        parts_n.append(cand_i[order])
+        parts_d.append(cand_d[order])
+    return pa.Table.from_pydict(
+        {
+            "query_id": np.concatenate(parts_q),
+            "neighbor_id": np.concatenate(parts_n).astype(np.int64),
+            "distance": np.concatenate(parts_d).astype(np.float64),
+            "rank": np.zeros(nq * k, dtype=np.int64),
+        },
+        schema=KNN_SCHEMA,
+    )
+
+
 class _HashKnnScorer:
     """Actor-pool stage: batch of (id, phash) -> local top-k rows."""
 
@@ -45,24 +96,7 @@ class _HashKnnScorer:
         if len(hashes) == 0:
             return KNN_SCHEMA.empty_table()
         dm = hamming64(self.qhashes[:, None], hashes[None, :])  # (q, n)
-        k = min(self.k, dm.shape[1])
-        out_q, out_n, out_d = [], [], []
-        for qi in range(dm.shape[0]):
-            # (distance, id) lexicographic so ties resolve identically
-            # in the batch-local and global reductions
-            for col in np.lexsort((ids, dm[qi]))[:k]:
-                out_q.append(int(self.qids[qi]))
-                out_n.append(int(ids[col]))
-                out_d.append(float(dm[qi, col]))
-        return pa.Table.from_pydict(
-            {
-                "query_id": out_q,
-                "neighbor_id": out_n,
-                "distance": out_d,
-                "rank": [0] * len(out_q),
-            },
-            schema=KNN_SCHEMA,
-        )
+        return _batch_topk_rows(self.qids, ids, dm, self.k)
 
 
 def _topk_reduce(ds, k: int, descending: bool = False):
@@ -184,6 +218,43 @@ def phash_knn(
     return _topk_reduce(local, k)
 
 
+def _topk_rounded_rows(qids: np.ndarray, ids: np.ndarray, raw: np.ndarray,
+                       k: int, grid: float = 1e-9) -> pa.Table:
+    """Top-k per row by (np.round(raw, 9), id) WITHOUT rounding the full
+    q x n matrix (np.round over 10^8 doubles costs ~20s/worker).
+    Selection runs on the raw distances with a 2-grid slack: rounding is
+    monotone with grid 1e-9, so every candidate of the ROUNDED top-k
+    lies within 2e-9 of the kth-smallest raw distance — only that tiny
+    survivor set is rounded and lexsorted, and the result is provably
+    identical to rounding first."""
+    nq, n = raw.shape
+    k = min(k, n)
+    if k < n:
+        part = np.argpartition(raw, k - 1, axis=1)[:, :k]
+        kth = np.take_along_axis(raw, part, axis=1).max(axis=1)
+        mask = raw <= (kth + 2.0 * grid)[:, None]
+    else:
+        mask = np.ones((nq, n), dtype=bool)
+    rows, cols = np.nonzero(mask)
+    d = np.round(raw[rows, cols], 9)
+    i = ids[cols]
+    order = np.lexsort((i, d, rows))
+    rows_s, d_s, i_s = rows[order], d[order], i[order]
+    m = len(rows_s)
+    newrow = np.concatenate(([True], rows_s[1:] != rows_s[:-1])) if m else np.array([], bool)
+    run_start = np.maximum.accumulate(np.where(newrow, np.arange(m), 0)) if m else np.array([], np.int64)
+    keep = (np.arange(m) - run_start) < k
+    return pa.Table.from_pydict(
+        {
+            "query_id": qids[rows_s[keep]],
+            "neighbor_id": i_s[keep].astype(np.int64),
+            "distance": d_s[keep].astype(np.float64),
+            "rank": np.zeros(int(keep.sum()), dtype=np.int64),
+        },
+        schema=KNN_SCHEMA,
+    )
+
+
 class _CosineKnnScorer:
     def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
         q = ray.get(queries_ref)
@@ -202,20 +273,8 @@ class _CosineKnnScorer:
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
-        sims = self.qm @ (vecs / norms).T  # (q, n)
-        dist = np.round(1.0 - sims, 9)
-        k = min(self.k, dist.shape[1])
-        out_q, out_n, out_d = [], [], []
-        for qi in range(dist.shape[0]):
-            for col in np.lexsort((ids, dist[qi]))[:k]:
-                out_q.append(int(self.qids[qi]))
-                out_n.append(int(ids[col]))
-                out_d.append(float(dist[qi, col]))
-        return pa.Table.from_pydict(
-            {"query_id": out_q, "neighbor_id": out_n, "distance": out_d,
-             "rank": [0] * len(out_q)},
-            schema=KNN_SCHEMA,
-        )
+        raw = 1.0 - self.qm @ (vecs / norms).T  # (q, n)
+        return _topk_rounded_rows(self.qids, ids, raw, self.k)
 
 
 def embedding_knn(

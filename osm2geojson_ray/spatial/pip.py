@@ -213,6 +213,72 @@ def broadcast_pip_join(
     )
 
 
+RINGS_TYPE = pa.list_(pa.list_(pa.struct([("lon", pa.float64()), ("lat", pa.float64())])))
+POLY_DS_SCHEMA = pa.schema([("geom_id", pa.string()), ("rings", RINGS_TYPE)])
+
+
+def polygons_to_dataset(polygons: List[Tuple[str, list]]):
+    """(geom_id, [[ [lon,lat], ...], ...]) list -> polygon Dataset with
+    native nested coordinates (the shuffled join's big-side input
+    format; at scale, read this schema straight from parquet)."""
+    import ray.data
+
+    rows = [
+        {
+            "geom_id": gid,
+            "rings": [[{"lon": float(p[0]), "lat": float(p[1])} for p in ring]
+                      for ring in poly],
+        }
+        for gid, poly in polygons
+    ]
+    return ray.data.from_arrow(pa.Table.from_pylist(rows, schema=POLY_DS_SCHEMA))
+
+
+def _rings_to_coords(rings_value) -> list:
+    """One Arrow rings value (list of list of {lon,lat}) -> the nested
+    [[ [lon,lat], ...], ...] lists the PIP kernels take."""
+    return [[[p["lon"], p["lat"]] for p in ring] for ring in rings_value]
+
+
+def _explode_polygons_to_cells(level: int, salt: int):
+    """map_batches stage: polygon rows -> one row per (cover cell x
+    salt), coordinates riding as native Arrow nested lists (replicated
+    via ``take`` — never JSON, never the driver)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        rings_col = batch["rings"].combine_chunks()
+        n = len(batch)
+        covers = [
+            cover_polygon(_rings_to_coords(rings_col[i].as_py()), level)
+            for i in range(n)
+        ]
+        counts = np.array([len(c) * salt for c in covers], dtype=np.int64)
+        cells = (
+            np.concatenate([np.repeat(c, salt) for c in covers])
+            if n
+            else np.array([], dtype=np.int64)
+        )
+        salts = (
+            np.concatenate([np.tile(np.arange(salt, dtype=np.int64), len(c)) for c in covers])
+            if n
+            else np.array([], dtype=np.int64)
+        )
+        take_idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), counts))
+        return pa.Table.from_arrays(
+            [
+                pa.array(cells * salt + salts),
+                batch["geom_id"].take(take_idx),
+                rings_col.take(take_idx),
+            ],
+            schema=pa.schema(
+                [("cell_salt", pa.int64()), ("geom_id", pa.string()),
+                 ("rings", RINGS_TYPE)]
+            ),
+        )
+
+    return fn
+
+
 def shuffled_pip_join(
     images,
     polygons,
@@ -226,27 +292,29 @@ def shuffled_pip_join(
 ):
     """Both sides large: cell-keyed equi-join + per-group PIP.
 
+    ``polygons`` is a Dataset with schema (geom_id: string, rings:
+    list<list<struct<lon,lat>>>) — or a small (geom_id, coords) list,
+    wrapped via :func:`polygons_to_dataset` for convenience.  The
+    cover-cell explode runs distributed inside ``map_batches`` and the
+    coordinates ride the exchange as native Arrow nested lists: no
+    driver-side fan-out, no JSON re-parse per group (at 10^9 polygons
+    the old list-input path materialized every (polygon x cell x salt)
+    JSON row on the driver).
+
     ``salt`` > 1 splits every cell into ``salt`` sub-keys: polygon rows
     replicate per sub-key, image rows pick one by id hash — bounding
     the largest group at roughly images_per_cell / salt (hot-cell skew
     handling; SURVEY.md §4)."""
-    import json as _json
+    from ..relational import _crc32_vectorized, hash_join
 
-    from ..relational import hash_join
-
-    poly_rows = []
-    for gid, poly in _collect_polygons(polygons):
-        for c in cover_polygon(poly, level).tolist():
-            for s in range(salt):
-                poly_rows.append(
-                    {"cell_salt": c * salt + s, "geom_id": gid, "poly_json": _json.dumps(poly)}
-                )
-    poly_schema = pa.schema(
-        [("cell_salt", pa.int64()), ("geom_id", pa.string()), ("poly_json", pa.string())]
+    if isinstance(polygons, list):
+        polygons = polygons_to_dataset(polygons)
+    poly_ds = polygons.map_batches(
+        _explode_polygons_to_cells(level, salt), batch_format="pyarrow"
     )
-    import ray.data
-
-    poly_ds = ray.data.from_arrow(pa.Table.from_pylist(poly_rows, schema=poly_schema))
+    poly_schema = pa.schema(
+        [("cell_salt", pa.int64()), ("geom_id", pa.string()), ("rings", RINGS_TYPE)]
+    )
 
     def key_images(batch: pa.Table) -> pa.Table:
         lons = batch[lon_col].to_numpy(zero_copy_only=False)
@@ -254,13 +322,15 @@ def shuffled_pip_join(
         cells = cell_id(lons, lats, level)
         ids = batch[id_col]
         if salt > 1:
-            import zlib
+            # stable per-image salt (builtin hash is process-randomized);
+            # vectorized crc32 over the DECIMAL STRING form so int and
+            # string id columns route identically
+            import pyarrow.compute as pc
 
-            # stable per-image salt (builtin hash is process-randomized)
-            h = np.array(
-                [zlib.crc32(str(x).encode()) % salt for x in ids.to_pylist()],
-                dtype=np.int64,
-            )
+            as_str = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+            if not pa.types.is_string(as_str.type):
+                as_str = as_str.cast(pa.string())
+            h = _crc32_vectorized(as_str) % salt
         else:
             h = np.zeros(len(batch), dtype=np.int64)
         return pa.Table.from_pydict(
@@ -293,33 +363,34 @@ def shuffled_pip_join(
 
     def test_group(batch: pa.Table) -> pa.Table:
         out_img, out_geom = [], []
-        import json as _j
-
         lons = batch["i_lon"].to_numpy(zero_copy_only=False)
         lats = batch["i_lat"].to_numpy(zero_copy_only=False)
-        ids = batch["image_id"].to_pylist()
-        polys = batch["poly_json"].to_pylist()
-        gids = batch["geom_id"].to_pylist()
-        # candidate rows are already (image x polygon) pairs
-        by_poly: Dict[str, List[int]] = {}
-        for i, pj in enumerate(polys):
-            by_poly.setdefault(pj, []).append(i)
-        for pj, rows in by_poly.items():
-            poly = _j.loads(pj)
-            idx = np.array(rows)
-            hit = points_in_polygon(lons[idx], lats[idx], poly)
-            for r in idx[hit]:
-                out_img.append(ids[int(r)])
-                out_geom.append(gids[int(r)])
-        return pa.Table.from_pydict(
-            {"image_id": out_img, "geom_id": out_geom},
-            schema=pa.schema([("image_id", pa.string()), ("geom_id", pa.string())]),
+        ids = batch["image_id"]
+        gid_col = batch["geom_id"].combine_chunks()
+        rings_col = batch["rings"].combine_chunks()
+        # candidate rows are already (image x polygon) pairs; group by
+        # geom_id (unique per polygon) and decode each polygon's rings
+        # from Arrow ONCE per group — not per row, and never from JSON
+        gids_np = gid_col.to_numpy(zero_copy_only=False)
+        order = np.argsort(gids_np, kind="stable")
+        sorted_gids = gids_np[order]
+        bounds = np.flatnonzero(sorted_gids[1:] != sorted_gids[:-1]) + 1
+        for seg in np.split(order, bounds):
+            if len(seg) == 0:
+                continue
+            poly = _rings_to_coords(rings_col[int(seg[0])].as_py())
+            hit = points_in_polygon(lons[seg], lats[seg], poly)
+            hit_rows = np.asarray(seg)[hit]
+            out_img.extend(hit_rows.tolist())
+            out_geom.extend(gids_np[hit_rows].tolist())
+        matched_ids = (
+            ids.take(pa.array(out_img, pa.int64()))
+            if out_img
+            else pa.chunked_array([], type=ids.type)
+        )
+        return pa.Table.from_arrays(
+            [matched_ids, pa.array(out_geom, pa.string())],
+            schema=pa.schema([("image_id", ids.type), ("geom_id", pa.string())]),
         )
 
     return joined.map_batches(test_group, batch_format="pyarrow")
-
-
-def _collect_polygons(polygons):
-    if isinstance(polygons, list):
-        return polygons
-    raise TypeError("polygons must be a list of (geom_id, polygon_coords)")

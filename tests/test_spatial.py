@@ -86,7 +86,9 @@ def _pip_oracle(tbl, polys):
     return out
 
 
-@pytest.mark.parametrize("join_fn", ["broadcast", "shuffled", "shuffled_salted"])
+@pytest.mark.parametrize(
+    "join_fn", ["broadcast", "shuffled", "shuffled_salted", "shuffled_dataset_salted"]
+)
 def test_pip_join_matches_oracle(ray_session, join_fn):
     tbl = _image_points(400, (-5.0, -5.0, 15.0, 15.0))
     polys = [("sq", SQUARE), ("holed", HOLED)]
@@ -95,8 +97,15 @@ def test_pip_join_matches_oracle(ray_session, join_fn):
         ds = broadcast_pip_join(images, polys, level=8, concurrency=2)
     elif join_fn == "shuffled":
         ds = shuffled_pip_join(images, polys, level=8, num_partitions=4)
-    else:
+    elif join_fn == "shuffled_salted":
         ds = shuffled_pip_join(images, polys, level=8, num_partitions=4, salt=3)
+    else:
+        # polygon side as a real Dataset (the both-sides-large shape):
+        # cover explode runs in map_batches, coords ride as Arrow lists
+        from osm2geojson_ray.spatial.pip import polygons_to_dataset
+
+        poly_ds = polygons_to_dataset(polys).repartition(2)
+        ds = shuffled_pip_join(images, poly_ds, level=8, num_partitions=4, salt=3)
     got = {(r["image_id"], r["geom_id"]) for r in ds.take_all()}
     assert got == _pip_oracle(tbl, polys)
 
@@ -152,3 +161,51 @@ def test_embedding_knn_matches_bruteforce(ray_session):
         rows = sorted([r for r in got if r["query_id"] == qi], key=lambda r: r["rank"])
         assert [r["neighbor_id"] for r in rows] == want
         assert rows[0]["neighbor_id"] == qi  # itself at distance 0
+
+
+def test_cover_polygon_matches_scalar_oracle():
+    """Vectorized cover == per-cell scalar predicate (the pre-round-4
+    implementation), including hole exclusion, on irregular polygons."""
+    from osm2geojson_ray.geom.kernels import ring_bbox
+    from osm2geojson_ray.spatial.cells import (
+        _any_edge_crossing,
+        _point_in_ring,
+        _rect_intersects_polygon,
+        cell_bounds,
+    )
+
+    rng = np.random.default_rng(5)
+
+    def scalar_cover(poly, level):
+        bb = ring_bbox(poly[0])
+        out = []
+        for c in cover_bbox(bb[0], bb[1], bb[2], bb[3], level).tolist():
+            if not _rect_intersects_polygon(cell_bounds(c), [poly[0]]):
+                continue
+            rect = cell_bounds(c)
+            corners = ((rect[0], rect[1]), (rect[0], rect[3]),
+                       (rect[2], rect[1]), (rect[2], rect[3]))
+            in_hole = any(
+                all(_point_in_ring(cx, cy, hole) for cx, cy in corners)
+                and not _any_edge_crossing(rect, hole)
+                for hole in poly[1:]
+            )
+            if not in_hole:
+                out.append(c)
+        return out
+
+    polys = [SQUARE, HOLED]
+    for _ in range(6):
+        # random star-shaped polygon (no self-intersections)
+        k = int(rng.integers(5, 14))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        rad = rng.uniform(1.0, 8.0, k)
+        cx, cy = rng.uniform(-20, 20, 2)
+        ring = [[cx + r * np.cos(a), cy + r * np.sin(a)] for a, r in zip(ang, rad)]
+        ring.append(ring[0])
+        polys.append([ring])
+    for poly in polys:
+        for level in (6, 8, 10):
+            got = cover_polygon(poly, level).tolist()
+            want = scalar_cover(poly, level)
+            assert got == want, (poly[0][:2], level, len(got), len(want))
