@@ -122,6 +122,27 @@ def join_safe(left, right, *, on: str, l_schema: pa.Schema, r_schema: pa.Schema,
     )
 
 
+def _anti_filter_task(batch: pa.Table, *, ids_ref) -> pa.Table:
+    """Used-ref anti-filter in warm-task mode: the sorted id set is
+    fetched once per WORKER process (worker_state cache keyed by the
+    broadcast ref) and membership runs as one searchsorted per batch —
+    actor-pool state without the per-query actor spawn storm."""
+    import ray as _ray
+
+    from ..worker_state import cache_key_for_ref, get_or_build
+
+    ids = get_or_build(
+        ("used_ids", cache_key_for_ref(ids_ref)), lambda: _ray.get(ids_ref)
+    )
+    el = batch["element_id"].to_numpy(zero_copy_only=False)
+    if len(ids):
+        pos = np.minimum(np.searchsorted(ids, el), len(ids) - 1)
+        keep = ids[pos] != el
+    else:
+        keep = np.ones(len(el), dtype=bool)
+    return batch.filter(pa.array(keep))
+
+
 class OsmPipeline:
     """Distributed elements -> GeoJSON-feature-rows pipeline."""
 
@@ -150,6 +171,7 @@ class OsmPipeline:
         # metrics view derives from (A5 missing-member accounting)
         self._ways_resolved = None
         self._round_outs: List = []
+        self._round_out_refs: List = []
         self._t0 = None
 
     def _tick(self, label, ds=None):
@@ -169,6 +191,9 @@ class OsmPipeline:
     def features(self, elements: "ray.data.Dataset") -> "ray.data.Dataset":
         clf = self.classifier
         nparts = self.num_partitions
+        # reset per run: metrics() and the used-id reduce read these
+        self._round_outs = []
+        self._round_out_refs = []
 
         # ONE source scan: materialize the raw elements, then carve the
         # three type-splits from the in-memory blocks with per-type
@@ -404,14 +429,21 @@ class OsmPipeline:
 
         from ..relational import hash_exchange_map
 
-        ways_resolved = hash_exchange_map(
-            [ways_keyed, edge_sharded], "way_id", nparts, assemble_and_attach
+        # raw per-partition refs + a Dataset view over the SAME refs:
+        # the member join, the used-id reduce and the Dataset consumers
+        # all read these refs directly — re-wrapping and re-iterating a
+        # Dataset per consumer would pay one streaming-executor spin-up
+        # each (flat cost at every parallelism level)
+        ways_refs = hash_exchange_map(
+            [ways_keyed, edge_sharded], "way_id", nparts, assemble_and_attach,
+            return_refs=True,
         )
-        if ways_resolved is None:
+        if ways_refs is None:
+            ways_refs = []
             ways_resolved = _empty(out_resolved_schema)
-        # exchange output is from_arrow_refs over ALREADY-COMPUTED object
-        # refs: re-consumption re-reads the refs without recompute, so no
-        # materialize barrier is needed despite multiple consumers
+        else:
+            ways_refs = list(ways_refs)
+            ways_resolved = ray.data.from_arrow_refs(list(ways_refs))
         self._tick("ways_resolved (fused join+assembly)")
         self._ways_resolved = ways_resolved
 
@@ -572,7 +604,7 @@ class OsmPipeline:
         way_features = self._tick("way_features", ways_resolved.map_batches(convert_ways, batch_format="pyarrow")) if self.debug_timing else ways_resolved.map_batches(convert_ways, batch_format="pyarrow")
 
         # ---- relations ----------------------------------------------
-        rel_tables = self._relations(rels, ways_resolved, nparts)
+        rel_tables = self._relations(rels, ways_refs, nparts)
         rel_features, used_rel = rel_tables
         if self.debug_timing:
             rel_features = self._tick("relations", rel_features)
@@ -628,64 +660,55 @@ class OsmPipeline:
         if not self.filter_used_refs:
             return features
 
+        # ---- J6 anti-join on bare id --------------------------------
+        if self.used_filter_strategy == "broadcast":
+            # the used set is a plain int64 id set — orders of magnitude
+            # smaller than the feature rows (which carry geometry JSON).
+            # The partial id sets reduce as RAW TASKS over refs that
+            # already exist (ways_resolved partitions + the packed
+            # relation-round outputs): no extra Dataset execution, no
+            # shuffle of the wide side.  The "shuffle" strategy is the
+            # fallback when even the id set outgrows worker memory.
+            import functools
+
+            import ray as _ray
+
+            @_ray.remote
+            def _ids_from_ways(block: pa.Table):
+                t = block.select(["used_nodes"])
+                t = t.filter(pc.is_valid(t["used_nodes"]))
+                flat = pc.list_flatten(t["used_nodes"].combine_chunks())
+                return np.unique(flat.to_numpy(zero_copy_only=False))
+
+            @_ray.remote
+            def _ids_from_packed(block: pa.Table):
+                t = block.filter(pc.equal(block["kind"], "used"))
+                return np.unique(t["used_id"].to_numpy(zero_copy_only=False))
+
+            @_ray.remote
+            def _merge_ids(*arrs):
+                parts = [a for a in arrs if len(a)] or [np.array([], dtype=np.int64)]
+                return np.unique(np.concatenate(parts))
+
+            partials = [_ids_from_ways.remote(b) for b in ways_refs]
+            partials += [_ids_from_packed.remote(r) for r in self._round_out_refs]
+            if partials:
+                ids_ref = _merge_ids.remote(*partials)
+            else:
+                ids_ref = _ray.put(np.array([], dtype=np.int64))
+
+            return features.map_batches(
+                functools.partial(_anti_filter_task, ids_ref=ids_ref),
+                batch_format="pyarrow",
+            )
+        # shuffle path: one left_anti hash join on bare id
         used = used_nodes.union(used_rel)
         if self.debug_timing:
             used = self._tick("used union", used)
-
-        # ---- J6 anti-join on bare id --------------------------------
         used_keys = used.map_batches(
             lambda t: pa.Table.from_arrays([t["used_id"]], names=["element_id"]),
             batch_format="pyarrow",
         )
-        if self.used_filter_strategy == "broadcast":
-            # the used set is a plain int64 id set — orders of magnitude
-            # smaller than the feature rows (which carry geometry JSON).
-            # Broadcast it once and anti-filter with np.isin per batch:
-            # zero shuffles of the wide side.  The "shuffle" strategy is
-            # the fallback when even the id set outgrows driver memory.
-            import ray as _ray
-
-            # the id set is assembled by ONE remote reduce over the used
-            # blocks' refs — the driver never pulls the ids, it only
-            # hands the result ref to the anti-filter actors
-            @_ray.remote
-            def _unique_ids(*blocks):
-                arrs = [
-                    b["element_id"].to_numpy(zero_copy_only=False) for b in blocks
-                ] or [np.array([], dtype=np.int64)]
-                return np.unique(np.concatenate(arrs))
-
-            used_block_refs = []
-            for bundle in used_keys.iter_internal_ref_bundles():
-                for block_ref, meta in bundle.blocks:
-                    if meta.num_rows is None or meta.num_rows > 0:
-                        used_block_refs.append(block_ref)
-            if used_block_refs:
-                ids_ref = _unique_ids.remote(*used_block_refs)
-            else:
-                ids_ref = _ray.put(np.array([], dtype=np.int64))
-
-            class AntiFilter:
-                def __init__(self):
-                    # np.unique output is sorted: membership via
-                    # searchsorted per batch (np.isin would re-sort the
-                    # multi-million-id set on EVERY batch)
-                    self.ids = _ray.get(ids_ref)
-
-                def __call__(self, batch: pa.Table) -> pa.Table:
-                    el = batch["element_id"].to_numpy(zero_copy_only=False)
-                    if len(self.ids):
-                        pos = np.searchsorted(self.ids, el)
-                        pos_c = np.minimum(pos, len(self.ids) - 1)
-                        keep = self.ids[pos_c] != el
-                    else:
-                        keep = np.ones(len(el), dtype=bool)
-                    return batch.filter(pa.array(keep))
-
-            return features.map_batches(
-                AntiFilter, batch_format="pyarrow", concurrency=(2, max(2, nparts // 2))
-            )
-        # shuffle path: one left_anti hash join on bare id
         return join_safe(
             features,
             used_keys,
@@ -697,8 +720,12 @@ class OsmPipeline:
         )
 
     # ------------------------------------------------------------------
-    def _relations(self, rels, ways_resolved, nparts):
-        """Bounded multi-round relation resolution (nested relations)."""
+    def _relations(self, rels, ways_refs, nparts):
+        """Bounded multi-round relation resolution (nested relations).
+
+        ``ways_refs``: the way_id exchange's raw per-partition refs in
+        partition order (block p holds way_id % len(ways_refs) == p —
+        validated inside the join tasks)."""
         clf = self.classifier
 
         # member edges: (rel_id, member way refs / relation refs) —
@@ -735,10 +762,24 @@ class OsmPipeline:
             )
             return out.filter(keep)
 
-        # consumed by the join, the mega count and the round filters
-        member_edges = rels.map_batches(
-            explode_members, batch_format="pyarrow"
-        ).materialize()
+        # one listing of the (materialized) relation blocks feeds every
+        # relation-side stage as RAW TASKS — the member-edge explode, the
+        # nested-edge scan, the mega count and the payload pre-split all
+        # read these refs directly instead of each paying a Dataset
+        # execution (streaming-executor spin-ups are FLAT costs at every
+        # parallelism level — the round-3 scaling gap lived here)
+        import ray as _ray
+
+        rel_blocks = []
+        for bundle in rels.iter_internal_ref_bundles():
+            for block_ref, meta in bundle.blocks:
+                if meta.num_rows is None or meta.num_rows > 0:
+                    rel_blocks.append(block_ref)
+
+        _explode_members_task = _ray.remote(explode_members)
+        # member edges, one table ref per relation block (was a
+        # map_batches + materialize barrier)
+        edge_refs = [_explode_members_task.remote(b) for b in rel_blocks]
 
         # ---- PARTITION-WISE member join (no re-exchange of ways) ----
         # ways_resolved partition p already holds way_id % nparts == p
@@ -764,8 +805,6 @@ class OsmPipeline:
             + [f for f in _MEMBER_EL_FIELDS]
             + [pa.field("member_idx", pa.int64()), pa.field("role", pa.string())]
         )
-
-        import ray as _ray
 
         from ..relational import ShardedRefs, _exchange_split
 
@@ -822,19 +861,15 @@ class OsmPipeline:
             parts = _exchange_split(out, "rel_id", p2)
             return parts[0] if p2 == 1 else tuple(parts)
 
-        edge_blocks = []
-        for bundle in member_edges.iter_internal_ref_bundles():
-            for block_ref, meta in bundle.blocks:
-                if meta.num_rows is None or meta.num_rows > 0:
-                    edge_blocks.append(block_ref)
-        ways_blocks = []
-        for bundle in ways_resolved.iter_internal_ref_bundles():
-            for block_ref, meta in bundle.blocks:
-                ways_blocks.append(block_ref)
+        # ways_refs ARE the way_id exchange's per-partition outputs, in
+        # partition order (features() hands the raw refs through — no
+        # Dataset re-iteration, and _member_join_split validates the
+        # residue-class layout per block)
+        ways_blocks = list(ways_refs)
         member_sharded = None
-        if edge_blocks and ways_blocks:
+        if edge_refs and ways_blocks:
             edge_mat = []
-            for b in edge_blocks:
+            for b in edge_refs:
                 r = _edge_split.options(num_returns=len(ways_blocks)).remote(
                     b, len(ways_blocks)
                 )
@@ -878,14 +913,27 @@ class OsmPipeline:
             ids = block["id"].to_numpy(zero_copy_only=False).astype(np.int64)
             return child, parent, ids
 
-        sched_refs = []
-        for bundle in rels.iter_internal_ref_bundles():
-            for block_ref, meta in bundle.blocks:
-                if meta.num_rows is None or meta.num_rows > 0:
-                    sched_refs.append(_rel_sched_info.remote(block_ref))
+        sched_refs = [_rel_sched_info.remote(b) for b in rel_blocks]
+
+        # mega-relation member counts, scheduled ALONGSIDE the nested
+        # scan so one driver barrier covers both (see below)
+        @_ray.remote
+        def _rel_counts(block):
+            ids, cnt = np.unique(
+                block["rel_id"].to_numpy(zero_copy_only=False), return_counts=True
+            )
+            return ids.astype(np.int64), cnt.astype(np.int64)
+
+        crefs = (
+            [_rel_counts.remote(b) for b in edge_refs]
+            if self.salt_member_threshold
+            else []
+        )
+        got = _ray.get(sched_refs + crefs)
+        sched_out, count_out = got[: len(sched_refs)], got[len(sched_refs):]
         children_of: Dict[int, List[int]] = {}
         all_rel_ids: set = set()
-        for child, parent, ids in _ray.get(sched_refs):
+        for child, parent, ids in sched_out:
             for c, p in zip(child, parent):
                 children_of.setdefault(p, []).append(c)
             all_rel_ids.update(ids.tolist())
@@ -941,30 +989,10 @@ class OsmPipeline:
         # the tiny mega id list reaches the driver.
         mega_ids: List[int] = []
         if self.salt_member_threshold:
-            import ray as _ray
-
             thr = self.salt_member_threshold
-
-            # per-block partial counts over the ALREADY-MATERIALIZED
-            # member edges, merged on the driver: distinct relation ids
-            # are tiny (one row per relation per block), so a dedicated
-            # exchange execution here was pure fixed latency
-            @_ray.remote
-            def _rel_counts(block):
-                ids, cnt = np.unique(
-                    block["rel_id"].to_numpy(zero_copy_only=False), return_counts=True
-                )
-                return ids.astype(np.int64), cnt.astype(np.int64)
-
-            crefs = []
-            for bundle in member_edges.iter_internal_ref_bundles():
-                for block_ref, meta in bundle.blocks:
-                    if meta.num_rows is None or meta.num_rows > 0:
-                        crefs.append(_rel_counts.remote(block_ref))
-            parts = _ray.get(crefs)
-            if parts:
-                all_ids = np.concatenate([p[0] for p in parts])
-                all_cnt = np.concatenate([p[1] for p in parts])
+            if count_out:
+                all_ids = np.concatenate([p[0] for p in count_out])
+                all_cnt = np.concatenate([p[1] for p in count_out])
                 uids, inv = np.unique(all_ids, return_inverse=True)
                 totals = np.bincount(inv, weights=all_cnt.astype(np.float64))
                 heavy = set(uids[totals > thr].tolist())
@@ -973,79 +1001,85 @@ class OsmPipeline:
             nested_involved = set(depth_memo)
             mega_ids = sorted(heavy - nested_involved)
 
-        round_filters: List = []  # (is_in_arr or None-for-complement)
+        round_filters: List = []  # (mode, sorted int64 ndarray or None)
         excl_round0 = sorted(set(later_ids) | set(mega_ids))
-        later_arr = pa.array(excl_round0, pa.int64()) if excl_round0 else None
+        later_arr = np.array(excl_round0, dtype=np.int64) if excl_round0 else None
         round_filters.append(("not_in", later_arr))
         for d in range(1, n_rounds):
-            ids_d = [rid for rid, dd in depth_memo.items() if dd == d]
-            round_filters.append(("in", pa.array(sorted(ids_d), pa.int64())))
+            ids_d = sorted(rid for rid, dd in depth_memo.items() if dd == d)
+            round_filters.append(("in", np.array(ids_d, dtype=np.int64)))
 
         resolved_shapes: Dict[int, Optional[dict]] = {}
         feature_tables = []
         used_tables = []
 
-        def _round_filter(col: str, mode: str, arr):
-            if mode == "not_in":
-                if arr is None:
-                    return None  # no nested relations: single full round
-                return lambda t: t.filter(
-                    pc.invert(pc.fill_null(pc.is_in(t[col], value_set=arr), False))
-                )
-            return lambda t: t.filter(pc.is_in(t[col], value_set=arr))
+        payload_schema = ext_payload_schema
 
-        for round_no, (mode, ids_arr) in enumerate(round_filters):
-            rel_f = _round_filter("id", mode, ids_arr)
-            round_rels = (
-                rels if rel_f is None else rels.map_batches(rel_f, batch_format="pyarrow")
+        def rel_payload(batch: pa.Table) -> pa.Table:
+            """Pure columnar projection: the relation's own element
+            columns + its members struct-list ride the exchange
+            natively (the old path json.dumps'd every relation
+            element — the last JSON in the stitch path)."""
+            n = len(batch)
+            cols = set(batch.column_names)
+            return pa.Table.from_arrays(
+                [
+                    batch["id"],
+                    pa.array(np.zeros(n, dtype=np.int8)),
+                    batch["members"].combine_chunks().cast(pa.list_(MEMBER))
+                    if "members" in cols
+                    else pa.nulls(n, pa.list_(MEMBER)),
+                    pa.nulls(n, pa.bool_()),
+                    pa.nulls(n, pa.list_(COORD)),
+                    pa.nulls(n, pa.int64()),
+                ]
+                + [
+                    batch[f.name] if f.name in cols else pa.nulls(n, f.type)
+                    for f in _MEMBER_EL_FIELDS
+                ]
+                + [pa.nulls(n, pa.int64()), pa.nulls(n, pa.string())],
+                schema=payload_schema,
             )
 
+        # relation payload rows PRE-SPLIT by rel_id ONCE for ALL rounds
+        # (raw tasks over the relation blocks): each round's reduce sees
+        # every relation and converts only its round's subset — the
+        # per-round payload Dataset execution + re-split is gone
+        @_ray.remote
+        def _rel_payload_split(block, p):
+            parts = _exchange_split(rel_payload(block), "rel_id", p)
+            return parts[0] if p == 1 else tuple(parts)
+
+        rel_payload_sharded = None
+        if rel_blocks:
+            rp_shards = []
+            for b in rel_blocks:
+                r = _rel_payload_split.options(num_returns=nparts).remote(b, nparts)
+                rp_shards.append([r] if nparts == 1 else list(r))
+            rel_payload_sharded = ShardedRefs(rp_shards, nparts)
+
+        both = [x for x in (rel_payload_sharded, member_sharded) if x is not None]
+
+        for round_no, (mode, ids_arr) in enumerate(round_filters):
             shapes_ref = resolved_shapes  # closure: broadcast of prior rounds
 
-            # ONE shuffle per round: relation rows co-partition with the
-            # PRE-SPLIT member shards (member_sharded, rel_id-keyed refs
-            # computed once by the partition-wise join) — member rows of
-            # other rounds ride along unconverted (convert_partition is
-            # driven by the relation rows, which ARE round-filtered)
-            payload_schema = ext_payload_schema
-
-            def rel_payload(batch: pa.Table) -> pa.Table:
-                """Pure columnar projection: the relation's own element
-                columns + its members struct-list ride the exchange
-                natively (the old path json.dumps'd every relation
-                element — the last JSON in the stitch path)."""
-                n = len(batch)
-                cols = set(batch.column_names)
-                return pa.Table.from_arrays(
-                    [
-                        batch["id"],
-                        pa.array(np.zeros(n, dtype=np.int8)),
-                        batch["members"].combine_chunks().cast(pa.list_(MEMBER))
-                        if "members" in cols
-                        else pa.nulls(n, pa.list_(MEMBER)),
-                        pa.nulls(n, pa.bool_()),
-                        pa.nulls(n, pa.list_(COORD)),
-                        pa.nulls(n, pa.int64()),
-                    ]
-                    + [
-                        batch[f.name] if f.name in cols else pa.nulls(n, f.type)
-                        for f in _MEMBER_EL_FIELDS
-                    ]
-                    + [pa.nulls(n, pa.int64()), pa.nulls(n, pa.string())],
-                    schema=payload_schema,
-                )
-
-            both = [round_rels.map_batches(rel_payload, batch_format="pyarrow")]
-            if member_sharded is not None:
-                both.append(member_sharded)
-
-            def convert_partition(tbl: pa.Table, _shapes=shapes_ref) -> pa.Table:
+            # ONE shuffle per round over the SHARED pre-split payload +
+            # member shards; rows of other rounds ride along unconverted
+            # (the round filter runs vectorized inside the reduce)
+            def convert_partition(
+                tbl: pa.Table, _shapes=shapes_ref, _mode=mode, _ids=ids_arr
+            ) -> pa.Table:
                 kinds = tbl["kind"].to_numpy(zero_copy_only=False)
                 rel_ids = tbl["rel_id"].to_numpy(zero_copy_only=False)
                 coords_np, offs = _list_coords_view(tbl["coords"])
                 resolved_np = tbl["resolved"].to_numpy(zero_copy_only=False)
                 mem_mask = kinds == 1
                 rel_rows = np.flatnonzero(kinds == 0)
+                if _mode == "not_in":
+                    if _ids is not None and len(rel_rows):
+                        rel_rows = rel_rows[~np.isin(rel_ids[rel_rows], _ids)]
+                elif len(rel_rows):
+                    rel_rows = rel_rows[np.isin(rel_ids[rel_rows], _ids)]
                 members_by_rel: Dict[int, list] = {}
                 for i in np.flatnonzero(mem_mask):
                     members_by_rel.setdefault(int(rel_ids[i]), []).append(int(i))
@@ -1111,11 +1145,17 @@ class OsmPipeline:
 
             from ..relational import hash_exchange_map
 
-            round_out = hash_exchange_map(both, "rel_id", nparts, convert_partition)
-            if round_out is None:
+            round_refs = hash_exchange_map(
+                both, "rel_id", nparts, convert_partition, return_refs=True
+            )
+            if round_refs is None:
                 round_out = _empty(_PACKED_SCHEMA)
-            # ref-backed exchange output: re-consumption re-reads refs
-            # without recompute — no materialize barrier needed
+            else:
+                # ref-backed exchange output: the Dataset view and the
+                # raw refs (used-id reduce) share the same objects — no
+                # materialize barrier, no re-iteration
+                round_out = ray.data.from_arrow_refs(list(round_refs))
+                self._round_out_refs.extend(round_refs)
             self._round_outs.append(round_out)
 
             feature_tables.append(
@@ -1149,9 +1189,13 @@ class OsmPipeline:
                     )
 
         if mega_ids:
-            mega_out = self._relations_salted(
+            mega_refs = self._relations_salted(
                 rels, member_ways_view(), pa.array(mega_ids, pa.int64()), nparts
             )
+            mega_out = None
+            if mega_refs is not None:
+                mega_out = ray.data.from_arrow_refs(list(mega_refs))
+                self._round_out_refs.extend(mega_refs)
             if mega_out is not None:
                 self._round_outs.append(mega_out)
                 feature_tables.append(
@@ -1421,8 +1465,10 @@ class OsmPipeline:
 
         from ..relational import hash_exchange_map
 
-        out = hash_exchange_map(stream, "rel_id", nparts, assemble_partition)
-        return out  # ref-backed; may be None (no mega members arrived)
+        # raw refs; may be None (no mega members arrived)
+        return hash_exchange_map(
+            stream, "rel_id", nparts, assemble_partition, return_refs=True
+        )
 
     # ------------------------------------------------------------------
     def metrics(self):

@@ -232,6 +232,7 @@ def hash_exchange_map(
     *,
     fn_format: str = "pyarrow",
     emit_split_on: "Optional[Tuple[str, int]]" = None,
+    return_refs: bool = False,
 ):
     """Hash-partition input(s) on ``key`` and apply ``fn`` ONCE per
     partition — the classic two-stage shuffle (map: split each block
@@ -256,7 +257,14 @@ def hash_exchange_map(
     ``emit_split_on=(next_key, next_parts)``: the reduce additionally
     splits fn's output by ``next_key`` and returns one object per
     next-partition — the result is a ``ShardedRefs`` for the next
-    exchange instead of a Dataset (operator fusion across shuffles)."""
+    exchange instead of a Dataset (operator fusion across shuffles).
+
+    ``return_refs=True``: return the raw per-partition object refs
+    (one per reduce output, partition order) instead of wrapping them
+    in a Dataset — callers that feed BOTH Dataset consumers and raw
+    tasks avoid a re-iteration of the wrapped Dataset (each
+    ``iter_internal_ref_bundles`` is a streaming-executor spin-up, a
+    FLAT cost at every parallelism level)."""
     import ray as _ray
 
     @_ray.remote
@@ -334,6 +342,8 @@ def hash_exchange_map(
         _reduce.remote(fn_ref, fn_format, p, *[s[p] for s in shard_matrices])
         for p in range(num_partitions)
     ]
+    if return_refs:
+        return out_refs
     return ray.data.from_arrow_refs(out_refs)
 
 
