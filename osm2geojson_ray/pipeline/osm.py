@@ -122,6 +122,66 @@ def join_safe(left, right, *, on: str, l_schema: pa.Schema, r_schema: pa.Schema,
     )
 
 
+def _rel_block_scan(batch: pa.Table):
+    """ONE pure-Arrow pass over a relation block: way-member edges
+    (list_flatten + parent indices + struct_field — no Python row loop)
+    plus the nested-relation (child, parent) edge lists."""
+    t = batch.select(["id", "members", "center"])
+    t = t.filter(pc.and_(pc.is_valid(t["members"]), pc.is_null(t["center"])))
+    members = t["members"].combine_chunks()
+    ids = t["id"].combine_chunks()
+    flat = pc.list_flatten(members)
+    rel_id = pc.take(ids, pc.list_parent_indices(members))
+    lens = pc.list_value_length(members).to_numpy(zero_copy_only=False)
+    lens = np.nan_to_num(lens.astype(np.float64), nan=0).astype(np.int64)
+    total = int(lens.sum())
+    starts = np.repeat(np.cumsum(lens) - lens, lens)
+    m_idx = pa.array(np.arange(total, dtype=np.int64) - starts)
+    mtype = pc.struct_field(flat, "type")
+    keep = pc.fill_null(
+        pc.and_(
+            pc.equal(mtype, "way"),
+            pc.is_null(pc.struct_field(flat, "geometry")),
+        ),
+        False,
+    )
+    out = pa.Table.from_arrays(
+        [
+            pc.struct_field(flat, "ref"),
+            rel_id,
+            m_idx,
+            pc.fill_null(pc.struct_field(flat, "role"), ""),
+        ],
+        schema=MEMBER_EDGE_SCHEMA,
+    )
+    edges = out.filter(keep)
+    nested = pc.fill_null(pc.equal(mtype, "relation"), False)
+    child = pc.struct_field(flat, "ref").filter(nested).to_pylist()
+    parent = rel_id.filter(nested).to_pylist()
+    return edges, child, parent
+
+
+@ray.remote(num_returns=2)
+def _rel_scan_task(block: pa.Table):
+    """(way-member edges table, small sched/count tuple): the edges stay
+    in the object store for the member join; only the tiny scheduling
+    payload (nested edges, present ids, member counts) is ray.get to the
+    driver — the member explode, the nested scan and the mega count
+    share ONE task wave and ONE driver barrier."""
+    edges, child, parent = _rel_block_scan(block)
+    ids = block["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    e_ids, e_cnt = np.unique(
+        edges["rel_id"].to_numpy(zero_copy_only=False), return_counts=True
+    )
+    return edges, (child, parent, ids, e_ids.astype(np.int64),
+                   e_cnt.astype(np.int64))
+
+
+def explode_members(batch: pa.Table) -> pa.Table:
+    """Member-edge explode of one relation block (MEMBER_EDGE_SCHEMA)."""
+    return _rel_block_scan(batch)[0]
+
+
 def _anti_filter_task(batch: pa.Table, *, ids_ref) -> pa.Table:
     """Used-ref anti-filter in warm-task mode: the sorted id set is
     fetched once per WORKER process (worker_state cache keyed by the
@@ -218,31 +278,72 @@ class OsmPipeline:
             "tags_keys", "tags_values", "timestamp", "version",
             "changeset", "user", "uid",
         ]
+        node_cols = ["seq", "type", "id", "lat", "lon"] + _meta_cols
+        way_cols = ["seq", "type", "id", "nodes", "geometry", "center",
+                    "bounds"] + _meta_cols
+        rel_cols = ["seq", "type", "id", "members", "center",
+                    "bounds"] + _meta_cols
 
-        def _split(type_name: str, cols: List[str]):
-            # LAZY over the materialized blocks: consumers re-run the
-            # cheap in-memory filter+project instead of paying a
-            # materialize barrier per type split
-            schema = elements.schema()
-            names = schema.names if schema is not None else [f.name for f in ELEMENT_SCHEMA]
-            keep = [c for c in cols if c in names]
-            return elements.filter(expr=f"type == '{type_name}'").map_batches(
-                lambda t, _k=keep: t.select([c for c in _k if c in t.column_names]),
-                batch_format="pyarrow",
+        import ray as _ray
+
+        # ONE-PASS type split as a raw-task wave (num_returns=3): each
+        # element block is scanned once and the three column-pruned type
+        # tables stay in the object store as refs.  The previous lazy
+        # per-consumer filters re-scanned the full table once per
+        # consumer (nodes once, ways twice, relations once = 4 extra
+        # full scans) and the relation split paid a materialize barrier.
+        @_ray.remote(num_returns=3)
+        def _split_types(block: pa.Table):
+            names = set(block.column_names)
+
+            def pick(tname, cols):
+                t = block.filter(pc.equal(block["type"], tname))
+                return t.select([c for c in cols if c in names])
+
+            return (
+                pick("node", node_cols),
+                pick("way", way_cols),
+                pick("relation", rel_cols),
             )
 
-        nodes = _split("node", ["seq", "type", "id", "lat", "lon"] + _meta_cols)
-        ways = _split(
-            "way",
-            ["seq", "type", "id", "nodes", "geometry", "center", "bounds"] + _meta_cols,
+        el_blocks = []
+        for bundle in elements.iter_internal_ref_bundles():
+            for block_ref, meta in bundle.blocks:
+                if meta.num_rows is None or meta.num_rows > 0:
+                    el_blocks.append(block_ref)
+        node_refs, way_split_refs, rel_blocks = [], [], []
+        for b in el_blocks:
+            n_r, w_r, r_r = _split_types.remote(b)
+            node_refs.append(n_r)
+            way_split_refs.append(w_r)
+            rel_blocks.append(r_r)
+
+        # launch the relation scan wave NOW — before the way⋈node join
+        # floods the task queue — so _relations' one driver barrier
+        # (nested edges + mega counts) finds its results already computed
+        edge_refs, sched_refs = [], []
+        for b in rel_blocks:
+            e, s = _rel_scan_task.remote(b)
+            edge_refs.append(e)
+            sched_refs.append(s)
+
+        # NON-BLOCKING Dataset views over the split refs (schemas are
+        # statically known): the stock from_arrow_refs would ray.get a
+        # metadata task per ref, stalling the driver on the split wave
+        from ..relational import from_arrow_refs_lazy
+
+        el_schema = elements.schema()
+        el_names = set(
+            el_schema.names if el_schema is not None else ELEMENT_SCHEMA.names
         )
-        # relations are consumed by MANY stages (member/rel edges, the
-        # per-round filters, payloads, the salted path) — materialize the
-        # small filtered subset once instead of re-filtering per consumer
-        rels = _split(
-            "relation",
-            ["seq", "type", "id", "members", "center", "bounds"] + _meta_cols,
-        ).materialize()
+
+        def _sub_schema(cols):
+            return pa.schema(
+                [ELEMENT_SCHEMA.field(c) for c in cols if c in el_names]
+            )
+
+        nodes = from_arrow_refs_lazy(node_refs, _sub_schema(node_cols))
+        ways = from_arrow_refs_lazy(way_split_refs, _sub_schema(way_cols))
         self._tick("split")
 
         # ---- J1: way ⋈ node -----------------------------------------
@@ -443,7 +544,7 @@ class OsmPipeline:
             ways_resolved = _empty(out_resolved_schema)
         else:
             ways_refs = list(ways_refs)
-            ways_resolved = ray.data.from_arrow_refs(list(ways_refs))
+            ways_resolved = from_arrow_refs_lazy(ways_refs, out_resolved_schema)
         self._tick("ways_resolved (fused join+assembly)")
         self._ways_resolved = ways_resolved
 
@@ -604,7 +705,8 @@ class OsmPipeline:
         way_features = self._tick("way_features", ways_resolved.map_batches(convert_ways, batch_format="pyarrow")) if self.debug_timing else ways_resolved.map_batches(convert_ways, batch_format="pyarrow")
 
         # ---- relations ----------------------------------------------
-        rel_tables = self._relations(rels, ways_refs, nparts)
+        rel_tables = self._relations(rel_blocks, edge_refs, sched_refs,
+                                     ways_refs, nparts)
         rel_features, used_rel = rel_tables
         if self.debug_timing:
             rel_features = self._tick("relations", rel_features)
@@ -720,66 +822,21 @@ class OsmPipeline:
         )
 
     # ------------------------------------------------------------------
-    def _relations(self, rels, ways_refs, nparts):
+    def _relations(self, rel_blocks, edge_refs, sched_refs, ways_refs, nparts):
         """Bounded multi-round relation resolution (nested relations).
 
-        ``ways_refs``: the way_id exchange's raw per-partition refs in
-        partition order (block p holds way_id % len(ways_refs) == p —
-        validated inside the join tasks)."""
+        All relation-side inputs arrive as RAW REFS (no Dataset
+        executions — streaming-executor spin-ups are FLAT costs at every
+        parallelism level; the round-3 scaling gap lived here):
+        ``rel_blocks`` — the relation blocks from the one-pass type
+        split; ``edge_refs``/``sched_refs`` — the _rel_scan_task wave's
+        outputs, launched by features() BEFORE the way join so the scan
+        never queues behind exchange work; ``ways_refs`` — the way_id
+        exchange's per-partition refs in partition order (block p holds
+        way_id % len(ways_refs) == p — validated inside the join tasks).
+        """
         clf = self.classifier
-
-        # member edges: (rel_id, member way refs / relation refs) —
-        # pure-Arrow member-list explode (list_flatten + parent indices +
-        # struct_field), the same shape J1 uses for node refs: no Python
-        # row loop, members structs never pythonize here
-        def explode_members(batch: pa.Table) -> pa.Table:
-            t = batch.select(["id", "members", "center"])
-            t = t.filter(pc.and_(pc.is_valid(t["members"]), pc.is_null(t["center"])))
-            members = t["members"].combine_chunks()
-            ids = t["id"].combine_chunks()
-            flat = pc.list_flatten(members)
-            rel_id = pc.take(ids, pc.list_parent_indices(members))
-            lens = pc.list_value_length(members).to_numpy(zero_copy_only=False)
-            lens = np.nan_to_num(lens.astype(np.float64), nan=0).astype(np.int64)
-            total = int(lens.sum())
-            starts = np.repeat(np.cumsum(lens) - lens, lens)
-            m_idx = pa.array(np.arange(total, dtype=np.int64) - starts)
-            keep = pc.fill_null(
-                pc.and_(
-                    pc.equal(pc.struct_field(flat, "type"), "way"),
-                    pc.is_null(pc.struct_field(flat, "geometry")),
-                ),
-                False,
-            )
-            out = pa.Table.from_arrays(
-                [
-                    pc.struct_field(flat, "ref"),
-                    rel_id,
-                    m_idx,
-                    pc.fill_null(pc.struct_field(flat, "role"), ""),
-                ],
-                schema=MEMBER_EDGE_SCHEMA,
-            )
-            return out.filter(keep)
-
-        # one listing of the (materialized) relation blocks feeds every
-        # relation-side stage as RAW TASKS — the member-edge explode, the
-        # nested-edge scan, the mega count and the payload pre-split all
-        # read these refs directly instead of each paying a Dataset
-        # execution (streaming-executor spin-ups are FLAT costs at every
-        # parallelism level — the round-3 scaling gap lived here)
         import ray as _ray
-
-        rel_blocks = []
-        for bundle in rels.iter_internal_ref_bundles():
-            for block_ref, meta in bundle.blocks:
-                if meta.num_rows is None or meta.num_rows > 0:
-                    rel_blocks.append(block_ref)
-
-        _explode_members_task = _ray.remote(explode_members)
-        # member edges, one table ref per relation block (was a
-        # map_batches + materialize barrier)
-        edge_refs = [_explode_members_task.remote(b) for b in rel_blocks]
 
         # ---- PARTITION-WISE member join (no re-exchange of ways) ----
         # ways_resolved partition p already holds way_id % nparts == p
@@ -881,62 +938,60 @@ class OsmPipeline:
                 )
                 out_shards.append([r] if nparts == 1 else list(r))
             member_sharded = ShardedRefs(out_shards, nparts)
-        def member_ways_view():
-            """Dataset view of the joined member rows (salted path only
-            — built lazily and coalesced: the raw shard matrix is
-            nparts^2 tiny blocks, which would charge every downstream
-            map per-block scheduling)."""
-            if member_sharded is None:
-                return _empty(ext_payload_schema)
-            from ..relational import coalesce_blocks
-
-            flat = ray.data.from_arrow_refs(
-                [r for shard in member_sharded.shards for r in shard]
+        def _rel_payload_project(batch: pa.Table) -> pa.Table:
+            """Pure columnar projection: the relation's own element
+            columns + its members struct-list ride the exchange
+            natively (the old path json.dumps'd every relation
+            element — the last JSON in the stitch path)."""
+            n = len(batch)
+            cols = set(batch.column_names)
+            return pa.Table.from_arrays(
+                [
+                    batch["id"],
+                    pa.array(np.zeros(n, dtype=np.int8)),
+                    batch["members"].combine_chunks().cast(pa.list_(MEMBER))
+                    if "members" in cols
+                    else pa.nulls(n, pa.list_(MEMBER)),
+                    pa.nulls(n, pa.bool_()),
+                    pa.nulls(n, pa.list_(COORD)),
+                    pa.nulls(n, pa.int64()),
+                ]
+                + [
+                    batch[f.name] if f.name in cols else pa.nulls(n, f.type)
+                    for f in _MEMBER_EL_FIELDS
+                ]
+                + [pa.nulls(n, pa.int64()), pa.nulls(n, pa.string())],
+                schema=ext_payload_schema,
             )
-            return coalesce_blocks(flat, nparts)
 
-        # nested-relation edges + present ids, ONE remote pass per block:
-        # the edge list is tiny (parents referencing child relations are
-        # rare) and the id set is one int per relation — three separate
-        # Dataset executions here (edge take_all, present-children
-        # filter+take_all) were pure fixed latency at every CPU level.
+        # relation payload rows PRE-SPLIT by rel_id ONCE for ALL rounds
+        # (raw tasks over the relation blocks), LAUNCHED BEFORE the
+        # scheduling barrier so the split work overlaps the driver wait
         @_ray.remote
-        def _rel_sched_info(block: pa.Table):
-            child, parent = [], []
-            for row in block.select(["id", "members", "center"]).to_pylist():
-                if row["members"] is None or row["center"] is not None:
-                    continue
-                for m in row["members"]:
-                    if m["type"] == "relation":
-                        child.append(m["ref"])
-                        parent.append(row["id"])
-            ids = block["id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            return child, parent, ids
+        def _rel_payload_split(block, p):
+            parts = _exchange_split(_rel_payload_project(block), "rel_id", p)
+            return parts[0] if p == 1 else tuple(parts)
 
-        sched_refs = [_rel_sched_info.remote(b) for b in rel_blocks]
+        rel_payload_sharded = None
+        if rel_blocks:
+            rp_shards = []
+            for b in rel_blocks:
+                r = _rel_payload_split.options(num_returns=nparts).remote(b, nparts)
+                rp_shards.append([r] if nparts == 1 else list(r))
+            rel_payload_sharded = ShardedRefs(rp_shards, nparts)
 
-        # mega-relation member counts, scheduled ALONGSIDE the nested
-        # scan so one driver barrier covers both (see below)
-        @_ray.remote
-        def _rel_counts(block):
-            ids, cnt = np.unique(
-                block["rel_id"].to_numpy(zero_copy_only=False), return_counts=True
-            )
-            return ids.astype(np.int64), cnt.astype(np.int64)
-
-        crefs = (
-            [_rel_counts.remote(b) for b in edge_refs]
-            if self.salt_member_threshold
-            else []
-        )
-        got = _ray.get(sched_refs + crefs)
-        sched_out, count_out = got[: len(sched_refs)], got[len(sched_refs):]
+        # the ONE driver barrier of the relation stage: nested edges,
+        # present ids and member counts all come from the _rel_scan_task
+        # wave (everything else launched above keeps computing meanwhile)
+        sched_out = _ray.get(sched_refs)
         children_of: Dict[int, List[int]] = {}
         all_rel_ids: set = set()
-        for child, parent, ids in sched_out:
+        count_out = []
+        for child, parent, ids, e_ids, e_cnt in sched_out:
             for c, p in zip(child, parent):
                 children_of.setdefault(p, []).append(c)
             all_rel_ids.update(ids.tolist())
+            count_out.append((e_ids, e_cnt))
 
         child_ids = {c for cs in children_of.values() for c in cs}
         present_children = child_ids & all_rel_ids
@@ -1012,51 +1067,6 @@ class OsmPipeline:
         resolved_shapes: Dict[int, Optional[dict]] = {}
         feature_tables = []
         used_tables = []
-
-        payload_schema = ext_payload_schema
-
-        def rel_payload(batch: pa.Table) -> pa.Table:
-            """Pure columnar projection: the relation's own element
-            columns + its members struct-list ride the exchange
-            natively (the old path json.dumps'd every relation
-            element — the last JSON in the stitch path)."""
-            n = len(batch)
-            cols = set(batch.column_names)
-            return pa.Table.from_arrays(
-                [
-                    batch["id"],
-                    pa.array(np.zeros(n, dtype=np.int8)),
-                    batch["members"].combine_chunks().cast(pa.list_(MEMBER))
-                    if "members" in cols
-                    else pa.nulls(n, pa.list_(MEMBER)),
-                    pa.nulls(n, pa.bool_()),
-                    pa.nulls(n, pa.list_(COORD)),
-                    pa.nulls(n, pa.int64()),
-                ]
-                + [
-                    batch[f.name] if f.name in cols else pa.nulls(n, f.type)
-                    for f in _MEMBER_EL_FIELDS
-                ]
-                + [pa.nulls(n, pa.int64()), pa.nulls(n, pa.string())],
-                schema=payload_schema,
-            )
-
-        # relation payload rows PRE-SPLIT by rel_id ONCE for ALL rounds
-        # (raw tasks over the relation blocks): each round's reduce sees
-        # every relation and converts only its round's subset — the
-        # per-round payload Dataset execution + re-split is gone
-        @_ray.remote
-        def _rel_payload_split(block, p):
-            parts = _exchange_split(rel_payload(block), "rel_id", p)
-            return parts[0] if p == 1 else tuple(parts)
-
-        rel_payload_sharded = None
-        if rel_blocks:
-            rp_shards = []
-            for b in rel_blocks:
-                r = _rel_payload_split.options(num_returns=nparts).remote(b, nparts)
-                rp_shards.append([r] if nparts == 1 else list(r))
-            rel_payload_sharded = ShardedRefs(rp_shards, nparts)
 
         both = [x for x in (rel_payload_sharded, member_sharded) if x is not None]
 
@@ -1151,10 +1161,13 @@ class OsmPipeline:
             if round_refs is None:
                 round_out = _empty(_PACKED_SCHEMA)
             else:
-                # ref-backed exchange output: the Dataset view and the
-                # raw refs (used-id reduce) share the same objects — no
-                # materialize barrier, no re-iteration
-                round_out = ray.data.from_arrow_refs(list(round_refs))
+                # ref-backed exchange output: the Dataset view (lazy, no
+                # metadata barrier) and the raw refs (used-id reduce)
+                # share the same objects — relation reduces overlap the
+                # final consuming execution instead of stalling the driver
+                from ..relational import from_arrow_refs_lazy
+
+                round_out = from_arrow_refs_lazy(list(round_refs), _PACKED_SCHEMA)
                 self._round_out_refs.extend(round_refs)
             self._round_outs.append(round_out)
 
@@ -1190,11 +1203,13 @@ class OsmPipeline:
 
         if mega_ids:
             mega_refs = self._relations_salted(
-                rels, member_ways_view(), pa.array(mega_ids, pa.int64()), nparts
+                rel_blocks, member_sharded, mega_ids, nparts
             )
             mega_out = None
             if mega_refs is not None:
-                mega_out = ray.data.from_arrow_refs(list(mega_refs))
+                from ..relational import from_arrow_refs_lazy
+
+                mega_out = from_arrow_refs_lazy(list(mega_refs), _PACKED_SCHEMA)
                 self._round_out_refs.extend(mega_refs)
             if mega_out is not None:
                 self._round_outs.append(mega_out)
@@ -1225,37 +1240,39 @@ class OsmPipeline:
 
 
     # ------------------------------------------------------------------
-    def _relations_salted(self, rels, member_ways, mega_arr, nparts):
+    def _relations_salted(self, rel_blocks, member_sharded, mega_ids, nparts):
         """Skew-safe assembly for relations with huge member lists
         (BASELINE.json north_rule: 'ways/relations spanning cells
         handled via explicit salted-skew repartitioning').
 
         The normal path co-partitions RAW member payloads (way element
-        JSON + coords) by rel_id and converts every member inside the
+        columns + coords) by rel_id and converts every member inside the
         relation's one partition — a 60k-member boundary relation makes
         that partition both byte-heavy and Python-heavy.  Here the
-        per-member conversion (JSON parse, classifier, ring closing)
-        runs as a FLAT parallel map over the member rows BEFORE any
-        keyed exchange — skew-immune because no key is involved — and
-        only ready-made coordinate chains enter the rel_id exchange.
-        The per-relation reduce then runs the identical assembly tail
-        (_shapes_to_multipolygon / linemerge) over chains ordered by
-        member_idx, so output is bit-identical to the normal path.
+        per-member conversion (classifier, ring closing) runs FLAT, one
+        raw task per (source block x mega partition) shard of the member
+        join's ShardedRefs — skew-immune because a mega relation's
+        members are spread over every source block — and only ready-made
+        coordinate chains enter the per-partition assembly.  The
+        assembly tail (_shapes_to_multipolygon / linemerge) runs over
+        chains ordered by member_idx, so output is bit-identical to the
+        normal path.
+
+        Raw-task plumbing end to end (no Dataset execution): a mega
+        relation's rows live ONLY in shard partition rel_id % nparts,
+        so conversion touches |sources| x |mega partitions| small shards
+        and assembly is one task per mega partition.
 
         Not routed here (stay on the normal path): nested relations
         (need the round machinery) and member ways resolving BY REF to
         other member ways (need the full relation-wide refs index).
         """
         clf = self.classifier
+        import ray as _ray
 
-        mem_mega = member_ways.map_batches(
-            lambda t: t.filter(pc.is_in(t["rel_id"], value_set=mega_arr)),
-            batch_format="pyarrow",
-        )
-        rels_mega = rels.map_batches(
-            lambda t: t.filter(pc.is_in(t["id"], value_set=mega_arr)),
-            batch_format="pyarrow",
-        )
+        mega_arr = pa.array(sorted(mega_ids), pa.int64())
+        P = member_sharded.num_partitions if member_sharded is not None else nparts
+        mega_parts = sorted({int(r) % P for r in mega_ids})
 
         chain_schema = pa.schema(
             [
@@ -1370,10 +1387,6 @@ class OsmPipeline:
                 schema=chain_schema,
             )
 
-        stream = mem_mega.map_batches(convert_members, batch_format="pyarrow").union(
-            rels_mega.map_batches(rel_payload_s, batch_format="pyarrow")
-        )
-
         def assemble_partition(tbl: pa.Table) -> pa.Table:
             kinds = tbl["kind"].to_numpy(zero_copy_only=False)
             rel_ids = tbl["rel_id"].to_numpy(zero_copy_only=False)
@@ -1463,12 +1476,40 @@ class OsmPipeline:
             )
             return _pack_multi({"features": ft, "used": ut, "shapes": st})
 
-        from ..relational import hash_exchange_map
+        @_ray.remote
+        def _convert_mega_shard(shard: pa.Table) -> pa.Table:
+            t = shard.filter(pc.is_in(shard["rel_id"], value_set=mega_arr))
+            return convert_members(t)
 
-        # raw refs; may be None (no mega members arrived)
-        return hash_exchange_map(
-            stream, "rel_id", nparts, assemble_partition, return_refs=True
-        )
+        @_ray.remote
+        def _mega_rel_payload(block: pa.Table) -> pa.Table:
+            return rel_payload_s(
+                block.filter(pc.is_in(block["id"], value_set=mega_arr))
+            )
+
+        @_ray.remote
+        def _assemble_mega(p, n_rel, *tables):
+            rel_tables, chain_tables = tables[:n_rel], tables[n_rel:]
+            rel_tbl = pa.concat_tables(rel_tables, promote_options="default")
+            ids = rel_tbl["rel_id"].to_numpy(zero_copy_only=False)
+            rel_tbl = rel_tbl.filter(pa.array(ids % P == p))
+            tbl = pa.concat_tables(
+                [rel_tbl, *chain_tables], promote_options="default"
+            )
+            return assemble_partition(tbl)
+
+        conv_by_part = {p: [] for p in mega_parts}
+        if member_sharded is not None:
+            for src in member_sharded.shards:
+                for p in mega_parts:
+                    conv_by_part[p].append(_convert_mega_shard.remote(src[p]))
+        rel_refs = [_mega_rel_payload.remote(b) for b in rel_blocks]
+        if not rel_refs:
+            return None  # no relation blocks: no mega output
+        return [
+            _assemble_mega.remote(p, len(rel_refs), *rel_refs, *conv_by_part[p])
+            for p in mega_parts
+        ]
 
     # ------------------------------------------------------------------
     def metrics(self):

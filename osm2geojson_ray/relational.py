@@ -347,6 +347,49 @@ def hash_exchange_map(
     return ray.data.from_arrow_refs(out_refs)
 
 
+def from_arrow_refs_lazy(refs, schema: pa.Schema, est_block_bytes: int = 4 << 20):
+    """Non-blocking ``ray.data.from_arrow_refs`` for table refs whose
+    schema the caller already knows.  The stock constructor launches a
+    metadata task per ref and ``ray.get``s them — a DRIVER BARRIER on
+    every still-pending upstream task (flat latency at every parallelism
+    level).  Here the metadata is supplied locally (known schema,
+    unknown row counts, estimated size for backpressure accounting) so
+    the Dataset constructs instantly and downstream operators pipeline
+    with the producing tasks.
+
+    Constraint: a dataset built this way must pass through at least one
+    map/filter before count()/union() (Ray asserts known row counts on
+    RAW bundles) — every call site here does.  Falls back to the
+    blocking constructor if Ray internals change shape."""
+    import ray as _ray
+
+    try:
+        from ray.data import DataContext
+        from ray.data._internal.logical.interfaces import LogicalPlan
+        from ray.data._internal.logical.operators.from_operators import FromArrow
+        from ray.data._internal.plan import ExecutionPlan
+        from ray.data._internal.stats import DatasetStats
+        from ray.data.block import BlockMetadata, BlockMetadataWithSchema
+        from ray.data.dataset import MaterializedDataset
+
+        mds = [
+            BlockMetadataWithSchema(
+                BlockMetadata(num_rows=None, size_bytes=est_block_bytes,
+                              input_files=None, exec_stats=None),
+                schema=schema,
+            )
+            for _ in refs
+        ]
+        plan = ExecutionPlan(
+            DatasetStats(metadata={"FromArrow": mds}, parent=None),
+            DataContext.get_current().copy(),
+        )
+        lp = LogicalPlan(FromArrow(list(refs), mds), plan._context)
+        return MaterializedDataset(plan, lp)
+    except Exception:
+        return ray.data.from_arrow_refs(list(refs))
+
+
 def coalesce_blocks(ds, num_partitions: int):
     """Concatenate a too-fragmented Dataset down to ~num_partitions
     blocks with raw concat tasks — no shuffle, no sort, no row
