@@ -243,3 +243,47 @@ def test_jaccard_pairs_large_ids_no_key_collision(ray_session):
         for r in jaccard_pairs(docs, jaccard_threshold=0.9).take_all()
     }
     assert (2, 5) in pairs and (1, 1_000_008) in pairs, pairs
+
+
+def test_sample_frames_varying_counts_matches_rowwise_oracle(ray_session):
+    """Vectorized frame explode == per-row slicing oracle when n_frames
+    varies per row (incl. single-frame identity and every_k > n)."""
+    import struct as _struct
+
+    import numpy as np
+    import pyarrow as pa
+
+    from osm2geojson_ray.images.synth import synth_image_table
+    from osm2geojson_ray.images.transform import sample_frames
+
+    rng = np.random.default_rng(3)
+    base = synth_image_table(20, partition_rows=10).take_all()
+    nfs = rng.integers(1, 6, len(base)).tolist()
+    rows = []
+    for r, nf in zip(base, nfs):
+        rows.append(
+            {
+                "image_id": r["image_id"],
+                "bytes": r["bytes"] * int(nf),
+                "fmt": r["fmt"],
+                "n_frames": int(nf),
+            }
+        )
+    import ray.data
+
+    for k in (1, 2, 4):
+        got = sample_frames(
+            ray.data.from_arrow(pa.Table.from_pylist(rows)), every_k=k
+        ).take_all()
+        want = []
+        for r in rows:
+            flen = len(r["bytes"]) // r["n_frames"]
+            for j in range(0, r["n_frames"], k):
+                fb = r["bytes"][j * flen : (j + 1) * flen]
+                w, h, _, _ = _struct.unpack("<HHBB", fb[2:8])
+                want.append((r["image_id"], j, fb, w, h, r["fmt"]))
+        got_t = sorted(
+            (g["image_id"], g["frame"], g["bytes"], g["w"], g["h"], g["fmt"])
+            for g in got
+        )
+        assert got_t == sorted(want), f"every_k={k}"
