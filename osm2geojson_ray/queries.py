@@ -944,6 +944,49 @@ def g_pip_join_osm(sf_dir: str):
     return broadcast_pip_join(imgs, polys, level=10, id_col="image_id", concurrency=2)
 
 
+# Axis-aligned boxes with half-microdegree bounds: the synthetic points
+# are exact multiples of 1e-6, so no point can sit on a boundary and the
+# even-odd PIP kernel's verdict equals the SQL open-interval predicate
+# exactly — which makes the SHUFFLED (both-sides-large, salted) spatial
+# join driver-hash-checkable.
+_PIP_BOXES = [
+    ("box_a", -1.4999995, -0.7999995, 1.2500005, 2.3500005),
+    ("box_b", 0.5000005, 1.5000005, 4.7500005, 5.2500005),
+    ("box_c", 3.0000005, -1.9999995, 5.9000005, 0.5000005),  # overlaps none
+]
+
+
+def g_pip_join_boxes(sf_dir: str):
+    """Shuffled salted PIP join with the polygon side as a real Dataset
+    (cover-cell explode in map_batches, coords as Arrow nested lists):
+    every stage of the both-sides-large path runs, and the rectangle
+    geometry keeps the result SQL-expressible for the driver oracle."""
+    from .spatial.pip import polygons_to_dataset, shuffled_pip_join
+
+    polys = [
+        (gid, [[[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]])
+        for gid, x0, y0, x1, y1 in _PIP_BOXES
+    ]
+    poly_ds = polygons_to_dataset(polys)
+    imgs = part_images(sf_dir)
+    return shuffled_pip_join(
+        imgs, poly_ds, level=10, num_partitions=8, salt=2, id_col="image_id"
+    )
+
+
+G_PIP_BOXES_SQL = f"""
+WITH img AS ({_PART_IMG_SQL})
+SELECT CAST(image_id AS VARCHAR) AS image_id, b.gid AS geom_id
+FROM img
+JOIN (VALUES
+  ('box_a', -1.4999995, -0.7999995, 1.2500005, 2.3500005),
+  ('box_b', 0.5000005, 1.5000005, 4.7500005, 5.2500005),
+  ('box_c', 3.0000005, -1.9999995, 5.9000005, 0.5000005)
+) AS b(gid, x0, y0, x1, y1)
+  ON img.lon > b.x0 AND img.lon < b.x1 AND img.lat > b.y0 AND img.lat < b.y1
+"""
+
+
 def m_image_decode(sf_dir: str):
     """Decode + verify the deterministic image table (actor pool).
 
@@ -1130,6 +1173,7 @@ QUERIES = {
     "g_tile_counts": g_tile_counts,
     "g_knn_phash": g_knn_phash,
     "g_pip_join_osm": g_pip_join_osm,
+    "g_pip_join_boxes": g_pip_join_boxes,
     "osm_corpus_features": osm_corpus_features,
     "m_image_decode": m_image_decode,
     "m_image_features": m_image_features,
@@ -1156,6 +1200,7 @@ ORACLE_SQL = {
     "g_cell_encode": G_CELL_SQL,
     "g_tile_counts": G_TILE_SQL,
     "g_knn_phash": G_KNN_SQL,
+    "g_pip_join_boxes": G_PIP_BOXES_SQL,
     "m_image_decode": M_IMAGE_DECODE_SQL,
     "m_image_features": M_IMAGE_FEATURES_SQL,
 }
