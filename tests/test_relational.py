@@ -244,3 +244,35 @@ def test_topk_smaller_than_k(ray_session):
     tbl = pa.table({"v": pa.array([3, 1, 2], pa.int64())})
     got = topk(_ds(tbl, blocks=2), [("v", True)], k=10).to_pandas()
     assert got["v"].tolist() == [3, 2, 1]
+
+
+def test_from_arrow_refs_lazy_matches_blocking(ray_session):
+    """Lazy known-schema dataset view == blocking from_arrow_refs for
+    map/filter consumers, constructs without waiting on pending refs."""
+    import time
+
+    import ray
+
+    from osm2geojson_ray.relational import from_arrow_refs_lazy
+
+    @ray.remote
+    def slow(i):
+        time.sleep(1.0)
+        return pa.table({"x": pa.array([i, i + 10], pa.int64())})
+
+    # warm the constructor's lazy imports so the timing below measures
+    # only (absence of) blocking on the pending refs
+    from_arrow_refs_lazy(
+        [ray.put(pa.table({"x": pa.array([], pa.int64())}))],
+        pa.schema([("x", pa.int64())]),
+    )
+    refs = [slow.remote(i) for i in range(3)]
+    t0 = time.time()
+    ds = from_arrow_refs_lazy(refs, pa.schema([("x", pa.int64())]))
+    construct = time.time() - t0
+    assert construct < 0.5, f"constructor blocked {construct:.2f}s"
+    got = sorted(
+        r["x"] for r in ds.map_batches(lambda t: t, batch_format="pyarrow").take_all()
+    )
+    assert got == [0, 1, 2, 10, 11, 12]
+    assert ds.filter(expr="x >= 10").count() == 3
