@@ -365,3 +365,49 @@ def dedupe_consecutive(coords: Ring) -> Ring:
         if not out or not rings_equal(out[-1], p):
             out.append(list(p))
     return out
+
+
+def repr_f64_strs(values):
+    """Vectorized Python-``repr``-byte-identical float formatting.
+
+    Returns a ``pyarrow`` string array whose elements equal
+    ``repr(float(v))`` for every v in ``values`` (a float64 numpy
+    array).  Arrow's float->string cast emits the same unique
+    shortest-round-trip digit string as CPython's ``float_repr`` (both
+    are Ryu/Grisu-style), but the two diverge in *presentation* for
+    four classes, which are detected vectorized and patched with the
+    exact ``repr``:
+
+    - integral values (Arrow ``123`` vs Python ``123.0``; also ``0``/``-0``),
+    - ``|v| < 1e-4`` (Python switches to scientific below 1e-4,
+      Arrow later and with a different exponent format),
+    - ``|v| >= 1e16`` (Python ``1e+16`` vs Arrow plain digits),
+    - non-finite (``nan``/``inf`` spellings).
+
+    Coordinate-like data hits the patch classes at ~1e-6 rates, so the
+    whole column formats in Arrow; if a batch is patch-dominated
+    (>5 %), fall back to one ``repr`` loop — correct either way.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    v = np.ascontiguousarray(values, dtype=np.float64)
+    n = len(v)
+    if n == 0:
+        return pa.array([], pa.string())
+    av = np.abs(v)
+    with np.errstate(invalid="ignore"):
+        odd = (av < 1e-4) | (av >= 1e16) | (np.trunc(v) == v) | ~np.isfinite(v)
+    n_odd = int(odd.sum())
+    if n_odd > n // 20:
+        return pa.array([repr(x) for x in v.tolist()], pa.string())
+    s = pc.cast(pa.array(v), pa.string())
+    if n_odd:
+        idx = np.flatnonzero(odd)
+        repl = np.full(n, "", dtype=object)
+        vi = v[idx].tolist()
+        for k, i in enumerate(idx.tolist()):
+            repl[i] = repr(vi[k])
+        s = pc.if_else(pa.array(odd), pa.array(repl, pa.string()), s)
+    return s

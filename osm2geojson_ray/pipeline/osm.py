@@ -43,7 +43,7 @@ import ray.data
 
 from ..classify import DEFAULT_CLASSIFIER, PolygonClassifier
 from ..geom import assemble
-from ..geom.kernels import is_valid_polygon
+from ..geom.kernels import is_valid_polygon, repr_f64_strs
 from ..model.schema import ELEMENT_SCHEMA, elements_table, row_to_element
 from ..relational import hash_join
 
@@ -97,6 +97,11 @@ def elements_dataset(elements: List[dict], *, override_num_blocks: Optional[int]
     ``ray.data.read_binary_files(paths).flat_map(parse shard)``."""
     tbl = elements_table(elements)
     return ray.data.from_arrow(tbl, override_num_blocks=override_num_blocks)
+
+
+def _const_str(value: str, n: int) -> pa.Array:
+    """Length-n constant string column without a Python list build."""
+    return pa.repeat(pa.scalar(value), n)
 
 
 def _empty(schema: pa.Schema):
@@ -587,10 +592,37 @@ class OsmPipeline:
             tv_col = batch["tags_values"].to_pylist()
             nodes_col = batch["nodes"].to_pylist()
 
-            # one point-string per coordinate, batch-wide (shared by all
-            # fast rows; repr of a Python float == json.dumps formatting)
-            flat_pts = coords_np.tolist()
-            pt_strs = [f"[{p[0]!r}, {p[1]!r}]" for p in flat_pts]
+            # whole-column Arrow string build (repr_f64_strs is byte-
+            # identical to Python repr == json.dumps float formatting):
+            # one point string per coordinate, then one ", "-joined body
+            # per way via a list rewrap + binary_join — no per-point
+            # Python loop, no per-way slice join.
+            pt_arr = pc.binary_join_element_wise(
+                "[", repr_f64_strs(coords_np[:, 0]),
+                ", ", repr_f64_strs(coords_np[:, 1]), "]", "",
+            )
+            bodies = pc.binary_join(
+                pa.LargeListArray.from_arrays(pa.array(offs, pa.int64()), pt_arr),
+                ", ",
+            ).to_pylist()
+            first_pts = pt_arr.take(
+                pa.array(np.minimum(offs[:-1], max(len(pt_arr) - 1, 0)))
+            ).to_pylist() if len(pt_arr) else [""] * n
+            # per-way coordinate-value ring closure, vectorized
+            lens = offs[1:] - offs[:-1]
+            if len(coords_np):
+                f_idx = np.minimum(offs[:-1], len(coords_np) - 1)
+                l_idx = np.minimum(np.maximum(offs[1:] - 1, 0), len(coords_np) - 1)
+                value_closed_v = (coords_np[f_idx] == coords_np[l_idx]).all(axis=1) & (lens > 0)
+            else:
+                value_closed_v = np.zeros(n, dtype=bool)
+            # str(list_of_ids) formatting, vectorized: '[1, 2]' == str([1, 2])
+            nodes_cc = batch["nodes"].combine_chunks()
+            nodes_strs = pc.binary_join_element_wise(
+                "[",
+                pc.binary_join(pc.cast(nodes_cc, pa.list_(pa.string())), ", "),
+                "]", "",
+            ).to_pylist()
 
             # memoized per-tags-combo classification + tags JSON
             tag_cache: Dict[tuple, tuple] = {}
@@ -627,34 +659,32 @@ class OsmPipeline:
                 if is_poly:
                     # coordinate-value closure (close_ring), distinct
                     # from the node-id closure used for classification
-                    value_closed = flat_pts[o0] == flat_pts[o1 - 1]
+                    value_closed = bool(value_closed_v[i])
                     ring_len = npts if value_closed else npts + 1
                     if ring_len < 4:
                         continue  # degenerate polygon -> skipped
-                    ring = (
-                        flat_pts[o0:o1]
-                        if value_closed
-                        else flat_pts[o0:o1] + [flat_pts[o0]]
-                    )
+                    ring = coords_np[o0:o1].tolist()
+                    if not value_closed:
+                        ring.append(ring[0])
                     if not is_valid_polygon([ring]):
                         slow_idx.append(int(i))  # buffer(0) repair path
                         continue
-                    body = ", ".join(pt_strs[o0:o1])
+                    body = bodies[i]
                     if not value_closed:
-                        body += ", " + pt_strs[o0]
+                        body += ", " + first_pts[i]
                     geom = '{"type": "Polygon", "coordinates": [[' + body + "]]}"
                     gtype = "Polygon"
                 else:
                     geom = (
                         '{"type": "LineString", "coordinates": ['
-                        + ", ".join(pt_strs[o0:o1])
+                        + bodies[i]
                         + "]}"
                     )
                     gtype = "LineString"
                 props = '{"type": "way", "id": ' + str(ids_list[i])
                 if tags_json is not None:
                     props += ', "tags": ' + tags_json
-                props += ', "nodes": ' + str(nodes_col[i]) + "}"
+                props += ', "nodes": ' + nodes_strs[i] + "}"
                 out_seq.append(seqs_list[i])
                 out_id.append(ids_list[i])
                 out_gtype.append(gtype)
@@ -713,41 +743,49 @@ class OsmPipeline:
 
         # ---- nodes --------------------------------------------------
         def convert_nodes(batch: pa.Table) -> pa.Table:
-            """node -> Point without to_pylist: geometry JSON built from
-            the lon/lat arrays via f-string templates (Python float repr
-            == json.dumps float formatting); untagged/meta-less nodes (the
-            bulk) take a pure-template property path, the rest fall back
-            to the exact element_props projection."""
+            """node -> Point with NO Python loop over the bulk: geometry
+            JSON and simple-node properties are whole-column Arrow joins
+            over ``repr_f64_strs`` (byte-identical to Python ``repr``,
+            hence to json.dumps formatting — see geom/kernels.py) and an
+            int64->string cast (integers format identically in Arrow and
+            CPython).  Only tagged/meta nodes (a few %) take the exact
+            per-row element_props projection, scattered back with one
+            ``if_else``."""
             n = len(batch)
-            seqs = batch["seq"].to_numpy(zero_copy_only=False)
-            ids = batch["id"].to_numpy(zero_copy_only=False)
-            lons = batch["lon"].to_numpy(zero_copy_only=False).tolist()
-            lats = batch["lat"].to_numpy(zero_copy_only=False).tolist()
-            geom = [
-                f'{{"type": "Point", "coordinates": [{x!r}, {y!r}]}}'
-                for x, y in zip(lons, lats)
-            ]
+            geom = pc.binary_join_element_wise(
+                '{"type": "Point", "coordinates": [',
+                repr_f64_strs(batch["lon"].to_numpy(zero_copy_only=False)),
+                ", ",
+                repr_f64_strs(batch["lat"].to_numpy(zero_copy_only=False)),
+                "]}",
+                "",
+            )
             simple = np.ones(n, dtype=bool)
             for col in ("tags_keys", "timestamp", "version", "user", "uid"):
                 simple &= pc.is_null(batch[col]).to_numpy(zero_copy_only=False)
-            props: list = [None] * n
-            id_list = ids.tolist()
-            for i in np.flatnonzero(simple):
-                props[i] = f'{{"type": "node", "id": {id_list[i]}}}'
+            props = pc.binary_join_element_wise(
+                '{"type": "node", "id": ',
+                pc.cast(batch["id"].combine_chunks(), pa.string()),
+                "}",
+                "",
+            )
             complex_idx = np.flatnonzero(~simple)
             if len(complex_idx):
                 sub = batch.take(pa.array(complex_idx))
+                repl = np.full(n, "", dtype=object)
                 for j, row in enumerate(sub.to_pylist()):
                     el = row_to_element(row)
-                    props[complex_idx[j]] = json.dumps(assemble.element_props(el))
+                    repl[complex_idx[j]] = json.dumps(assemble.element_props(el))
+                props = pc.if_else(pa.array(simple), props,
+                                   pa.array(repl, pa.string()))
             return pa.Table.from_arrays(
                 [
-                    pa.array(seqs),
-                    pa.array(["node"] * n, pa.string()),
-                    pa.array(ids),
-                    pa.array(["Point"] * n, pa.string()),
-                    pa.array(geom, pa.string()),
-                    pa.array(props, pa.string()),
+                    batch["seq"],
+                    _const_str("node", n),
+                    batch["id"],
+                    _const_str("Point", n),
+                    geom,
+                    props,
                 ],
                 schema=FEATURE_SCHEMA,
             )

@@ -135,3 +135,34 @@ def test_cell_roundtrip(lon, lat, level):
 def test_close_ring_idempotent(ring):
     assert close_ring(ring) == ring  # already closed
     assert close_ring(ring[:-1]) == ring
+
+
+def test_repr_f64_strs_byte_identical_to_python_repr():
+    """repr_f64_strs must equal repr(float(v)) byte-for-byte — it feeds
+    the templated GeoJSON fast paths whose output is byte-compared to
+    the reference corpus (json.dumps floats format via float_repr)."""
+    from osm2geojson_ray.geom.kernels import repr_f64_strs
+
+    rng = np.random.default_rng(11)
+    special = np.array([
+        0.0, -0.0, 1e-5, -1e-5, 1e-4, 9.999e-5, 123.0, -7.0, 1e-7,
+        1e16, -1e16, 9.999999999999998e15, np.inf, -np.inf, np.nan,
+        55.123456789012345, 1e308, 5e-324, 2.5, -2.5, 1e15, 180.0,
+        -180.0, 1.5e-4, -1.0000000000000002,
+    ])
+    coords = rng.uniform(-180, 180, 20_000)
+    tiny = rng.normal(0, 1e-3, 5_000)  # straddles the 1e-4 sci threshold
+    bits = rng.integers(0, 2**64, 50_000, dtype=np.uint64).view(np.float64)
+    for v in (special, coords, tiny, bits, np.empty(0)):
+        got = repr_f64_strs(v).to_pylist()
+        want = [repr(x) for x in v.tolist()]
+        assert got == want
+
+
+def test_repr_f64_strs_patch_dominated_fallback():
+    """A batch that is mostly integral floats takes the pure-repr
+    fallback and still matches."""
+    from osm2geojson_ray.geom.kernels import repr_f64_strs
+
+    v = np.arange(1000, dtype=np.float64)  # 100% integral
+    assert repr_f64_strs(v).to_pylist() == [repr(float(x)) for x in range(1000)]
