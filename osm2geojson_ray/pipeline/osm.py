@@ -260,25 +260,15 @@ class OsmPipeline:
         self._round_outs = []
         self._round_out_refs = []
 
-        # ONE source scan: materialize the raw elements, then carve the
-        # three type-splits from the in-memory blocks with per-type
-        # COLUMN PRUNING (nodes never carry members/geometry; relations
-        # never carry lat/lon/nodes) — downstream pad_to_fused /
-        # row_to_element treat absent columns as nulls.  Without the
-        # up-front materialize each filter would re-execute the parquet
-        # decode (lazy lineage runs once per consumer).
-        elements = elements.materialize()
-        nblocks = elements.num_blocks()
-        if nblocks > 2 * nparts:
-            # consolidate to ~nparts right-sized blocks: too-many tiny
-            # blocks cost per-block scheduling in EVERY downstream stage
-            # (concat tasks, not a shuffle)
-            from ..relational import coalesce_blocks
-
-            elements = coalesce_blocks(elements, nparts)  # ref-backed
-        elif nblocks < nparts:
-            # too-few blocks starve parallelism: real repartition
-            elements = elements.repartition(nparts).materialize()
+        # ONE STREAMING source scan: blocks are consumed as the read (or
+        # any upstream op) produces them and the type-split tasks chain
+        # off each block immediately, so the parquet decode OVERLAPS the
+        # downstream explode/pad/split waves instead of sitting behind a
+        # materialize() barrier (a FLAT cost at every parallelism
+        # level).  Per-type COLUMN PRUNING applies in the split (nodes
+        # never carry members/geometry; relations never carry
+        # lat/lon/nodes) — downstream pad_to_fused / row_to_element
+        # treat absent columns as nulls.
         _meta_cols = [
             "tags_keys", "tags_values", "timestamp", "version",
             "changeset", "user", "uid",
@@ -291,67 +281,17 @@ class OsmPipeline:
 
         import ray as _ray
 
-        # ONE-PASS type split as a raw-task wave (num_returns=3): each
-        # element block is scanned once and the three column-pruned type
-        # tables stay in the object store as refs.  The previous lazy
-        # per-consumer filters re-scanned the full table once per
-        # consumer (nodes once, ways twice, relations once = 4 extra
-        # full scans) and the relation split paid a materialize barrier.
-        @_ray.remote(num_returns=3)
-        def _split_types(block: pa.Table):
-            names = set(block.column_names)
-
-            def pick(tname, cols):
-                t = block.filter(pc.equal(block["type"], tname))
-                return t.select([c for c in cols if c in names])
-
-            return (
-                pick("node", node_cols),
-                pick("way", way_cols),
-                pick("relation", rel_cols),
-            )
-
-        el_blocks = []
-        for bundle in elements.iter_internal_ref_bundles():
-            for block_ref, meta in bundle.blocks:
-                if meta.num_rows is None or meta.num_rows > 0:
-                    el_blocks.append(block_ref)
-        node_refs, way_split_refs, rel_blocks = [], [], []
-        for b in el_blocks:
-            n_r, w_r, r_r = _split_types.remote(b)
-            node_refs.append(n_r)
-            way_split_refs.append(w_r)
-            rel_blocks.append(r_r)
-
-        # launch the relation scan wave NOW — before the way⋈node join
-        # floods the task queue — so _relations' one driver barrier
-        # (nested edges + mega counts) finds its results already computed
-        edge_refs, sched_refs = [], []
-        for b in rel_blocks:
-            e, s = _rel_scan_task.remote(b)
-            edge_refs.append(e)
-            sched_refs.append(s)
-
-        # NON-BLOCKING Dataset views over the split refs (schemas are
-        # statically known): the stock from_arrow_refs would ray.get a
-        # metadata task per ref, stalling the driver on the split wave
-        from ..relational import from_arrow_refs_lazy
-
-        el_schema = elements.schema()
-        el_names = set(
-            el_schema.names if el_schema is not None else ELEMENT_SCHEMA.names
+        from ..relational import (
+            ShardedRefs,
+            _exchange_split,
+            _superset_schema,
+            from_arrow_refs_lazy,
+            pad_block_to,
         )
 
-        def _sub_schema(cols):
-            return pa.schema(
-                [ELEMENT_SCHEMA.field(c) for c in cols if c in el_names]
-            )
-
-        nodes = from_arrow_refs_lazy(node_refs, _sub_schema(node_cols))
-        ways = from_arrow_refs_lazy(way_split_refs, _sub_schema(way_cols))
-        self._tick("split")
-
-        # ---- J1: way ⋈ node -----------------------------------------
+        # ---- J1 kernels + schemas (defined up front so the map side of
+        # the way⋈node join runs as raw tasks chained directly off the
+        # type split — no Dataset execution, no driver barrier) --------
         def explode_way_edges(batch: pa.Table) -> pa.Table:
             """Pure-Arrow list explode: list_flatten + list_parent_indices,
             edge_seq from per-list offsets (no Python row loop)."""
@@ -371,14 +311,10 @@ class OsmPipeline:
             seq = pa.array(np.arange(total, dtype=np.int64) - starts)
             return pa.Table.from_arrays([flat, way_id, seq], schema=EDGE_SCHEMA)
 
-        edges = ways.map_batches(explode_way_edges, batch_format="pyarrow")
-
         def node_coords(batch: pa.Table) -> pa.Table:
             return pa.Table.from_arrays(
                 [batch["id"], batch["lon"], batch["lat"]], names=["node_id", "n_lon", "n_lat"]
             )
-
-        coords = nodes.map_batches(node_coords, batch_format="pyarrow")
 
         # FUSED regroup-and-attach: edge rows and full way rows are
         # tagged into one stream and co-partitioned by way_id; each
@@ -413,9 +349,140 @@ class OsmPipeline:
                     arrays.append(pa.nulls(n, type=f.type))
             return pa.Table.from_arrays(arrays, schema=fused_schema)
 
-        ways_keyed = ways.map_batches(
-            lambda t: pad_to_fused(t.append_column("way_id", t["id"]), 0),
-            batch_format="pyarrow",
+        join_superset = _superset_schema("node_id", EDGE_SCHEMA, COORDS_SCHEMA)
+
+        # ONE-PASS type split as a raw-task wave (num_returns=3): each
+        # element block is scanned once and the three column-pruned type
+        # tables stay in the object store as refs.
+        @_ray.remote(num_returns=3)
+        def _split_types(*blocks):
+            block = (
+                blocks[0]
+                if len(blocks) == 1
+                else pa.concat_tables(blocks, promote_options="default")
+            )
+            names = set(block.column_names)
+
+            def pick(tname, cols):
+                t = block.filter(pc.equal(block["type"], tname))
+                return t.select([c for c in cols if c in names])
+
+            return (
+                pick("node", node_cols),
+                pick("way", way_cols),
+                pick("relation", rel_cols),
+            )
+
+        @_ray.remote
+        def _way_map(block: pa.Table):
+            """Fused raw-task map side for one way block: join-superset-
+            padded edge shards (split by node_id, feeding the node join)
+            PLUS fused kind-0 way shards (split by way_id, feeding the
+            assembly exchange) — 2P returns from one scan of the block."""
+            e = pad_block_to(explode_way_edges(block), join_superset, 0)
+            eshards = _exchange_split(e, "node_id", nparts)
+            wk = pad_to_fused(block.append_column("way_id", block["id"]), 0)
+            wshards = _exchange_split(wk, "way_id", nparts)
+            return tuple(eshards) + tuple(wshards)
+
+        @_ray.remote
+        def _node_map(block: pa.Table):
+            c = pad_block_to(node_coords(block), join_superset, 1)
+            shards = _exchange_split(c, "node_id", nparts)
+            return shards[0] if nparts == 1 else tuple(shards)
+
+        el_schema = elements.schema()
+        el_names = set(
+            el_schema.names if el_schema is not None else ELEMENT_SCHEMA.names
+        )
+
+        # STREAM the source: launch a type-split task per ~right-sized
+        # group of blocks as they land (tiny blocks are grouped by row
+        # count — a concat inside the task, not a shuffle)
+        node_refs, way_split_refs, rel_blocks = [], [], []
+
+        def _launch_split(blocks):
+            n_r, w_r, r_r = _split_types.remote(*blocks)
+            node_refs.append(n_r)
+            way_split_refs.append(w_r)
+            rel_blocks.append(r_r)
+
+        _ROWS_PER_SPLIT = 65536
+        pending, pending_rows, total_rows = [], 0, 0
+        for bundle in elements.iter_internal_ref_bundles():
+            for block_ref, meta in bundle.blocks:
+                if meta.num_rows is not None and meta.num_rows == 0:
+                    continue
+                pending.append(block_ref)
+                pending_rows += (
+                    meta.num_rows if meta.num_rows is not None else _ROWS_PER_SPLIT
+                )
+                if pending_rows >= _ROWS_PER_SPLIT:
+                    _launch_split(pending)
+                    pending, pending_rows = [], 0
+                total_rows += meta.num_rows or 0
+        if pending:
+            _launch_split(pending)
+
+        # under-parallel source (few huge blocks): re-slice the split
+        # outputs with one extra task wave so the map waves and the lazy
+        # Dataset consumers (convert_nodes) see ~nparts blocks.  Rare —
+        # bench/CLI fix their block count at the read; the wave only
+        # triggers on big single-block in-memory sources.
+        if len(node_refs) < max(2, nparts // 2) and total_rows > 100_000:
+            k = -(-nparts // max(1, len(node_refs)))
+
+            @_ray.remote
+            def _slice_k(t: pa.Table):
+                step = -(-max(len(t), 1) // k)
+                return tuple(t.slice(i * step, step) for i in range(k))
+
+            def _reslice(refs):
+                out = []
+                for r in refs:
+                    out.extend(_slice_k.options(num_returns=k).remote(r))
+                return out
+
+            node_refs = _reslice(node_refs)
+            way_split_refs = _reslice(way_split_refs)
+            rel_blocks = _reslice(rel_blocks)
+
+        # launch the join map side + the relation scan wave NOW — the
+        # tasks chain off the split refs, so they start per block as the
+        # splits (and the reads feeding them) finish
+        way_rets = [
+            _way_map.options(num_returns=2 * nparts).remote(w)
+            for w in way_split_refs
+        ]
+        node_rets = [
+            _node_map.options(num_returns=nparts).remote(n) for n in node_refs
+        ]
+        edge_refs, sched_refs = [], []
+        for b in rel_blocks:
+            e, s = _rel_scan_task.remote(b)
+            edge_refs.append(e)
+            sched_refs.append(s)
+
+        def _sub_schema(cols):
+            return pa.schema(
+                [ELEMENT_SCHEMA.field(c) for c in cols if c in el_names]
+            )
+
+        # NON-BLOCKING Dataset view over the node split refs (schema is
+        # statically known) for the convert_nodes consumer
+        nodes = from_arrow_refs_lazy(node_refs, _sub_schema(node_cols))
+        self._tick("split")
+
+        # ---- J1: way ⋈ node -----------------------------------------
+        # The map side already ran as raw tasks (_way_map/_node_map):
+        # wrap the padded, pre-split shards as ShardedRefs and feed them
+        # straight into the join (skips the map-side Dataset execution
+        # AND the per-block split hop — both FLAT costs at every level).
+        P = nparts
+        edge_side = ShardedRefs([list(r[:P]) for r in way_rets], P)
+        ways_keyed = ShardedRefs([list(r[P:]) for r in way_rets], P)
+        coord_side = ShardedRefs(
+            [[r] if P == 1 else list(r) for r in node_rets], P
         )
         # FUSED join->exchange: the node-id join's reduce pads its
         # output to the fused schema and splits it by way_id in place
@@ -423,8 +490,8 @@ class OsmPipeline:
         # directly, skipping one barrier + materialize + re-split hop
         # of the full edge stream (a FLAT cost at every CPU level)
         edge_sharded = join_safe(
-            edges,
-            coords,
+            edge_side,
+            coord_side,
             on="node_id",
             l_schema=EDGE_SCHEMA,
             r_schema=COORDS_SCHEMA,

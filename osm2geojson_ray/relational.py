@@ -35,19 +35,28 @@ def _superset_schema(on: str, l_schema: pa.Schema, r_schema: pa.Schema) -> pa.Sc
     return pa.schema(fields)
 
 
+def pad_block_to(batch: pa.Table, superset: pa.Schema, side: int) -> pa.Table:
+    """Pad one block to a join superset schema (missing columns become
+    nulls) and stamp its ``__side``.  Module-level so producers that
+    pre-split a join side with raw tasks (see ``hash_join``'s
+    ``ShardedRefs`` inputs) build byte-identical shards to the Dataset
+    path."""
+    n = len(batch)
+    arrays, names = [], []
+    for f in superset:
+        names.append(f.name)
+        if f.name == "__side":
+            arrays.append(pa.array(np.full(n, side, dtype=np.int8), type=pa.int8()))
+        elif f.name in batch.column_names:
+            arrays.append(batch[f.name].cast(f.type) if batch[f.name].type != f.type else batch[f.name])
+        else:
+            arrays.append(pa.nulls(n, type=f.type))
+    return pa.Table.from_arrays(arrays, names=names)
+
+
 def _pad_side(ds, on: str, own: pa.Schema, superset: pa.Schema, side: int, nparts: int):
     def pad(batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        arrays, names = [], []
-        for f in superset:
-            names.append(f.name)
-            if f.name == "__side":
-                arrays.append(pa.array(np.full(n, side, dtype=np.int8), type=pa.int8()))
-            elif f.name in batch.column_names:
-                arrays.append(batch[f.name].cast(f.type) if batch[f.name].type != f.type else batch[f.name])
-            else:
-                arrays.append(pa.nulls(n, type=f.type))
-        return pa.Table.from_arrays(arrays, names=names)
+        return pad_block_to(batch, superset, side)
 
     return ds.map_batches(pad, batch_format="pyarrow")
 
@@ -90,9 +99,20 @@ def hash_join(
     else:
         pandas_how = {"inner": "inner", "left_outer": "left"}[how]
 
-    lt = _pad_side(left, on, l_schema, superset, 0, num_partitions)
-    rt = _pad_side(right, on, r_schema, superset, 1, num_partitions)
-    both = lt.union(rt)
+    # A side may arrive as a ``ShardedRefs`` already padded to the
+    # superset schema (via ``pad_block_to``) and split on the join key
+    # by its producer — the fused raw-task map side skips the Dataset
+    # execution AND the per-block split hop entirely.
+    lt = left if isinstance(left, ShardedRefs) else _pad_side(
+        left, on, l_schema, superset, 0, num_partitions
+    )
+    rt = right if isinstance(right, ShardedRefs) else _pad_side(
+        right, on, r_schema, superset, 1, num_partitions
+    )
+    if isinstance(lt, ShardedRefs) or isinstance(rt, ShardedRefs):
+        both = [lt, rt]
+    else:
+        both = lt.union(rt)
 
     def merge_partition(tbl: pa.Table) -> pa.Table:
         import pandas as pd
