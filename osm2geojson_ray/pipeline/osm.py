@@ -220,6 +220,7 @@ class OsmPipeline:
         debug_timing: bool = False,
         used_filter_strategy: str = "broadcast",
         salt_member_threshold: int = 256,
+        stage_gate: bool = True,
     ):
         self.classifier = classifier or DEFAULT_CLASSIFIER
         self.filter_used_refs = filter_used_refs
@@ -232,6 +233,21 @@ class OsmPipeline:
         # BEFORE the rel_id exchange, so a mega-relation's partition
         # carries only ready-made coordinate chains (0 disables)
         self.salt_member_threshold = salt_member_threshold
+        # wait for the exchange/assembly output refs BEFORE handing the
+        # final consume DAG to the streaming executor.  The shuffle
+        # outputs are materialized by construction (that is what a hash
+        # exchange produces), so this adds no storage — it only stops
+        # the conversion branches from time-slicing cores against the
+        # exchange raw tasks.  Measured on the 32-cpu bench host
+        # (2.4M nodes / 240k ways / 6k rels, 6 alternating reps):
+        # overlapped 7.1-8.5 s wall / 93-118 cpu·s vs phase-gated
+        # 4.8-5.4 s / 62-64 cpu·s — the memory-bus contention from
+        # running the (bandwidth-bound) exchange under a full
+        # conversion wave inflates its cpu-seconds ~50%, a net loss at
+        # EVERY parallelism level (8-cpu legs: 12.3-13.9 s vs
+        # 9.8-11.7 s).  On a multi-node cluster each node has its own
+        # memory bus, so the gate is togglable; single-box it wins.
+        self.stage_gate = stage_gate
         # populated during features(): materialized intermediates the
         # metrics view derives from (A5 missing-member accounting)
         self._ways_resolved = None
@@ -251,6 +267,23 @@ class OsmPipeline:
             print(f"[osm-pipeline] {label}: {now - self._t0:.1f}s", flush=True)
         self._t0 = now
         return ds
+
+    def _gate(self, *ref_groups):
+        """Block until the given exchange-output refs are READY (no
+        fetch): see ``stage_gate`` in ``__init__`` for the measured
+        rationale.  Safe no-op when gating is off or refs are empty."""
+        if not self.stage_gate:
+            return
+        import ray as _ray
+
+        refs = [
+            r
+            for g in ref_groups
+            for r in (g or [])
+            if isinstance(r, _ray.ObjectRef)
+        ]
+        if refs:
+            _ray.wait(refs, num_returns=len(refs), fetch_local=False)
 
     # ------------------------------------------------------------------
     def features(self, elements: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -865,6 +898,7 @@ class OsmPipeline:
         if self.debug_timing:
             features = self._tick("features union", features)
         if not self.filter_used_refs:
+            self._gate(ways_refs, self._round_out_refs)
             return features
 
         # ---- J6 anti-join on bare id --------------------------------
@@ -904,6 +938,7 @@ class OsmPipeline:
             else:
                 ids_ref = _ray.put(np.array([], dtype=np.int64))
 
+            self._gate(ways_refs, self._round_out_refs, [ids_ref])
             return features.map_batches(
                 functools.partial(_anti_filter_task, ids_ref=ids_ref),
                 batch_format="pyarrow",
@@ -916,6 +951,7 @@ class OsmPipeline:
             lambda t: pa.Table.from_arrays([t["used_id"]], names=["element_id"]),
             batch_format="pyarrow",
         )
+        self._gate(ways_refs, self._round_out_refs)
         return join_safe(
             features,
             used_keys,
