@@ -70,6 +70,17 @@ def test_pipeline_shuffle_used_filter(ray_session):
     assert broadcast == shuffle == json2geojson(doc)
 
 
+def test_pipeline_stage_gate_off(ray_session):
+    """stage_gate=False (fully overlapped consume DAG) must produce the
+    same output as the default gated execution — the gate is purely a
+    scheduling choice, never a semantic one."""
+    doc = load_doc("relation")
+    expected = json2geojson(doc)
+    ds = elements_dataset(doc["elements"])
+    pipe = OsmPipeline(num_partitions=4, stage_gate=False)
+    assert features_to_geojson(pipe.features(ds)) == expected
+
+
 def test_pipeline_metrics(ray_session):
     """A5 accounting: way resolution + relation outcome counters."""
     doc = load_doc("issue-16")  # inner-only relation fails to convert
