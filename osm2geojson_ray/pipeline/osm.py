@@ -208,6 +208,32 @@ def _anti_filter_task(batch: pa.Table, *, ids_ref) -> pa.Table:
     return batch.filter(pa.array(keep))
 
 
+def _prefilter_used(batch: pa.Table, ids_ref, col: str) -> pa.Table:
+    """Bare-id used-ref anti-filter (J6) applied BEFORE feature
+    conversion: same broadcast id set and same membership predicate as
+    ``_anti_filter_task``, but fused into the head of the conversion
+    kernels so a used element is never converted and its feature row
+    never hits the object store.  On the 2.4M-node bench ~60% of nodes
+    are way members — skipping them removes both their conversion cost
+    and the whole post-union filter hop (a read+rewrite of every
+    feature block, which cannot fuse across the union)."""
+    import ray as _ray
+
+    from ..worker_state import cache_key_for_ref, get_or_build
+
+    ids = get_or_build(
+        ("used_ids", cache_key_for_ref(ids_ref)), lambda: _ray.get(ids_ref)
+    )
+    if not len(ids) or not len(batch):
+        return batch
+    el = batch[col].to_numpy(zero_copy_only=False)
+    pos = np.minimum(np.searchsorted(ids, el), len(ids) - 1)
+    keep = ids[pos] != el
+    if keep.all():
+        return batch
+    return batch.filter(pa.array(keep))
+
+
 class OsmPipeline:
     """Distributed elements -> GeoJSON-feature-rows pipeline."""
 
@@ -666,7 +692,7 @@ class OsmPipeline:
         self._tick("ways_resolved join")
 
         # ---- standalone way conversion ------------------------------
-        def convert_ways(batch: pa.Table):
+        def convert_ways(batch: pa.Table, *, ids_ref=None):
             """Way -> LineString/Polygon with a TEMPLATED fast path (like
             convert_nodes): join-resolved ways with no inline geometry /
             center / meta get their geometry JSON string-built from the
@@ -675,6 +701,10 @@ class OsmPipeline:
             Rows needing the full semantics (inline geometry, center,
             meta fields, invalid rings requiring buffer(0) repair) fall
             back to the exact per-row path."""
+            if ids_ref is not None:
+                batch = _prefilter_used(batch, ids_ref, "id")
+                if len(batch) == 0:
+                    return FEATURE_SCHEMA.empty_table()
             n = len(batch)
             coords_np, offs = _list_coords_view(batch["coords"])
             resolved_np = batch["resolved"].to_numpy(zero_copy_only=False)
@@ -832,8 +862,6 @@ class OsmPipeline:
                     feats.append(_feature_row(row["seq"], "way", row["id"], shape))
             return pa.concat_tables([fast_tbl, _feature_table(feats)])
 
-        way_features = self._tick("way_features", ways_resolved.map_batches(convert_ways, batch_format="pyarrow")) if self.debug_timing else ways_resolved.map_batches(convert_ways, batch_format="pyarrow")
-
         # ---- relations ----------------------------------------------
         rel_tables = self._relations(rel_blocks, edge_refs, sched_refs,
                                      ways_refs, nparts)
@@ -841,8 +869,61 @@ class OsmPipeline:
         if self.debug_timing:
             rel_features = self._tick("relations", rel_features)
 
+        # ---- J6 used-id broadcast set, built BEFORE the conversion
+        # datasets so the bare-id anti-filter fuses into the conversion
+        # kernels (see _prefilter_used): the used set is a plain int64
+        # id set — orders of magnitude smaller than the feature rows
+        # (which carry geometry JSON).  The partial id sets reduce as
+        # RAW TASKS over refs that already exist (ways_resolved
+        # partitions + the packed relation-round outputs): no extra
+        # Dataset execution, no shuffle of the wide side.  The
+        # "shuffle" strategy is the fallback when even the id set
+        # outgrows worker memory.
+        import functools
+
+        ids_ref = None
+        if self.filter_used_refs and self.used_filter_strategy == "broadcast":
+
+            @_ray.remote
+            def _ids_from_ways(block: pa.Table):
+                t = block.select(["used_nodes"])
+                t = t.filter(pc.is_valid(t["used_nodes"]))
+                flat = pc.list_flatten(t["used_nodes"].combine_chunks())
+                return np.unique(flat.to_numpy(zero_copy_only=False))
+
+            @_ray.remote
+            def _ids_from_packed(block: pa.Table):
+                t = block.filter(pc.equal(block["kind"], "used"))
+                return np.unique(t["used_id"].to_numpy(zero_copy_only=False))
+
+            @_ray.remote
+            def _merge_ids(*arrs):
+                parts = [a for a in arrs if len(a)] or [np.array([], dtype=np.int64)]
+                return np.unique(np.concatenate(parts))
+
+            partials = [_ids_from_ways.remote(b) for b in ways_refs]
+            partials += [_ids_from_packed.remote(r) for r in self._round_out_refs]
+            if partials:
+                ids_ref = _merge_ids.remote(*partials)
+            else:
+                ids_ref = _ray.put(np.array([], dtype=np.int64))
+            # nested relations may be used members themselves — their
+            # features are few, so the post-conversion filter hop stays
+            # for the relation branch only
+            rel_features = rel_features.map_batches(
+                functools.partial(_anti_filter_task, ids_ref=ids_ref),
+                batch_format="pyarrow",
+            )
+
+        way_features = ways_resolved.map_batches(
+            functools.partial(convert_ways, ids_ref=ids_ref),
+            batch_format="pyarrow",
+        )
+        if self.debug_timing:
+            way_features = self._tick("way_features", way_features)
+
         # ---- nodes --------------------------------------------------
-        def convert_nodes(batch: pa.Table) -> pa.Table:
+        def convert_nodes(batch: pa.Table, *, ids_ref=None) -> pa.Table:
             """node -> Point with NO Python loop over the bulk: geometry
             JSON and simple-node properties are whole-column Arrow joins
             over ``repr_f64_strs`` (byte-identical to Python ``repr``,
@@ -851,6 +932,10 @@ class OsmPipeline:
             CPython).  Only tagged/meta nodes (a few %) take the exact
             per-row element_props projection, scattered back with one
             ``if_else``."""
+            if ids_ref is not None:
+                batch = _prefilter_used(batch, ids_ref, "id")
+                if len(batch) == 0:
+                    return FEATURE_SCHEMA.empty_table()
             n = len(batch)
             geom = pc.binary_join_element_wise(
                 '{"type": "Point", "coordinates": [',
@@ -890,7 +975,10 @@ class OsmPipeline:
                 schema=FEATURE_SCHEMA,
             )
 
-        node_features = nodes.map_batches(convert_nodes, batch_format="pyarrow")
+        node_features = nodes.map_batches(
+            functools.partial(convert_nodes, ids_ref=ids_ref),
+            batch_format="pyarrow",
+        )
         if self.debug_timing:
             node_features = self._tick("node_features", node_features)
 
@@ -903,46 +991,11 @@ class OsmPipeline:
 
         # ---- J6 anti-join on bare id --------------------------------
         if self.used_filter_strategy == "broadcast":
-            # the used set is a plain int64 id set — orders of magnitude
-            # smaller than the feature rows (which carry geometry JSON).
-            # The partial id sets reduce as RAW TASKS over refs that
-            # already exist (ways_resolved partitions + the packed
-            # relation-round outputs): no extra Dataset execution, no
-            # shuffle of the wide side.  The "shuffle" strategy is the
-            # fallback when even the id set outgrows worker memory.
-            import functools
-
-            import ray as _ray
-
-            @_ray.remote
-            def _ids_from_ways(block: pa.Table):
-                t = block.select(["used_nodes"])
-                t = t.filter(pc.is_valid(t["used_nodes"]))
-                flat = pc.list_flatten(t["used_nodes"].combine_chunks())
-                return np.unique(flat.to_numpy(zero_copy_only=False))
-
-            @_ray.remote
-            def _ids_from_packed(block: pa.Table):
-                t = block.filter(pc.equal(block["kind"], "used"))
-                return np.unique(t["used_id"].to_numpy(zero_copy_only=False))
-
-            @_ray.remote
-            def _merge_ids(*arrs):
-                parts = [a for a in arrs if len(a)] or [np.array([], dtype=np.int64)]
-                return np.unique(np.concatenate(parts))
-
-            partials = [_ids_from_ways.remote(b) for b in ways_refs]
-            partials += [_ids_from_packed.remote(r) for r in self._round_out_refs]
-            if partials:
-                ids_ref = _merge_ids.remote(*partials)
-            else:
-                ids_ref = _ray.put(np.array([], dtype=np.int64))
-
+            # the filter already ran fused inside the conversion
+            # kernels (and as the small rel_features hop) — nothing
+            # left to do but gate on the exchange outputs + id set
             self._gate(ways_refs, self._round_out_refs, [ids_ref])
-            return features.map_batches(
-                functools.partial(_anti_filter_task, ids_ref=ids_ref),
-                batch_format="pyarrow",
-            )
+            return features
         # shuffle path: one left_anti hash join on bare id
         used = used_nodes.union(used_rel)
         if self.debug_timing:
