@@ -31,6 +31,31 @@ from .model.xml_parse import parse_osm_xml
 OVERPASS_URL = "https://overpass-api.de/api/interpreter"
 
 
+def read_image_table(path: str, *, columns: Optional[List[str]] = None):
+    """Read the image+caption table (the engine's raster-side input,
+    BASELINE input_hint schema: image_id:string, bytes:binary, w:int32,
+    h:int32, fmt:string, caption:string, phash:int64).
+
+    A ``.lance`` dataset directory routes to ``ray.data.read_lance``
+    (column projection pushed down); anything else reads as parquet.
+    The ``lance`` package is not installed in this sandbox, so the
+    Lance branch is exercised only for its error contract here — the
+    parquet branch carries the tests, and
+    ``images.synth.synth_image_table`` produces the same schema for
+    deterministic benchmarks."""
+    if path.rstrip("/").endswith(".lance"):
+        try:
+            import lance  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "Lance input requires the 'lance' package, which is not "
+                "installed in this environment; convert the dataset to "
+                "parquet or install pylance"
+            ) from e
+        return ray.data.read_lance(path, columns=columns)
+    return ray.data.read_parquet(path, columns=columns)
+
+
 def _elements_from_doc(doc: dict, shard: str) -> pa.Table:
     rows = elements_to_rows(doc.get("elements", []))
     tbl = pa.Table.from_pylist(rows, schema=ELEMENT_SCHEMA)

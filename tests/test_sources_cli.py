@@ -28,6 +28,29 @@ def test_read_osm_files(ray_session, tmp_path):
     assert any(r["type"] == "relation" for r in rows)
 
 
+def test_read_image_table(ray_session, tmp_path):
+    """Parquet branch round-trips the input_hint schema with column
+    pruning; the .lance branch raises the documented ImportError in
+    this sandbox (no pylance)."""
+    import pyarrow.parquet as pq
+    import pytest
+
+    from osm2geojson_ray.images.synth import synth_image_table
+    from osm2geojson_ray.sources import read_image_table
+
+    tbl = synth_image_table(64, partition_rows=64).take_all()
+    import pyarrow as pa
+
+    path = str(tmp_path / "images.parquet")
+    pq.write_table(pa.Table.from_pylist(tbl), path)
+    ds = read_image_table(path, columns=["image_id", "phash", "caption"])
+    got = ds.take_all()
+    assert len(got) == 64
+    assert set(got[0].keys()) == {"image_id", "phash", "caption"}
+    with pytest.raises(ImportError, match="lance"):
+        read_image_table(str(tmp_path / "images.lance"))
+
+
 def test_read_json_files(ray_session, tmp_path):
     src = fixture_path("issue-9.json")
     dst = str(tmp_path / "issue-9.json")
