@@ -57,14 +57,12 @@ def bench_osm_stitch(elements_path):
 
     from osm2geojson_ray.pipeline.osm import OsmPipeline
 
-    # block count is a DATA property: fix it at 32 at every CPU level
-    # (the default splitter makes ~270 tiny blocks from one file and every
-    # downstream stage pays per-block scheduling)
-    ds = ray.data.read_parquet(elements_path, override_num_blocks=32)
     # fixed partition count at every CPU level: partitioning is a DATA
-    # property; worker parallelism is the resource knob
+    # property; worker parallelism is the resource knob.  The parquet
+    # path goes straight to the pipeline: the scan fuses into the
+    # type-split tasks (one fused read+split task per ~65k-row group).
     pipe = OsmPipeline(num_partitions=32)
-    feats = pipe.features(ds)
+    feats = pipe.features(elements_path)
     n = feats.count()
     if os.environ.get("BENCH_STATS"):
         # per-operator wall/cpu breakdown of the final consuming DAG

@@ -33,6 +33,7 @@ without recompute, so no materialize barriers sit between stages.
 from __future__ import annotations
 
 import json
+import os
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -312,7 +313,14 @@ class OsmPipeline:
             _ray.wait(refs, num_returns=len(refs), fetch_local=False)
 
     # ------------------------------------------------------------------
-    def features(self, elements: "ray.data.Dataset") -> "ray.data.Dataset":
+    def features(self, elements) -> "ray.data.Dataset":
+        """elements -> GeoJSON feature rows.
+
+        ``elements`` is either an elements ``ray.data.Dataset`` (any
+        upstream pipeline) or a parquet path / list of paths, in which
+        case the scan is FUSED into the type-split tasks (_read_split):
+        the decoded element table — the widest table in the pipeline —
+        skips its own object-store round-trip."""
         clf = self.classifier
         nparts = self.num_partitions
         # reset per run: metrics() and the used-id reduce read these
@@ -413,13 +421,7 @@ class OsmPipeline:
         # ONE-PASS type split as a raw-task wave (num_returns=3): each
         # element block is scanned once and the three column-pruned type
         # tables stay in the object store as refs.
-        @_ray.remote(num_returns=3)
-        def _split_types(*blocks):
-            block = (
-                blocks[0]
-                if len(blocks) == 1
-                else pa.concat_tables(blocks, promote_options="default")
-            )
+        def _split_body(block: pa.Table):
             names = set(block.column_names)
 
             def pick(tname, cols):
@@ -431,6 +433,27 @@ class OsmPipeline:
                 pick("way", way_cols),
                 pick("relation", rel_cols),
             )
+
+        @_ray.remote(num_returns=3)
+        def _split_types(*blocks):
+            block = (
+                blocks[0]
+                if len(blocks) == 1
+                else pa.concat_tables(blocks, promote_options="default")
+            )
+            return _split_body(block)
+
+        # READ FUSION: when the source is a parquet path, decode the
+        # row groups INSIDE the split task — the decoded element table
+        # (the widest table in the whole pipeline) never makes an
+        # object-store round-trip of its own; only the three pruned
+        # type tables are written.  Row groups are the read-parallelism
+        # unit, exactly as in ray.data.read_parquet.
+        @_ray.remote(num_returns=3)
+        def _read_split(path: str, rgs):
+            import pyarrow.parquet as _pq
+
+            return _split_body(_pq.ParquetFile(path).read_row_groups(list(rgs)))
 
         @_ray.remote
         def _way_map(block: pa.Table):
@@ -450,38 +473,79 @@ class OsmPipeline:
             shards = _exchange_split(c, "node_id", nparts)
             return shards[0] if nparts == 1 else tuple(shards)
 
-        el_schema = elements.schema()
-        el_names = set(
-            el_schema.names if el_schema is not None else ELEMENT_SCHEMA.names
-        )
-
-        # STREAM the source: launch a type-split task per ~right-sized
-        # group of blocks as they land (tiny blocks are grouped by row
-        # count — a concat inside the task, not a shuffle)
         node_refs, way_split_refs, rel_blocks = [], [], []
-
-        def _launch_split(blocks):
-            n_r, w_r, r_r = _split_types.remote(*blocks)
-            node_refs.append(n_r)
-            way_split_refs.append(w_r)
-            rel_blocks.append(r_r)
-
         _ROWS_PER_SPLIT = 65536
-        pending, pending_rows, total_rows = [], 0, 0
-        for bundle in elements.iter_internal_ref_bundles():
-            for block_ref, meta in bundle.blocks:
-                if meta.num_rows is not None and meta.num_rows == 0:
-                    continue
-                pending.append(block_ref)
-                pending_rows += (
-                    meta.num_rows if meta.num_rows is not None else _ROWS_PER_SPLIT
-                )
-                if pending_rows >= _ROWS_PER_SPLIT:
-                    _launch_split(pending)
-                    pending, pending_rows = [], 0
-                total_rows += meta.num_rows or 0
-        if pending:
-            _launch_split(pending)
+        total_rows = 0
+
+        if isinstance(elements, (str, os.PathLike)) or (
+            isinstance(elements, list)
+            and elements
+            and all(isinstance(p, (str, os.PathLike)) for p in elements)
+        ):
+            # fused read+split over parquet row groups (see _read_split)
+            import pyarrow.parquet as _pq
+
+            paths = (
+                [os.fspath(elements)]
+                if isinstance(elements, (str, os.PathLike))
+                else [os.fspath(p) for p in elements]
+            )
+            el_names = set()
+            for p in paths:
+                pf = _pq.ParquetFile(p)
+                el_names |= set(pf.schema_arrow.names)
+                group, grows = [], 0
+                for i in range(pf.metadata.num_row_groups):
+                    r = pf.metadata.row_group(i).num_rows
+                    if r == 0:
+                        continue
+                    group.append(i)
+                    grows += r
+                    total_rows += r
+                    if grows >= _ROWS_PER_SPLIT:
+                        n_r, w_r, r_r = _read_split.remote(p, tuple(group))
+                        node_refs.append(n_r)
+                        way_split_refs.append(w_r)
+                        rel_blocks.append(r_r)
+                        group, grows = [], 0
+                if group:
+                    n_r, w_r, r_r = _read_split.remote(p, tuple(group))
+                    node_refs.append(n_r)
+                    way_split_refs.append(w_r)
+                    rel_blocks.append(r_r)
+        else:
+            el_schema = elements.schema()
+            el_names = set(
+                el_schema.names if el_schema is not None else ELEMENT_SCHEMA.names
+            )
+
+            # STREAM the source: launch a type-split task per ~right-
+            # sized group of blocks as they land (tiny blocks are
+            # grouped by row count — a concat inside the task, not a
+            # shuffle)
+            def _launch_split(blocks):
+                n_r, w_r, r_r = _split_types.remote(*blocks)
+                node_refs.append(n_r)
+                way_split_refs.append(w_r)
+                rel_blocks.append(r_r)
+
+            pending, pending_rows = [], 0
+            for bundle in elements.iter_internal_ref_bundles():
+                for block_ref, meta in bundle.blocks:
+                    if meta.num_rows is not None and meta.num_rows == 0:
+                        continue
+                    pending.append(block_ref)
+                    pending_rows += (
+                        meta.num_rows
+                        if meta.num_rows is not None
+                        else _ROWS_PER_SPLIT
+                    )
+                    if pending_rows >= _ROWS_PER_SPLIT:
+                        _launch_split(pending)
+                        pending, pending_rows = [], 0
+                    total_rows += meta.num_rows or 0
+            if pending:
+                _launch_split(pending)
 
         # under-parallel source (few huge blocks): re-slice the split
         # outputs with one extra task wave so the map waves and the lazy

@@ -70,6 +70,32 @@ def test_pipeline_shuffle_used_filter(ray_session):
     assert broadcast == shuffle == json2geojson(doc)
 
 
+def test_pipeline_parquet_path_input(ray_session, tmp_path):
+    """features(<parquet path>) — the fused read+split — must equal
+    features(<Dataset>) and the document converter, including with
+    multiple small row groups per file and a list of paths."""
+    import pyarrow.parquet as pq
+
+    from osm2geojson_ray.model.schema import elements_table
+
+    doc = load_doc("map")
+    expected = json2geojson(doc)
+    tbl = elements_table(doc["elements"])
+    p1 = str(tmp_path / "el1.parquet")
+    pq.write_table(tbl, p1, row_group_size=7)
+    got = features_to_geojson(OsmPipeline(num_partitions=4).features(p1))
+    assert got == expected
+
+    # list-of-paths: split one doc across two files (feature set is
+    # order-insensitive at the collection level after seq sort)
+    half = len(doc["elements"]) // 2
+    p2, p3 = str(tmp_path / "el2.parquet"), str(tmp_path / "el3.parquet")
+    pq.write_table(elements_table(doc["elements"][:half]), p2)
+    pq.write_table(elements_table(doc["elements"][half:]), p3)
+    got2 = features_to_geojson(OsmPipeline(num_partitions=4).features([p2, p3]))
+    assert got2 == expected
+
+
 def test_pipeline_stage_gate_off(ray_session):
     """stage_gate=False (fully overlapped consume DAG) must produce the
     same output as the default gated execution — the gate is purely a
