@@ -269,10 +269,27 @@ def run_scaling():
     # both levels equally; identical runs vary up to 3x on this host
     # (BASELINE.md), and the minimum is the least-contended observation
     # of the same fixed work.
-    runs_lo, runs_hi = [], []
+    # CONTROL pair interleaved in the SAME windows (fixed-FLOP,
+    # allocation-free probe): on a shared host the absolute efficiency
+    # tracks the window, so engine-vs-control is the meaningful read.
+    # BENCH_SCALING_CONTROL=0 disables.
+    with_control = os.environ.get("BENCH_SCALING_CONTROL", "1") != "0"
+
+    def run_ctl(ncpu):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--compute-once"],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    runs_lo, runs_hi, ctl_lo, ctl_hi = [], [], [], []
     for _ in range(reps):
         runs_lo.append(run_once(lo))
         runs_hi.append(run_once(hi))
+        if with_control:
+            ctl_lo.append(run_ctl(lo))
+            ctl_hi.append(run_ctl(hi))
     r_lo = min(runs_lo, key=lambda r: r["value"])
     r_hi = min(runs_hi, key=lambda r: r["value"])
     r_lo["all_headline_sec"] = [r["value"] for r in runs_lo]
@@ -328,6 +345,28 @@ def run_scaling():
                 f"throughput_{hi}": {"geometries_per_sec": r_hi["geometries_per_sec"],
                                      "images_per_sec": r_hi["images_per_sec"]},
                 "sf": SF_DIR,
+                **(
+                    (lambda c_lo, c_hi, c_eff: {
+                        f"control_sec_{lo}": c_lo,
+                        f"control_sec_{hi}": c_hi,
+                        "control_efficiency": round(c_eff, 3),
+                        "engine_vs_control": round(eff_cw / c_eff, 3),
+                        f"control_cpu_sec_{lo}": min(
+                            r["cpu_sec"] for r in ctl_lo
+                        ),
+                        f"control_cpu_sec_{hi}": min(
+                            r["cpu_sec"] for r in ctl_hi
+                        ),
+                    })(
+                        min(r["compute_sec"] for r in ctl_lo),
+                        min(r["compute_sec"] for r in ctl_hi),
+                        (min(r["compute_sec"] for r in ctl_lo)
+                         / min(r["compute_sec"] for r in ctl_hi))
+                        / (hi / lo),
+                    )
+                    if with_control
+                    else {}
+                ),
             }
         )
     )
