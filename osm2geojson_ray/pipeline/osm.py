@@ -248,6 +248,7 @@ class OsmPipeline:
         used_filter_strategy: str = "broadcast",
         salt_member_threshold: int = 256,
         stage_gate: bool = True,
+        consume_mode: str = "tasks",
     ):
         self.classifier = classifier or DEFAULT_CLASSIFIER
         self.filter_used_refs = filter_used_refs
@@ -260,6 +261,22 @@ class OsmPipeline:
         # BEFORE the rel_id exchange, so a mega-relation's partition
         # carries only ready-made coordinate chains (0 disables)
         self.salt_member_threshold = salt_member_threshold
+        # "tasks" (default): the final node/way/relation feature
+        # conversions run as raw tasks chained off the exchange-output
+        # refs and features() returns a metadata-complete ref-backed
+        # Dataset.  Measured motivation (8-cpu bench host): consuming
+        # the same three conversion legs through the nested
+        # union(node, way, rel) DAG took 4.4-4.6 s where the legs
+        # summed to 2.6 s run back-to-back — the union execution's
+        # branch sequencing + executor spin-ups are FLAT costs at
+        # every parallelism level.  "stream" keeps the lazy
+        # map_batches/union DAG: pick it when the feature stream is
+        # larger than the object store and the sink must apply
+        # backpressure to the conversion itself (task mode
+        # materializes feature blocks before features() returns —
+        # spillable, but not backpressured).  The shuffle used-filter
+        # strategy always streams (its anti-join is a Dataset op).
+        self.consume_mode = consume_mode
         # wait for the exchange/assembly output refs BEFORE handing the
         # final consume DAG to the streaming executor.  The shuffle
         # outputs are materialized by construction (that is what a hash
@@ -1045,6 +1062,60 @@ class OsmPipeline:
         )
         if self.debug_timing:
             node_features = self._tick("node_features", node_features)
+
+        # ---- task-mode consume (see consume_mode in __init__) --------
+        if (
+            self.consume_mode == "tasks"
+            and not self.debug_timing
+            and (
+                not self.filter_used_refs
+                or self.used_filter_strategy == "broadcast"
+            )
+        ):
+            if self.stage_gate:
+                self._gate(
+                    ways_refs,
+                    self._round_out_refs,
+                    [ids_ref] if ids_ref is not None else [],
+                )
+            # ids_ref travels INSIDE a list so Ray does not auto-deref
+            # it — the conversion kernels worker-cache the fetched set
+            ids_box = [ids_ref] if ids_ref is not None else None
+
+            @_ray.remote(num_returns=2)
+            def _conv_task(kind, block, box):
+                iref = box[0] if box is not None else None
+                if kind == 0:
+                    out = convert_nodes(block, ids_ref=iref)
+                elif kind == 1:
+                    out = convert_ways(block, ids_ref=iref)
+                else:
+                    out = _unpack_feature(block)
+                    if iref is not None and len(out):
+                        out = _anti_filter_task(out, ids_ref=iref)
+                out = out.combine_chunks()
+                return out, (len(out), out.nbytes)
+
+            pairs = [_conv_task.remote(0, b, ids_box) for b in node_refs]
+            pairs += [_conv_task.remote(1, b, ids_box) for b in ways_refs]
+            pairs += [
+                _conv_task.remote(2, r, ids_box) for r in self._round_out_refs
+            ]
+            if not pairs:
+                return _empty(FEATURE_SCHEMA)
+            # the ONE consume barrier: tiny (rows, bytes) tuples — the
+            # feature blocks themselves stay in the object store
+            metas = _ray.get([p[1] for p in pairs])
+            kept = [
+                (p[0], m) for p, m in zip(pairs, metas) if m[0] > 0
+            ]
+            if not kept:
+                return _empty(FEATURE_SCHEMA)
+            return from_arrow_refs_lazy(
+                [r for r, _ in kept],
+                FEATURE_SCHEMA,
+                meta=[m for _, m in kept],
+            )
 
         features = node_features.union(way_features).union(rel_features)
         if self.debug_timing:

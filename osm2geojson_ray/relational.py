@@ -367,7 +367,9 @@ def hash_exchange_map(
     return ray.data.from_arrow_refs(out_refs)
 
 
-def from_arrow_refs_lazy(refs, schema: pa.Schema, est_block_bytes: int = 4 << 20):
+def from_arrow_refs_lazy(
+    refs, schema: pa.Schema, est_block_bytes: int = 4 << 20, meta=None
+):
     """Non-blocking ``ray.data.from_arrow_refs`` for table refs whose
     schema the caller already knows.  The stock constructor launches a
     metadata task per ref and ``ray.get``s them — a DRIVER BARRIER on
@@ -379,8 +381,12 @@ def from_arrow_refs_lazy(refs, schema: pa.Schema, est_block_bytes: int = 4 << 20
 
     Constraint: a dataset built this way must pass through at least one
     map/filter before count()/union() (Ray asserts known row counts on
-    RAW bundles) — every call site here does.  Falls back to the
-    blocking constructor if Ray internals change shape."""
+    RAW bundles) — every call site here does — UNLESS ``meta`` is given:
+    a list of ``(num_rows, size_bytes)`` per ref (the producing tasks
+    report them as a tiny second return), which makes the view fully
+    metadata-complete so count()/take/union work directly on the raw
+    bundles.  Falls back to the blocking constructor if Ray internals
+    change shape."""
     import ray as _ray
 
     try:
@@ -392,14 +398,24 @@ def from_arrow_refs_lazy(refs, schema: pa.Schema, est_block_bytes: int = 4 << 20
         from ray.data.block import BlockMetadata, BlockMetadataWithSchema
         from ray.data.dataset import MaterializedDataset
 
-        mds = [
-            BlockMetadataWithSchema(
-                BlockMetadata(num_rows=None, size_bytes=est_block_bytes,
-                              input_files=None, exec_stats=None),
-                schema=schema,
-            )
-            for _ in refs
-        ]
+        if meta is not None:
+            mds = [
+                BlockMetadataWithSchema(
+                    BlockMetadata(num_rows=int(r), size_bytes=int(b),
+                                  input_files=None, exec_stats=None),
+                    schema=schema,
+                )
+                for (r, b) in meta
+            ]
+        else:
+            mds = [
+                BlockMetadataWithSchema(
+                    BlockMetadata(num_rows=None, size_bytes=est_block_bytes,
+                                  input_files=None, exec_stats=None),
+                    schema=schema,
+                )
+                for _ in refs
+            ]
         plan = ExecutionPlan(
             DatasetStats(metadata={"FromArrow": mds}, parent=None),
             DataContext.get_current().copy(),

@@ -107,6 +107,18 @@ def test_pipeline_stage_gate_off(ray_session):
     assert features_to_geojson(pipe.features(ds)) == expected
 
 
+def test_pipeline_consume_stream_mode(ray_session):
+    """consume_mode="stream" (the lazy map_batches/union consume DAG)
+    must equal the default task-mode consume — the mode is a scheduling
+    choice, never a semantic one."""
+    for base in ("relation", "issue-9", "map"):
+        doc = load_doc(base)
+        expected = json2geojson(doc)
+        ds = elements_dataset(doc["elements"])
+        pipe = OsmPipeline(num_partitions=4, consume_mode="stream")
+        assert features_to_geojson(pipe.features(ds)) == expected
+
+
 def test_pipeline_metrics(ray_session):
     """A5 accounting: way resolution + relation outcome counters."""
     doc = load_doc("issue-16")  # inner-only relation fails to convert
