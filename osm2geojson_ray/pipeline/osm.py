@@ -188,25 +188,65 @@ def explode_members(batch: pa.Table) -> pa.Table:
     return _rel_block_scan(batch)[0]
 
 
+_USED_ID_SHARDS = 8
+
+
+def _fetch_used_ids(ids_ref):
+    """Worker-cached fetch of the broadcast used-id set.  ``ids_ref``
+    is either one ObjectRef (a single sorted unique array) or a list of
+    refs — residue-class shards (``id % len(list)``), produced by the
+    parallel sharded merge in features().  Fetched once per WORKER
+    process (worker_state cache keyed by the ref hex(es))."""
+    import ray as _ray
+
+    from ..worker_state import cache_key_for_ref, get_or_build
+
+    if isinstance(ids_ref, (list, tuple)):
+        key = ("used_ids", tuple(cache_key_for_ref(r) for r in ids_ref))
+        return get_or_build(key, lambda: tuple(_ray.get(list(ids_ref))))
+    return get_or_build(
+        ("used_ids", cache_key_for_ref(ids_ref)), lambda: _ray.get(ids_ref)
+    )
+
+
+def _used_keep_mask(ids, el):
+    """keep[i] = el[i] NOT in the used set.  ``ids`` is one sorted
+    unique int64 array, or a tuple of residue-class shards (shard s
+    holds ids with ``id % S == s``, each sorted unique) — membership
+    then runs as one searchsorted per shard over that residue's
+    elements (numpy %: non-negative for a positive divisor on both
+    sides, so negative editor ids route consistently)."""
+    n = len(el)
+    if isinstance(ids, tuple):
+        keep = np.ones(n, dtype=bool)
+        if not n:
+            return keep
+        S = len(ids)
+        r = el % S
+        for s, shard in enumerate(ids):
+            if not len(shard):
+                continue
+            m = r == s
+            if not m.any():
+                continue
+            sub = el[m]
+            pos = np.minimum(np.searchsorted(shard, sub), len(shard) - 1)
+            keep[m] = shard[pos] != sub
+        return keep
+    if not len(ids) or not n:
+        return np.ones(n, dtype=bool)
+    pos = np.minimum(np.searchsorted(ids, el), len(ids) - 1)
+    return ids[pos] != el
+
+
 def _anti_filter_task(batch: pa.Table, *, ids_ref) -> pa.Table:
     """Used-ref anti-filter in warm-task mode: the sorted id set is
     fetched once per WORKER process (worker_state cache keyed by the
     broadcast ref) and membership runs as one searchsorted per batch —
     actor-pool state without the per-query actor spawn storm."""
-    import ray as _ray
-
-    from ..worker_state import cache_key_for_ref, get_or_build
-
-    ids = get_or_build(
-        ("used_ids", cache_key_for_ref(ids_ref)), lambda: _ray.get(ids_ref)
-    )
+    ids = _fetch_used_ids(ids_ref)
     el = batch["element_id"].to_numpy(zero_copy_only=False)
-    if len(ids):
-        pos = np.minimum(np.searchsorted(ids, el), len(ids) - 1)
-        keep = ids[pos] != el
-    else:
-        keep = np.ones(len(el), dtype=bool)
-    return batch.filter(pa.array(keep))
+    return batch.filter(pa.array(_used_keep_mask(ids, el)))
 
 
 def _prefilter_used(batch: pa.Table, ids_ref, col: str) -> pa.Table:
@@ -218,18 +258,11 @@ def _prefilter_used(batch: pa.Table, ids_ref, col: str) -> pa.Table:
     are way members — skipping them removes both their conversion cost
     and the whole post-union filter hop (a read+rewrite of every
     feature block, which cannot fuse across the union)."""
-    import ray as _ray
-
-    from ..worker_state import cache_key_for_ref, get_or_build
-
-    ids = get_or_build(
-        ("used_ids", cache_key_for_ref(ids_ref)), lambda: _ray.get(ids_ref)
-    )
-    if not len(ids) or not len(batch):
+    ids = _fetch_used_ids(ids_ref)
+    if not len(batch):
         return batch
     el = batch[col].to_numpy(zero_copy_only=False)
-    pos = np.minimum(np.searchsorted(ids, el), len(ids) - 1)
-    keep = ids[pos] != el
+    keep = _used_keep_mask(ids, el)
     if keep.all():
         return batch
     return batch.filter(pa.array(keep))
@@ -965,27 +998,48 @@ class OsmPipeline:
         ids_ref = None
         if self.filter_used_refs and self.used_filter_strategy == "broadcast":
 
-            @_ray.remote
+            # RESIDUE-SHARDED id-set reduce: the old single _merge_ids
+            # task re-sorted the full concatenated id stream (~8M raw
+            # ids -> 1.0 s measured at EVERY parallelism level, serial
+            # on the critical path right before the conversions).  Each
+            # source task now emits S per-residue (id % S) sorted
+            # shards and S merge tasks run in parallel, each sorting
+            # 1/S of the stream; the conversion kernels membership-test
+            # per shard (_used_keep_mask).
+            S = _USED_ID_SHARDS
+
+            def _shard_ids(a: np.ndarray):
+                r = a % S
+                return tuple(np.unique(a[r == s]) for s in range(S))
+
+            @_ray.remote(num_returns=S)
             def _ids_from_ways(block: pa.Table):
                 t = block.select(["used_nodes"])
                 t = t.filter(pc.is_valid(t["used_nodes"]))
                 flat = pc.list_flatten(t["used_nodes"].combine_chunks())
-                return np.unique(flat.to_numpy(zero_copy_only=False))
+                return _shard_ids(flat.to_numpy(zero_copy_only=False))
 
-            @_ray.remote
+            @_ray.remote(num_returns=S)
             def _ids_from_packed(block: pa.Table):
                 t = block.filter(pc.equal(block["kind"], "used"))
-                return np.unique(t["used_id"].to_numpy(zero_copy_only=False))
+                return _shard_ids(
+                    t["used_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                )
 
             @_ray.remote
             def _merge_ids(*arrs):
                 parts = [a for a in arrs if len(a)] or [np.array([], dtype=np.int64)]
                 return np.unique(np.concatenate(parts))
 
-            partials = [_ids_from_ways.remote(b) for b in ways_refs]
-            partials += [_ids_from_packed.remote(r) for r in self._round_out_refs]
+            partials = [list(_ids_from_ways.remote(b)) for b in ways_refs]
+            partials += [
+                list(_ids_from_packed.remote(r)) for r in self._round_out_refs
+            ]
             if partials:
-                ids_ref = _merge_ids.remote(*partials)
+                ids_ref = [
+                    _merge_ids.remote(*[row[s] for row in partials])
+                    for s in range(S)
+                ]
             else:
                 ids_ref = _ray.put(np.array([], dtype=np.int64))
             # nested relations may be used members themselves — their
@@ -1073,11 +1127,12 @@ class OsmPipeline:
             )
         ):
             if self.stage_gate:
-                self._gate(
-                    ways_refs,
-                    self._round_out_refs,
-                    [ids_ref] if ids_ref is not None else [],
+                ids_group = (
+                    []
+                    if ids_ref is None
+                    else (ids_ref if isinstance(ids_ref, list) else [ids_ref])
                 )
+                self._gate(ways_refs, self._round_out_refs, ids_group)
             # ids_ref travels INSIDE a list so Ray does not auto-deref
             # it — the conversion kernels worker-cache the fetched set
             ids_box = [ids_ref] if ids_ref is not None else None
@@ -1129,7 +1184,11 @@ class OsmPipeline:
             # the filter already ran fused inside the conversion
             # kernels (and as the small rel_features hop) — nothing
             # left to do but gate on the exchange outputs + id set
-            self._gate(ways_refs, self._round_out_refs, [ids_ref])
+            self._gate(
+                ways_refs,
+                self._round_out_refs,
+                ids_ref if isinstance(ids_ref, list) else [ids_ref],
+            )
             return features
         # shuffle path: one left_anti hash join on bare id
         used = used_nodes.union(used_rel)

@@ -107,6 +107,26 @@ def test_pipeline_stage_gate_off(ray_session):
     assert features_to_geojson(pipe.features(ds)) == expected
 
 
+def test_used_keep_mask_sharded_equals_flat():
+    """The residue-sharded used-id membership test must equal the flat
+    sorted-array test — including negative (editor-draft) ids, whose %
+    routing must agree between the shard builder and the prober."""
+    import numpy as np
+
+    from osm2geojson_ray.pipeline.osm import _USED_ID_SHARDS, _used_keep_mask
+
+    rng = np.random.RandomState(7)
+    used = np.unique(rng.randint(-1000, 1000, size=400).astype(np.int64))
+    el = rng.randint(-1200, 1200, size=1000).astype(np.int64)
+    flat = _used_keep_mask(used, el)
+    S = _USED_ID_SHARDS
+    shards = tuple(np.unique(used[used % S == s]) for s in range(S))
+    sharded = _used_keep_mask(shards, el)
+    assert (flat == sharded).all()
+    # and both agree with the definition
+    assert (flat == ~np.isin(el, used)).all()
+
+
 def test_pipeline_consume_stream_mode(ray_session):
     """consume_mode="stream" (the lazy map_batches/union consume DAG)
     must equal the default task-mode consume — the mode is a scheduling
