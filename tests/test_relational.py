@@ -276,3 +276,26 @@ def test_from_arrow_refs_lazy_matches_blocking(ray_session):
     )
     assert got == [0, 1, 2, 10, 11, 12]
     assert ds.filter(expr="x >= 10").count() == 3
+
+
+def test_from_arrow_refs_lazy_with_meta_counts(ray_session):
+    """meta=(rows, bytes) per ref makes the view metadata-complete:
+    count() answers from metadata (no map hop required) and take/schema
+    still read the real blocks — the task-mode consume contract."""
+    import ray
+
+    from osm2geojson_ray.relational import from_arrow_refs_lazy
+
+    tables = [
+        pa.table({"x": pa.array([1, 2, 3], pa.int64())}),
+        pa.table({"x": pa.array([4], pa.int64())}),
+    ]
+    refs = [ray.put(t) for t in tables]
+    ds = from_arrow_refs_lazy(
+        refs,
+        pa.schema([("x", pa.int64())]),
+        meta=[(len(t), t.nbytes) for t in tables],
+    )
+    assert ds.count() == 4
+    assert sorted(r["x"] for r in ds.take_all()) == [1, 2, 3, 4]
+    assert ds.schema().names == ["x"]
