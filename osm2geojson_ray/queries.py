@@ -317,6 +317,69 @@ GROUP BY n_name
 """
 
 
+def q9_order_window_counts(sf_dir: str):
+    """Range/interval join WITHOUT an equality key: each order defines a
+    shipping window [o_orderdate, o_orderdate + (1 + o_orderkey % 28)
+    days) and the query counts ALL lineitem ship events inside it (not
+    just its own lines).  Runs through temporal.interval_count_join —
+    time-banded replication + per-band searchsorted counting, the 1-D
+    analog of the cover-cell PIP join."""
+    from .temporal import interval_count_join
+
+    DAY_US = 86_400_000_000
+
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def windows(t: pa.Table) -> pa.Table:
+        keys = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        s = t["o_orderdate"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        days = 1 + (keys % 28)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"].combine_chunks(),
+                "w_start": pa.array(s, pa.int64()),
+                "w_end": pa.array(s + days * DAY_US, pa.int64()),
+            }
+        )
+
+    iv = orders.map_batches(windows, batch_format="pyarrow")
+    pts = _pq(sf_dir, "lineitem", ["l_shipdate"])
+    return interval_count_join(
+        pts, iv, t="l_shipdate", start="w_start", end="w_end",
+        id_col="o_orderkey", band_width=30 * DAY_US, out_col="n_ship",
+    )
+
+
+Q9_SQL = """
+SELECT o.o_orderkey, count(l.l_shipdate) AS n_ship
+FROM orders o
+LEFT JOIN lineitem l
+  ON l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate < o.o_orderdate + ((1 + o.o_orderkey % 28) * INTERVAL 1 DAY)
+GROUP BY o.o_orderkey
+"""
+
+
+def q10_top_events_per_user(sf_dir: str):
+    """Per-group top-k (ROW_NUMBER window pattern): each user's top-3
+    events by value (event_id tiebreak).  relational.grouped_topk —
+    per-block partial top-k per group, then a hash exchange of the slim
+    candidate stream; no sort shuffle, raw rows never move."""
+    from .relational import grouped_topk
+
+    ev = _pq(sf_dir, "events", ["user_id", "event_id", "value"])
+    return grouped_topk(ev, "user_id", [("value", True), ("event_id", False)], k=3)
+
+
+Q10_SQL = """
+SELECT user_id, event_id, value FROM (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events) WHERE rn <= 3
+"""
+
+
 def q5_distinct_users(sf_dir: str):
     from .relational import distinct_on
 
@@ -1160,6 +1223,8 @@ QUERIES = {
     "q6_user_sessions": q6_user_sessions,
     "q7_asof_prev_event": q7_asof_prev_event,
     "q8_nation_revenue": q8_nation_revenue,
+    "q9_order_window_counts": q9_order_window_counts,
+    "q10_top_events_per_user": q10_top_events_per_user,
     "t_token_count": t_token_count,
     "t_quality_stats": t_quality_stats,
     "t_exact_dedup": t_exact_dedup,
@@ -1188,6 +1253,8 @@ ORACLE_SQL = {
     "q6_user_sessions": Q6_SQL,
     "q7_asof_prev_event": Q7_SQL,
     "q8_nation_revenue": Q8_SQL,
+    "q9_order_window_counts": Q9_SQL,
+    "q10_top_events_per_user": Q10_SQL,
     "t_token_count": T_TOKEN_SQL,
     "t_quality_stats": T_QUALITY_SQL,
     "t_exact_dedup": T_DEDUP_SQL,

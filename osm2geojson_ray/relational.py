@@ -602,6 +602,58 @@ def topk(ds, keys: List[Tuple[str, bool]], *, k: int):
     return ray.data.from_arrow_refs([_final.remote(*refs)])
 
 
+def grouped_topk(
+    ds,
+    group_key: str,
+    order_keys: List[Tuple[str, bool]],
+    *,
+    k: int,
+    num_partitions: int = 16,
+):
+    """Per-group top-k (the distributed ``ROW_NUMBER() OVER (PARTITION
+    BY g ORDER BY ...) <= k`` pattern) without a sort shuffle: each
+    block first reduces to ITS top-k per group via one vectorized
+    lexsort + rank-within-group (so at most k x groups-in-block rows
+    leave any block), then the slim candidate stream hash-exchanges on
+    ``group_key`` and the same kernel runs once per partition where
+    every surviving candidate of a group is co-located.  Raw rows never
+    shuffle; the exchange carries <= k x groups x blocks rows.
+
+    ``order_keys`` = [(col, descending)], first key primary; callers
+    wanting deterministic output must include a unique tiebreak column.
+    ``group_key`` must be a non-null integer column (hash-exchange key);
+    order columns follow ``_sort_view``'s dtype rules.  Output columns
+    = input columns (no rank column), group-interleaved order.
+    """
+
+    def local(tbl: pa.Table) -> pa.Table:
+        if "__part" in tbl.column_names:
+            tbl = tbl.drop_columns(["__part"])
+        n = len(tbl)
+        if n == 0:
+            return tbl
+        g = tbl[group_key].to_numpy(zero_copy_only=False)
+        views = [
+            _sort_view(tbl[col].to_numpy(zero_copy_only=False), desc)
+            for col, desc in reversed(order_keys)
+        ]
+        order = np.lexsort(views + [g])  # group is the primary key
+        g_sorted = g[order]
+        idx = np.arange(n)
+        starts = np.empty(n, dtype=bool)
+        starts[0] = True
+        starts[1:] = g_sorted[1:] != g_sorted[:-1]
+        group_start = np.maximum.accumulate(np.where(starts, idx, 0))
+        keep = (idx - group_start) < k
+        return tbl.take(pa.array(order[keep]))
+
+    candidates = ds.map_batches(local, batch_format="pyarrow")
+    out = hash_exchange_map(candidates, group_key, num_partitions, local)
+    if out is None:
+        return candidates  # empty input: pass the (empty) stream through
+    return out
+
+
 def dataset_from_table(tbl: pa.Table, **kwargs):
     return ray.data.from_arrow(tbl, **kwargs)
 

@@ -83,6 +83,150 @@ def _order_as_int64(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
     return col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
 
 
+def interval_count_join(
+    points,
+    intervals,
+    *,
+    t: str,
+    start: str,
+    end: str,
+    id_col: str,
+    band_width: int,
+    out_col: str = "n_points",
+    num_partitions: int = 16,
+):
+    """Range/interval join (count form, left-outer on intervals): for
+    each interval row, count points with ``start <= point[t] < end``.
+    No equality key exists, so the join is banded — the 1-D analog of
+    the cover-cell PIP join (spatial/pip.py): the time axis is cut into
+    fixed bands of ``band_width`` (int64 units of ``t``, e.g. epoch
+    micros), every interval is replicated to each band it overlaps
+    (vectorized repeat/arange explode, no per-row Python), every point
+    lands in exactly ONE band, and both sides hash-exchange on the band
+    id.  Per partition the kernel walks its bands: points sorted once
+    per band, each interval's in-band count is a two-``searchsorted``
+    difference — a point is counted exactly once globally because it
+    exists in exactly one band's point array.  Per-band partial counts
+    are pre-split on ``id_col`` at emission (``emit_split_on`` — fused
+    exchange) and a second exchange sums them per interval.
+
+    Timestamps are cast to int64 (epoch) null-safely; null ``t`` /
+    ``start`` / ``end`` rows are dropped (null times can't match).
+    Band width is the skew knob: it bounds replication (intervals
+    spanning b bands emit b rows) against per-band point volume, the
+    same trade as the cell level in the PIP join.
+    """
+    import pyarrow.compute as pc
+
+    if band_width <= 0:
+        raise ValueError("band_width must be positive")
+
+    def explode_intervals(tbl: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(tbl[start]), pc.is_valid(tbl[end]))
+        tbl = tbl.filter(ok)
+        s = _order_as_int64(tbl[start])
+        e = _order_as_int64(tbl[end])
+        ids = tbl[id_col].combine_chunks() if isinstance(tbl[id_col], pa.ChunkedArray) else tbl[id_col]
+        ids = ids.cast(pa.int64())  # both sides must share the padded schema
+        b0 = s // band_width
+        # end is exclusive; empty intervals (e <= s) still emit one row
+        # so left-outer zero counts survive to the final sum
+        b1 = np.maximum((e - 1) // band_width, b0)
+        nb = (b1 - b0 + 1).astype(np.int64)
+        row_idx = np.repeat(np.arange(len(tbl)), nb)
+        # intra-interval band offset: global arange minus each row's
+        # replicate-start (the classic vectorized ragged-range trick)
+        offs = np.arange(len(row_idx)) - np.repeat(np.cumsum(nb) - nb, nb)
+        return pa.table(
+            {
+                "__band": pa.array(b0[row_idx] + offs, pa.int64()),
+                id_col: ids.take(pa.array(row_idx)),
+                "__start": pa.array(s[row_idx], pa.int64()),
+                "__end": pa.array(e[row_idx], pa.int64()),
+                "__t": pa.nulls(len(row_idx), pa.int64()),
+                "__side": pa.array(np.zeros(len(row_idx), np.int8)),
+            }
+        )
+
+    def band_points(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.filter(pc.is_valid(tbl[t]))
+        tv = _order_as_int64(tbl[t])
+        n = len(tv)
+        return pa.table(
+            {
+                "__band": pa.array(tv // band_width, pa.int64()),
+                id_col: pa.nulls(n, pa.int64()),
+                "__start": pa.nulls(n, pa.int64()),
+                "__end": pa.nulls(n, pa.int64()),
+                "__t": pa.array(tv, pa.int64()),
+                "__side": pa.array(np.ones(n, np.int8)),
+            }
+        )
+
+    iv = intervals.map_batches(explode_intervals, batch_format="pyarrow")
+    pts = points.map_batches(band_points, batch_format="pyarrow")
+
+    def count_in_bands(tbl: pa.Table) -> pa.Table:
+        side = tbl["__side"].to_numpy(zero_copy_only=False)
+        band = tbl["__band"].to_numpy(zero_copy_only=False)
+        is_iv = side == 0
+        iv_band, iv_s, iv_e = (
+            band[is_iv],
+            tbl["__start"].to_numpy(zero_copy_only=False)[is_iv].astype(np.int64),
+            tbl["__end"].to_numpy(zero_copy_only=False)[is_iv].astype(np.int64),
+        )
+        iv_ids = tbl[id_col].filter(pa.array(is_iv))
+        if len(iv_band) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()), out_col: pa.array([], pa.int64())})
+        pt_band = band[~is_iv]
+        pt_t = tbl["__t"].to_numpy(zero_copy_only=False)[~is_iv].astype(np.int64)
+        # sort points by (band, t): each band is a contiguous sorted run
+        p_order = np.lexsort((pt_t, pt_band))
+        pt_band, pt_t = pt_band[p_order], pt_t[p_order]
+        counts = np.zeros(len(iv_band), np.int64)
+        # per-band slices: a small loop over BANDS (coarse units), all
+        # per-interval work inside is two vectorized searchsorteds
+        iv_order = np.argsort(iv_band, kind="stable")
+        iv_band_sorted = iv_band[iv_order]
+        uniq, first = np.unique(iv_band_sorted, return_index=True)
+        bounds = np.append(first, len(iv_band_sorted))
+        for i, b in enumerate(uniq):
+            lo = np.searchsorted(pt_band, b, "left")
+            hi = np.searchsorted(pt_band, b, "right")
+            if lo == hi:
+                continue
+            seg = pt_t[lo:hi]
+            rows = iv_order[bounds[i] : bounds[i + 1]]
+            counts[rows] = np.searchsorted(seg, iv_e[rows], "left") - np.searchsorted(
+                seg, iv_s[rows], "left"
+            )
+        return pa.table({id_col: iv_ids, out_col: pa.array(counts, pa.int64())})
+
+    def sum_partials(tbl: pa.Table) -> pa.Table:
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        cnt = tbl[out_col].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        return pa.table(
+            {
+                id_col: pa.array(uniq, pa.int64()),
+                out_col: pa.array(np.bincount(inv, weights=cnt).astype(np.int64)),
+            }
+        )
+
+    from .relational import hash_exchange_map as _hxm
+
+    partials = _hxm(
+        [iv, pts], "__band", num_partitions, count_in_bands,
+        emit_split_on=(id_col, num_partitions),
+    )
+    if partials is None:
+        return empty_dataset(pa.schema([(id_col, pa.int64()), (out_col, pa.int64())]))
+    out = _hxm(partials, id_col, num_partitions, sum_partials)
+    if out is None:
+        return empty_dataset(pa.schema([(id_col, pa.int64()), (out_col, pa.int64())]))
+    return out
+
+
 def asof_join(
     left,
     right,

@@ -185,3 +185,104 @@ def test_asof_bigint_keys_survive_nulls(ray_session):
     assert by_lv[2.0].rv_r == 200      # adjacent key must not collide
     assert pd.isna(by_lv[3.0].rv_r)    # null key stays unmatched
     assert pd.isna(by_lv[4.0].rv_r)    # null ts stays unmatched
+
+
+# ---------------------------------------------------------------- interval join
+def _brute_interval_counts(pt, iv_s, iv_e):
+    return [int(((pt >= s) & (pt < e)).sum()) for s, e in zip(iv_s, iv_e)]
+
+
+def test_interval_count_join_matches_bruteforce(ray_session):
+    from osm2geojson_ray.temporal import interval_count_join
+
+    rng = np.random.RandomState(7)
+    npts, niv = 400, 60
+    pt = rng.randint(0, 1000, npts).astype(np.int64)
+    s = rng.randint(-50, 1000, niv).astype(np.int64)
+    # mix: empty (e <= s), short, long (span many bands), negative starts
+    e = s + rng.choice([0, 1, 7, 40, 333], niv).astype(np.int64)
+    pts = ray.data.from_arrow(pa.table({"t": pa.array(pt)})).repartition(5)
+    iv = ray.data.from_arrow(
+        pa.table({"iid": pa.array(np.arange(niv)), "s": pa.array(s), "e": pa.array(e)})
+    ).repartition(3)
+    for band in (16, 1000):
+        out = (
+            interval_count_join(
+                pts, iv, t="t", start="s", end="e", id_col="iid",
+                band_width=band, out_col="n", num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values("iid")
+            .reset_index(drop=True)
+        )
+        assert len(out) == niv  # left-outer: every interval, zeros included
+        assert out["n"].tolist() == _brute_interval_counts(pt, s, e)
+
+
+def test_interval_count_join_nulls_and_empty(ray_session):
+    from osm2geojson_ray.temporal import interval_count_join
+
+    pts = ray.data.from_arrow(
+        pa.table({"t": pa.array([5, None, 15], pa.int64())})
+    )
+    iv = ray.data.from_arrow(
+        pa.table(
+            {
+                "iid": pa.array([1, 2, 3], pa.int64()),
+                "s": pa.array([0, None, 10], pa.int64()),
+                "e": pa.array([10, 20, 10], pa.int64()),
+            }
+        )
+    )
+    out = (
+        interval_count_join(
+            pts, iv, t="t", start="s", end="e", id_col="iid",
+            band_width=8, out_col="n", num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values("iid")
+        .reset_index(drop=True)
+    )
+    # null start drops interval 2; empty interval 3 survives with 0
+    assert out["iid"].tolist() == [1, 3]
+    assert out["n"].tolist() == [1, 0]
+
+    empty = interval_count_join(
+        ray.data.from_arrow(pa.table({"t": pa.array([], pa.int64())})),
+        ray.data.from_arrow(
+            pa.table({"iid": pa.array([], pa.int64()), "s": pa.array([], pa.int64()),
+                      "e": pa.array([], pa.int64())})
+        ),
+        t="t", start="s", end="e", id_col="iid", band_width=8, out_col="n",
+    )
+    assert empty.count() == 0
+
+
+def test_grouped_topk_matches_pandas(ray_session):
+    from osm2geojson_ray.relational import grouped_topk
+
+    rng = np.random.RandomState(3)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "g": rng.randint(0, 20, n).astype(np.int64),
+            "v": rng.randint(0, 9, n).astype(np.float64),  # many ties
+            "uid": np.arange(n, dtype=np.int64),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(7)
+    for k in (1, 3, 100):
+        got = (
+            grouped_topk(ds, "g", [("v", True), ("uid", False)], k=k, num_partitions=4)
+            .to_pandas()
+            .sort_values(["g", "uid"])
+            .reset_index(drop=True)
+        )
+        want = (
+            df.sort_values(["g", "v", "uid"], ascending=[True, False, True])
+            .groupby("g", sort=True)
+            .head(k)
+            .sort_values(["g", "uid"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[["g", "v", "uid"]], want[["g", "v", "uid"]])
