@@ -360,6 +360,30 @@ GROUP BY o.o_orderkey
 """
 
 
+def q11_sliding_hour_stats(sf_dir: str):
+    """Sliding-window aggregate: 1-hour windows hopping every 15 min
+    over events (each event in exactly 4 windows).  Bounded replicate +
+    combiner push-down via temporal.hopping_window_agg."""
+    from .temporal import hopping_window_agg
+
+    HOP_US = 900_000_000  # 15 min
+    ev = _pq(sf_dir, "events", ["ts", "value"])
+    out = hopping_window_agg(
+        ev, t="ts", width=4 * HOP_US, hop=HOP_US,
+        aggs={"sum_value": ("value", "sum"), "n_events": (None, "count")},
+    )
+    return _int_scale_cols(out, {"sum_value": ("sum_value_cents", 100, "round")})
+
+
+Q11_SQL = """
+SELECT (epoch_us(ts) // 900000000 - r.k) * 900000000 AS w_start,
+       CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_cents,
+       count(*) AS n_events
+FROM events, range(4) r(k)
+GROUP BY w_start
+"""
+
+
 def q10_top_events_per_user(sf_dir: str):
     """Per-group top-k (ROW_NUMBER window pattern): each user's top-3
     events by value (event_id tiebreak).  relational.grouped_topk —
@@ -1225,6 +1249,7 @@ QUERIES = {
     "q8_nation_revenue": q8_nation_revenue,
     "q9_order_window_counts": q9_order_window_counts,
     "q10_top_events_per_user": q10_top_events_per_user,
+    "q11_sliding_hour_stats": q11_sliding_hour_stats,
     "t_token_count": t_token_count,
     "t_quality_stats": t_quality_stats,
     "t_exact_dedup": t_exact_dedup,
@@ -1255,6 +1280,7 @@ ORACLE_SQL = {
     "q8_nation_revenue": Q8_SQL,
     "q9_order_window_counts": Q9_SQL,
     "q10_top_events_per_user": Q10_SQL,
+    "q11_sliding_hour_stats": Q11_SQL,
     "t_token_count": T_TOKEN_SQL,
     "t_quality_stats": T_QUALITY_SQL,
     "t_exact_dedup": T_DEDUP_SQL,

@@ -83,6 +83,56 @@ def _order_as_int64(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
     return col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
 
 
+def hopping_window_agg(
+    ds,
+    *,
+    t: str,
+    width: int,
+    hop: int,
+    aggs: dict,
+    out_ts: str = "w_start",
+):
+    """Sliding/hopping window aggregate: fixed windows of ``width``
+    starting every ``hop`` (int64 units of ``t``, e.g. epoch micros;
+    ``width`` must be a multiple of ``hop``).  Each row belongs to
+    exactly ``width // hop`` windows, so the explode is a bounded
+    constant-factor replicate (np.repeat + tile, no per-row Python),
+    after which the aggregation is the ordinary combiner push-down
+    (relational.partial_grouped_agg): each block reduces to one partial
+    row per window before anything shuffles.  Completes the window
+    family next to tumbling (queries.q4) and session (queries.q6).
+    ``aggs`` follows partial_grouped_agg: {out: (col|None, "sum"|"count")}.
+    Null ``t`` rows are dropped (no window contains them)."""
+    import pyarrow.compute as pc
+
+    if width % hop != 0 or width <= 0:
+        raise ValueError("width must be a positive multiple of hop")
+    fanout = width // hop
+    value_cols = sorted({c for c, _ in aggs.values() if c is not None})
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.filter(pc.is_valid(tbl[t]))
+        tv = _order_as_int64(tbl[t])
+        n = len(tv)
+        # windows containing t: starts (t//hop - k)*hop for k in 0..fanout-1
+        # (floor division also for negative times: numpy // floors)
+        base = (tv // hop) * hop
+        starts = np.repeat(base, fanout) - np.tile(
+            np.arange(fanout, dtype=np.int64) * hop, n
+        )
+        idx = pa.array(np.repeat(np.arange(n), fanout))
+        cols = {out_ts: pa.array(starts, pa.int64())}
+        for c in value_cols:
+            cols[c] = tbl[c].take(idx)
+        return pa.table(cols)
+
+    from .relational import partial_grouped_agg
+
+    return partial_grouped_agg(
+        ds.map_batches(explode, batch_format="pyarrow"), [out_ts], aggs
+    )
+
+
 def interval_count_join(
     points,
     intervals,

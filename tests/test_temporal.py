@@ -286,3 +286,37 @@ def test_grouped_topk_matches_pandas(ray_session):
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got[["g", "v", "uid"]], want[["g", "v", "uid"]])
+
+
+def test_hopping_window_agg(ray_session):
+    from osm2geojson_ray.temporal import hopping_window_agg
+
+    # negative times exercise floor division; a null row must vanish
+    tv = np.array([-7, -1, 0, 3, 9, 10], dtype=np.int64)
+    tbl = pa.table(
+        {"t": pa.array(list(tv) + [None], pa.int64()),
+         "v": pa.array([1.0, 2.0, 4.0, 8.0, 16.0, 32.0, 99.0])}
+    )
+    out = (
+        hopping_window_agg(
+            ray.data.from_arrow(tbl).repartition(3),
+            t="t", width=6, hop=3,
+            aggs={"s": ("v", "sum"), "n": (None, "count")},
+        )
+        .to_pandas()
+        .sort_values("w_start")
+        .reset_index(drop=True)
+    )
+    # brute force: window w contains t iff w <= t < w+6, w in 3Z
+    want = {}
+    for t_i, v in zip(tv, [1.0, 2.0, 4.0, 8.0, 16.0, 32.0]):
+        for w in range(((int(t_i) - 6) // 3 + 1) * 3, int(t_i) + 1, 3):
+            s, n = want.get(w, (0.0, 0))
+            want[w] = (s + v, n + 1)
+    assert out["w_start"].tolist() == sorted(want)
+    assert out["s"].tolist() == [want[w][0] for w in sorted(want)]
+    assert out["n"].tolist() == [want[w][1] for w in sorted(want)]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        hopping_window_agg(ray.data.from_arrow(tbl), t="t", width=7, hop=3, aggs={"n": (None, "count")})
