@@ -258,11 +258,14 @@ def run_scaling():
         out["loadavg_at_start"] = load
         return out
 
-    # N vs 4N parallelism levels.  Default 8→32; BENCH_SCALING_LEVELS
-    # ("2,8") selects a lower pair — useful on hosts whose shared
-    # page-fault/object-store bandwidth saturates below 32 workers
-    # (see BASELINE.md, round-2 scaling analysis).
-    levels = os.environ.get("BENCH_SCALING_LEVELS", "8,32").split(",")
+    # N vs 4N parallelism levels.  Default 2→8: the pair whose upper
+    # leg sits below this host's shared page-fault/object-store
+    # bandwidth knee, so the compute control itself scales (0.93) and
+    # the pair measures the ENGINE's serial fraction rather than the
+    # box (BASELINE.md, round-4b campaign).  BENCH_SCALING_LEVELS
+    # ("8,32") selects the box-limit pair, where the allocation-free
+    # control reads only 0.65-0.71 on this shared host.
+    levels = os.environ.get("BENCH_SCALING_LEVELS", "2,8").split(",")
     reps = int(os.environ.get("BENCH_SCALING_REPS", "3"))
     lo, hi = int(levels[0]), int(levels[1])
     # Best-of-N per level, INTERLEAVED lo/hi so shared-host drift hits
@@ -417,7 +420,7 @@ def run_scaling_compute():
         out["loadavg_at_start"] = load
         return out
 
-    levels = os.environ.get("BENCH_SCALING_LEVELS", "8,32").split(",")
+    levels = os.environ.get("BENCH_SCALING_LEVELS", "2,8").split(",")
     reps = int(os.environ.get("BENCH_SCALING_REPS", "3"))
     lo, hi = int(levels[0]), int(levels[1])
     runs_lo, runs_hi = [], []
