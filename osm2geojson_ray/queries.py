@@ -384,6 +384,37 @@ GROUP BY w_start
 """
 
 
+def t_token_quantiles(sf_dir: str):
+    """Exact distributed quantiles (histogram-merge sketch family):
+    per-language median/p90 token counts over documents.  Raw rows
+    never shuffle — each block emits a (lang, n_tokens) count
+    histogram; quantiles read off the merged cdf
+    (relational.grouped_quantiles, quantile_disc semantics)."""
+    from .relational import grouped_quantiles
+    from .text.analysis import analyze_documents
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text", "lang"])
+    feats = analyze_documents(docs).select_columns(["lang", "n_tokens"])
+    return grouped_quantiles(
+        feats, "lang", "n_tokens",
+        {"p50_tokens": 0.5, "p90_tokens": 0.9}, n_col="n_docs",
+    )
+
+
+T_QUANTILES_SQL = """
+WITH tok AS (
+  SELECT lang,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+  FROM documents)
+SELECT lang,
+       quantile_disc(n_tokens, 0.5) AS p50_tokens,
+       quantile_disc(n_tokens, 0.9) AS p90_tokens,
+       count(*) AS n_docs
+FROM tok GROUP BY lang
+"""
+
+
 def q10_top_events_per_user(sf_dir: str):
     """Per-group top-k (ROW_NUMBER window pattern): each user's top-3
     events by value (event_id tiebreak).  relational.grouped_topk —
@@ -1252,6 +1283,7 @@ QUERIES = {
     "q11_sliding_hour_stats": q11_sliding_hour_stats,
     "t_token_count": t_token_count,
     "t_quality_stats": t_quality_stats,
+    "t_token_quantiles": t_token_quantiles,
     "t_exact_dedup": t_exact_dedup,
     "t_minhash_pairs": t_minhash_pairs,
     "t_jaccard_pairs": t_jaccard_pairs,
@@ -1283,6 +1315,7 @@ ORACLE_SQL = {
     "q11_sliding_hour_stats": Q11_SQL,
     "t_token_count": T_TOKEN_SQL,
     "t_quality_stats": T_QUALITY_SQL,
+    "t_token_quantiles": T_QUANTILES_SQL,
     "t_exact_dedup": T_DEDUP_SQL,
     "t_jaccard_pairs": T_JACCARD_SQL,
     "t_simhash": T_SIMHASH_SQL,

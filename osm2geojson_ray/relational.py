@@ -654,6 +654,52 @@ def grouped_topk(
     return out
 
 
+def grouped_quantiles(ds, group_key: str, value_col: str, qs: Dict[str, float], *, n_col=None):
+    """Distributed EXACT quantiles per group for discrete (integer-ish)
+    value columns — the exact member of the sketch-aggregate family:
+    each block first collapses to a (group, value) -> count histogram
+    (partial_grouped_agg, so raw rows never shuffle), the merged
+    histogram is one small block by construction, and quantiles read
+    off the per-group cdf.  Shuffle volume is bounded by #groups x
+    #distinct-values regardless of row count; for continuous values,
+    band/bucket them upstream (that is the exact->approximate trade
+    every quantile sketch makes).
+
+    Quantile rule matches DuckDB/Postgres ``percentile_disc`` /
+    ``quantile_disc``: the first value whose cumulative count reaches
+    rank ``max(ceil(q*N), 1)``.  ``qs`` maps output column -> q in
+    [0, 1]; ``n_col`` optionally adds the per-group row count."""
+    import math
+
+    import pandas as pd
+
+    hist = partial_grouped_agg(
+        ds.select_columns([group_key, value_col]),
+        [group_key, value_col],
+        {"__cnt": (None, "count")},
+    )
+
+    def finalize(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values([group_key, value_col])
+        rows = []
+        for g, sub in df.groupby(group_key, sort=True):
+            v = sub[value_col].to_numpy()
+            cum = np.cumsum(sub["__cnt"].to_numpy())
+            total = int(cum[-1])
+            row = {group_key: g}
+            for name, q in qs.items():
+                rank = max(math.ceil(q * total), 1)
+                row[name] = v[np.searchsorted(cum, rank, "left")]
+            if n_col:
+                row[n_col] = total
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+    # the merged histogram is ONE block (partial_grouped_agg's final is
+    # a single concat+groupby task), so batch_size=None sees it whole
+    return hist.map_batches(finalize, batch_format="pandas", batch_size=None)
+
+
 def dataset_from_table(tbl: pa.Table, **kwargs):
     return ray.data.from_arrow(tbl, **kwargs)
 

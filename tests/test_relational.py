@@ -299,3 +299,43 @@ def test_from_arrow_refs_lazy_with_meta_counts(ray_session):
     assert ds.count() == 4
     assert sorted(r["x"] for r in ds.take_all()) == [1, 2, 3, 4]
     assert ds.schema().names == ["x"]
+
+
+def test_grouped_quantiles_matches_duckdb(ray_session):
+    """Property: grouped_quantiles reproduces DuckDB quantile_disc
+    exactly across awkward group sizes (1, 2, primes) and tie-heavy
+    value distributions."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from osm2geojson_ray.relational import grouped_quantiles
+
+    rng = np.random.RandomState(11)
+    sizes = [1, 2, 3, 7, 9, 10, 20, 100]
+    frames = []
+    for g, n in enumerate(sizes):
+        frames.append(pd.DataFrame({
+            "g": np.full(n, g, np.int64),
+            "v": rng.randint(0, 6, n).astype(np.int64),  # heavy ties
+        }))
+    df = pd.concat(frames, ignore_index=True)
+    qs = {"p10": 0.1, "p50": 0.5, "p90": 0.9, "p100": 1.0}
+    got = (
+        grouped_quantiles(
+            ray.data.from_pandas(df).repartition(6), "g", "v", qs, n_col="n"
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        "SELECT g, quantile_disc(v,0.1) p10, quantile_disc(v,0.5) p50, "
+        "quantile_disc(v,0.9) p90, quantile_disc(v,1.0) p100, count(*) n "
+        "FROM t GROUP BY g ORDER BY g"
+    ).fetchdf()
+    for c in ["g", "p10", "p50", "p90", "p100", "n"]:
+        assert got[c].tolist() == want[c].tolist(), c
