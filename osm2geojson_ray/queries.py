@@ -1054,7 +1054,7 @@ def corpus_polygons() -> List[Tuple[str, list]]:
 
 def g_pip_join_osm(sf_dir: str):
     """Synthetic image points against assembled corpus polygons:
-    broadcast cell index + PIP actor pool."""
+    broadcast cell index + PIP over the warm task pool."""
     from .spatial.pip import broadcast_pip_join
 
     polys = corpus_polygons()

@@ -166,7 +166,7 @@ def _pip_task(batch: pa.Table, *, index_ref, lon_col, lat_col, id_col) -> pa.Tab
 
 def broadcast_pip_join(
     images,
-    polygons: List[Tuple[str, list]],
+    polygons: "Optional[List[Tuple[str, list]]]",
     *,
     level: int = 12,
     lon_col: str = "lon",
@@ -175,6 +175,7 @@ def broadcast_pip_join(
     concurrency: int = 2,
     batch_size: Optional[int] = None,
     compute: str = "tasks",
+    index_ref: "Optional[ray.ObjectRef]" = None,
 ):
     """images Dataset (with lon/lat columns) x small polygon list ->
     Dataset of (image_id, geom_id) containment rows.
@@ -183,10 +184,17 @@ def broadcast_pip_join(
     index cached per worker process; ``"actors"`` keeps the classic
     fixed actor pool (sized by ``concurrency``) for when per-process
     state build is the dominant cost.  ``concurrency`` only applies in
-    actor mode — the task pool auto-scales with the cluster."""
+    actor mode — the task pool auto-scales with the cluster.
+    ``index_ref``: pre-built index ref (e.g. ``ray.put`` of a cached
+    ``_CellPolygonIndex``) — ``polygons`` may be None then.  NOTE: an
+    still-materializing task-output ref is a NET LOSS here — early
+    fused tasks block inside ``ray.get`` while HOLDING worker slots, so
+    "overlapping" prep with the stream measured slower at both 2 and 8
+    cpus than just blocking the driver first; pass a ready ref."""
     import functools
 
-    index_ref = build_polygon_index(polygons, level)
+    if index_ref is None:
+        index_ref = build_polygon_index(polygons, level)
     if compute == "tasks":
         return images.map_batches(
             functools.partial(
