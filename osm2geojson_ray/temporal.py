@@ -217,19 +217,22 @@ def interval_count_join(
     pts = points.map_batches(band_points, batch_format="pyarrow")
 
     def count_in_bands(tbl: pa.Table) -> pa.Table:
-        side = tbl["__side"].to_numpy(zero_copy_only=False)
-        band = tbl["__band"].to_numpy(zero_copy_only=False)
-        is_iv = side == 0
-        iv_band, iv_s, iv_e = (
-            band[is_iv],
-            tbl["__start"].to_numpy(zero_copy_only=False)[is_iv].astype(np.int64),
-            tbl["__end"].to_numpy(zero_copy_only=False)[is_iv].astype(np.int64),
-        )
-        iv_ids = tbl[id_col].filter(pa.array(is_iv))
+        import pyarrow.compute as pc
+
+        # split by side BEFORE numpy extraction: the padded columns hold
+        # nulls on the other side's rows, and a single null routes
+        # to_numpy through float64 (silent precision loss above 2^53)
+        iv_mask = pc.equal(tbl["__side"], 0)
+        ivt = tbl.filter(iv_mask)
+        ptt = tbl.filter(pc.invert(iv_mask))
+        iv_band = _order_as_int64(ivt["__band"])
+        iv_s = _order_as_int64(ivt["__start"])
+        iv_e = _order_as_int64(ivt["__end"])
+        iv_ids = ivt[id_col]
         if len(iv_band) == 0:
             return pa.table({id_col: pa.array([], pa.int64()), out_col: pa.array([], pa.int64())})
-        pt_band = band[~is_iv]
-        pt_t = tbl["__t"].to_numpy(zero_copy_only=False)[~is_iv].astype(np.int64)
+        pt_band = _order_as_int64(ptt["__band"])
+        pt_t = _order_as_int64(ptt["__t"])
         # sort points by (band, t): each band is a contiguous sorted run
         p_order = np.lexsort((pt_t, pt_band))
         pt_band, pt_t = pt_band[p_order], pt_t[p_order]

@@ -320,3 +320,32 @@ def test_hopping_window_agg(ray_session):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         hopping_window_agg(ray.data.from_arrow(tbl), t="t", width=7, hop=3, aggs={"n": (None, "count")})
+
+
+def test_interval_count_join_bigint_times(ray_session):
+    """Times above 2^53 (epoch-nanos scale) must not round through
+    float64: the padded union columns hold nulls on the other side's
+    rows, so a naive whole-column to_numpy would corrupt them."""
+    from osm2geojson_ray.temporal import interval_count_join
+
+    base = 4_611_686_018_427_387_904  # 2^62
+    pt = np.array([base + 1, base + 2, base + 5], dtype=np.int64)
+    s = np.array([base + 1, base + 3], dtype=np.int64)
+    e = np.array([base + 3, base + 6], dtype=np.int64)
+    out = (
+        interval_count_join(
+            ray.data.from_arrow(pa.table({"t": pa.array(pt)})),
+            ray.data.from_arrow(
+                pa.table({"iid": pa.array([1, 2], pa.int64()),
+                          "s": pa.array(s), "e": pa.array(e)})
+            ),
+            t="t", start="s", end="e", id_col="iid",
+            band_width=4, out_col="n", num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values("iid")
+        .reset_index(drop=True)
+    )
+    # interval 1 = [base+1, base+3) -> {base+1, base+2}; interval 2 = [base+3, base+6) -> {base+5}
+    assert out["iid"].tolist() == [1, 2]
+    assert out["n"].tolist() == [2, 1]
