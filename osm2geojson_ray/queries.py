@@ -685,6 +685,67 @@ FROM documents d LEFT JOIN sigs s ON d.doc_id = s.doc_id
 """
 
 
+def _splitmix_over(key_expr: str, src: str) -> str:
+    """CTE chain computing splitmix64(key) as h64 for every row of
+    ``src`` (key carried through as k) — HUGEINT arithmetic with 2^64
+    wraparound, the same technique as _SPLITMIX_PHASE_CTE but keyed on
+    a table column instead of range().  Keys must be non-negative."""
+    return f"""
+sm0 AS (SELECT {key_expr} AS k,
+        (CAST({key_expr} AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS z FROM {src}),
+sm1 AS (SELECT k, xor(z, z // 1073741824) AS z1 FROM sm0),
+smm1 AS (SELECT k,
+  ( (z1 % 4294967296) * 13787848793156543929
+    + ((z1 // 4294967296) * 13787848793156543929 % 4294967296) * 4294967296
+  ) % 18446744073709551616 AS z2 FROM sm1),
+sm2 AS (SELECT k, xor(z2, z2 // 134217728) AS z3 FROM smm1),
+smm2 AS (SELECT k,
+  ( (z3 % 4294967296) * 10723151780598845931
+    + ((z3 // 4294967296) * 10723151780598845931 % 4294967296) * 4294967296
+  ) % 18446744073709551616 AS z4 FROM sm2),
+smfin AS (SELECT k, xor(z4, z4 // 2147483648) AS h64 FROM smm2)
+"""
+
+
+def t_hash_sample(sf_dir: str):
+    """Deterministic 10% hash sample of the documents table — the
+    reproducible, shuffle-free sampling primitive a training-data
+    pipeline uses to carve dev/eval splits out of 100 TB (every worker
+    makes the identical keep decision from the key alone)."""
+    from .relational import hash_sample
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return hash_sample(docs, "doc_id", 10, 100)
+
+
+T_HASH_SAMPLE_SQL = f"""
+WITH {_splitmix_over("doc_id", "documents")}
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN smfin ON smfin.k = d.doc_id
+WHERE h64 % 100 < 10
+"""
+
+
+def t_stratified_sample(sf_dir: str):
+    """Per-language quota sampling (keep 60% of en, 15% of everything
+    else), still deterministic and shuffle-free — the
+    curation-by-source/language shape."""
+    from .relational import stratified_hash_sample
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "lang"])
+    return stratified_hash_sample(
+        docs, "doc_id", "lang", rates={"en": 60}, default_num=15, keep_den=100
+    )
+
+
+T_STRATIFIED_SAMPLE_SQL = f"""
+WITH {_splitmix_over("doc_id", "documents")}
+SELECT d.doc_id, d.lang
+FROM documents d JOIN smfin ON smfin.k = d.doc_id
+WHERE h64 % 100 < CASE WHEN d.lang = 'en' THEN 60 ELSE 15 END
+"""
+
+
 # ---------------------------------------------------------------- embeddings
 def e_knn_cosine(sf_dir: str):
     from .spatial.knn import embedding_knn
@@ -777,6 +838,30 @@ allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
 SELECT a.vec_id AS a_id, b.vec_id AS b_id
 FROM allv a JOIN allv b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+"""
+
+
+def e_label_centroid(sf_dir: str):
+    """Per-label embedding centroid (class prototypes) in long format —
+    one row per (label, dim) with member count and the 1e4-scaled mean.
+    Raw vectors never shuffle: per-batch argsort+reduceat partials,
+    then one tiny concat+groupby (vectors.grouped_centroid)."""
+    from .vectors import grouped_centroid
+
+    emb = _pq(sf_dir, "embeddings", ["label", "embedding"])
+    return grouped_centroid(emb, "label", "embedding", scale=10000, out_col="mean_1e4")
+
+
+E_LABEL_CENTROID_SQL = """
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(ord - 1 AS BIGINT) AS dim,
+       count(*) AS n_vecs,
+       CAST(round(sum(CAST(val AS DOUBLE)) / count(*) * 10000) AS BIGINT) AS mean_1e4
+FROM (SELECT label,
+             unnest(embedding) AS val,
+             generate_subscripts(embedding, 1) AS ord
+      FROM embeddings)
+GROUP BY 1, 2
 """
 
 
@@ -1288,6 +1373,9 @@ QUERIES = {
     "t_minhash_pairs": t_minhash_pairs,
     "t_jaccard_pairs": t_jaccard_pairs,
     "t_simhash": t_simhash,
+    "t_hash_sample": t_hash_sample,
+    "t_stratified_sample": t_stratified_sample,
+    "e_label_centroid": e_label_centroid,
     "e_knn_cosine": e_knn_cosine,
     "e_knn_ivf": e_knn_ivf,
     "e_neardup_pairs": e_neardup_pairs,
@@ -1319,6 +1407,9 @@ ORACLE_SQL = {
     "t_exact_dedup": T_DEDUP_SQL,
     "t_jaccard_pairs": T_JACCARD_SQL,
     "t_simhash": T_SIMHASH_SQL,
+    "t_hash_sample": T_HASH_SAMPLE_SQL,
+    "t_stratified_sample": T_STRATIFIED_SAMPLE_SQL,
+    "e_label_centroid": E_LABEL_CENTROID_SQL,
     "osm_corpus_features": OSM_CORPUS_SQL,
     "e_knn_cosine": E_KNN_SQL,
     "e_knn_ivf": E_KNN_SQL,

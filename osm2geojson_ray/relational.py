@@ -700,6 +700,74 @@ def grouped_quantiles(ds, group_key: str, value_col: str, qs: Dict[str, float], 
     return hist.map_batches(finalize, batch_format="pandas", batch_size=None)
 
 
+def _sample_hashes(tbl: pa.Table, key_col: str) -> np.ndarray:
+    """Per-row uint64 splitmix64 hash of an integer key column
+    (null-safe extraction; nulls hash as key 0)."""
+    import pyarrow.compute as pc
+
+    from .images.synth import splitmix64
+
+    keys = (
+        pc.fill_null(tbl[key_col], 0)
+        .cast(pa.int64())
+        .combine_chunks()
+        .to_numpy(zero_copy_only=False)
+        .astype(np.uint64)
+    )
+    return splitmix64(keys)
+
+
+def hash_sample(ds, key_col: str, keep_num: int, keep_den: int):
+    """Deterministic hash sampling: keep rows where
+    ``splitmix64(key) % keep_den < keep_num`` — the reproducible,
+    cluster-stable way to sample a 100-TB table (no RNG state, no
+    shuffle, no coordination; every worker makes the identical decision
+    for a given key, so reruns/resumes keep the same sample).  The key
+    should be a stable integer id; keys must be non-negative for the
+    SQL mirror (HUGEINT cast) to agree."""
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        keep = _sample_hashes(tbl, key_col) % np.uint64(keep_den) < np.uint64(keep_num)
+        return tbl.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def stratified_hash_sample(
+    ds,
+    key_col: str,
+    strata_col: str,
+    rates: Dict[str, int],
+    default_num: int,
+    keep_den: int,
+):
+    """Per-stratum deterministic sampling: a row in stratum ``s`` is
+    kept iff ``splitmix64(key) % keep_den < rates.get(s, default_num)``
+    — the standard quota-by-language/source shape for training-data
+    curation, still shuffle-free.  ``rates`` maps stratum string values
+    to keep_num over the common ``keep_den``; unlisted strata (and null)
+    use ``default_num``.  Vectorized: strata resolve to per-row
+    thresholds via one ``index_in`` dictionary lookup."""
+    import pyarrow.compute as pc
+
+    strata_vals = list(rates)
+    nums = np.array([rates[s] for s in strata_vals] + [default_num], dtype=np.uint64)
+    value_set = pa.array(strata_vals, pa.string())
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        h = _sample_hashes(tbl, key_col)
+        codes = (
+            pc.fill_null(pc.index_in(tbl[strata_col], value_set=value_set), len(strata_vals))
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        keep = h % np.uint64(keep_den) < nums[codes]
+        return tbl.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def dataset_from_table(tbl: pa.Table, **kwargs):
     return ray.data.from_arrow(tbl, **kwargs)
 

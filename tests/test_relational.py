@@ -339,3 +339,68 @@ def test_grouped_quantiles_matches_duckdb(ray_session):
     ).fetchdf()
     for c in ["g", "p10", "p50", "p90", "p100", "n"]:
         assert got[c].tolist() == want[c].tolist(), c
+
+
+def test_hash_sample_deterministic_and_unbiased(ray_session):
+    from osm2geojson_ray.images.synth import splitmix64
+    from osm2geojson_ray.relational import hash_sample
+
+    ids = np.arange(20000, dtype=np.int64)
+    ds = _ds(pa.table({"id": ids, "v": ids * 3}), blocks=6)
+    out = hash_sample(ds, "id", 10, 100).to_pandas().sort_values("id")
+    # exact per-row oracle: the same splitmix64 threshold
+    want = ids[splitmix64(ids.astype(np.uint64)) % np.uint64(100) < np.uint64(10)]
+    assert out["id"].tolist() == want.tolist()
+    # passthrough columns survive; rate lands near 10%
+    assert (out["v"].to_numpy() == out["id"].to_numpy() * 3).all()
+    assert 0.08 < len(out) / len(ids) < 0.12
+    # identical on a different block layout (no RNG/partition coupling)
+    out2 = hash_sample(_ds(pa.table({"id": ids, "v": ids * 3}), blocks=13),
+                       "id", 10, 100).to_pandas().sort_values("id")
+    assert out2["id"].tolist() == want.tolist()
+
+
+def test_stratified_hash_sample_rates_and_default(ray_session):
+    from osm2geojson_ray.images.synth import splitmix64
+    from osm2geojson_ray.relational import stratified_hash_sample
+
+    ids = np.arange(9000, dtype=np.int64)
+    strata = np.array(["a", "b", "c"])[ids % 3]
+    tbl = pa.table({"id": ids, "s": pa.array(strata.tolist(), pa.string())})
+    out = (
+        stratified_hash_sample(_ds(tbl, blocks=5), "id", "s",
+                               rates={"a": 50}, default_num=5, keep_den=100)
+        .to_pandas().sort_values("id")
+    )
+    h = splitmix64(ids.astype(np.uint64)) % np.uint64(100)
+    thresh = np.where(strata == "a", 50, 5).astype(np.uint64)
+    want = ids[h < thresh]
+    assert out["id"].tolist() == want.tolist()
+    # stratum 'a' kept ~10x more than unlisted strata
+    counts = out["s"].value_counts()
+    assert counts["a"] > 5 * max(counts.get("b", 0), counts.get("c", 0))
+
+
+def test_grouped_centroid_matches_numpy(ray_session):
+    from osm2geojson_ray.vectors import grouped_centroid
+
+    rng = np.random.RandomState(11)
+    n, dim = 4000, 8
+    labels = rng.randint(0, 5, n).astype(np.int64)
+    M = rng.randn(n, dim).astype(np.float32)
+    tbl = pa.table({
+        "label": pa.array(labels),
+        "embedding": pa.array(M.tolist(), pa.list_(pa.float32())),
+    })
+    out = (
+        grouped_centroid(_ds(tbl, blocks=7), "label", "embedding",
+                         scale=10000, out_col="m")
+        .to_pandas().sort_values(["label", "dim"]).reset_index(drop=True)
+    )
+    assert len(out) == 5 * dim
+    for lab in range(5):
+        rows = out[out["label"] == lab]
+        assert (rows["n_vecs"] == (labels == lab).sum()).all()
+        mean = M[labels == lab].astype(np.float64).mean(axis=0) * 10000
+        want = (np.sign(mean) * np.floor(np.abs(mean) + 0.5)).astype(np.int64)
+        np.testing.assert_array_equal(rows["m"].to_numpy(), want)
