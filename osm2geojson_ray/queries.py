@@ -707,6 +707,41 @@ smfin AS (SELECT k, xor(z4, z4 // 2147483648) AS h64 FROM smm2)
 """
 
 
+def t_tfidf_topk(sf_dir: str):
+    """Top-3 TF-IDF terms per document — term extraction, corpus df,
+    broadcast idf scoring and a per-group top-k, end to end without a
+    sort shuffle (text/analysis.tfidf_topk)."""
+    from .text.analysis import tfidf_topk
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return tfidf_topk(docs, k=3, scale=1_000_000)
+
+
+# ranking on the integer-scaled score in BOTH engines (not the raw
+# double) removes any last-ulp ln() rank-flip; ties break on the term,
+# whose DuckDB memcmp order equals numpy's codepoint order (UTF-8
+# byte order preserves codepoint order)
+T_TFIDF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) * 1000000) AS BIGINT) AS score_1e6
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_1e6 DESC, term) AS r
+  FROM scored
+)
+SELECT doc_id, term, score_1e6 FROM ranked WHERE r <= 3
+"""
+
+
 def t_hash_sample(sf_dir: str):
     """Deterministic 10% hash sample of the documents table — the
     reproducible, shuffle-free sampling primitive a training-data
@@ -1373,6 +1408,7 @@ QUERIES = {
     "t_minhash_pairs": t_minhash_pairs,
     "t_jaccard_pairs": t_jaccard_pairs,
     "t_simhash": t_simhash,
+    "t_tfidf_topk": t_tfidf_topk,
     "t_hash_sample": t_hash_sample,
     "t_stratified_sample": t_stratified_sample,
     "e_label_centroid": e_label_centroid,
@@ -1407,6 +1443,7 @@ ORACLE_SQL = {
     "t_exact_dedup": T_DEDUP_SQL,
     "t_jaccard_pairs": T_JACCARD_SQL,
     "t_simhash": T_SIMHASH_SQL,
+    "t_tfidf_topk": T_TFIDF_SQL,
     "t_hash_sample": T_HASH_SAMPLE_SQL,
     "t_stratified_sample": T_STRATIFIED_SAMPLE_SQL,
     "e_label_centroid": E_LABEL_CENTROID_SQL,

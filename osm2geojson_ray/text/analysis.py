@@ -227,3 +227,114 @@ def analyze_documents(docs, *, text_col: str = "text", concurrency: int = 2,
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# ------------------------------------------------------------------ TF-IDF
+def _term_freqs(tbl: pa.Table, *, doc_col: str, text_col: str) -> pa.Table:
+    """Batch -> long (doc, term, tf) rows, fully vectorized: one Arrow
+    regex split (\\s+ runs, the t_token_count-proven tokenization), a
+    dictionary encode, and one np.unique over packed (row, term-code)
+    keys.  Raw text never leaves this stage."""
+    col = tbl[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    tokens = pc.split_pattern_regex(col, r"\s+")
+    flat = pc.list_flatten(tokens)
+    parent = pc.list_parent_indices(tokens).to_numpy(zero_copy_only=False)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat = flat.filter(pa.array(nonempty))
+    parent = parent[nonempty].astype(np.int64)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    doc_ids = (
+        pc.fill_null(tbl[doc_col], 0)
+        .cast(pa.int64())
+        .combine_chunks()
+        .to_numpy(zero_copy_only=False)
+    )
+    if len(flat) == 0:
+        return pa.table(
+            {doc_col: pa.array([], pa.int64()), "term": pa.array([], pa.string()),
+             "tf": pa.array([], pa.int64())}
+        )
+    denc = flat.dictionary_encode()
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    v = len(denc.dictionary)
+    pair = parent * v + codes  # row index bounds the high part: no overflow
+    uniq, counts = np.unique(pair, return_counts=True)
+    return pa.table(
+        {
+            doc_col: pa.array(doc_ids[(uniq // v)]),
+            "term": denc.dictionary.take(pa.array(uniq % v)),
+            "tf": pa.array(counts.astype(np.int64)),
+        }
+    )
+
+
+def _tfidf_score(tbl: pa.Table, *, ref, n_docs: float, scale: int,
+                 doc_col: str, out_col: str) -> pa.Table:
+    import ray as _ray
+
+    from ..worker_state import cache_key_for_ref, get_or_build
+
+    vocab, dfv = get_or_build(
+        ("tfidf_df", cache_key_for_ref(ref)), lambda: _ray.get(ref)
+    )
+    codes = (
+        pc.index_in(tbl["term"], value_set=vocab)
+        .combine_chunks()
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)  # every term is in the df vocab by construction
+    )
+    tf = tbl["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+    score = tf * np.log(n_docs / dfv[codes]) * scale
+    # half-away-from-zero to match SQL round() (np.round is half-to-even)
+    scaled = (np.sign(score) * np.floor(np.abs(score) + 0.5)).astype(np.int64)
+    return pa.table({doc_col: tbl[doc_col], "term": tbl["term"], out_col: pa.array(scaled)})
+
+
+def tfidf_topk(docs, *, doc_col: str = "doc_id", text_col: str = "text",
+               k: int = 3, scale: int = 1_000_000, out_col: str = "score_1e6",
+               num_partitions: int = 16):
+    """Top-k TF-IDF terms per document (score = tf * ln(N/df), ranked on
+    the integer-scaled score with the term as deterministic tiebreak).
+
+    Distributed shape: tokenize once into a materialized (doc, term, tf)
+    stream (TF-IDF is inherently two-pass: df must be complete before
+    scoring, and materializing the slim term rows beats re-tokenizing
+    the raw text); df comes from a combiner push-down groupby whose
+    output is vocabulary-sized; the df map broadcasts as ONE ray.put
+    read per worker (per-worker cache); scoring is a vectorized
+    index_in lookup; and the final per-doc top-k is grouped_topk — at
+    most k x docs-in-block candidate rows leave any block, raw term
+    rows never sort-shuffle.  At web scale (vocab too big to broadcast)
+    swap the broadcast for a hash-exchange join on term — the term_rows
+    stream and grouped_topk stages are unchanged."""
+    import functools
+
+    import ray as _ray
+
+    from ..relational import grouped_topk, partial_grouped_agg
+
+    n_docs = float(docs.count())  # parquet metadata count, no scan
+    term_rows = docs.map_batches(
+        functools.partial(_term_freqs, doc_col=doc_col, text_col=text_col),
+        batch_format="pyarrow",
+    ).materialize()
+    df = partial_grouped_agg(
+        term_rows.select_columns(["term"]), ["term"], {"df": (None, "count")}
+    ).to_pandas()
+    ref = _ray.put(
+        (pa.array(df["term"].tolist(), pa.string()), df["df"].to_numpy().astype(np.float64))
+    )
+    scored = term_rows.map_batches(
+        functools.partial(
+            _tfidf_score, ref=ref, n_docs=n_docs, scale=scale,
+            doc_col=doc_col, out_col=out_col,
+        ),
+        batch_format="pyarrow",
+    )
+    return grouped_topk(
+        scored, doc_col, [(out_col, True), ("term", False)],
+        k=k, num_partitions=num_partitions,
+    )

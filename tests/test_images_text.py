@@ -287,3 +287,41 @@ def test_sample_frames_varying_counts_matches_rowwise_oracle(ray_session):
             for g in got
         )
         assert got_t == sorted(want), f"every_k={k}"
+
+
+def test_tfidf_topk_hand_values(ray_session):
+    """4-doc corpus with hand-computable scores: 'apple' appears in all
+    docs (idf=0, never a top term when others exist), 'rare' in one."""
+    import math
+
+    from osm2geojson_ray.text.analysis import tfidf_topk
+
+    docs = [
+        "apple rare rare",        # rare: tf=2, df=1 -> 2*ln(4)
+        "apple banana",           # banana: tf=1, df=2 -> ln(2)
+        "apple banana cherry",    # cherry: tf=1, df=2
+        "apple  cherry\tcherry",  # whitespace runs collapse
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    )
+    out = (
+        tfidf_topk(ds, k=2, scale=1_000_000)
+        .to_pandas()
+        .sort_values(["doc_id", "score_1e6", "term"],
+                     ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    s = lambda x: int(math.floor(abs(x) * 1e6 + 0.5))
+    got = list(map(tuple, out[["doc_id", "term", "score_1e6"]].to_numpy()))
+    assert got == [
+        (0, "rare", s(2 * math.log(4))),
+        (0, "apple", 0),
+        (1, "banana", s(math.log(2))),
+        (1, "apple", 0),
+        (2, "banana", s(math.log(2))),   # tie banana/cherry -> term asc
+        (2, "cherry", s(math.log(2))),
+        (3, "cherry", s(2 * math.log(2))),
+        (3, "apple", 0),
+    ]
