@@ -742,6 +742,41 @@ SELECT doc_id, term, score_1e6 FROM ranked WHERE r <= 3
 """
 
 
+def t_heavy_tokens(sf_dir: str):
+    """Corpus-wide heavy-hitter tokens: every token whose occurrence
+    count exceeds 0.5% of ALL token occurrences — Misra-Gries candidate
+    sketch + exact verification (relational.heavy_hitters), so the
+    output is exact and fully SQL-oracled despite the sketch."""
+    from .relational import heavy_hitters
+    from .text.analysis import _term_freqs
+
+    import functools
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    # slim (doc, term, tf) rows, materialized once for the three passes
+    # (total / sketch / exact) — re-tokenizing raw text 3x would be the
+    # expensive part at scale
+    term_rows = docs.map_batches(
+        functools.partial(_term_freqs, doc_col="doc_id", text_col="text"),
+        batch_format="pyarrow",
+    ).materialize()
+    return heavy_hitters(
+        term_rows, "term", weight_col="tf",
+        threshold_num=1, threshold_den=200, out_col="n_occurrences",
+    )
+
+
+T_HEAVY_TOKENS_SQL = r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(text, '\s+')) AS term FROM documents
+),
+occ AS (SELECT term, count(*) AS n_occurrences FROM toks WHERE term <> '' GROUP BY 1),
+tot AS (SELECT sum(n_occurrences) AS total FROM occ)
+SELECT term, n_occurrences FROM occ, tot
+WHERE n_occurrences * 200 > total
+"""
+
+
 def t_hash_sample(sf_dir: str):
     """Deterministic 10% hash sample of the documents table — the
     reproducible, shuffle-free sampling primitive a training-data
@@ -1409,6 +1444,7 @@ QUERIES = {
     "t_jaccard_pairs": t_jaccard_pairs,
     "t_simhash": t_simhash,
     "t_tfidf_topk": t_tfidf_topk,
+    "t_heavy_tokens": t_heavy_tokens,
     "t_hash_sample": t_hash_sample,
     "t_stratified_sample": t_stratified_sample,
     "e_label_centroid": e_label_centroid,
@@ -1444,6 +1480,7 @@ ORACLE_SQL = {
     "t_jaccard_pairs": T_JACCARD_SQL,
     "t_simhash": T_SIMHASH_SQL,
     "t_tfidf_topk": T_TFIDF_SQL,
+    "t_heavy_tokens": T_HEAVY_TOKENS_SQL,
     "t_hash_sample": T_HASH_SAMPLE_SQL,
     "t_stratified_sample": T_STRATIFIED_SAMPLE_SQL,
     "e_label_centroid": E_LABEL_CENTROID_SQL,

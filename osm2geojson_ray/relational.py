@@ -768,6 +768,121 @@ def stratified_hash_sample(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def heavy_hitters(
+    ds,
+    item_col: str,
+    *,
+    weight_col: Optional[str] = None,
+    threshold_num: int,
+    threshold_den: int,
+    capacity: Optional[int] = None,
+    out_col: str = "weight",
+):
+    """EXACT frequent items above a rational frequency threshold
+    (``weight(item) * threshold_den > threshold_num * total``) via a
+    Misra-Gries sketch pass + an exact verification pass — the
+    two-pass heavy-hitters shape that works at 100 TB because raw rows
+    never shuffle in either pass:
+
+    - pass 1: each batch aggregates exactly (dictionary encode +
+      bincount), then Misra-Gries-compresses to ``capacity`` rows by
+      subtracting the (capacity+1)-th largest weight — a lower-bound
+      summary with per-batch error <= W_batch/(capacity+1).  Summed
+      over batches the total error is < total/(capacity+1), so with
+      capacity >= 4*threshold_den/threshold_num every true heavy
+      hitter survives compression (guaranteed-complete candidates).
+    - pass 2: candidate items broadcast (one ray.put), rows filter to
+      candidates, and a combiner push-down computes EXACT weights; the
+      integer cross-multiplied threshold keeps the final filter exact
+      (no float frequency compare).
+
+    ``weight_col=None`` counts rows.  ``total`` is the exact global
+    weight (one metadata-cheap aggregate pass).  ``item_col`` must be a
+    string column (the token/URL/key case); weights int64.  Output:
+    (item_col, out_col) for qualifying items only — exact values, the
+    sketch only prunes."""
+    import pyarrow.compute as pc
+
+    import ray as _ray
+
+    total = int(ds.sum(weight_col) if weight_col else ds.count())
+    if total == 0:
+        return empty_dataset(
+            pa.schema([(item_col, pa.string()), (out_col, pa.int64())])
+        )
+    m = capacity or int(np.ceil(4.0 * threshold_den / max(threshold_num, 1)))
+
+    def _agg_batch(tbl: pa.Table):
+        col = tbl[item_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if len(col) == 0:
+            return None, None
+        denc = col.dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        if weight_col is not None:
+            w = tbl[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            agg = np.bincount(codes, weights=w, minlength=len(denc.dictionary))
+            agg = agg.astype(np.int64)
+        else:
+            agg = np.bincount(codes, minlength=len(denc.dictionary)).astype(np.int64)
+        return denc.dictionary, agg
+
+    def summarize(tbl: pa.Table) -> pa.Table:
+        items, agg = _agg_batch(tbl)
+        empty = pa.table(
+            {item_col: pa.array([], pa.string()), "__w": pa.array([], pa.int64())}
+        )
+        if items is None:
+            return empty
+        if len(agg) > m:
+            # Misra-Gries compression: decrement everything by the
+            # (m+1)-th largest weight; survivors keep a lower bound
+            delta = np.partition(agg, len(agg) - (m + 1))[len(agg) - (m + 1)]
+            agg = agg - delta
+        keep = np.flatnonzero(agg > 0)
+        if len(keep) == 0:
+            return empty
+        return pa.table(
+            {item_col: items.take(pa.array(keep)), "__w": pa.array(agg[keep])}
+        )
+
+    merged = partial_grouped_agg(
+        ds.map_batches(summarize, batch_format="pyarrow"),
+        [item_col],
+        {"__w": ("__w", "sum")},
+    ).to_pandas()
+    # verify ALL merged candidates exactly (<= capacity x blocks rows;
+    # the MG guarantee only says no heavy hitter is MISSING from them)
+    cand = pa.array(merged[item_col].tolist(), pa.string())
+    ref = _ray.put(cand)
+
+    def exact_filter(tbl: pa.Table) -> pa.Table:
+        from .worker_state import cache_key_for_ref, get_or_build
+
+        vocab = get_or_build(
+            ("heavy_hitters_cand", cache_key_for_ref(ref)), lambda: _ray.get(ref)
+        )
+        hit = pc.is_in(tbl[item_col], value_set=vocab)
+        cols = [item_col] + ([weight_col] if weight_col else [])
+        return tbl.select(cols).filter(hit)
+
+    agg_spec = (
+        {out_col: (weight_col, "sum")} if weight_col else {out_col: (None, "count")}
+    )
+    exact = partial_grouped_agg(
+        ds.map_batches(exact_filter, batch_format="pyarrow"), [item_col], agg_spec
+    )
+
+    def final_filter(tbl: pa.Table) -> pa.Table:
+        w = tbl[out_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # integer cross-multiply: exact rational threshold, no floats
+        keep = w * np.int64(threshold_den) > np.int64(threshold_num) * np.int64(total)
+        return tbl.filter(pa.array(keep))
+
+    return exact.map_batches(final_filter, batch_format="pyarrow")
+
+
 def dataset_from_table(tbl: pa.Table, **kwargs):
     return ray.data.from_arrow(tbl, **kwargs)
 

@@ -404,3 +404,39 @@ def test_grouped_centroid_matches_numpy(ray_session):
         mean = M[labels == lab].astype(np.float64).mean(axis=0) * 10000
         want = (np.sign(mean) * np.floor(np.abs(mean) + 0.5)).astype(np.int64)
         np.testing.assert_array_equal(rows["m"].to_numpy(), want)
+
+
+def test_heavy_hitters_exact_above_threshold(ray_session):
+    """Skewed stream: items with weight > num/den of total come back
+    with EXACT counts; everything else is pruned.  Tiny capacity forces
+    real Misra-Gries compression in every batch."""
+    from osm2geojson_ray.relational import heavy_hitters
+
+    rng = np.random.RandomState(3)
+    # 2 heavy items (~30% / ~10%), 500 light items sharing the rest
+    items = np.concatenate([
+        np.repeat("hot", 3000),
+        np.repeat("warm", 1000),
+        np.array([f"cold{i}" for i in rng.randint(0, 500, 6000)]),
+    ])
+    rng.shuffle(items)
+    ds = _ds(pa.table({"item": pa.array(items.tolist(), pa.string())}), blocks=8)
+    out = (
+        heavy_hitters(ds, "item", threshold_num=5, threshold_den=100,
+                      capacity=20, out_col="n")
+        .to_pandas().sort_values("item").reset_index(drop=True)
+    )
+    import collections
+    true = collections.Counter(items.tolist())
+    want = sorted((k, v) for k, v in true.items() if v * 100 > 5 * len(items))
+    assert list(map(tuple, out[["item", "n"]].to_numpy())) == want
+    # weighted variant agrees with pre-aggregated rows
+    uniq, counts = np.unique(items, return_counts=True)
+    wds = _ds(pa.table({"item": pa.array(uniq.tolist(), pa.string()),
+                        "w": pa.array(counts.astype(np.int64))}), blocks=5)
+    wout = (
+        heavy_hitters(wds, "item", weight_col="w", threshold_num=5,
+                      threshold_den=100, capacity=20, out_col="n")
+        .to_pandas().sort_values("item").reset_index(drop=True)
+    )
+    assert list(map(tuple, wout[["item", "n"]].to_numpy())) == want
