@@ -531,6 +531,60 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def q12_customer_running_total(sf_dir: str):
+    """Partitioned window functions: per-customer running revenue,
+    order rank and previous order value over the order history —
+    ``SUM/ROW_NUMBER/LAG OVER (PARTITION BY custkey ORDER BY date,
+    key)`` via ONE hash exchange + a vectorized segmented pass
+    (relational.partitioned_window).  Money runs as integer cents so
+    the running sum is bit-exact regardless of either engine's window
+    aggregation order."""
+    from .relational import partitioned_window
+
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = np.round(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"].combine_chunks(),
+                "o_orderkey": t["o_orderkey"].combine_chunks(),
+                "o_date": t["o_orderdate"].combine_chunks().cast(pa.int64()),
+                "price_cents": pa.array(cents),
+            }
+        )
+
+    ds = orders.map_batches(to_cents, batch_format="pyarrow")
+    return partitioned_window(
+        ds,
+        "o_custkey",
+        [("o_date", False), ("o_orderkey", False)],
+        {
+            "cum_cents": ("price_cents", "cumsum"),
+            "rn": (None, "row_number"),
+            "prev_cents": ("price_cents", "lag"),
+        },
+    )
+
+
+Q12_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(epoch_us(o_orderdate) AS BIGINT) AS o_date,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, o_date, price_cents,
+       sum(price_cents) OVER w AS cum_cents,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       lag(price_cents) OVER w AS prev_cents
+FROM o
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_date, o_orderkey)
+"""
+
+
 # ---------------------------------------------------------------- text ops
 def t_token_count(sf_dir: str):
     from .text.analysis import analyze_documents
@@ -1436,6 +1490,7 @@ QUERIES = {
     "q9_order_window_counts": q9_order_window_counts,
     "q10_top_events_per_user": q10_top_events_per_user,
     "q11_sliding_hour_stats": q11_sliding_hour_stats,
+    "q12_customer_running_total": q12_customer_running_total,
     "t_token_count": t_token_count,
     "t_quality_stats": t_quality_stats,
     "t_token_quantiles": t_token_quantiles,
@@ -1473,6 +1528,7 @@ ORACLE_SQL = {
     "q9_order_window_counts": Q9_SQL,
     "q10_top_events_per_user": Q10_SQL,
     "q11_sliding_hour_stats": Q11_SQL,
+    "q12_customer_running_total": Q12_SQL,
     "t_token_count": T_TOKEN_SQL,
     "t_quality_stats": T_QUALITY_SQL,
     "t_token_quantiles": T_QUANTILES_SQL,

@@ -440,3 +440,50 @@ def test_heavy_hitters_exact_above_threshold(ray_session):
         .to_pandas().sort_values("item").reset_index(drop=True)
     )
     assert list(map(tuple, wout[["item", "n"]].to_numpy())) == want
+
+
+def test_partitioned_window_matches_pandas(ray_session):
+    from osm2geojson_ray.relational import partitioned_window
+
+    rng = np.random.RandomState(5)
+    n = 5000
+    tbl = pa.table({
+        "k": pa.array(rng.randint(0, 40, n).astype(np.int64)),
+        "t": pa.array(rng.randint(0, 10**6, n).astype(np.int64)),
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "v": pa.array(rng.randint(-100, 100, n).astype(np.int64)),
+    })
+    out = (
+        partitioned_window(
+            _ds(tbl, blocks=9), "k", [("t", False), ("id", False)],
+            {"cs": ("v", "cumsum"), "rn": (None, "row_number"), "pv": ("v", "lag")},
+            num_partitions=7,
+        )
+        .to_pandas().sort_values(["k", "t", "id"]).reset_index(drop=True)
+    )
+    df = tbl.to_pandas().sort_values(["k", "t", "id"]).reset_index(drop=True)
+    g = df.groupby("k", sort=False)
+    assert (out["cs"].to_numpy() == g["v"].cumsum().to_numpy()).all()
+    assert (out["rn"].to_numpy() == g.cumcount().to_numpy() + 1).all()
+    want_pv = g["v"].shift(1)
+    got_pv = out["pv"]
+    assert got_pv.isna().equals(want_pv.isna())
+    assert (got_pv.dropna().to_numpy() == want_pv.dropna().to_numpy()).all()
+
+
+def test_partitioned_window_descending_order(ray_session):
+    from osm2geojson_ray.relational import partitioned_window
+
+    tbl = pa.table({
+        "k": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "t": pa.array([10, 20, 30, 5, 7], pa.int64()),
+        "v": pa.array([1, 2, 3, 4, 5], pa.int64()),
+    })
+    out = (
+        partitioned_window(_ds(tbl, blocks=2), "k", [("t", True), ("v", False)],
+                           {"rn": (None, "row_number")}, num_partitions=3)
+        .to_pandas().sort_values(["k", "rn"]).reset_index(drop=True)
+    )
+    # rank 1 = latest t within each k
+    assert out[out.k == 1]["t"].tolist() == [30, 20, 10]
+    assert out[out.k == 2]["t"].tolist() == [7, 5]
