@@ -415,6 +415,41 @@ FROM tok GROUP BY lang
 """
 
 
+def t_chars_quantiles_cont(sf_dir: str):
+    """Interpolated (quantile_cont / R-7) per-source char-length
+    quantiles — the continuous member of the histogram-merge quantile
+    family, emitted 1e6-scaled with half-away rounding for exact
+    oracle hashing."""
+    from .relational import grouped_quantiles
+
+    docs = _pq(sf_dir, "documents", ["source", "n_chars"])
+    out = grouped_quantiles(
+        docs, "source", "n_chars",
+        {"p50": 0.5, "p90": 0.9}, n_col="n_docs", interpolate=True,
+    )
+
+    def scale(t: pa.Table) -> pa.Table:
+        cols = {"source": t["source"], "n_docs": t["n_docs"]}
+        for c in ("p50", "p90"):
+            v = t[c].to_numpy(zero_copy_only=False) * 1e6
+            # half away from zero, matching SQL round()
+            cols[c + "_1e6"] = pa.array(
+                (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+            )
+        return pa.table(cols)
+
+    return out.map_batches(scale, batch_format="pyarrow")
+
+
+T_CHARS_QUANTILES_SQL = """
+SELECT source,
+       count(*) AS n_docs,
+       CAST(round(quantile_cont(n_chars, 0.5) * 1000000) AS BIGINT) AS p50_1e6,
+       CAST(round(quantile_cont(n_chars, 0.9) * 1000000) AS BIGINT) AS p90_1e6
+FROM documents GROUP BY source
+"""
+
+
 def q10_top_events_per_user(sf_dir: str):
     """Per-group top-k (ROW_NUMBER window pattern): each user's top-3
     events by value (event_id tiebreak).  relational.grouped_topk —
@@ -1494,6 +1529,7 @@ QUERIES = {
     "t_token_count": t_token_count,
     "t_quality_stats": t_quality_stats,
     "t_token_quantiles": t_token_quantiles,
+    "t_chars_quantiles_cont": t_chars_quantiles_cont,
     "t_exact_dedup": t_exact_dedup,
     "t_minhash_pairs": t_minhash_pairs,
     "t_jaccard_pairs": t_jaccard_pairs,
@@ -1532,6 +1568,7 @@ ORACLE_SQL = {
     "t_token_count": T_TOKEN_SQL,
     "t_quality_stats": T_QUALITY_SQL,
     "t_token_quantiles": T_QUANTILES_SQL,
+    "t_chars_quantiles_cont": T_CHARS_QUANTILES_SQL,
     "t_exact_dedup": T_DEDUP_SQL,
     "t_jaccard_pairs": T_JACCARD_SQL,
     "t_simhash": T_SIMHASH_SQL,

@@ -654,7 +654,8 @@ def grouped_topk(
     return out
 
 
-def grouped_quantiles(ds, group_key: str, value_col: str, qs: Dict[str, float], *, n_col=None):
+def grouped_quantiles(ds, group_key: str, value_col: str, qs: Dict[str, float], *,
+                      n_col=None, interpolate: bool = False):
     """Distributed EXACT quantiles per group for discrete (integer-ish)
     value columns — the exact member of the sketch-aggregate family:
     each block first collapses to a (group, value) -> count histogram
@@ -667,8 +668,12 @@ def grouped_quantiles(ds, group_key: str, value_col: str, qs: Dict[str, float], 
 
     Quantile rule matches DuckDB/Postgres ``percentile_disc`` /
     ``quantile_disc``: the first value whose cumulative count reaches
-    rank ``max(ceil(q*N), 1)``.  ``qs`` maps output column -> q in
-    [0, 1]; ``n_col`` optionally adds the per-group row count."""
+    rank ``max(ceil(q*N), 1)``.  With ``interpolate=True`` it instead
+    matches ``quantile_cont`` (type R-7 linear interpolation at
+    ``h = q*(N-1)`` between adjacent order statistics, float output) —
+    still exact, read off the same merged histogram.  ``qs`` maps
+    output column -> q in [0, 1]; ``n_col`` optionally adds the
+    per-group row count."""
     import math
 
     import pandas as pd
@@ -688,8 +693,14 @@ def grouped_quantiles(ds, group_key: str, value_col: str, qs: Dict[str, float], 
             total = int(cum[-1])
             row = {group_key: g}
             for name, q in qs.items():
-                rank = max(math.ceil(q * total), 1)
-                row[name] = v[np.searchsorted(cum, rank, "left")]
+                if interpolate:
+                    h = q * (total - 1)
+                    lo = v[np.searchsorted(cum, int(np.floor(h)) + 1, "left")]
+                    hi = v[np.searchsorted(cum, int(np.ceil(h)) + 1, "left")]
+                    row[name] = float(lo) + (h - np.floor(h)) * (float(hi) - float(lo))
+                else:
+                    rank = max(math.ceil(q * total), 1)
+                    row[name] = v[np.searchsorted(cum, rank, "left")]
             if n_col:
                 row[n_col] = total
             rows.append(row)

@@ -487,3 +487,22 @@ def test_partitioned_window_descending_order(ray_session):
     # rank 1 = latest t within each k
     assert out[out.k == 1]["t"].tolist() == [30, 20, 10]
     assert out[out.k == 2]["t"].tolist() == [7, 5]
+
+
+def test_grouped_quantiles_interpolated_matches_numpy(ray_session):
+    from osm2geojson_ray.relational import grouped_quantiles
+
+    rng = np.random.RandomState(9)
+    g = rng.randint(0, 4, 3000).astype(np.int64)
+    v = rng.randint(0, 500, 3000).astype(np.int64)
+    out = (
+        grouped_quantiles(_ds(pa.table({"g": g, "v": v}), blocks=6), "g", "v",
+                          {"p25": 0.25, "p50": 0.5, "p99": 0.99}, interpolate=True)
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    )
+    for gi in range(4):
+        vals = v[g == gi]
+        row = out[out.g == gi].iloc[0]
+        for name, q in [("p25", 0.25), ("p50", 0.5), ("p99", 0.99)]:
+            # numpy 'linear' == R-7 == DuckDB quantile_cont
+            assert abs(row[name] - np.quantile(vals, q, method="linear")) < 1e-9
