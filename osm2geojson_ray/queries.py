@@ -566,6 +566,51 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def q13_customers_without_urgent_orders(sf_dir: str):
+    """Distributed ANTI JOIN: customers that never placed an URGENT
+    order (relational.hash_join how="left_anti" — same one-pass hash
+    exchange as the inner join; duplicate right keys need no
+    pre-distinct; the right side is filtered AT THE READ via a parquet
+    row filter, so only matching keys ever leave storage)."""
+    from .relational import hash_join
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"]).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["c_custkey"], t["c_name"], t["c_nationkey"]],
+            names=["custkey", "c_name", "c_nationkey"],
+        ),
+        batch_format="pyarrow",
+    )
+    ords = (
+        _pq(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+        .filter(expr="o_orderpriority == '1-URGENT'")
+        .map_batches(
+            lambda t: pa.Table.from_arrays([t["o_custkey"]], names=["custkey"]),
+            batch_format="pyarrow",
+        )
+    )
+    return hash_join(
+        cust,
+        ords,
+        on="custkey",
+        l_schema=pa.schema(
+            [("custkey", pa.int64()), ("c_name", pa.string()), ("c_nationkey", pa.int64())]
+        ),
+        r_schema=pa.schema([("custkey", pa.int64())]),
+        how="left_anti",
+        num_partitions=16,
+    )
+
+
+Q13_SQL = """
+SELECT c_custkey AS custkey, c_name, c_nationkey
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+"""
+
+
 def q12_customer_running_total(sf_dir: str):
     """Partitioned window functions: per-customer running revenue,
     order rank and previous order value over the order history —
@@ -1526,6 +1571,7 @@ QUERIES = {
     "q10_top_events_per_user": q10_top_events_per_user,
     "q11_sliding_hour_stats": q11_sliding_hour_stats,
     "q12_customer_running_total": q12_customer_running_total,
+    "q13_customers_without_urgent_orders": q13_customers_without_urgent_orders,
     "t_token_count": t_token_count,
     "t_quality_stats": t_quality_stats,
     "t_token_quantiles": t_token_quantiles,
@@ -1565,6 +1611,7 @@ ORACLE_SQL = {
     "q10_top_events_per_user": Q10_SQL,
     "q11_sliding_hour_stats": Q11_SQL,
     "q12_customer_running_total": Q12_SQL,
+    "q13_customers_without_urgent_orders": Q13_SQL,
     "t_token_count": T_TOKEN_SQL,
     "t_quality_stats": T_QUALITY_SQL,
     "t_token_quantiles": T_QUANTILES_SQL,
