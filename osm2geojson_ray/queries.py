@@ -566,6 +566,31 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def q14_rollup_pricing(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus) in one data pass —
+    every rollup level's partials stack inside the same map_batches
+    (relational.rollup_agg), so subtotals and the grand total cost no
+    extra scans or shuffles."""
+    from .relational import rollup_agg
+
+    ds = _pq(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+    out = rollup_agg(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        {"sum_qty_raw": ("l_quantity", "sum"), "n_rows": (None, "count")},
+    )
+    return _int_scale_cols(out, {"sum_qty_raw": ("sum_qty", 1, "round")})
+
+
+Q14_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
 def q13_customers_without_urgent_orders(sf_dir: str):
     """Distributed ANTI JOIN: customers that never placed an URGENT
     order (relational.hash_join how="left_anti" — same one-pass hash
@@ -637,7 +662,7 @@ def q12_customer_running_total(sf_dir: str):
         )
 
     ds = orders.map_batches(to_cents, batch_format="pyarrow")
-    return partitioned_window(
+    out = partitioned_window(
         ds,
         "o_custkey",
         [("o_date", False), ("o_orderkey", False)],
@@ -647,6 +672,14 @@ def q12_customer_running_total(sf_dir: str):
             "prev_cents": ("price_cents", "lag"),
         },
     )
+
+    def fill_first(t: pa.Table) -> pa.Table:
+        # sentinel instead of null at partition starts: null floats
+        # break naive value comparison (NaN != NaN) downstream
+        i = t.column_names.index("prev_cents")
+        return t.set_column(i, "prev_cents", pc.fill_null(t["prev_cents"], -1))
+
+    return out.map_batches(fill_first, batch_format="pyarrow")
 
 
 Q12_SQL = """
@@ -659,7 +692,7 @@ WITH o AS (
 SELECT o_custkey, o_orderkey, o_date, price_cents,
        sum(price_cents) OVER w AS cum_cents,
        CAST(row_number() OVER w AS BIGINT) AS rn,
-       lag(price_cents) OVER w AS prev_cents
+       COALESCE(lag(price_cents) OVER w, -1) AS prev_cents
 FROM o
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_date, o_orderkey)
 """
@@ -1572,6 +1605,7 @@ QUERIES = {
     "q11_sliding_hour_stats": q11_sliding_hour_stats,
     "q12_customer_running_total": q12_customer_running_total,
     "q13_customers_without_urgent_orders": q13_customers_without_urgent_orders,
+    "q14_rollup_pricing": q14_rollup_pricing,
     "t_token_count": t_token_count,
     "t_quality_stats": t_quality_stats,
     "t_token_quantiles": t_token_quantiles,
@@ -1612,6 +1646,7 @@ ORACLE_SQL = {
     "q11_sliding_hour_stats": Q11_SQL,
     "q12_customer_running_total": Q12_SQL,
     "q13_customers_without_urgent_orders": Q13_SQL,
+    "q14_rollup_pricing": Q14_SQL,
     "t_token_count": T_TOKEN_SQL,
     "t_quality_stats": T_QUALITY_SQL,
     "t_token_quantiles": T_QUANTILES_SQL,

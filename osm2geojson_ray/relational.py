@@ -894,6 +894,50 @@ def heavy_hitters(
     return exact.map_batches(final_filter, batch_format="pyarrow")
 
 
+def rollup_agg(ds, keys: List[str], aggs: Dict[str, Tuple[Optional[str], str]]):
+    """GROUP BY ROLLUP in ONE pass over the data: each batch emits
+    stacked partial rows for every rollup level (full keys, each
+    prefix, grand total — rolled-up key columns null), then the same
+    single concat+groupby reduce as ``partial_grouped_agg`` finishes.
+    Raw rows never shuffle and the data is read once — the naive
+    level-per-groupby plan scans L+1 times.
+
+    ``aggs`` like partial_grouped_agg: {out: (in_col, "sum") | (None,
+    "count")} — counts become sums of partial counts at the reduce.
+    Rolled-up levels are identified by null key values, so source key
+    columns must be non-null (same ambiguity SQL ROLLUP has without
+    GROUPING())."""
+    import pandas as pd
+
+    levels = [keys[:i] for i in range(len(keys), -1, -1)]
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        outs = []
+        for lv in levels:
+            if lv:
+                g = df.groupby(lv, sort=False, dropna=False)
+                out = {}
+                for oc, (ic, how) in aggs.items():
+                    out[oc] = g[ic].sum() if how == "sum" else g.size()
+                p = pd.DataFrame(out).reset_index()
+            else:
+                row = {
+                    oc: (df[ic].sum() if how == "sum" else len(df))
+                    for oc, (ic, how) in aggs.items()
+                }
+                p = pd.DataFrame([row])
+            for k in keys:
+                if k not in p.columns:
+                    p[k] = None
+            outs.append(p[keys + list(aggs)])
+        return pd.concat(outs, ignore_index=True)
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partial_grouped_agg(
+        partials, keys, {oc: (oc, "sum") for oc in aggs}
+    )
+
+
 def partitioned_window(
     ds,
     part_col: str,

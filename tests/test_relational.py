@@ -506,3 +506,29 @@ def test_grouped_quantiles_interpolated_matches_numpy(ray_session):
         for name, q in [("p25", 0.25), ("p50", 0.5), ("p99", 0.99)]:
             # numpy 'linear' == R-7 == DuckDB quantile_cont
             assert abs(row[name] - np.quantile(vals, q, method="linear")) < 1e-9
+
+
+def test_rollup_agg_matches_pandas(ray_session):
+    from osm2geojson_ray.relational import rollup_agg
+
+    rng = np.random.RandomState(21)
+    a = np.array(["x", "y", "z"])[rng.randint(0, 3, 4000)]
+    b = np.array(["p", "q"])[rng.randint(0, 2, 4000)]
+    v = rng.randint(0, 50, 4000).astype(np.int64)
+    tbl = pa.table({"a": pa.array(a.tolist()), "b": pa.array(b.tolist()),
+                    "v": pa.array(v)})
+    out = rollup_agg(_ds(tbl, blocks=7), ["a", "b"],
+                     {"s": ("v", "sum"), "n": (None, "count")}).to_pandas()
+    # 3x2 full + 3 subtotal + 1 grand = 10 rows
+    assert len(out) == 10
+    df = tbl.to_pandas()
+    full = out.dropna(subset=["a", "b"])
+    for (ga, gb), sub in df.groupby(["a", "b"]):
+        row = full[(full.a == ga) & (full.b == gb)].iloc[0]
+        assert row["s"] == sub["v"].sum() and row["n"] == len(sub)
+    subtot = out[out.a.notna() & out.b.isna()]
+    for ga, sub in df.groupby("a"):
+        row = subtot[subtot.a == ga].iloc[0]
+        assert row["s"] == sub["v"].sum() and row["n"] == len(sub)
+    grand = out[out.a.isna() & out.b.isna()].iloc[0]
+    assert grand["s"] == v.sum() and grand["n"] == 4000
