@@ -566,6 +566,46 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def q15_customers_with_urgent_orders(sf_dir: str):
+    """Distributed SEMI JOIN (the EXISTS shape): customers with at
+    least one URGENT order — hash_join how="left_semi", one membership
+    test per partition, no row duplication from many-to-many matches."""
+    from .relational import hash_join
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["c_custkey"], t["c_name"]], names=["custkey", "c_name"]
+        ),
+        batch_format="pyarrow",
+    )
+    ords = (
+        _pq(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+        .filter(expr="o_orderpriority == '1-URGENT'")
+        .map_batches(
+            lambda t: pa.Table.from_arrays([t["o_custkey"]], names=["custkey"]),
+            batch_format="pyarrow",
+        )
+    )
+    return hash_join(
+        cust,
+        ords,
+        on="custkey",
+        l_schema=pa.schema([("custkey", pa.int64()), ("c_name", pa.string())]),
+        r_schema=pa.schema([("custkey", pa.int64())]),
+        how="left_semi",
+        num_partitions=16,
+    )
+
+
+Q15_SQL = """
+SELECT c_custkey AS custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderpriority = '1-URGENT')
+"""
+
+
 def q14_rollup_pricing(sf_dir: str):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus) in one data pass —
     every rollup level's partials stack inside the same map_batches
@@ -1606,6 +1646,7 @@ QUERIES = {
     "q12_customer_running_total": q12_customer_running_total,
     "q13_customers_without_urgent_orders": q13_customers_without_urgent_orders,
     "q14_rollup_pricing": q14_rollup_pricing,
+    "q15_customers_with_urgent_orders": q15_customers_with_urgent_orders,
     "t_token_count": t_token_count,
     "t_quality_stats": t_quality_stats,
     "t_token_quantiles": t_token_quantiles,
@@ -1647,6 +1688,7 @@ ORACLE_SQL = {
     "q12_customer_running_total": Q12_SQL,
     "q13_customers_without_urgent_orders": Q13_SQL,
     "q14_rollup_pricing": Q14_SQL,
+    "q15_customers_with_urgent_orders": Q15_SQL,
     "t_token_count": T_TOKEN_SQL,
     "t_quality_stats": T_QUALITY_SQL,
     "t_token_quantiles": T_QUANTILES_SQL,

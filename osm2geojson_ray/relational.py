@@ -75,12 +75,14 @@ def hash_join(
 ):
     """Equi-join two Datasets on an int64 key column.
 
-    ``how``: "inner" | "left_outer" | "left_anti".  Output schema: key +
-    left columns + right columns (left columns only for anti).  Robust
-    to empty inputs and arbitrary skew up to one partition's rows per
-    worker heap.  ``left_anti`` keeps left rows whose key has NO match
-    on the right (duplicate right keys are fine — no pre-distinct
-    shuffle needed).
+    ``how``: "inner" | "left_outer" | "left_anti" | "left_semi".
+    Output schema: key + left columns + right columns (left columns
+    only for anti/semi).  Robust to empty inputs and arbitrary skew up
+    to one partition's rows per worker heap.  ``left_anti`` keeps left
+    rows whose key has NO match on the right, ``left_semi`` those WITH
+    a match — both via one membership test per partition (duplicate
+    right keys are fine — no pre-distinct shuffle, no row duplication
+    from many-to-many matches).
 
     ``post_fn``: applied to each partition's merged table INSIDE the
     join reduce (e.g. padding to a downstream union schema).
@@ -93,7 +95,7 @@ def hash_join(
     out_schema = pa.schema([f for f in superset if f.name not in ("__side", "__part")])
     l_names = [f.name for f in l_schema if f.name != on]
     r_names = [f.name for f in r_schema if f.name != on]
-    if how == "left_anti":
+    if how in ("left_anti", "left_semi"):
         out_schema = pa.schema([superset.field(on)] + [l_schema.field(n) for n in l_names])
         pandas_how = None
     else:
@@ -121,10 +123,11 @@ def hash_join(
         lmask = pc.equal(tbl["__side"], 0)
         lt = tbl.filter(lmask)
         rt = tbl.filter(pc.invert(lmask))
-        if how == "left_anti":
+        if how in ("left_anti", "left_semi"):
             lk = lt[on].to_numpy(zero_copy_only=False)
             rk = rt[on].to_numpy(zero_copy_only=False)
-            keep = ~np.isin(lk, rk)
+            hit = np.isin(lk, rk)
+            keep = hit if how == "left_semi" else ~hit
             return lt.select([on] + l_names).filter(pa.array(keep))
         # key-index merge in pandas (flat ints, vectorized); payload
         # columns move via arrow take() so nested types survive

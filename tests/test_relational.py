@@ -532,3 +532,19 @@ def test_rollup_agg_matches_pandas(ray_session):
         assert row["s"] == sub["v"].sum() and row["n"] == len(sub)
     grand = out[out.a.isna() & out.b.isna()].iloc[0]
     assert grand["s"] == v.sum() and grand["n"] == 4000
+
+
+def test_hash_join_left_semi(ray_session):
+    from osm2geojson_ray.relational import hash_join
+
+    left = _ds(pa.table({"k": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                         "v": pa.array(list("abcde"))}), blocks=3)
+    # duplicate right keys: semi must not duplicate left rows
+    right = _ds(pa.table({"k": pa.array([2, 2, 4, 9], pa.int64())}), blocks=2)
+    out = hash_join(
+        left, right, on="k",
+        l_schema=pa.schema([("k", pa.int64()), ("v", pa.string())]),
+        r_schema=pa.schema([("k", pa.int64())]),
+        how="left_semi", num_partitions=4,
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    assert list(map(tuple, out.to_numpy())) == [(2, "b"), (4, "d")]
