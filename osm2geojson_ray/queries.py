@@ -177,6 +177,43 @@ FROM events GROUP BY event_type, day
 """
 
 
+def q16_pivot_events_daily(sf_dir: str):
+    """PIVOT: one row per day, one count column per event type — wide
+    conditional aggregation expressed as vectorized per-batch masked
+    partials + the usual tiny combiner reduce (no per-type scans, no
+    shuffle of raw rows)."""
+    from .relational import partial_grouped_agg
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    ds = _pq(sf_dir, "events", ["ts", "event_type"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        day = pc.strftime(t["ts"], format="%Y-%m-%d")
+        cols = {"day": day}
+        for et in types:
+            cols["n_" + et] = pc.cast(
+                pc.equal(t["event_type"], et), pa.int64()
+            )
+        return pa.table(cols)
+
+    return partial_grouped_agg(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        ["day"],
+        {("n_" + et): ("n_" + et, "sum") for et in types},
+    )
+
+
+Q16_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       count(*) FILTER (WHERE event_type = 'view')     AS n_view
+FROM events GROUP BY day
+"""
+
+
 def q7_asof_prev_event(sf_dir: str):
     """Backward as-of SELF-join: each event enriched with the same
     user's most recent STRICTLY-earlier event (temporal.asof_join —
@@ -1647,6 +1684,7 @@ QUERIES = {
     "q13_customers_without_urgent_orders": q13_customers_without_urgent_orders,
     "q14_rollup_pricing": q14_rollup_pricing,
     "q15_customers_with_urgent_orders": q15_customers_with_urgent_orders,
+    "q16_pivot_events_daily": q16_pivot_events_daily,
     "t_token_count": t_token_count,
     "t_quality_stats": t_quality_stats,
     "t_token_quantiles": t_token_quantiles,
@@ -1689,6 +1727,7 @@ ORACLE_SQL = {
     "q13_customers_without_urgent_orders": Q13_SQL,
     "q14_rollup_pricing": Q14_SQL,
     "q15_customers_with_urgent_orders": Q15_SQL,
+    "q16_pivot_events_daily": Q16_SQL,
     "t_token_count": T_TOKEN_SQL,
     "t_quality_stats": T_QUALITY_SQL,
     "t_token_quantiles": T_QUANTILES_SQL,
