@@ -214,6 +214,65 @@ FROM events GROUP BY day
 """
 
 
+def q17_value_stats(sf_dir: str):
+    """Grouped mean / population variance / stddev from sufficient
+    statistics (n, Σx, Σx²) — ONE pass, raw rows never shuffle, the
+    classic distributed-moments aggregate.  Both engines evaluate the
+    SAME explicit formula (var = Σx²/n − (Σx/n)²) so the only
+    divergence is summation order (~1e-12 relative); scales are chosen
+    so that noise cannot cross a rounding boundary."""
+    from .relational import partial_grouped_agg
+
+    ds = _pq(sf_dir, "events", ["event_type", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        x = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {"event_type": t["event_type"].combine_chunks(),
+             "x": pa.array(x), "x2": pa.array(x * x)}
+        )
+
+    agg = partial_grouped_agg(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        ["event_type"],
+        {"n": (None, "count"), "s1": ("x", "sum"), "s2": ("x2", "sum")},
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s1 = t["s1"].to_numpy(zero_copy_only=False)
+        s2 = t["s2"].to_numpy(zero_copy_only=False)
+        mean = s1 / n
+        var = s2 / n - mean * mean
+        std = np.sqrt(np.maximum(var, 0))
+
+        def half_away(v, scale):
+            v = v * scale
+            return pa.array((np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64))
+
+        return pa.table(
+            {"event_type": t["event_type"], "n": t["n"],
+             "mean_1e4": half_away(mean, 1e4),
+             "var_1e2": half_away(var, 1e2),
+             "std_1e4": half_away(std, 1e4)}
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+Q17_SQL = """
+WITH s AS (
+  SELECT event_type, count(*) AS n, sum(value) AS s1, sum(value * value) AS s2
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(round(s1 / n * 10000) AS BIGINT) AS mean_1e4,
+       CAST(round((s2 / n - (s1 / n) * (s1 / n)) * 100) AS BIGINT) AS var_1e2,
+       CAST(round(sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0)) * 10000) AS BIGINT) AS std_1e4
+FROM s
+"""
+
+
 def q7_asof_prev_event(sf_dir: str):
     """Backward as-of SELF-join: each event enriched with the same
     user's most recent STRICTLY-earlier event (temporal.asof_join —
@@ -1685,6 +1744,7 @@ QUERIES = {
     "q14_rollup_pricing": q14_rollup_pricing,
     "q15_customers_with_urgent_orders": q15_customers_with_urgent_orders,
     "q16_pivot_events_daily": q16_pivot_events_daily,
+    "q17_value_stats": q17_value_stats,
     "t_token_count": t_token_count,
     "t_quality_stats": t_quality_stats,
     "t_token_quantiles": t_token_quantiles,
@@ -1728,6 +1788,7 @@ ORACLE_SQL = {
     "q14_rollup_pricing": Q14_SQL,
     "q15_customers_with_urgent_orders": Q15_SQL,
     "q16_pivot_events_daily": Q16_SQL,
+    "q17_value_stats": Q17_SQL,
     "t_token_count": T_TOKEN_SQL,
     "t_quality_stats": T_QUALITY_SQL,
     "t_token_quantiles": T_QUANTILES_SQL,

@@ -897,22 +897,29 @@ def heavy_hitters(
     return exact.map_batches(final_filter, batch_format="pyarrow")
 
 
-def rollup_agg(ds, keys: List[str], aggs: Dict[str, Tuple[Optional[str], str]]):
-    """GROUP BY ROLLUP in ONE pass over the data: each batch emits
-    stacked partial rows for every rollup level (full keys, each
-    prefix, grand total — rolled-up key columns null), then the same
-    single concat+groupby reduce as ``partial_grouped_agg`` finishes.
-    Raw rows never shuffle and the data is read once — the naive
-    level-per-groupby plan scans L+1 times.
+def rollup_agg(ds, keys: List[str], aggs: Dict[str, Tuple[Optional[str], str]],
+               *, grouping_sets: Optional[List[List[str]]] = None):
+    """GROUP BY ROLLUP / CUBE / GROUPING SETS in ONE pass over the
+    data: each batch emits stacked partial rows for every grouping set
+    (columns outside a set null), then the same single concat+groupby
+    reduce as ``partial_grouped_agg`` finishes.  Raw rows never shuffle
+    and the data is read once — the naive set-per-groupby plan scans
+    len(sets) times.
 
-    ``aggs`` like partial_grouped_agg: {out: (in_col, "sum") | (None,
-    "count")} — counts become sums of partial counts at the reduce.
-    Rolled-up levels are identified by null key values, so source key
-    columns must be non-null (same ambiguity SQL ROLLUP has without
-    GROUPING())."""
+    Default sets = ROLLUP (full keys, each prefix, grand total); pass
+    ``grouping_sets`` explicitly for CUBE (`cube_sets(keys)`) or any
+    custom GROUPING SETS.  ``aggs`` like partial_grouped_agg: {out:
+    (in_col, "sum") | (None, "count")} — counts become sums of partial
+    counts at the reduce.  Set membership is identified by null key
+    values, so source key columns must be non-null (same ambiguity SQL
+    ROLLUP/CUBE has without GROUPING())."""
     import pandas as pd
 
-    levels = [keys[:i] for i in range(len(keys), -1, -1)]
+    levels = (
+        [list(g) for g in grouping_sets]
+        if grouping_sets is not None
+        else [keys[:i] for i in range(len(keys), -1, -1)]
+    )
 
     def partial(df: "pd.DataFrame") -> "pd.DataFrame":
         outs = []
@@ -939,6 +946,17 @@ def rollup_agg(ds, keys: List[str], aggs: Dict[str, Tuple[Optional[str], str]]):
     return partial_grouped_agg(
         partials, keys, {oc: (oc, "sum") for oc in aggs}
     )
+
+
+def cube_sets(keys: List[str]) -> List[List[str]]:
+    """All 2^len(keys) grouping sets of GROUP BY CUBE, for
+    ``rollup_agg(grouping_sets=...)``."""
+    import itertools
+
+    out: List[List[str]] = []
+    for r in range(len(keys), -1, -1):
+        out.extend(list(c) for c in itertools.combinations(keys, r))
+    return out
 
 
 def partitioned_window(

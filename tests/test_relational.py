@@ -548,3 +548,37 @@ def test_hash_join_left_semi(ray_session):
         how="left_semi", num_partitions=4,
     ).to_pandas().sort_values("k").reset_index(drop=True)
     assert list(map(tuple, out.to_numpy())) == [(2, "b"), (4, "d")]
+
+
+def test_cube_agg_matches_duckdb(ray_session):
+    import duckdb
+
+    from osm2geojson_ray.relational import cube_sets, rollup_agg
+
+    rng = np.random.RandomState(33)
+    a = np.array(["x", "y", "z"])[rng.randint(0, 3, 3000)]
+    b = np.array(["p", "q"])[rng.randint(0, 2, 3000)]
+    v = rng.randint(0, 50, 3000).astype(np.int64)
+    tbl = pa.table({"a": pa.array(a.tolist()), "b": pa.array(b.tolist()),
+                    "v": pa.array(v)})
+    out = (
+        rollup_agg(_ds(tbl, blocks=5), ["a", "b"],
+                   {"s": ("v", "sum"), "n": (None, "count")},
+                   grouping_sets=cube_sets(["a", "b"]))
+        .to_pandas().sort_values(["a", "b"], na_position="last")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", tbl.to_pandas())
+    want = (
+        con.execute("SELECT a, b, sum(v) AS s, count(*) AS n FROM t "
+                    "GROUP BY CUBE(a, b)")
+        .fetchdf().sort_values(["a", "b"], na_position="last")
+        .reset_index(drop=True)
+    )
+    # 3x2 full + 3 a-subtotals + 2 b-subtotals + 1 grand = 12 rows
+    assert len(out) == 12 and len(want) == 12
+    for col in ["a", "b"]:
+        assert out[col].fillna("&null").tolist() == want[col].fillna("&null").tolist()
+    for col in ["s", "n"]:
+        assert out[col].astype("int64").tolist() == want[col].astype("int64").tolist()
