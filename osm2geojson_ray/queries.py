@@ -47,6 +47,28 @@ def _int_scale_cols(ds, spec: Dict[str, tuple]):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _splitmix_over(key_expr: str, src: str) -> str:
+    """CTE chain computing splitmix64(key) as h64 for every row of
+    ``src`` (key carried through as k) — HUGEINT arithmetic with 2^64
+    wraparound, the same technique as _SPLITMIX_PHASE_CTE but keyed on
+    a table column instead of range().  Keys must be non-negative."""
+    return f"""
+sm0 AS (SELECT {key_expr} AS k,
+        (CAST({key_expr} AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS z FROM {src}),
+sm1 AS (SELECT k, xor(z, z // 1073741824) AS z1 FROM sm0),
+smm1 AS (SELECT k,
+  ( (z1 % 4294967296) * 13787848793156543929
+    + ((z1 // 4294967296) * 13787848793156543929 % 4294967296) * 4294967296
+  ) % 18446744073709551616 AS z2 FROM sm1),
+sm2 AS (SELECT k, xor(z2, z2 // 134217728) AS z3 FROM smm1),
+smm2 AS (SELECT k,
+  ( (z3 % 4294967296) * 10723151780598845931
+    + ((z3 // 4294967296) * 10723151780598845931 % 4294967296) * 4294967296
+  ) % 18446744073709551616 AS z4 FROM sm2),
+smfin AS (SELECT k, xor(z4, z4 // 2147483648) AS h64 FROM smm2)
+"""
+
+
 # ---------------------------------------------------------------- TPC-H-ish
 def q1_pricing_summary(sf_dir: str):
     ds = _pq(sf_dir, "lineitem",
@@ -270,6 +292,31 @@ SELECT event_type, n,
        CAST(round((s2 / n - (s1 / n) * (s1 / n)) * 100) AS BIGINT) AS var_1e2,
        CAST(round(sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0)) * 10000) AS BIGINT) AS std_1e4
 FROM s
+"""
+
+
+def q18_hll_user_registers(sf_dir: str):
+    """HyperLogLog sketch registers over event user ids — the
+    mergeable approximate-COUNT-DISTINCT sketch, emitted as its
+    (register_idx, register) rows: pure integers, deterministically
+    reproducible, so the DuckDB oracle recomputes the ENTIRE sketch
+    exactly (no approximate-vs-exact fudge in the gate; accuracy vs
+    the true cardinality is asserted separately in pytest)."""
+    from .relational import hll_registers
+
+    return hll_registers(_pq(sf_dir, "events", ["user_id"]), "user_id", p=12)
+
+
+# p=12: idx = h % 4096, w = h // 4096 (52-bit stream), rho = w==0 ? 53
+# : 52 - floor(log2(w)); w < 2^52 is exactly representable in DOUBLE so
+# floor(log2()) is boundary-exact
+Q18_SQL = f"""
+WITH {_splitmix_over("user_id", "(SELECT DISTINCT user_id FROM events)")}
+SELECT CAST(h64 % 4096 AS BIGINT) AS register_idx,
+       max(CASE WHEN h64 // 4096 = 0 THEN 53
+                ELSE 52 - CAST(floor(log2(CAST(h64 // 4096 AS DOUBLE))) AS BIGINT)
+           END) AS register
+FROM smfin GROUP BY 1
 """
 
 
@@ -985,28 +1032,6 @@ sigs AS (
 )
 SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
 FROM documents d LEFT JOIN sigs s ON d.doc_id = s.doc_id
-"""
-
-
-def _splitmix_over(key_expr: str, src: str) -> str:
-    """CTE chain computing splitmix64(key) as h64 for every row of
-    ``src`` (key carried through as k) — HUGEINT arithmetic with 2^64
-    wraparound, the same technique as _SPLITMIX_PHASE_CTE but keyed on
-    a table column instead of range().  Keys must be non-negative."""
-    return f"""
-sm0 AS (SELECT {key_expr} AS k,
-        (CAST({key_expr} AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS z FROM {src}),
-sm1 AS (SELECT k, xor(z, z // 1073741824) AS z1 FROM sm0),
-smm1 AS (SELECT k,
-  ( (z1 % 4294967296) * 13787848793156543929
-    + ((z1 // 4294967296) * 13787848793156543929 % 4294967296) * 4294967296
-  ) % 18446744073709551616 AS z2 FROM sm1),
-sm2 AS (SELECT k, xor(z2, z2 // 134217728) AS z3 FROM smm1),
-smm2 AS (SELECT k,
-  ( (z3 % 4294967296) * 10723151780598845931
-    + ((z3 // 4294967296) * 10723151780598845931 % 4294967296) * 4294967296
-  ) % 18446744073709551616 AS z4 FROM sm2),
-smfin AS (SELECT k, xor(z4, z4 // 2147483648) AS h64 FROM smm2)
 """
 
 
@@ -1745,6 +1770,7 @@ QUERIES = {
     "q15_customers_with_urgent_orders": q15_customers_with_urgent_orders,
     "q16_pivot_events_daily": q16_pivot_events_daily,
     "q17_value_stats": q17_value_stats,
+    "q18_hll_user_registers": q18_hll_user_registers,
     "t_token_count": t_token_count,
     "t_quality_stats": t_quality_stats,
     "t_token_quantiles": t_token_quantiles,
@@ -1789,6 +1815,7 @@ ORACLE_SQL = {
     "q15_customers_with_urgent_orders": Q15_SQL,
     "q16_pivot_events_daily": Q16_SQL,
     "q17_value_stats": Q17_SQL,
+    "q18_hll_user_registers": Q18_SQL,
     "t_token_count": T_TOKEN_SQL,
     "t_quality_stats": T_QUALITY_SQL,
     "t_token_quantiles": T_QUANTILES_SQL,

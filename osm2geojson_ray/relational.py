@@ -507,8 +507,10 @@ def partial_grouped_agg(ds, keys: List[str], aggs: Dict[str, Tuple[str, str]]):
     one partial row per group key ("sum"/"count" specs), so only
     #groups x #blocks tiny partial rows reach the final (small) groupby
     — raw rows never shuffle.  ``aggs``: {out_col: (in_col, "sum") |
-    (None, "count")}.  The scale pattern for low-cardinality keys; for
-    high-cardinality keys use hash_exchange_map instead."""
+    (None, "count") | (in_col, "max")} — count partials combine by sum,
+    max by max (both associative).  The scale pattern for
+    low-cardinality keys; for high-cardinality keys use
+    hash_exchange_map instead."""
     import pandas as pd
 
     def partial(df):
@@ -517,7 +519,12 @@ def partial_grouped_agg(ds, keys: List[str], aggs: Dict[str, Tuple[str, str]]):
         g = df.groupby(keys, sort=False, dropna=False)
         out = {}
         for out_col, (in_col, how) in aggs.items():
-            out[out_col] = g[in_col].sum() if how == "sum" else g.size()
+            if how == "sum":
+                out[out_col] = g[in_col].sum()
+            elif how == "max":
+                out[out_col] = g[in_col].max()
+            else:
+                out[out_col] = g.size()
         return pd.DataFrame(out).reset_index()
 
     import ray as _ray
@@ -538,7 +545,9 @@ def partial_grouped_agg(ds, keys: List[str], aggs: Dict[str, Tuple[str, str]]):
         ]
         df = _pd.concat(frames, ignore_index=True)
         g = df.groupby(keys, sort=False, dropna=False)
-        out = {c: g[c].sum() for c in aggs}
+        out = {
+            c: (g[c].max() if aggs[c][1] == "max" else g[c].sum()) for c in aggs
+        }
         return pa.Table.from_pandas(_pd.DataFrame(out).reset_index(), preserve_index=False)
 
     refs = []
@@ -946,6 +955,79 @@ def rollup_agg(ds, keys: List[str], aggs: Dict[str, Tuple[Optional[str], str]],
     return partial_grouped_agg(
         partials, keys, {oc: (oc, "sum") for oc in aggs}
     )
+
+
+def hll_registers(ds, key_col: str, *, p: int = 12):
+    """HyperLogLog registers for approximate COUNT DISTINCT — THE
+    mergeable cardinality sketch: per batch, splitmix64(key) routes to
+    register ``h & (m-1)`` with rank ``rho`` = 1 + leading-zero count
+    of the remaining 64-p bits; per-batch registers collapse via
+    argsort+maximum.reduceat (no per-row Python), and partials merge by
+    elementwise MAX (associative — the whole point of the sketch: a
+    10^12-row table reduces to m=2^p ints that merge across any
+    partitioning).  Output: (register_idx, register) rows for the
+    nonzero registers — pure integer values, deterministically
+    reproducible (the SQL oracle recomputes them exactly).  Use
+    ``hll_estimate`` on the collected registers for the cardinality."""
+    m = 1 << p
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from .images.synth import splitmix64
+
+        keys = (
+            pc.fill_null(tbl[key_col], 0)
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+        if len(keys) == 0:
+            return pa.table(
+                {"register_idx": pa.array([], pa.int64()),
+                 "register": pa.array([], pa.int64())}
+            )
+        h = splitmix64(keys)
+        idx = (h & np.uint64(m - 1)).astype(np.int64)
+        w = (h >> np.uint64(p)).astype(np.uint64)
+        # rho = 1 + leading zeros of the (64-p)-bit stream w; w < 2^52
+        # for p >= 12, so float64 log2 is exact at every boundary
+        width = 64 - p
+        rho = np.where(
+            w == 0,
+            np.int64(width + 1),
+            (width - np.floor(np.log2(np.maximum(w, 1))).astype(np.int64)),
+        ).astype(np.int64)
+        order = np.argsort(idx, kind="stable")
+        idx_s, rho_s = idx[order], rho[order]
+        starts = np.flatnonzero(np.r_[True, idx_s[1:] != idx_s[:-1]])
+        regs = np.maximum.reduceat(rho_s, starts)
+        return pa.table(
+            {"register_idx": pa.array(idx_s[starts]),
+             "register": pa.array(regs)}
+        )
+
+    return partial_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["register_idx"],
+        {"register": ("register", "max")},
+    )
+
+
+def hll_estimate(registers: pa.Table, *, p: int = 12) -> float:
+    """Standard HLL cardinality estimate from (register_idx, register)
+    rows (absent rows = zero registers): bias-corrected raw estimate
+    with the small-range linear-counting correction."""
+    m = 1 << p
+    reg = np.zeros(m, dtype=np.int64)
+    reg[registers["register_idx"].to_numpy()] = registers["register"].to_numpy()
+    alpha = 0.7213 / (1 + 1.079 / m)
+    raw = alpha * m * m / np.sum(np.power(2.0, -reg.astype(np.float64)))
+    zeros = int((reg == 0).sum())
+    if raw <= 2.5 * m and zeros:
+        return m * np.log(m / zeros)  # linear counting
+    return float(raw)
 
 
 def cube_sets(keys: List[str]) -> List[List[str]]:

@@ -582,3 +582,27 @@ def test_cube_agg_matches_duckdb(ray_session):
         assert out[col].fillna("&null").tolist() == want[col].fillna("&null").tolist()
     for col in ["s", "n"]:
         assert out[col].astype("int64").tolist() == want[col].astype("int64").tolist()
+
+
+def test_hll_estimate_accuracy_and_merge(ray_session):
+    """HLL registers merge across arbitrary block layouts (idempotent
+    max), and the estimate lands within the standard error envelope
+    (sigma ~ 1.04/sqrt(m), m=4096 -> ~1.6%) for both the
+    linear-counting and raw regimes."""
+    from osm2geojson_ray.relational import hll_estimate, hll_registers
+
+    for n_true, blocks in [(800, 4), (50000, 9)]:
+        keys = np.arange(n_true, dtype=np.int64) * 7919 + 13  # distinct
+        dup = np.concatenate([keys, keys[: n_true // 2]])     # duplicates
+        ds = _ds(pa.table({"k": pa.array(dup)}), blocks=blocks)
+        regs = hll_registers(ds, "k", p=12).to_pandas()
+        tbl = pa.table({"register_idx": pa.array(regs["register_idx"].to_numpy()),
+                        "register": pa.array(regs["register"].to_numpy())})
+        est = hll_estimate(tbl, p=12)
+        assert abs(est - n_true) / n_true < 0.05, (n_true, est)
+        # different block layout -> identical registers (merge = max)
+        regs2 = (
+            hll_registers(_ds(pa.table({"k": pa.array(dup)}), blocks=2), "k", p=12)
+            .to_pandas().sort_values("register_idx").reset_index(drop=True)
+        )
+        assert regs.sort_values("register_idx").reset_index(drop=True).equals(regs2)
