@@ -1752,6 +1752,143 @@ FROM range(0, 2000)
 """
 
 
+# ------------------------------------------------- distance joins (integer)
+# Integer micro-degree points derived from part keys: every distance is
+# exact int64 arithmetic, so the DuckDB twins replay the joins
+# bit-for-bit (no floats in the gate).
+def part_points_int(sf_dir: str):
+    def to_int(t: pa.Table) -> pa.Table:
+        k = t["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "point_id": k,
+                "x": k * 2654435761 % 8000000,
+                "y": k * 40503 % 8000000,
+            },
+            schema=pa.schema(
+                [("point_id", pa.int64()), ("x", pa.int64()), ("y", pa.int64())]
+            ),
+        )
+
+    return _pq(sf_dir, "part", ["p_partkey"]).map_batches(
+        to_int, batch_format="pyarrow"
+    )
+
+
+_PART_PTS_SQL = """
+SELECT CAST(p_partkey AS BIGINT) AS point_id,
+       CAST(p_partkey AS BIGINT) * 2654435761 % 8000000 AS x,
+       CAST(p_partkey AS BIGINT) * 40503 % 8000000 AS y
+FROM part
+"""
+
+_RJ_QUERY_KEYS = [11, 23, 37, 53]
+_RJ_RADIUS = 500_000  # micro-degrees
+
+
+def g_radius_join(sf_dir: str):
+    """Within-distance spatial join: all (probe, point) pairs with
+    planar squared distance <= R^2.  Probe side broadcast (4 centers);
+    point side streams through one map_batches with a bbox prefilter —
+    no shuffle (spatial/distance.radius_join)."""
+    from .spatial.distance import radius_join
+
+    qk = np.array(_RJ_QUERY_KEYS, dtype=np.int64)
+    return radius_join(
+        part_points_int(sf_dir),
+        qk,
+        qk * 2654435761 % 8000000,
+        qk * 40503 % 8000000,
+        _RJ_RADIUS,
+    )
+
+
+G_RADIUS_SQL = f"""
+WITH pts AS ({_PART_PTS_SQL}),
+q AS (SELECT CAST(k AS BIGINT) AS query_id,
+             CAST(k AS BIGINT) * 2654435761 % 8000000 AS qx,
+             CAST(k AS BIGINT) * 40503 % 8000000 AS qy
+      FROM (SELECT unnest([{', '.join(str(k) for k in _RJ_QUERY_KEYS)}]) AS k))
+SELECT q.query_id, p.point_id,
+       (p.x - q.qx) * (p.x - q.qx) + (p.y - q.qy) * (p.y - q.qy) AS d2_udeg
+FROM q CROSS JOIN pts p
+WHERE abs(p.x - q.qx) <= {_RJ_RADIUS} AND abs(p.y - q.qy) <= {_RJ_RADIUS}
+  AND (p.x - q.qx) * (p.x - q.qx) + (p.y - q.qy) * (p.y - q.qy)
+      <= {_RJ_RADIUS * _RJ_RADIUS}
+"""
+
+
+def g_nearest_site(sf_dir: str):
+    """Nearest-neighbor spatial join: each point -> closest of 16
+    sites, ties to the smaller site id.  One vectorized (n x 16)
+    distance matrix per batch; the lexicographic argmin is a row-wise
+    min over the packed key d2*64+site (spatial/distance.nearest_join),
+    which the SQL twin takes verbatim as min(...) and decodes."""
+    from .spatial.distance import nearest_join
+
+    j = np.arange(16, dtype=np.int64)
+    return nearest_join(
+        part_points_int(sf_dir),
+        j,
+        (j * 5915587277 + 1000003) % 8000000,
+        (j * 3367900313 + 2000003) % 8000000,
+    )
+
+
+G_NEAREST_SQL = f"""
+WITH pts AS ({_PART_PTS_SQL}),
+s AS (SELECT j AS site_id,
+             (j * 5915587277 + 1000003) % 8000000 AS sx,
+             (j * 3367900313 + 2000003) % 8000000 AS sy
+      FROM range(16) t(j)),
+k AS (SELECT p.point_id,
+             min(((p.x - s.sx) * (p.x - s.sx) + (p.y - s.sy) * (p.y - s.sy)) * 64
+                 + s.site_id) AS kmin
+      FROM pts p CROSS JOIN s GROUP BY 1)
+SELECT point_id, kmin % 64 AS site_id, kmin // 64 AS d2_udeg FROM k
+"""
+
+_PYR_LEVELS = (12, 8, 4)
+
+
+def g_cell_pyramid(sf_dir: str):
+    """Multi-resolution tile-count pyramid over the image points: one
+    pass at the finest level (per-batch np.unique partials), coarser
+    levels derived from the fine histogram by integer shift arithmetic
+    in one small reduce (spatial/tiles.cell_pyramid)."""
+    from .spatial.tiles import cell_pyramid
+
+    return cell_pyramid(part_images(sf_dir), _PYR_LEVELS)
+
+
+# The SQL twin mirrors the engine exactly: float floor at the FINE
+# grid once, then integer // shifts for the parents (never re-floors
+# at the coarse grid, so float rounding can never diverge between the
+# two level paths).
+G_PYRAMID_SQL = f"""
+WITH img AS ({_PART_IMG_SQL}),
+fine AS (
+  SELECT CAST(floor((lon + 180) / 360 * 4096) AS BIGINT) AS ix,
+         CAST(floor((lat + 90) / 180 * 4096) AS BIGINT) AS iy
+  FROM img),
+f AS (SELECT ix, iy, count(*) AS n FROM fine GROUP BY 1, 2)
+SELECT CAST(12 AS BIGINT) AS level,
+       12 * 288230376151711744 + ix * 536870912 + iy AS cell_id,
+       CAST(sum(n) AS BIGINT) AS n_points
+FROM f GROUP BY 1, 2
+UNION ALL
+SELECT CAST(8 AS BIGINT),
+       8 * 288230376151711744 + (ix // 16) * 536870912 + (iy // 16),
+       CAST(sum(n) AS BIGINT)
+FROM f GROUP BY 1, 2
+UNION ALL
+SELECT CAST(4 AS BIGINT),
+       4 * 288230376151711744 + (ix // 256) * 536870912 + (iy // 256),
+       CAST(sum(n) AS BIGINT)
+FROM f GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_segment_revenue": q2_segment_revenue,
@@ -1792,6 +1929,9 @@ QUERIES = {
     "g_knn_phash": g_knn_phash,
     "g_pip_join_osm": g_pip_join_osm,
     "g_pip_join_boxes": g_pip_join_boxes,
+    "g_radius_join": g_radius_join,
+    "g_nearest_site": g_nearest_site,
+    "g_cell_pyramid": g_cell_pyramid,
     "osm_corpus_features": osm_corpus_features,
     "m_image_decode": m_image_decode,
     "m_image_features": m_image_features,
@@ -1836,6 +1976,9 @@ ORACLE_SQL = {
     "g_tile_counts": G_TILE_SQL,
     "g_knn_phash": G_KNN_SQL,
     "g_pip_join_boxes": G_PIP_BOXES_SQL,
+    "g_radius_join": G_RADIUS_SQL,
+    "g_nearest_site": G_NEAREST_SQL,
+    "g_cell_pyramid": G_PYRAMID_SQL,
     "m_image_decode": M_IMAGE_DECODE_SQL,
     "m_image_features": M_IMAGE_FEATURES_SQL,
 }

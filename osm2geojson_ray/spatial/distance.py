@@ -1,0 +1,151 @@
+"""Planar distance joins over integer micro-degree coordinates.
+
+Two spatial-join primitives the tiling engine needs beyond PIP/kNN
+(reference analog: osm2geojson has no distance ops — these extend the
+graft surface the same way spatial/pip.py and spatial/knn.py do):
+
+- :func:`radius_join` — every (query, point) pair with squared planar
+  distance <= r^2 ("find all images within R of each probe center").
+- :func:`nearest_join` — each point's nearest site from a small site
+  set, ties broken by smaller site id ("assign each image to its
+  closest POI / shard center").
+
+Coordinates are int64 micro-degrees, so every distance is EXACT
+integer arithmetic (d2 <= 2*(8e6)^2 ~ 1.3e14 fits int64 with room for
+the encoded-key trick below) and a DuckDB oracle can replay the join
+bit-for-bit — no floats ever enter the correctness gate.
+
+Scale shape (10^12-point table):
+- The small side (probe centers / sites) is broadcast ONCE — a tiny
+  ndarray captured in the task closure (ships with the task spec, not
+  per batch); a big site set would move to ray.put + worker_state like
+  spatial/knn.py's query matrices.
+- The point side streams: one ``map_batches`` pass, no shuffle, no
+  materialization.  Per batch the kernel is pure numpy —
+  a bbox prefilter per probe (radius_join) or an (n x s) squared
+  distance matrix (nearest_join).
+- Both-sides-large would cell-bucket each side at a level where the
+  radius spans O(1) cells and co-partition (the shuffled_pip_join
+  pattern in spatial/pip.py); documented, not needed for the
+  broadcast-small-side queries here.
+
+The nearest tie-break needs no sort: with s <= 64 sites, the pair
+(d2, site_idx) packs into one int64 key ``d2 * 64 + site_idx`` whose
+row-wise ``min`` IS the lexicographic argmin — one vectorized
+reduction instead of argsort, and the SQL oracle can take the very
+same ``min(...)`` and decode it.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+
+_RADIUS_SCHEMA = pa.schema(
+    [("query_id", pa.int64()), ("point_id", pa.int64()), ("d2_udeg", pa.int64())]
+)
+
+
+def radius_join(
+    points,
+    query_ids: Sequence[int],
+    qx: Sequence[int],
+    qy: Sequence[int],
+    radius: int,
+    *,
+    id_col: str = "point_id",
+    x_col: str = "x",
+    y_col: str = "y",
+):
+    """All (query, point) pairs within ``radius`` (planar, micro-deg).
+
+    ``points``: Dataset with int64 columns (id_col, x_col, y_col).
+    Returns a Dataset (query_id, point_id, d2_udeg), unordered.
+    """
+    q_ids = np.asarray(query_ids, dtype=np.int64)
+    q_x = np.asarray(qx, dtype=np.int64)
+    q_y = np.asarray(qy, dtype=np.int64)
+    r = int(radius)
+    r2 = r * r
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        pid = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        out_q, out_p, out_d = [], [], []
+        for j in range(len(q_ids)):
+            # bbox prefilter: cheap axis tests drop the vast majority
+            # before the multiply (the cell-prefilter idea, inline)
+            m = (np.abs(x - q_x[j]) <= r) & (np.abs(y - q_y[j]) <= r)
+            if not m.any():
+                continue
+            dx = x[m] - q_x[j]
+            dy = y[m] - q_y[j]
+            d2 = dx * dx + dy * dy
+            inside = d2 <= r2
+            if not inside.any():
+                continue
+            out_q.append(np.full(int(inside.sum()), q_ids[j], dtype=np.int64))
+            out_p.append(pid[m][inside])
+            out_d.append(d2[inside])
+        if not out_q:
+            return _RADIUS_SCHEMA.empty_table()
+        return pa.Table.from_pydict(
+            {
+                "query_id": np.concatenate(out_q),
+                "point_id": np.concatenate(out_p),
+                "d2_udeg": np.concatenate(out_d),
+            },
+            schema=_RADIUS_SCHEMA,
+        )
+
+    return points.map_batches(per_batch, batch_format="pyarrow")
+
+
+_NEAREST_SCHEMA = pa.schema(
+    [("point_id", pa.int64()), ("site_id", pa.int64()), ("d2_udeg", pa.int64())]
+)
+
+
+def nearest_join(
+    points,
+    site_ids: Sequence[int],
+    sx: Sequence[int],
+    sy: Sequence[int],
+    *,
+    id_col: str = "point_id",
+    x_col: str = "x",
+    y_col: str = "y",
+):
+    """Each point -> its nearest site (ties to the smaller site INDEX,
+    which equals the smaller site id when ``site_ids`` is sorted
+    ascending — assert it so the SQL twin's decode agrees).
+
+    Returns a Dataset (point_id, site_id, d2_udeg), one row per point.
+    """
+    s_ids = np.asarray(site_ids, dtype=np.int64)
+    s_x = np.asarray(sx, dtype=np.int64)
+    s_y = np.asarray(sy, dtype=np.int64)
+    if len(s_ids) > 64:
+        raise ValueError("nearest_join packs site index into 6 bits (<= 64 sites)")
+    if not np.all(np.diff(s_ids) > 0):
+        raise ValueError("site_ids must be strictly ascending for the tie-break")
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        pid = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        dx = x[:, None] - s_x[None, :]
+        dy = y[:, None] - s_y[None, :]
+        d2 = dx * dx + dy * dy  # (n, s) int64, max ~1.3e14
+        key = d2 * np.int64(64) + np.arange(len(s_ids), dtype=np.int64)[None, :]
+        kmin = key.min(axis=1)  # lexicographic (d2, site_idx) argmin
+        idx = (kmin % 64).astype(np.int64)
+        return pa.Table.from_pydict(
+            {"point_id": pid, "site_id": s_ids[idx], "d2_udeg": kmin // 64},
+            schema=_NEAREST_SCHEMA,
+        )
+
+    return points.map_batches(per_batch, batch_format="pyarrow")

@@ -79,3 +79,93 @@ def tile_stats(assignment):
     from ray.data.aggregate import Count
 
     return assignment.groupby(["geom_id", "cell"]).aggregate(Count(alias_name="n_images"))
+
+
+_PYRAMID_SCHEMA = pa.schema(
+    [("level", pa.int64()), ("cell_id", pa.int64()), ("n_points", pa.int64())]
+)
+_XY_MASK = np.int64((1 << 29) - 1)
+
+
+def cell_pyramid(points, levels, *, lon_col: str = "lon", lat_col: str = "lat"):
+    """Multi-resolution point-count pyramid: (level, cell_id, n_points)
+    for every requested level of the cell hierarchy — the
+    compact/uncompact-style rollup a tile server wants, in ONE pass.
+
+    Scale shape: the raw points are read once, at the FINEST level
+    only — each batch reduces to per-fine-cell partial counts
+    (np.unique), so only #distinct-cells x #blocks tiny rows leave the
+    map stage and raw points never shuffle.  One remote reduce sums
+    the fine histogram and derives every coarser level from it by
+    integer shift arithmetic (cells.cell_parent, vectorized) — no
+    second pass over the data, no per-level scans.  At a true tile
+    pyramid's cardinality (4^12 potential fine cells) the reduce would
+    shard by cell hash first (partial_grouped_agg's exchange shape);
+    one task suffices for any realistic distinct-cell count here.
+    """
+    import ray as _ray
+
+    lvls = sorted({int(l) for l in levels}, reverse=True)
+    fine = lvls[0]
+
+    def partial(t: pa.Table) -> pa.Table:
+        cells = cell_id(
+            t[lon_col].to_numpy(zero_copy_only=False),
+            t[lat_col].to_numpy(zero_copy_only=False),
+            fine,
+        )
+        uniq, cnt = np.unique(cells, return_counts=True)
+        return pa.Table.from_pydict(
+            {"cell_id": uniq, "n_points": cnt.astype(np.int64)},
+            schema=pa.schema([("cell_id", pa.int64()), ("n_points", pa.int64())]),
+        )
+
+    partials = points.map_batches(partial, batch_format="pyarrow")
+
+    def _sum_by(cells: np.ndarray, n: np.ndarray):
+        order = np.argsort(cells, kind="stable")
+        c = cells[order]
+        v = n[order]
+        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        return c[starts], np.add.reduceat(v, starts)
+
+    @_ray.remote
+    def _final(*blocks):
+        tbl = pa.concat_tables(blocks, promote_options="default")
+        cells = tbl["cell_id"].to_numpy(zero_copy_only=False)
+        n = tbl["n_points"].to_numpy(zero_copy_only=False)
+        fc, fn = _sum_by(cells, n)
+        fx = (fc >> np.int64(29)) & _XY_MASK
+        fy = fc & _XY_MASK
+        out_l, out_c, out_n = [], [], []
+        for L in lvls:
+            if L == fine:
+                c, v = fc, fn
+            else:
+                shift = np.int64(fine - L)
+                parent = (
+                    (np.int64(L) << np.int64(58))
+                    | ((fx >> shift) << np.int64(29))
+                    | (fy >> shift)
+                )
+                c, v = _sum_by(parent, fn)
+            out_l.append(np.full(len(c), L, dtype=np.int64))
+            out_c.append(c)
+            out_n.append(v)
+        return pa.Table.from_pydict(
+            {
+                "level": np.concatenate(out_l),
+                "cell_id": np.concatenate(out_c),
+                "n_points": np.concatenate(out_n),
+            },
+            schema=_PYRAMID_SCHEMA,
+        )
+
+    refs = []
+    for bundle in partials.iter_internal_ref_bundles():
+        for block_ref, meta in bundle.blocks:
+            if meta.num_rows is None or meta.num_rows > 0:
+                refs.append(block_ref)
+    if not refs:
+        return ray.data.from_arrow(_PYRAMID_SCHEMA.empty_table())
+    return ray.data.from_arrow_refs([_final.remote(*refs)])

@@ -209,3 +209,118 @@ def test_cover_polygon_matches_scalar_oracle():
             got = cover_polygon(poly, level).tolist()
             want = scalar_cover(poly, level)
             assert got == want, (poly[0][:2], level, len(got), len(want))
+
+
+# ---------------------------------------------------------------- distance
+def _rand_points(n, seed):
+    rng = np.random.default_rng(seed)
+    return (
+        np.arange(n, dtype=np.int64),
+        rng.integers(0, 8_000_000, n, dtype=np.int64),
+        rng.integers(0, 8_000_000, n, dtype=np.int64),
+    )
+
+
+def _points_ds(pid, x, y, nparts=3):
+    tbl = pa.table({"point_id": pid, "x": x, "y": y})
+    return ray.data.from_arrow(tbl).repartition(nparts)
+
+
+def test_radius_join_matches_bruteforce(ray_session):
+    from osm2geojson_ray.spatial.distance import radius_join
+
+    pid, x, y = _rand_points(500, seed=7)
+    qid = np.array([100, 200, 300], dtype=np.int64)
+    qx = np.array([1_000_000, 4_000_000, 7_900_000], dtype=np.int64)
+    qy = np.array([1_000_000, 4_000_000, 50_000], dtype=np.int64)
+    r = 900_000
+
+    got = radius_join(_points_ds(pid, x, y), qid, qx, qy, r).to_pandas()
+    got_set = set(zip(got["query_id"], got["point_id"], got["d2_udeg"]))
+
+    want = set()
+    for j in range(3):
+        d2 = (x - qx[j]) ** 2 + (y - qy[j]) ** 2
+        for i in np.flatnonzero(d2 <= r * r):
+            want.add((qid[j], pid[i], d2[i]))
+    assert got_set == want and len(got) == len(want)
+
+
+def test_radius_join_empty_result(ray_session):
+    from osm2geojson_ray.spatial.distance import radius_join
+
+    pid, x, y = _rand_points(50, seed=8)
+    out = radius_join(_points_ds(pid, x, y), [1], [100_000_000], [100_000_000], 10)
+    assert out.schema().names == ["query_id", "point_id", "d2_udeg"]
+    assert out.count() == 0
+
+
+def test_nearest_join_matches_bruteforce_and_ties(ray_session):
+    from osm2geojson_ray.spatial.distance import nearest_join
+
+    pid, x, y = _rand_points(400, seed=9)
+    # two coincident sites force the tie-break to the smaller site id
+    sid = np.array([3, 5, 9], dtype=np.int64)
+    sx = np.array([2_000_000, 2_000_000, 6_000_000], dtype=np.int64)
+    sy = np.array([2_000_000, 2_000_000, 6_000_000], dtype=np.int64)
+
+    got = (
+        nearest_join(_points_ds(pid, x, y), sid, sx, sy)
+        .to_pandas()
+        .sort_values("point_id")
+        .reset_index(drop=True)
+    )
+    d2 = (x[:, None] - sx[None, :]) ** 2 + (y[:, None] - sy[None, :]) ** 2
+    best = np.argmin(d2, axis=1)  # np.argmin ties -> first index = smaller id
+    assert got["site_id"].tolist() == sid[best].tolist()
+    assert got["d2_udeg"].tolist() == d2[np.arange(len(pid)), best].tolist()
+    # every point between the coincident pair must pick site 3, never 5
+    assert 5 not in set(got["site_id"])
+
+
+def test_nearest_join_validation():
+    from osm2geojson_ray.spatial.distance import nearest_join
+
+    with pytest.raises(ValueError):
+        nearest_join(None, np.arange(65), np.arange(65), np.arange(65))
+    with pytest.raises(ValueError):
+        nearest_join(None, [5, 3], [0, 0], [0, 0])
+
+
+def test_cell_pyramid_invariants(ray_session):
+    from osm2geojson_ray.spatial.tiles import cell_pyramid
+
+    rng = np.random.default_rng(11)
+    n = 2000
+    tbl = pa.table(
+        {
+            "lon": rng.uniform(-2, 6, n),
+            "lat": rng.uniform(-2, 6, n),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    out = cell_pyramid(ds, (12, 8, 4)).to_pandas()
+
+    # each level's counts sum to n
+    for lvl in (12, 8, 4):
+        sub = out[out["level"] == lvl]
+        assert sub["n_points"].sum() == n
+        # every cell id carries its own level in the high bits
+        assert (sub["cell_id"] // 288230376151711744 == lvl).all()
+
+    # fine level matches a direct recount
+    from osm2geojson_ray.spatial.cells import cell_id as cid
+
+    fine = cid(tbl["lon"].to_numpy(), tbl["lat"].to_numpy(), 12)
+    uniq, cnt = np.unique(fine, return_counts=True)
+    sub = out[out["level"] == 12].sort_values("cell_id")
+    assert sub["cell_id"].tolist() == uniq.tolist()
+    assert sub["n_points"].tolist() == cnt.tolist()
+
+    # coarse cells are the bit-shift parents of their children's counts
+    from osm2geojson_ray.spatial.cells import cell_parent
+
+    parents = np.array([cell_parent(int(c), 8) for c in uniq])
+    puniq = np.unique(parents)
+    sub8 = out[out["level"] == 8]
+    assert sorted(sub8["cell_id"].tolist()) == sorted(puniq.tolist())
