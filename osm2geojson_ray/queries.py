@@ -1752,6 +1752,49 @@ FROM range(0, 2000)
 """
 
 
+def q19_order_rank_windows(sf_dir: str):
+    """Ranking window family — RANK / DENSE_RANK / NTILE(4) OVER
+    (PARTITION BY custkey ORDER BY date[, key]) — through the same one
+    hash-exchange + segmented vectorized pass as q12
+    (relational.partitioned_window).  rank/dense_rank tie on the date
+    column only (value-determined, so the gate is deterministic);
+    ntile orders with the unique key tiebreak."""
+    from .relational import partitioned_window
+
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"].combine_chunks(),
+                "o_orderkey": t["o_orderkey"].combine_chunks(),
+                "o_date": t["o_orderdate"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    out = partitioned_window(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        "o_custkey",
+        [("o_date", False), ("o_orderkey", False)],
+        {
+            "rnk": ("o_date", "rank"),
+            "drnk": ("o_date", "dense_rank"),
+            "quartile": (None, "ntile:4"),
+        },
+    )
+    return out.select_columns(["o_custkey", "o_orderkey", "rnk", "drnk", "quartile"])
+
+
+Q19_SQL = """
+SELECT o_custkey, o_orderkey,
+       rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS rnk,
+       dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS drnk,
+       ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         AS quartile
+FROM orders
+"""
+
+
 # ------------------------------------------------- distance joins (integer)
 # Integer micro-degree points derived from part keys: every distance is
 # exact int64 arithmetic, so the DuckDB twins replay the joins
@@ -1908,6 +1951,7 @@ QUERIES = {
     "q16_pivot_events_daily": q16_pivot_events_daily,
     "q17_value_stats": q17_value_stats,
     "q18_hll_user_registers": q18_hll_user_registers,
+    "q19_order_rank_windows": q19_order_rank_windows,
     "t_token_count": t_token_count,
     "t_quality_stats": t_quality_stats,
     "t_token_quantiles": t_token_quantiles,
@@ -1956,6 +2000,7 @@ ORACLE_SQL = {
     "q16_pivot_events_daily": Q16_SQL,
     "q17_value_stats": Q17_SQL,
     "q18_hll_user_registers": Q18_SQL,
+    "q19_order_rank_windows": Q19_SQL,
     "t_token_count": T_TOKEN_SQL,
     "t_quality_stats": T_QUALITY_SQL,
     "t_token_quantiles": T_QUANTILES_SQL,

@@ -1060,6 +1060,16 @@ def partitioned_window(
                       values for float money: bit-exact, order-robust)
       - "row_number": 1-based rank within the partition
       - "lag":        previous row's value (null at partition starts)
+      - "rank":       SQL RANK() where ties are rows sharing ``in_col``
+                      (in_col must be one of the order keys; ties share
+                      the run-start position, so the result depends only
+                      on key VALUES — deterministic even when the
+                      trailing tiebreak is dropped from the SQL twin)
+      - "dense_rank": SQL DENSE_RANK() over ``in_col`` ties (gap-free)
+      - "ntile:N":    SQL NTILE(N) over the FULL order_keys — needs a
+                      unique tiebreak in order_keys to be deterministic;
+                      the first (size % N) buckets hold one extra row
+                      each, matching the SQL distribution exactly
 
     ``order_keys`` = [(col, descending)]; include a unique tiebreak for
     deterministic output.  Output = input columns + window columns,
@@ -1110,6 +1120,34 @@ def partitioned_window(
                     pa.array(~starts_mask), lagged, pa.scalar(None, col.type)
                 )
                 out = out.append_column(out_col, lagged)
+            elif kind in ("rank", "dense_rank"):
+                v = out[in_col].to_numpy(zero_copy_only=False)
+                kc = starts_mask.copy()
+                kc[1:] |= v[1:] != v[:-1]
+                if kind == "rank":
+                    run_start = np.maximum.accumulate(np.where(kc, idx, 0))
+                    vals = run_start - group_start + 1
+                else:
+                    c = np.cumsum(kc.astype(np.int64))
+                    vals = c - c[group_start] + 1
+                out = out.append_column(out_col, pa.array(vals.astype(np.int64)))
+            elif kind.startswith("ntile:"):
+                ntiles = int(kind.split(":", 1)[1])
+                s = np.flatnonzero(starts_mask)
+                sizes = np.diff(np.r_[s, n])
+                per_size = np.repeat(sizes, sizes)
+                # SQL NTILE: the first (size % N) buckets hold one extra
+                # row each, and they come FIRST — piecewise, not r0*N//size
+                small = per_size // ntiles
+                big = per_size % ntiles
+                cutoff = big * (small + 1)
+                r0 = idx - group_start
+                vals = np.where(
+                    r0 < cutoff,
+                    r0 // (small + 1),
+                    big + (r0 - cutoff) // np.maximum(small, 1),
+                ) + 1
+                out = out.append_column(out_col, pa.array(vals.astype(np.int64)))
             else:
                 raise ValueError(f"unknown window kind {kind!r}")
         return out

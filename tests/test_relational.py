@@ -606,3 +606,52 @@ def test_hll_estimate_accuracy_and_merge(ray_session):
             .to_pandas().sort_values("register_idx").reset_index(drop=True)
         )
         assert regs.sort_values("register_idx").reset_index(drop=True).equals(regs2)
+
+
+def test_rank_windows_match_duckdb(ray_session):
+    """rank/dense_rank/ntile vs DuckDB on a table with heavy ties and
+    groups smaller than the ntile bucket count."""
+    import duckdb
+    import ray.data
+
+    from osm2geojson_ray.relational import partitioned_window
+
+    rng = np.random.default_rng(3)
+    n = 500
+    tbl = pa.table(
+        {
+            "grp": rng.integers(0, 12, n, dtype=np.int64),  # some groups < 4 rows
+            "val": rng.integers(0, 5, n, dtype=np.int64),  # heavy ties
+            "uid": np.arange(n, dtype=np.int64),
+        }
+    )
+    out = (
+        partitioned_window(
+            ray.data.from_arrow(tbl).repartition(3),
+            "grp",
+            [("val", False), ("uid", False)],
+            {
+                "rnk": ("val", "rank"),
+                "drnk": ("val", "dense_rank"),
+                "t3": (None, "ntile:3"),
+                "t7": (None, "ntile:7"),
+            },
+        )
+        .to_pandas()
+        .sort_values("uid")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", tbl)
+    want = con.execute(
+        """
+        SELECT uid,
+               rank() OVER (PARTITION BY grp ORDER BY val) AS rnk,
+               dense_rank() OVER (PARTITION BY grp ORDER BY val) AS drnk,
+               ntile(3) OVER (PARTITION BY grp ORDER BY val, uid) AS t3,
+               ntile(7) OVER (PARTITION BY grp ORDER BY val, uid) AS t7
+        FROM t ORDER BY uid
+        """
+    ).fetchdf()
+    for col in ("rnk", "drnk", "t3", "t7"):
+        assert out[col].tolist() == want[col].tolist(), col
