@@ -1752,6 +1752,44 @@ FROM range(0, 2000)
 """
 
 
+def t_dup_clusters(sf_dir: str):
+    """Near-dup CLUSTERS, not just pairs: exact Jaccard pair edges ->
+    distributed connected components (min-label propagation over one
+    reusable edge exchange + grouped-min rounds,
+    relational.connected_components) -> (doc_id, cluster_id) with
+    cluster_id = smallest doc id in the component — the form a dedup
+    pipeline actually consumes (keep doc_id == cluster_id, drop the
+    rest).  The SQL twin recomputes the same components with a
+    recursive CTE over the identical pair list."""
+    from .relational import connected_components
+    from .text.dedup import jaccard_pairs
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    pairs = jaccard_pairs(docs, jaccard_threshold=0.8).select_columns(["a_id", "b_id"])
+    out = connected_components(pairs, a_col="a_id", b_col="b_id")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"doc_id": t["node"], "cluster_id": t["label"]},
+            schema=pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())]),
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+T_DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pair_edges AS ({T_JACCARD_SQL}),
+und AS (SELECT a_id AS u, b_id AS v FROM pair_edges
+        UNION ALL SELECT b_id, a_id FROM pair_edges),
+reach(u, lbl) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM und) t
+  UNION
+  SELECT und.u, reach.lbl FROM und JOIN reach ON und.v = reach.u
+)
+SELECT u AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY u
+"""
+
+
 def q19_order_rank_windows(sf_dir: str):
     """Ranking window family — RANK / DENSE_RANK / NTILE(4) OVER
     (PARTITION BY custkey ORDER BY date[, key]) — through the same one
@@ -1959,6 +1997,7 @@ QUERIES = {
     "t_exact_dedup": t_exact_dedup,
     "t_minhash_pairs": t_minhash_pairs,
     "t_jaccard_pairs": t_jaccard_pairs,
+    "t_dup_clusters": t_dup_clusters,
     "t_simhash": t_simhash,
     "t_tfidf_topk": t_tfidf_topk,
     "t_heavy_tokens": t_heavy_tokens,
@@ -2007,6 +2046,7 @@ ORACLE_SQL = {
     "t_chars_quantiles_cont": T_CHARS_QUANTILES_SQL,
     "t_exact_dedup": T_DEDUP_SQL,
     "t_jaccard_pairs": T_JACCARD_SQL,
+    "t_dup_clusters": T_DUP_CLUSTERS_SQL,
     "t_simhash": T_SIMHASH_SQL,
     "t_tfidf_topk": T_TFIDF_SQL,
     "t_heavy_tokens": T_HEAVY_TOKENS_SQL,

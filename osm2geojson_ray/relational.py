@@ -507,10 +507,10 @@ def partial_grouped_agg(ds, keys: List[str], aggs: Dict[str, Tuple[str, str]]):
     one partial row per group key ("sum"/"count" specs), so only
     #groups x #blocks tiny partial rows reach the final (small) groupby
     — raw rows never shuffle.  ``aggs``: {out_col: (in_col, "sum") |
-    (None, "count") | (in_col, "max")} — count partials combine by sum,
-    max by max (both associative).  The scale pattern for
-    low-cardinality keys; for high-cardinality keys use
-    hash_exchange_map instead."""
+    (None, "count") | (in_col, "max") | (in_col, "min")} — count
+    partials combine by sum, max by max, min by min (all associative).
+    The scale pattern for low-cardinality keys; for high-cardinality
+    keys use hash_exchange_map instead."""
     import pandas as pd
 
     def partial(df):
@@ -523,6 +523,8 @@ def partial_grouped_agg(ds, keys: List[str], aggs: Dict[str, Tuple[str, str]]):
                 out[out_col] = g[in_col].sum()
             elif how == "max":
                 out[out_col] = g[in_col].max()
+            elif how == "min":
+                out[out_col] = g[in_col].min()
             else:
                 out[out_col] = g.size()
         return pd.DataFrame(out).reset_index()
@@ -546,7 +548,12 @@ def partial_grouped_agg(ds, keys: List[str], aggs: Dict[str, Tuple[str, str]]):
         df = _pd.concat(frames, ignore_index=True)
         g = df.groupby(keys, sort=False, dropna=False)
         out = {
-            c: (g[c].max() if aggs[c][1] == "max" else g[c].sum()) for c in aggs
+            c: (
+                g[c].max()
+                if aggs[c][1] == "max"
+                else g[c].min() if aggs[c][1] == "min" else g[c].sum()
+            )
+            for c in aggs
         }
         return pa.Table.from_pandas(_pd.DataFrame(out).reset_index(), preserve_index=False)
 
@@ -1175,3 +1182,91 @@ def union_all(datasets: List["ray.data.Dataset"], schema: Optional[pa.Schema] = 
     for d in datasets[1:]:
         out = out.union(d)
     return out
+
+
+_CC_EDGE_SCHEMA = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+_CC_LABEL_SCHEMA = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+
+
+def connected_components(
+    edges,
+    *,
+    a_col: str = "a",
+    b_col: str = "b",
+    num_partitions: int = 16,
+    max_iters: int = 50,
+):
+    """Connected components of an undirected int64 edge list by
+    distributed min-label propagation: (node, label) with label = the
+    smallest node id in the node's component — the clustering step of
+    a dedup pipeline (near-dup pair edges -> keep one doc per label).
+
+    Scale shape: the edge list is exchanged ONCE (both directions) and
+    reused every round; each round is one hash-exchange join that
+    ships the current (node, label) along edges plus a
+    combiner-pushdown grouped min (partial_grouped_agg) — raw edges
+    never re-shuffle, and the only materialized state is the labels
+    table (one row per node touched by an edge).  Labels only ever
+    decrease, so ``sum(label)`` is a strictly decreasing invariant:
+    the loop stops the first round it holds still (no separate
+    changed-count join).  Rounds needed = component diameter — near-2
+    for the clique-ish graphs dedup banding emits; a web-scale
+    arbitrary graph would swap in large-star/small-star hashing to cut
+    rounds to O(log n) with the same per-round primitives.
+    """
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t[a_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        b = t[b_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        return pa.Table.from_pydict(
+            {"src": np.concatenate([a, b]), "dst": np.concatenate([b, a])},
+            schema=_CC_EDGE_SCHEMA,
+        )
+
+    directed = edges.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        u = np.unique(t["src"].to_numpy(zero_copy_only=False))
+        return pa.Table.from_pydict(
+            {"node": u, "label": u.copy()}, schema=_CC_LABEL_SCHEMA
+        )
+
+    labels = partial_grouped_agg(
+        directed.map_batches(init_labels, batch_format="pyarrow"),
+        ["node"],
+        {"label": ("label", "min")},
+    ).materialize()
+    if labels.count() == 0:
+        return labels
+
+    msg_schema = pa.schema([("src", pa.int64()), ("label", pa.int64())])
+
+    def as_msgs(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"src": t["node"], "label": t["label"]}, schema=msg_schema
+        )
+
+    def to_cand(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"node": t["dst"], "label": t["label"]}, schema=_CC_LABEL_SCHEMA
+        )
+
+    prev = labels.sum("label")
+    for _ in range(max_iters):
+        joined = hash_join(
+            directed,
+            labels.map_batches(as_msgs, batch_format="pyarrow"),
+            on="src",
+            l_schema=_CC_EDGE_SCHEMA,
+            r_schema=msg_schema,
+            num_partitions=num_partitions,
+        )
+        cand = joined.map_batches(to_cand, batch_format="pyarrow").union(labels)
+        labels = partial_grouped_agg(
+            cand, ["node"], {"label": ("label", "min")}
+        ).materialize()
+        cur = labels.sum("label")
+        if cur == prev:
+            break
+        prev = cur
+    return labels

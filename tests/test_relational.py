@@ -655,3 +655,68 @@ def test_rank_windows_match_duckdb(ray_session):
     ).fetchdf()
     for col in ("rnk", "drnk", "t3", "t7"):
         assert out[col].tolist() == want[col].tolist(), col
+
+
+def test_connected_components_matches_union_find(ray_session):
+    import ray.data
+
+    from osm2geojson_ray.relational import connected_components
+
+    rng = np.random.default_rng(21)
+    # several chains + cliques + isolated pairs over sparse ids
+    nodes = rng.choice(10_000, size=120, replace=False).astype(np.int64)
+    edges = []
+    i = 0
+    while i + 1 < len(nodes):
+        run = int(rng.integers(2, 6))
+        chunk = nodes[i : i + run]
+        for a, b in zip(chunk[:-1], chunk[1:]):
+            edges.append((a, b))
+        if run >= 4:  # make some components cliques, not just paths
+            edges.append((chunk[0], chunk[-1]))
+        i += run
+    a = np.array([e[0] for e in edges], dtype=np.int64)
+    b = np.array([e[1] for e in edges], dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({"a": a, "b": b})).repartition(4)
+
+    got = (
+        connected_components(ds, a_col="a", b_col="b")
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+
+    # oracle: classic union-find
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        parent[find(int(u))] = find(int(v))
+    comp = {}
+    for u, v in edges:
+        for x in (int(u), int(v)):
+            comp.setdefault(find(x), []).append(x)
+    want = {}
+    for members in comp.values():
+        lbl = min(members)
+        for m in members:
+            want[m] = lbl
+
+    assert got["node"].tolist() == sorted(want)
+    assert got["label"].tolist() == [want[n] for n in sorted(want)]
+
+
+def test_connected_components_empty(ray_session):
+    import ray.data
+
+    from osm2geojson_ray.relational import connected_components
+
+    ds = ray.data.from_arrow(
+        pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    )
+    assert connected_components(ds).count() == 0
