@@ -1833,6 +1833,96 @@ FROM orders
 """
 
 
+def q20_priciest_order_per_customer(sf_dir: str):
+    """Grouped ARG_MAX with no join-back: each customer's most
+    expensive order via the packed-key trick (value and complemented
+    orderkey in one int64; plain max = lexicographic (price desc, key
+    asc) winner; relational.grouped_argmax) — one combiner-pushdown
+    pass, ties to the smaller orderkey.  The SQL twin runs the very
+    same packed max and decode."""
+    from .relational import grouped_argmax
+
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = np.round(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"].combine_chunks(),
+                "o_orderkey": t["o_orderkey"].combine_chunks(),
+                "cents": pa.array(cents),
+            }
+        )
+
+    return grouped_argmax(
+        orders.map_batches(to_cents, batch_format="pyarrow"),
+        ["o_custkey"],
+        "cents",
+        "o_orderkey",
+        arg_bits=30,
+        out_value="max_cents",
+        out_arg="best_orderkey",
+    )
+
+
+Q20_SQL = """
+WITH t AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+m AS (
+  SELECT o_custkey,
+         max(cents * 1073741824 + (1073741823 - o_orderkey)) AS p
+  FROM t GROUP BY 1)
+SELECT o_custkey,
+       p // 1073741824 AS max_cents,
+       1073741823 - p % 1073741824 AS best_orderkey
+FROM m
+"""
+
+
+def q21_rolling_revenue(sf_dir: str):
+    """Sliding window FRAME — SUM OVER (PARTITION BY custkey ORDER BY
+    date, key ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) — as a cumsum
+    difference inside the one-exchange window pass (kind "rollsum:2"),
+    integer cents for a bit-exact gate."""
+    from .relational import partitioned_window
+
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = np.round(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"].combine_chunks(),
+                "o_orderkey": t["o_orderkey"].combine_chunks(),
+                "o_date": t["o_orderdate"].combine_chunks().cast(pa.int64()),
+                "cents": pa.array(cents),
+            }
+        )
+
+    out = partitioned_window(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        "o_custkey",
+        [("o_date", False), ("o_orderkey", False)],
+        {"roll3_cents": ("cents", "rollsum:2")},
+    )
+    return out.select_columns(["o_custkey", "o_orderkey", "roll3_cents"])
+
+
+Q21_SQL = """
+SELECT o_custkey, o_orderkey,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll3_cents
+FROM orders
+"""
+
+
 # ------------------------------------------------- distance joins (integer)
 # Integer micro-degree points derived from part keys: every distance is
 # exact int64 arithmetic, so the DuckDB twins replay the joins
@@ -1990,6 +2080,8 @@ QUERIES = {
     "q17_value_stats": q17_value_stats,
     "q18_hll_user_registers": q18_hll_user_registers,
     "q19_order_rank_windows": q19_order_rank_windows,
+    "q20_priciest_order_per_customer": q20_priciest_order_per_customer,
+    "q21_rolling_revenue": q21_rolling_revenue,
     "t_token_count": t_token_count,
     "t_quality_stats": t_quality_stats,
     "t_token_quantiles": t_token_quantiles,
@@ -2040,6 +2132,8 @@ ORACLE_SQL = {
     "q17_value_stats": Q17_SQL,
     "q18_hll_user_registers": Q18_SQL,
     "q19_order_rank_windows": Q19_SQL,
+    "q20_priciest_order_per_customer": Q20_SQL,
+    "q21_rolling_revenue": Q21_SQL,
     "t_token_count": T_TOKEN_SQL,
     "t_quality_stats": T_QUALITY_SQL,
     "t_token_quantiles": T_QUANTILES_SQL,

@@ -1077,6 +1077,10 @@ def partitioned_window(
                       unique tiebreak in order_keys to be deterministic;
                       the first (size % N) buckets hold one extra row
                       each, matching the SQL distribution exactly
+      - "rollsum:K":  SQL SUM(x) OVER (... ROWS BETWEEN K PRECEDING AND
+                      CURRENT ROW) — a cumsum difference against the
+                      frame start (clamped to the partition start), so
+                      the sliding frame costs O(n) not O(nK)
 
     ``order_keys`` = [(col, descending)]; include a unique tiebreak for
     deterministic output.  Output = input columns + window columns,
@@ -1155,6 +1159,13 @@ def partitioned_window(
                     big + (r0 - cutoff) // np.maximum(small, 1),
                 ) + 1
                 out = out.append_column(out_col, pa.array(vals.astype(np.int64)))
+            elif kind.startswith("rollsum:"):
+                k = int(kind.split(":", 1)[1])
+                v = out[in_col].to_numpy(zero_copy_only=False).astype(np.int64)
+                cs = np.cumsum(v)
+                lo = np.maximum(idx - k, group_start)
+                base = np.where(lo > 0, cs[lo - 1], 0)
+                out = out.append_column(out_col, pa.array(cs - base))
             else:
                 raise ValueError(f"unknown window kind {kind!r}")
         return out
@@ -1270,3 +1281,50 @@ def connected_components(
             break
         prev = cur
     return labels
+
+
+def grouped_argmax(
+    ds,
+    keys: List[str],
+    value_col: str,
+    arg_col: str,
+    *,
+    arg_bits: int = 30,
+    out_value: str = "max_value",
+    out_arg: str = "best_arg",
+):
+    """One-pass grouped ARG_MAX — "the row id holding each group's max
+    value" — with NO join-back: value and bit-complemented arg pack
+    into a single int64 key whose plain ``max`` IS the lexicographic
+    (value desc, arg asc) winner, so the existing combiner-pushdown
+    max (partial_grouped_agg) is the whole aggregation and ties
+    deterministically take the SMALLEST arg.  Requires
+    0 <= arg < 2**arg_bits and 0 <= value < 2**(62 - arg_bits)
+    (validated per batch).  The packed expression is plain integer
+    arithmetic, so a SQL twin can run max(value * 2^B + (2^B-1 - arg))
+    verbatim and decode identically."""
+    scale = 1 << arg_bits
+    comp = scale - 1
+
+    def pack(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        a = t[arg_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        if len(a) and (a.min() < 0 or a.max() > comp):
+            raise ValueError(f"{arg_col} out of [0, 2**{arg_bits})")
+        if len(v) and (v.min() < 0 or v.max() >= (1 << (62 - arg_bits))):
+            raise ValueError(f"{value_col} out of [0, 2**{62 - arg_bits})")
+        cols = {k: t[k] for k in keys}
+        cols["__packed"] = pa.array(v * scale + (comp - a))
+        return pa.Table.from_pydict(cols)
+
+    packed = ds.map_batches(pack, batch_format="pyarrow")
+    agg = partial_grouped_agg(packed, keys, {"__packed": ("__packed", "max")})
+
+    def decode(t: pa.Table) -> pa.Table:
+        p = t["__packed"].to_numpy(zero_copy_only=False)
+        cols = {k: t[k] for k in keys}
+        cols[out_value] = pa.array(p // scale)
+        cols[out_arg] = pa.array(comp - p % scale)
+        return pa.Table.from_pydict(cols)
+
+    return agg.map_batches(decode, batch_format="pyarrow")
