@@ -1923,6 +1923,84 @@ FROM orders
 """
 
 
+def osm_corpus_simplify(sf_dir: str):
+    """The golden corpus stitched by the distributed pipeline, then
+    Douglas-Peucker-simplified at eps=1e-5 deg (~1 m) in one streaming
+    map_batches pass (geom/simplify.simplify_features).  The gate rows
+    are per-feature vertex counts before/after — deterministic because
+    the corpus and eps are fixed (same freezing rationale as
+    osm_corpus_features)."""
+    from .geom.simplify import simplify_features
+    from .pipeline.osm import OsmPipeline, elements_dataset
+
+    rows = []
+    for base, elements in _corpus_elements():
+        feats = OsmPipeline(num_partitions=4).features(elements_dataset(elements))
+        out = simplify_features(feats, eps=1e-5).take_all()
+        out.sort(key=lambda r: r["seq"])
+        for r in out:
+            rows.append(
+                {
+                    "fixture": base,
+                    "seq": r["seq"],
+                    "geom_type": r["geom_type"],
+                    "n_in": r["n_in"],
+                    "n_out": r["n_out"],
+                }
+            )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("fixture", pa.string()),
+                ("seq", pa.int64()),
+                ("geom_type", pa.string()),
+                ("n_in", pa.int64()),
+                ("n_out", pa.int64()),
+            ]
+        ),
+    )
+
+
+# Frozen like OSM_CORPUS_SQL: fixed corpus + fixed eps => deterministic
+# 27-row table; pytest pins the simplify kernel independently
+# (tests/test_simplify.py: DP span guarantee, subset/idempotence, ring
+# validity), so this literal is not self-certifying.
+OSM_SIMPLIFY_SQL = """
+SELECT fixture, CAST(seq AS BIGINT) AS seq, geom_type,
+       CAST(n_in AS BIGINT) AS n_in, CAST(n_out AS BIGINT) AS n_out
+FROM (VALUES
+  ('node', 0, 'Point', 1, 1),
+  ('way', 0, 'LineString', 3, 3),
+  ('relation', 0, 'MultiPolygon', 9, 9),
+  ('map', 84, 'Polygon', 29, 26),
+  ('map', 85, 'Polygon', 5, 5),
+  ('map', 87, 'Polygon', 5, 5),
+  ('map', 88, 'Polygon', 14, 8),
+  ('map', 89, 'LineString', 3, 2),
+  ('map', 90, 'Polygon', 24, 15),
+  ('map', 91, 'LineString', 2, 2),
+  ('map', 92, 'Polygon', 5, 5),
+  ('map', 93, 'Polygon', 5, 5),
+  ('map', 94, 'MultiPolygon', 21, 19),
+  ('map', 95, 'LineString', 29, 26),
+  ('barrier-wall', 4, 'LineString', 4, 4),
+  ('center-feature', 0, 'Point', 1, 1),
+  ('meta', 0, 'Point', 1, 1),
+  ('meta', 1, 'Point', 1, 1),
+  ('meta', 2, 'Polygon', 12, 12),
+  ('issue-4', 1, 'LineString', 218, 80),
+  ('issue-6', 0, 'LineString', 2, 2),
+  ('issue-7', 0, 'LineString', 2, 2),
+  ('issue-9', 6, 'LineString', 6, 5),
+  ('issue-16', 5, 'LineString', 2, 2),
+  ('issue-35', 0, 'MultiPolygon', 3321, 1491),
+  ('issue-52-highway-service-closed', 0, 'LineString', 36, 17),
+  ('issue-54-staffordshire', 0, 'MultiPolygon', 23852, 15517)
+) AS t(fixture, seq, geom_type, n_in, n_out)
+"""
+
+
 # ------------------------------------------------- distance joins (integer)
 # Integer micro-degree points derived from part keys: every distance is
 # exact int64 arithmetic, so the DuckDB twins replay the joins
@@ -2108,6 +2186,7 @@ QUERIES = {
     "g_nearest_site": g_nearest_site,
     "g_cell_pyramid": g_cell_pyramid,
     "osm_corpus_features": osm_corpus_features,
+    "osm_corpus_simplify": osm_corpus_simplify,
     "m_image_decode": m_image_decode,
     "m_image_features": m_image_features,
 }
@@ -2148,6 +2227,7 @@ ORACLE_SQL = {
     "t_stratified_sample": T_STRATIFIED_SAMPLE_SQL,
     "e_label_centroid": E_LABEL_CENTROID_SQL,
     "osm_corpus_features": OSM_CORPUS_SQL,
+    "osm_corpus_simplify": OSM_SIMPLIFY_SQL,
     "e_knn_cosine": E_KNN_SQL,
     "e_knn_ivf": E_KNN_SQL,
     "e_neardup_pairs": E_NEARDUP_SQL,
