@@ -2097,6 +2097,79 @@ k AS (SELECT p.point_id,
 SELECT point_id, kmin % 64 AS site_id, kmin // 64 AS d2_udeg FROM k
 """
 
+def g_zorder_keys(sf_dir: str):
+    """Morton / Z-order storage keys for the image points at level 12
+    — the clustered sort key for locality-preserving table layout
+    (spatial/cells.zorder_key: grid floor + magic-constant bit
+    interleave, all integer shift/mask arithmetic the SQL twin
+    replays step for step)."""
+    from .spatial.cells import zorder_key
+
+    def encode(t: pa.Table) -> pa.Table:
+        z = zorder_key(
+            t["lon"].to_numpy(zero_copy_only=False),
+            t["lat"].to_numpy(zero_copy_only=False),
+            12,
+        )
+        return pa.Table.from_pydict(
+            {"image_id": t["image_id"], "zkey": pa.array(z)},
+            schema=pa.schema([("image_id", pa.int64()), ("zkey", pa.int64())]),
+        )
+
+    return part_images(sf_dir).map_batches(encode, batch_format="pyarrow")
+
+
+G_ZORDER_SQL = f"""
+WITH img AS ({_PART_IMG_SQL}),
+g AS (SELECT image_id,
+             CAST(floor((lon + 180) / 360 * 4096) AS BIGINT) AS x,
+             CAST(floor((lat + 90) / 180 * 4096) AS BIGINT) AS y
+      FROM img),
+a AS (SELECT image_id,
+             (x | (x << 8)) & 16711935 AS x1,
+             (y | (y << 8)) & 16711935 AS y1 FROM g),
+b AS (SELECT image_id,
+             (x1 | (x1 << 4)) & 252645135 AS x2,
+             (y1 | (y1 << 4)) & 252645135 AS y2 FROM a),
+c AS (SELECT image_id,
+             (x2 | (x2 << 2)) & 858993459 AS x3,
+             (y2 | (y2 << 2)) & 858993459 AS y3 FROM b),
+d AS (SELECT image_id,
+             (x3 | (x3 << 1)) & 1431655765 AS x4,
+             (y3 | (y3 << 1)) & 1431655765 AS y4 FROM c)
+SELECT image_id, x4 | (y4 << 1) AS zkey FROM d
+"""
+
+
+def e_quantize_codes(sf_dir: str):
+    """Symmetric int8 scalar quantization of the embedding table —
+    the ANN-index compression step (vectors.quantize_embeddings): one
+    shuffle-free absmax pass reduced to a broadcast per-dim scale, one
+    code-emitting pass.  floor-based so the gate never hits a rounding
+    tie; the SQL twin computes (x*127)/absmax in the identical IEEE
+    double op order."""
+    from .vectors import quantize_embeddings
+
+    emb = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return quantize_embeddings(emb, "vec_id", "embedding", levels=127)
+
+
+E_QUANTIZE_SQL = """
+WITH flat AS (
+  SELECT vec_id,
+         CAST(ord - 1 AS BIGINT) AS dim,
+         CAST(val AS DOUBLE) AS x
+  FROM (SELECT vec_id, unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) AS ord FROM embeddings)),
+s AS (SELECT dim, max(abs(x)) AS amax FROM flat GROUP BY 1)
+SELECT f.vec_id, f.dim,
+       CAST(greatest(-127, least(127,
+            floor((f.x * 127) / (CASE WHEN s.amax = 0 THEN 1.0 ELSE s.amax END))))
+            AS BIGINT) AS code
+FROM flat f JOIN s USING (dim)
+"""
+
+
 _PYR_LEVELS = (12, 8, 4)
 
 
@@ -2185,6 +2258,8 @@ QUERIES = {
     "g_radius_join": g_radius_join,
     "g_nearest_site": g_nearest_site,
     "g_cell_pyramid": g_cell_pyramid,
+    "g_zorder_keys": g_zorder_keys,
+    "e_quantize_codes": e_quantize_codes,
     "osm_corpus_features": osm_corpus_features,
     "osm_corpus_simplify": osm_corpus_simplify,
     "m_image_decode": m_image_decode,
@@ -2238,6 +2313,8 @@ ORACLE_SQL = {
     "g_radius_join": G_RADIUS_SQL,
     "g_nearest_site": G_NEAREST_SQL,
     "g_cell_pyramid": G_PYRAMID_SQL,
+    "g_zorder_keys": G_ZORDER_SQL,
+    "e_quantize_codes": E_QUANTIZE_SQL,
     "m_image_decode": M_IMAGE_DECODE_SQL,
     "m_image_features": M_IMAGE_FEATURES_SQL,
 }

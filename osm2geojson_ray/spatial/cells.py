@@ -325,3 +325,27 @@ def _any_edge_crossing(rect, ring) -> bool:
             if _segments_properly_intersect((ax[i], ay[i]), (bx[i], by[i]), r0, r1):
                 return True
     return False
+
+
+def _spread_bits16(v: np.ndarray) -> np.ndarray:
+    """Interleave-ready spread of 16-bit values into even bit
+    positions (classic Morton magic constants), vectorized int64."""
+    v = v & np.int64(0xFFFF)
+    v = (v | (v << np.int64(8))) & np.int64(0x00FF00FF)
+    v = (v | (v << np.int64(4))) & np.int64(0x0F0F0F0F)
+    v = (v | (v << np.int64(2))) & np.int64(0x33333333)
+    v = (v | (v << np.int64(1))) & np.int64(0x55555555)
+    return v
+
+
+def zorder_key(lon, lat, level: int):
+    """Vectorized point -> Morton / Z-order key at ``level`` (<= 16):
+    grid coordinates bit-interleaved so numerically-close keys are
+    spatially close — the storage sort key that makes range scans of a
+    tile-sharded table touch contiguous row groups.  Pure shift/mask
+    integer arithmetic over the same grid as ``cell_id``, so a SQL
+    twin can replay it exactly."""
+    if level < 0 or level > 16:
+        raise ValueError("zorder_key supports levels 0..16")
+    x, y = _grid_xy(np.atleast_1d(lon), np.atleast_1d(lat), level)
+    return _spread_bits16(x) | (_spread_bits16(y) << np.int64(1))

@@ -103,3 +103,68 @@ def grouped_centroid(ds, group_col: str, vec_col: str, *, scale: int = 10000,
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def quantize_embeddings(ds, id_col: str, vec_col: str, *, levels: int = 127):
+    """Symmetric int8 scalar quantization of an embedding column — the
+    4x ANN-index compression step: code = floor(x * levels / absmax_d)
+    per dimension, clamped to [-levels, levels].
+
+    Two passes, both shuffle-free: (1) per-batch per-dimension |x| max
+    partials -> one tiny reduce for the global per-dim scale (ray.put
+    broadcast); (2) one map_batches emits codes.  floor (not round) so
+    the gate never hits a rounding-tie: numpy and SQL floor() agree on
+    every representable double, whereas round() diverges half-even vs
+    half-away.  The quantization expression is (x * levels) / absmax in
+    BOTH engines — identical IEEE double op order, so codes are
+    bit-reproducible in a DuckDB twin.  Output long (id, dim, code):
+    the gate-friendly shape; a production sink would keep codes as a
+    fixed_size_list<int8> column.
+    """
+    import ray as _ray
+
+    def absmax_partial(tbl: pa.Table) -> pa.Table:
+        M = vec_matrix(tbl[vec_col])
+        if M.size == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "amax": pa.array([], pa.float64())})
+        am = np.abs(M).max(axis=0)
+        return pa.table({"dim": pa.array(np.arange(M.shape[1], dtype=np.int64)),
+                         "amax": pa.array(am)})
+
+    partials = ds.map_batches(absmax_partial, batch_format="pyarrow")
+
+    @_ray.remote
+    def _reduce(*blocks):
+        tbl = pa.concat_tables(blocks, promote_options="default")
+        d = tbl["dim"].to_numpy(zero_copy_only=False)
+        a = tbl["amax"].to_numpy(zero_copy_only=False)
+        ndim = int(d.max()) + 1 if len(d) else 0
+        out = np.zeros(ndim, dtype=np.float64)
+        np.maximum.at(out, d, a)
+        return out
+
+    refs = []
+    for bundle in partials.iter_internal_ref_bundles():
+        for block_ref, meta in bundle.blocks:
+            if meta.num_rows is None or meta.num_rows > 0:
+                refs.append(block_ref)
+    scale_ref = _ray.put(_ray.get(_reduce.remote(*refs)))
+
+    def quantize(tbl: pa.Table) -> pa.Table:
+        amax = _ray.get(scale_ref)
+        M = vec_matrix(tbl[vec_col])
+        ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n, ndim = M.shape if M.size else (0, 0)
+        safe = np.where(amax == 0.0, 1.0, amax)
+        codes = np.floor((M * float(levels)) / safe[None, :])
+        np.clip(codes, -levels, levels, out=codes)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, ndim)),
+                "dim": pa.array(np.tile(np.arange(ndim, dtype=np.int64), n)),
+                "code": pa.array(codes.ravel().astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(quantize, batch_format="pyarrow")

@@ -325,3 +325,30 @@ def test_tfidf_topk_hand_values(ray_session):
         (3, "cherry", s(2 * math.log(2))),
         (3, "apple", 0),
     ]
+
+
+def test_quantize_embeddings_roundtrip_bound(ray_session):
+    import ray.data
+
+    from osm2geojson_ray.vectors import quantize_embeddings, vec_matrix
+
+    rng = np.random.default_rng(13)
+    n, d = 64, 8
+    M = rng.normal(0, 2.0, (n, d)).astype(np.float32)
+    tbl = pa.table(
+        {"vec_id": np.arange(n, dtype=np.int64), "embedding": list(M)}
+    )
+    out = (
+        quantize_embeddings(ray.data.from_arrow(tbl).repartition(3),
+                            "vec_id", "embedding", levels=127)
+        .to_pandas()
+        .sort_values(["vec_id", "dim"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == n * d
+    codes = out["code"].to_numpy().reshape(n, d)
+    assert codes.min() >= -127 and codes.max() <= 127
+    amax = np.abs(M.astype(np.float64)).max(axis=0)
+    recon = codes * amax / 127.0
+    # floor quantization: reconstruction within one step of the input
+    assert np.all(np.abs(recon - M.astype(np.float64)) <= amax / 127.0 + 1e-12)

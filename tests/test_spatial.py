@@ -324,3 +324,18 @@ def test_cell_pyramid_invariants(ray_session):
     puniq = np.unique(parents)
     sub8 = out[out["level"] == 8]
     assert sorted(sub8["cell_id"].tolist()) == sorted(puniq.tolist())
+
+
+def test_zorder_key_properties():
+    from osm2geojson_ray.spatial.cells import zorder_key
+
+    # interleave identity on a known grid cell (x=3, y=5 at level 3)
+    k = zorder_key(np.array([-180 + 3 * 45 + 1.0]), np.array([-90 + 5 * 22.5 + 1.0]), 3)
+    assert k[0] == 0b100111
+    # same-cell points share keys; neighbor cells differ
+    lon = np.array([10.0, 10.001, 50.0])
+    lat = np.array([20.0, 20.001, 20.0])
+    z = zorder_key(lon, lat, 12)
+    assert z[0] == z[1] != z[2]
+    with pytest.raises(ValueError):
+        zorder_key(lon, lat, 17)
