@@ -2001,6 +2001,53 @@ FROM (VALUES
 """
 
 
+def m_caption_extract(sf_dir: str):
+    """Caption-side analytics on the image+caption table: vectorized
+    regex extraction (pyarrow.compute.extract_regex, no per-row
+    Python) pulls the structured scene/phase fields OUT OF THE CAPTION
+    STRINGS, then a combiner-pushdown groupby aggregates per phase
+    decade.  The oracle never reads a caption: it recomputes
+    scene/phase numerically (the splitmix64 HUGEINT CTE) — a
+    cross-representation gate that the string path parsed exactly what
+    the generator encoded."""
+    from .images.synth import synth_image_table
+    from .relational import partial_grouped_agg
+
+    ds = synth_image_table(2000, partition_rows=500)
+
+    def extract(t: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(
+            t["caption"], r"^synthetic scene (?P<scene>\d+) phase (?P<phase>\d+)$"
+        )
+        scene = pc.cast(pc.struct_field(ext, "scene"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        phase = pc.cast(pc.struct_field(ext, "phase"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "phase_decade": pa.array(phase // 100),
+                "scene": pa.array(scene),
+            }
+        )
+
+    return partial_grouped_agg(
+        ds.map_batches(extract, batch_format="pyarrow"),
+        ["phase_decade"],
+        {"n_images": (None, "count"), "sum_scene": ("scene", "sum")},
+    )
+
+
+M_CAPTION_SQL = f"""
+WITH {_SPLITMIX_PHASE_CTE}
+SELECT CAST((h64 % 1000) // 100 AS BIGINT) AS phase_decade,
+       count(*) AS n_images,
+       CAST(sum(i) AS BIGINT) AS sum_scene
+FROM fin GROUP BY 1
+"""
+
+
 # ------------------------------------------------- distance joins (integer)
 # Integer micro-degree points derived from part keys: every distance is
 # exact int64 arithmetic, so the DuckDB twins replay the joins
@@ -2264,6 +2311,7 @@ QUERIES = {
     "osm_corpus_simplify": osm_corpus_simplify,
     "m_image_decode": m_image_decode,
     "m_image_features": m_image_features,
+    "m_caption_extract": m_caption_extract,
 }
 
 ORACLE_SQL = {
@@ -2317,4 +2365,5 @@ ORACLE_SQL = {
     "e_quantize_codes": E_QUANTIZE_SQL,
     "m_image_decode": M_IMAGE_DECODE_SQL,
     "m_image_features": M_IMAGE_FEATURES_SQL,
+    "m_caption_extract": M_CAPTION_SQL,
 }
