@@ -1278,9 +1278,14 @@ def connected_components(
         ).materialize()
         cur = labels.sum("label")
         if cur == prev:
-            break
+            return labels
         prev = cur
-    return labels
+    # labels still moving when the round budget ran out: returning them
+    # would be silently WRONG (e.g. a path graph longer than max_iters).
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds; "
+        "raise max_iters (rounds needed = component diameter)"
+    )
 
 
 def grouped_argmax(

@@ -3,6 +3,7 @@ the partitioned hash join, distinct/count, and block coalescing."""
 
 import numpy as np
 import pandas as pd
+import pytest
 import pyarrow as pa
 
 import ray.data
@@ -720,3 +721,18 @@ def test_connected_components_empty(ray_session):
         pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
     )
     assert connected_components(ds).count() == 0
+
+
+def test_connected_components_nonconvergence_raises(ray_session):
+    import ray.data
+
+    from osm2geojson_ray.relational import connected_components
+
+    # a 12-node path needs ~11 rounds; cap at 3 must raise, not return
+    a = np.arange(11, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({"a": a, "b": a + 1}))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(ds, max_iters=3)
+    # and with enough rounds the same input resolves to label 0
+    out = connected_components(ds, max_iters=20).to_pandas()
+    assert set(out["label"]) == {0}
