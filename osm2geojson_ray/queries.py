@@ -2001,6 +2001,26 @@ FROM (VALUES
 """
 
 
+def q22_user_event_paths(sf_dir: str):
+    """Ordered per-group string collection — string_agg(event_type
+    ORDER BY event_id) per user — via ONE hash exchange and a single
+    vectorized pc.binary_join over group-offset list slices per
+    partition (relational.grouped_concat): the event-sequence /
+    session-path aggregate, with no per-group Python concat."""
+    from .relational import grouped_concat
+
+    events = _pq(sf_dir, "events", ["user_id", "event_type", "event_id"])
+    return grouped_concat(
+        events, "user_id", "event_type", "event_id", sep=",", out_col="path"
+    )
+
+
+Q22_SQL = """
+SELECT user_id, string_agg(event_type, ',' ORDER BY event_id) AS path
+FROM events GROUP BY user_id
+"""
+
+
 def m_caption_extract(sf_dir: str):
     """Caption-side analytics on the image+caption table: vectorized
     regex extraction (pyarrow.compute.extract_regex, no per-row
@@ -2280,6 +2300,7 @@ QUERIES = {
     "q19_order_rank_windows": q19_order_rank_windows,
     "q20_priciest_order_per_customer": q20_priciest_order_per_customer,
     "q21_rolling_revenue": q21_rolling_revenue,
+    "q22_user_event_paths": q22_user_event_paths,
     "t_token_count": t_token_count,
     "t_quality_stats": t_quality_stats,
     "t_token_quantiles": t_token_quantiles,
@@ -2336,6 +2357,7 @@ ORACLE_SQL = {
     "q19_order_rank_windows": Q19_SQL,
     "q20_priciest_order_per_customer": Q20_SQL,
     "q21_rolling_revenue": Q21_SQL,
+    "q22_user_event_paths": Q22_SQL,
     "t_token_count": T_TOKEN_SQL,
     "t_quality_stats": T_QUALITY_SQL,
     "t_token_quantiles": T_QUANTILES_SQL,

@@ -1333,3 +1333,51 @@ def grouped_argmax(
         return pa.Table.from_pydict(cols)
 
     return agg.map_batches(decode, batch_format="pyarrow")
+
+
+def grouped_concat(
+    ds,
+    key: str,
+    val_col: str,
+    order_col: str,
+    *,
+    sep: str = ",",
+    num_partitions: int = 16,
+    out_col: str = "joined",
+):
+    """GROUP BY key -> string_agg(val ORDER BY order_col) — ordered
+    list/string collection per group, fully vectorized: one hash
+    exchange co-locates each key, then every partition lexsorts once
+    and builds ALL its groups' joined strings in a single
+    ``pc.binary_join`` over a ListArray sliced by group offsets — no
+    per-row or per-group Python string concat.  Include a unique
+    ``order_col`` for a deterministic gate.  Skew note: one key's whole
+    group lands on one task (same caveat as partitioned_window)."""
+    import pyarrow.compute as pc
+
+    out_schema = pa.schema([(key, pa.int64()), (out_col, pa.string())])
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if "__part" in tbl.column_names:
+            tbl = tbl.drop_columns(["__part"])
+        n = len(tbl)
+        if n == 0:
+            return out_schema.empty_table()
+        k = tbl[key].to_numpy(zero_copy_only=False)
+        o = tbl[order_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((o, k))
+        ks = k[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        offsets = np.r_[starts, n].astype(np.int32)
+        vals = tbl[val_col].combine_chunks().take(pa.array(order))
+        la = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), vals)
+        joined = pc.binary_join(la, sep)
+        return pa.Table.from_pydict(
+            {key: pa.array(ks[starts].astype(np.int64)), out_col: joined},
+            schema=out_schema,
+        )
+
+    out = hash_exchange_map(ds, key, num_partitions, kernel)
+    if out is None:
+        return empty_dataset(out_schema)
+    return out

@@ -149,7 +149,10 @@ def quantize_embeddings(ds, id_col: str, vec_col: str, *, levels: int = 127):
         for block_ref, meta in bundle.blocks:
             if meta.num_rows is None or meta.num_rows > 0:
                 refs.append(block_ref)
-    scale_ref = _ray.put(_ray.get(_reduce.remote(*refs)))
+    if not refs:  # empty input: no scales needed, codes pass is a no-op
+        scale_ref = _ray.put(np.zeros(0, dtype=np.float64))
+    else:
+        scale_ref = _ray.put(_ray.get(_reduce.remote(*refs)))
 
     def quantize(tbl: pa.Table) -> pa.Table:
         amax = _ray.get(scale_ref)

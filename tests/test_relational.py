@@ -736,3 +736,29 @@ def test_connected_components_nonconvergence_raises(ray_session):
     # and with enough rounds the same input resolves to label 0
     out = connected_components(ds, max_iters=20).to_pandas()
     assert set(out["label"]) == {0}
+
+
+def test_grouped_concat_matches_pandas(ray_session):
+    from osm2geojson_ray.relational import grouped_concat
+
+    rng = np.random.default_rng(31)
+    n = 300
+    tbl = pa.table(
+        {
+            "k": rng.integers(0, 20, n, dtype=np.int64),
+            "v": pa.array([f"t{int(x)}" for x in rng.integers(0, 9, n)]),
+            "o": np.random.default_rng(32).permutation(n).astype(np.int64),
+        }
+    )
+    got = (
+        grouped_concat(
+            ray.data.from_arrow(tbl).repartition(4), "k", "v", "o", sep="|"
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    df = tbl.to_pandas().sort_values(["k", "o"])
+    want = df.groupby("k")["v"].agg(lambda s: "|".join(s)).reset_index()
+    assert got["k"].tolist() == want["k"].tolist()
+    assert got["joined"].tolist() == want["v"].tolist()
