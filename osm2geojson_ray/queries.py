@@ -2021,6 +2021,40 @@ FROM events GROUP BY user_id
 """
 
 
+def q23_urgent_lineitem_counts(sf_dir: str):
+    """Semi join with a broadcast BLOOM prefilter
+    (relational.bloom_semi_join): the urgent-order key set reduces to a
+    1 Mbit filter broadcast once; lineitem rows that cannot match never
+    enter the exchange, and the exact left-semi hash join on the
+    survivors removes the Bloom's false positives — the classic
+    fact-table pushdown, exact by construction (gate = plain IN in
+    SQL)."""
+    from .relational import bloom_semi_join, partial_grouped_agg
+
+    li = _pq(sf_dir, "lineitem", ["l_orderkey"])
+
+    def urgent_keys(t: pa.Table) -> pa.Table:
+        mask = pc.equal(t["o_orderpriority"], "1-URGENT")
+        return pa.table({"l_orderkey": t["o_orderkey"].filter(mask)})
+
+    keys = _pq(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+        urgent_keys, batch_format="pyarrow"
+    )
+    semi = bloom_semi_join(li, keys, on="l_orderkey", l_schema=pa.schema(
+        [("l_orderkey", pa.int64())]
+    ))
+    return partial_grouped_agg(semi, ["l_orderkey"], {"n_items": (None, "count")})
+
+
+Q23_SQL = """
+SELECT l_orderkey, count(*) AS n_items
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT')
+GROUP BY 1
+"""
+
+
 def m_caption_extract(sf_dir: str):
     """Caption-side analytics on the image+caption table: vectorized
     regex extraction (pyarrow.compute.extract_regex, no per-row
@@ -2301,6 +2335,7 @@ QUERIES = {
     "q20_priciest_order_per_customer": q20_priciest_order_per_customer,
     "q21_rolling_revenue": q21_rolling_revenue,
     "q22_user_event_paths": q22_user_event_paths,
+    "q23_urgent_lineitem_counts": q23_urgent_lineitem_counts,
     "t_token_count": t_token_count,
     "t_quality_stats": t_quality_stats,
     "t_token_quantiles": t_token_quantiles,
@@ -2358,6 +2393,7 @@ ORACLE_SQL = {
     "q20_priciest_order_per_customer": Q20_SQL,
     "q21_rolling_revenue": Q21_SQL,
     "q22_user_event_paths": Q22_SQL,
+    "q23_urgent_lineitem_counts": Q23_SQL,
     "t_token_count": T_TOKEN_SQL,
     "t_quality_stats": T_QUALITY_SQL,
     "t_token_quantiles": T_QUANTILES_SQL,

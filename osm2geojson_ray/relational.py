@@ -1381,3 +1381,87 @@ def grouped_concat(
     if out is None:
         return empty_dataset(out_schema)
     return out
+
+
+def _bloom_positions(keys: np.ndarray, m_bits: int, k_hashes: int) -> np.ndarray:
+    """(n, k) bit positions via double hashing: pos_i = (h1 + i*h2) % m
+    (Kirsch–Mitzenmacher), h1/h2 from two splitmix64 streams."""
+    from .images.synth import splitmix64
+
+    u = keys.astype(np.uint64, copy=False)
+    h1 = splitmix64(u)
+    h2 = splitmix64(u ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+    i = np.arange(k_hashes, dtype=np.uint64)[None, :]
+    return ((h1[:, None] + i * h2[:, None]) % np.uint64(m_bits)).astype(np.int64)
+
+
+def bloom_semi_join(
+    left,
+    right_keys,
+    *,
+    on: str,
+    l_schema: pa.Schema,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+    num_partitions: int = 16,
+):
+    """EXACT left-semi join with a broadcast Bloom prefilter: the
+    classic pushdown for "big fact table ⋉ selective key set" — the
+    filter drops definite non-members BEFORE the exchange, so the
+    shuffle carries only plausible matches, and an exact
+    ``hash_join(how="left_semi")`` on the survivors removes the Bloom's
+    false positives.  Result is therefore exactly the semi join
+    (no false negatives: every member's bits were set by construction).
+
+    Scale shape: the right side reduces to an m_bits/8-byte bit array
+    (per-batch local ORs -> one OR reduce -> one ray.put broadcast) —
+    at 10^12 left rows the prefilter costs one vectorized probe per
+    batch and typically removes the vast majority of the exchange
+    volume; size m_bits ~ 10x right-key-count for ~1-2 % false
+    positives.  ``right_keys``: Dataset with column ``on``.
+    """
+    import ray as _ray
+
+    def set_bits(t: pa.Table) -> pa.Table:
+        keys = t[on].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        bits = np.zeros(m_bits, dtype=bool)
+        if len(keys):
+            bits[_bloom_positions(keys, m_bits, k_hashes).ravel()] = True
+        return pa.table({"words": [np.packbits(bits)]})
+
+    partials = right_keys.map_batches(set_bits, batch_format="pyarrow")
+
+    @_ray.remote
+    def _or(*blocks):
+        out = None
+        for b in blocks:
+            w = np.asarray(b["words"].to_pylist()[0], dtype=np.uint8)
+            out = w if out is None else (out | w)
+        return out
+
+    refs = []
+    for bundle in partials.iter_internal_ref_bundles():
+        for block_ref, meta in bundle.blocks:
+            if meta.num_rows is None or meta.num_rows > 0:
+                refs.append(block_ref)
+    packed = _ray.get(_or.remote(*refs)) if refs else np.zeros(m_bits // 8, np.uint8)
+    bits_ref = _ray.put(np.unpackbits(packed).astype(bool))
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        bits = _ray.get(bits_ref)
+        keys = t[on].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        if not len(keys):
+            return t
+        pos = _bloom_positions(keys, m_bits, k_hashes)
+        return t.filter(pa.array(bits[pos].all(axis=1)))
+
+    survivors = left.map_batches(prefilter, batch_format="pyarrow")
+    return hash_join(
+        survivors,
+        right_keys,
+        on=on,
+        l_schema=l_schema,
+        r_schema=pa.schema([(on, pa.int64())]),
+        how="left_semi",
+        num_partitions=num_partitions,
+    )

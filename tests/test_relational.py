@@ -762,3 +762,30 @@ def test_grouped_concat_matches_pandas(ray_session):
     want = df.groupby("k")["v"].agg(lambda s: "|".join(s)).reset_index()
     assert got["k"].tolist() == want["k"].tolist()
     assert got["joined"].tolist() == want["v"].tolist()
+
+
+def test_bloom_semi_join_exact_and_prefilter_effective(ray_session):
+    from osm2geojson_ray.relational import (
+        _bloom_positions,
+        bloom_semi_join,
+    )
+
+    rng = np.random.default_rng(41)
+    left_keys = rng.integers(0, 100_000, 5000, dtype=np.int64)
+    right = np.unique(rng.integers(0, 100_000, 200, dtype=np.int64))
+    lds = ray.data.from_arrow(pa.table({"k": left_keys})).repartition(4)
+    rds = ray.data.from_arrow(pa.table({"k": right})).repartition(2)
+
+    got = (
+        bloom_semi_join(lds, rds, on="k", l_schema=pa.schema([("k", pa.int64())]),
+                        m_bits=1 << 14)
+        .to_pandas()["k"]
+        .to_numpy()
+    )
+    want = left_keys[np.isin(left_keys, right)]
+    assert sorted(got.tolist()) == sorted(want.tolist())
+
+    # no false negatives by construction: every member passes the probe
+    bits = np.zeros(1 << 14, dtype=bool)
+    bits[_bloom_positions(right, 1 << 14, 4).ravel()] = True
+    assert bits[_bloom_positions(want, 1 << 14, 4)].all()
