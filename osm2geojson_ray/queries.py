@@ -1962,6 +1962,88 @@ def osm_corpus_simplify(sf_dir: str):
     )
 
 
+def osm_corpus_metrics(sf_dir: str):
+    """Per-feature geometry measurements (planar shoelace area,
+    perimeter/length, area- or length-weighted centroid) over the
+    stitched golden corpus, one streaming map_batches pass
+    (geom/metrics.metrics_features).  Gate values are floor-scaled
+    integers (area 1e12, length 1e9, centroid 1e7) — floor is tie-free
+    and the corpus is fixed, so the VALUES literal below is
+    deterministic; the kernels are pinned independently by
+    tests/test_metrics.py known-shape checks."""
+    from .geom.metrics import metrics_features
+    from .pipeline.osm import OsmPipeline, elements_dataset
+
+    rows = []
+    for base, elements in _corpus_elements():
+        feats = OsmPipeline(num_partitions=4).features(elements_dataset(elements))
+        out = metrics_features(feats).take_all()
+        out.sort(key=lambda r: r["seq"])
+        for r in out:
+            def _fl(v, s):
+                return int(np.floor(v * s)) if np.isfinite(v) else -(10**15)
+
+            rows.append(
+                {
+                    "fixture": base,
+                    "seq": r["seq"],
+                    "area_p": _fl(r["area_deg2"], 1e12),
+                    "len_n": _fl(r["length_deg"], 1e9),
+                    "cx_n": _fl(r["cx"], 1e7),
+                    "cy_n": _fl(r["cy"], 1e7),
+                }
+            )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("fixture", pa.string()),
+                ("seq", pa.int64()),
+                ("area_p", pa.int64()),
+                ("len_n", pa.int64()),
+                ("cx_n", pa.int64()),
+                ("cy_n", pa.int64()),
+            ]
+        ),
+    )
+
+
+OSM_METRICS_SQL = """
+SELECT fixture, CAST(seq AS BIGINT) AS seq,
+       CAST(area_p AS BIGINT) AS area_p, CAST(len_n AS BIGINT) AS len_n,
+       CAST(cx_n AS BIGINT) AS cx_n, CAST(cy_n AS BIGINT) AS cy_n
+FROM (VALUES
+  ('node', 0, 0, 0, 43210000, 12340000),
+  ('way', 0, 0, 241421356, 11085786, 292893),
+  ('relation', 0, 3750000000000, 10414213562, -111112, 0),
+  ('map', 84, 404806, 4429732, 262427032, 506136117),
+  ('map', 85, 124193, 1788160, 262429866, 506130112),
+  ('map', 87, 81982, 1258554, 262436539, 506131070),
+  ('map', 88, 1282441, 4996380, 262441676, 506140965),
+  ('map', 89, 0, 1004041, 262434893, 506138289),
+  ('map', 90, 125799, 1310440, 262422491, 506134806),
+  ('map', 91, 0, 287706, 262436430, 506134660),
+  ('map', 92, 42731, 904942, 262435060, 506136204),
+  ('map', 93, 77718, 1333389, 262438837, 506132644),
+  ('map', 94, 477318, 4791049, 262443971, 506141068),
+  ('map', 95, 0, 4429732, 262427510, 506135804),
+  ('barrier-wall', 4, 0, 3404491, -793691362, 437734267),
+  ('center-feature', 0, 0, 0, 262443283, 506108274),
+  ('meta', 0, 0, 0, 262433173, 506136731),
+  ('meta', 1, 0, 0, 262449014, 506148747),
+  ('meta', 2, 110157, 1880524, 262451896, 506144924),
+  ('issue-4', 1, 0, 159501742, 288760003, 469791890),
+  ('issue-6', 0, 0, 221737, 85642906, 472947386),
+  ('issue-7', 0, 0, 177932, 85960728, 473970404),
+  ('issue-9', 6, 0, 2636121, 71815097, 507428405),
+  ('issue-16', 5, 0, 212317, 133313139, 525037313),
+  ('issue-35', 0, 6245656517, 1103994910, 49221775, 514358316),
+  ('issue-54-staffordshire', 0, 350182011215, 6009543759, -20322940, 528519725),
+  ('issue-52-highway-service-closed', 0, 0, 4963253, -1161814101, 513292227)
+) AS t(fixture, seq, area_p, len_n, cx_n, cy_n)
+"""
+
+
 # Frozen like OSM_CORPUS_SQL: fixed corpus + fixed eps => deterministic
 # 27-row table; pytest pins the simplify kernel independently
 # (tests/test_simplify.py: DP span guarantee, subset/idempotence, ring
@@ -2365,6 +2447,7 @@ QUERIES = {
     "e_quantize_codes": e_quantize_codes,
     "osm_corpus_features": osm_corpus_features,
     "osm_corpus_simplify": osm_corpus_simplify,
+    "osm_corpus_metrics": osm_corpus_metrics,
     "m_image_decode": m_image_decode,
     "m_image_features": m_image_features,
     "m_caption_extract": m_caption_extract,
@@ -2409,6 +2492,7 @@ ORACLE_SQL = {
     "e_label_centroid": E_LABEL_CENTROID_SQL,
     "osm_corpus_features": OSM_CORPUS_SQL,
     "osm_corpus_simplify": OSM_SIMPLIFY_SQL,
+    "osm_corpus_metrics": OSM_METRICS_SQL,
     "e_knn_cosine": E_KNN_SQL,
     "e_knn_ivf": E_KNN_SQL,
     "e_neardup_pairs": E_NEARDUP_SQL,
