@@ -2353,6 +2353,44 @@ FROM flat f JOIN s USING (dim)
 """
 
 
+_GEO_QKEYS = [7, 19, 31]
+_GEO_RADIUS_M = 120_000.0
+
+
+def g_radius_geo(sf_dir: str):
+    """Geodesic (haversine, meters) within-distance join — the
+    latitude-correct variant of g_radius_join
+    (spatial/distance.radius_join_geo: lat-aware bbox prefilter + exact
+    great-circle test, same broadcast/stream shape).  The gate is the
+    MEMBERSHIP SET only (query_id, point_id — no float distances): on
+    the frozen inputs no point sits within libm-ulp of the radius
+    boundary, so both engines' trig agrees on every in/out decision."""
+    from .spatial.distance import radius_join_geo
+
+    qk = np.array(_GEO_QKEYS, dtype=np.int64)
+    qlon = (qk * 2654435761 % 8000000) / 1e6 - 2.0
+    qlat = (qk * 40503 % 8000000) / 1e6 - 2.0
+    out = radius_join_geo(part_images(sf_dir), qk, qlon, qlat, _GEO_RADIUS_M,
+                          id_col="image_id")
+    return out.select_columns(["query_id", "point_id"])
+
+
+G_RADIUS_GEO_SQL = f"""
+WITH img AS ({_PART_IMG_SQL}),
+q AS (SELECT CAST(k AS BIGINT) AS query_id,
+             (CAST(k AS BIGINT) * 2654435761 % 8000000) / 1e6 - 2 AS qlon,
+             (CAST(k AS BIGINT) * 40503 % 8000000) / 1e6 - 2 AS qlat
+      FROM (SELECT unnest([{', '.join(str(k) for k in _GEO_QKEYS)}]) AS k))
+SELECT q.query_id, i.image_id AS point_id
+FROM q CROSS JOIN img i
+WHERE 2 * 6371008.8 * asin(sqrt(least(1.0,
+        sin(radians(i.lat - q.qlat) / 2) * sin(radians(i.lat - q.qlat) / 2)
+        + cos(radians(q.qlat)) * cos(radians(i.lat))
+          * sin(radians(i.lon - q.qlon) / 2) * sin(radians(i.lon - q.qlon) / 2))))
+      <= {_GEO_RADIUS_M}
+"""
+
+
 _PYR_LEVELS = (12, 8, 4)
 
 
@@ -2442,6 +2480,7 @@ QUERIES = {
     "g_pip_join_boxes": g_pip_join_boxes,
     "g_radius_join": g_radius_join,
     "g_nearest_site": g_nearest_site,
+    "g_radius_geo": g_radius_geo,
     "g_cell_pyramid": g_cell_pyramid,
     "g_zorder_keys": g_zorder_keys,
     "e_quantize_codes": e_quantize_codes,
@@ -2502,6 +2541,7 @@ ORACLE_SQL = {
     "g_pip_join_boxes": G_PIP_BOXES_SQL,
     "g_radius_join": G_RADIUS_SQL,
     "g_nearest_site": G_NEAREST_SQL,
+    "g_radius_geo": G_RADIUS_GEO_SQL,
     "g_cell_pyramid": G_PYRAMID_SQL,
     "g_zorder_keys": G_ZORDER_SQL,
     "e_quantize_codes": E_QUANTIZE_SQL,

@@ -149,3 +149,82 @@ def nearest_join(
         )
 
     return points.map_batches(per_batch, batch_format="pyarrow")
+
+
+_EARTH_R_M = 6_371_008.8  # IUGG mean radius
+
+
+def haversine_m(lon1, lat1, lon2, lat2) -> np.ndarray:
+    """Vectorized great-circle distance in meters (haversine).  The
+    geodesic companion to the planar kernels above: planar micro-degree
+    distance distorts with latitude (a degree of longitude shrinks by
+    cos(lat)); use this metric when inputs span real latitudes.  Not
+    driver-hash-gated (trig last-ulp differences across libm builds
+    could flip a floor at a boundary) — pinned by pytest against
+    reference values instead."""
+    lon1, lat1, lon2, lat2 = (
+        np.radians(np.asarray(a, dtype=np.float64)) for a in (lon1, lat1, lon2, lat2)
+    )
+    dlat = lat2 - lat1
+    dlon = lon2 - lon1
+    h = np.sin(dlat / 2) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2) ** 2
+    return 2.0 * _EARTH_R_M * np.arcsin(np.sqrt(np.minimum(h, 1.0)))
+
+
+_RADIUS_GEO_SCHEMA = pa.schema(
+    [("query_id", pa.int64()), ("point_id", pa.int64()), ("dist_m", pa.float64())]
+)
+
+
+def radius_join_geo(
+    points,
+    query_ids: Sequence[int],
+    q_lon: Sequence[float],
+    q_lat: Sequence[float],
+    radius_m: float,
+    *,
+    id_col: str = "point_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+):
+    """Geodesic within-distance join (meters): same broadcast/stream
+    shape as :func:`radius_join`, with a latitude-aware bbox prefilter
+    (lon window widened by 1/cos(lat), clamped at the poles) before the
+    exact haversine test."""
+    q_ids = np.asarray(query_ids, dtype=np.int64)
+    qx = np.asarray(q_lon, dtype=np.float64)
+    qy = np.asarray(q_lat, dtype=np.float64)
+    r = float(radius_m)
+    # degrees per meter: 1 deg lat ~ R*pi/180 meters
+    deg_lat = r / (_EARTH_R_M * np.pi / 180.0)
+    coslat = np.maximum(np.cos(np.radians(qy)), 1e-6)
+    deg_lon = np.minimum(deg_lat / coslat, 360.0)
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        pid = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        x = t[lon_col].to_numpy(zero_copy_only=False)
+        y = t[lat_col].to_numpy(zero_copy_only=False)
+        out_q, out_p, out_d = [], [], []
+        for j in range(len(q_ids)):
+            m = (np.abs(y - qy[j]) <= deg_lat) & (np.abs(x - qx[j]) <= deg_lon[j])
+            if not m.any():
+                continue
+            d = haversine_m(x[m], y[m], qx[j], qy[j])
+            inside = d <= r
+            if not inside.any():
+                continue
+            out_q.append(np.full(int(inside.sum()), q_ids[j], dtype=np.int64))
+            out_p.append(pid[m][inside])
+            out_d.append(d[inside])
+        if not out_q:
+            return _RADIUS_GEO_SCHEMA.empty_table()
+        return pa.Table.from_pydict(
+            {
+                "query_id": np.concatenate(out_q),
+                "point_id": np.concatenate(out_p),
+                "dist_m": np.concatenate(out_d),
+            },
+            schema=_RADIUS_GEO_SCHEMA,
+        )
+
+    return points.map_batches(per_batch, batch_format="pyarrow")

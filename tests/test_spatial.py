@@ -339,3 +339,42 @@ def test_zorder_key_properties():
     assert z[0] == z[1] != z[2]
     with pytest.raises(ValueError):
         zorder_key(lon, lat, 17)
+
+
+def test_haversine_reference_values():
+    from osm2geojson_ray.spatial.distance import haversine_m
+
+    # London (−0.1276, 51.5072) to Paris (2.3522, 48.8566): ~343.5 km
+    d = haversine_m([-0.1276], [51.5072], [2.3522], [48.8566])[0]
+    assert abs(d - 343_550) < 1_500
+    # equator degree of longitude ~111.19 km; at 60N it halves
+    assert abs(haversine_m([0], [0], [1], [0])[0] - 111_195) < 50
+    assert abs(haversine_m([0], [60], [1], [60])[0] - 55_597) < 200
+    # antipodal clamp never produces NaN
+    assert np.isfinite(haversine_m([0], [0], [180], [0])[0])
+
+
+def test_radius_join_geo_matches_bruteforce(ray_session):
+    from osm2geojson_ray.spatial.distance import haversine_m, radius_join_geo
+
+    rng = np.random.default_rng(17)
+    n = 400
+    lon = rng.uniform(-10, 10, n)
+    lat = rng.uniform(40, 70, n)  # high latitude: planar would be wrong
+    pid = np.arange(n, dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"point_id": pid, "lon": lon, "lat": lat})
+    ).repartition(3)
+    qid = np.array([1, 2], dtype=np.int64)
+    qlon = np.array([0.0, 5.0])
+    qlat = np.array([45.0, 65.0])
+    r = 300_000.0
+
+    got = radius_join_geo(ds, qid, qlon, qlat, r).to_pandas()
+    got_set = set(zip(got["query_id"], got["point_id"]))
+    want = set()
+    for j in range(2):
+        d = haversine_m(lon, lat, qlon[j], qlat[j])
+        for i in np.flatnonzero(d <= r):
+            want.add((qid[j], pid[i]))
+    assert got_set == want and len(got) == len(want)
