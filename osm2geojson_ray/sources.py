@@ -21,6 +21,7 @@ import urllib.parse
 import urllib.request
 from typing import List, Optional
 
+import numpy as np
 import pyarrow as pa
 
 import ray.data
@@ -275,3 +276,84 @@ def read_features_geojsonl(out_dir: str) -> List[dict]:
                 if line:
                     feats.append(json.loads(line))
     return feats
+
+
+def write_clustered_parquet(
+    ds,
+    key: str,
+    out_dir: str,
+    *,
+    num_partitions: int = 16,
+    sample_rows: int = 4096,
+    overwrite: bool = False,
+):
+    """Locality-clustered partitioned parquet sink — the OPTIMIZE
+    ZORDER layout: range-partition rows by sampled quantile bounds of
+    an int64 sort key (pair with ``spatial.cells.zorder_key`` for
+    spatial locality), sort WITHIN each partition, one file per
+    partition plus a ``manifest.json`` of disjoint key ranges.  A
+    reader doing a key-range scan then touches only the overlapping
+    files.
+
+    Scale shape: NO global sort — one bounded sample (``limit``), a
+    hash-free range exchange on the broadcast bounds, and a per-
+    partition lexsort; each partition writes independently, so a
+    failed run resumes by skipping files already present (the
+    same skip-finished idiom as stitch_osm_resumable).
+    """
+    import json as _json
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    sample = ds.limit(sample_rows).select_columns([key]).take_all()
+    keys = np.sort(np.array([r[key] for r in sample], dtype=np.int64))
+    if len(keys) == 0:
+        bounds = np.array([], dtype=np.int64)
+    else:
+        qs = np.linspace(0, 1, num_partitions + 1)[1:-1]
+        bounds = np.unique(np.quantile(keys, qs, method="lower").astype(np.int64))
+    nparts = len(bounds) + 1
+
+    def assign(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy(zero_copy_only=False)
+        part = np.searchsorted(bounds, k, side="right").astype(np.int64)
+        return t.append_column("__range", pa.array(part))
+
+    from .relational import hash_exchange_map
+
+    written = []
+
+    def write_part(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return pa.table({"part": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        p = int(tbl["__range"][0].as_py())
+        tbl = tbl.drop_columns(
+            [c for c in ("__range", "__part") if c in tbl.column_names]
+        )
+        order = np.argsort(tbl[key].to_numpy(zero_copy_only=False), kind="stable")
+        tbl = tbl.take(pa.array(order))
+        path = os.path.join(out_dir, f"part-{p:05d}.parquet")
+        if overwrite or not os.path.exists(path):
+            import pyarrow.parquet as pq
+
+            pq.write_table(tbl, path)
+        return pa.table({"part": [p], "n": [len(tbl)]})
+
+    # range exchange: reuse the hash exchange machinery with the
+    # precomputed __part column as the routing key (mod nparts is the
+    # identity on 0..nparts-1)
+    routed = ds.map_batches(assign, batch_format="pyarrow")
+    stats_ds = hash_exchange_map(routed, "__range", nparts, write_part)
+    stats = stats_ds.take_all() if stats_ds is not None else []
+    manifest = {
+        "key": key,
+        "bounds": bounds.tolist(),
+        "parts": sorted(
+            ({"part": int(r["part"]), "rows": int(r["n"])} for r in stats),
+            key=lambda r: r["part"],
+        ),
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        _json.dump(manifest, f)
+    return manifest

@@ -294,3 +294,53 @@ def test_job_entry_resumable_end_to_end(tmp_path):
     by_part = {r["partition"]: r for r in recs2}
     assert by_part["elements_b.parquet"]["checksum"] == \
         [r for r in recs if r["partition"] == "elements_b.parquet"][0]["checksum"]
+
+
+def test_write_clustered_parquet_layout_and_resume(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from osm2geojson_ray.sources import write_clustered_parquet
+
+    rng = np.random.default_rng(51)
+    n = 5000
+    tbl = pa.table(
+        {
+            "zkey": rng.integers(0, 1 << 40, n, dtype=np.int64),
+            "payload": np.arange(n, dtype=np.int64),
+        }
+    )
+    out = str(tmp_path / "clustered")
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    man = write_clustered_parquet(ds, "zkey", out, num_partitions=8)
+
+    files = sorted(p for p in os.listdir(out) if p.endswith(".parquet"))
+    assert len(files) == len(man["parts"]) >= 2
+    bounds = man["bounds"]
+    seen = 0
+    prev_hi = None
+    for f, part in zip(files, man["parts"]):
+        t = pq.read_table(os.path.join(out, f))
+        k = t["zkey"].to_numpy()
+        assert (np.diff(k) >= 0).all()  # sorted within file
+        p = part["part"]
+        lo = bounds[p - 1] if p > 0 else None
+        hi = bounds[p] if p < len(bounds) else None
+        if lo is not None:
+            assert k.min() >= lo
+        if hi is not None:
+            assert k.max() < hi
+        if prev_hi is not None:
+            assert k.min() >= prev_hi  # disjoint, increasing ranges
+        prev_hi = k.max() if hi is None else hi
+        seen += len(t)
+    assert seen == n
+
+    # resume: files skipped when present (mtimes unchanged)
+    mtimes = {f: os.path.getmtime(os.path.join(out, f)) for f in files}
+    write_clustered_parquet(ds, "zkey", out, num_partitions=8)
+    for f in files:
+        assert os.path.getmtime(os.path.join(out, f)) == mtimes[f]
