@@ -357,3 +357,54 @@ def write_clustered_parquet(
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         _json.dump(manifest, f)
     return manifest
+
+
+def read_clustered_parquet(out_dir: str, *, key_min=None, key_max=None):
+    """Range-pruned reader for a ``write_clustered_parquet`` layout:
+    consult the manifest's disjoint key ranges and read ONLY the files
+    that can overlap [key_min, key_max] (inclusive), with a residual
+    filter for exactness inside the boundary files.  The manifest makes
+    the prune an O(#parts) driver decision — no file footers touched
+    for skipped ranges."""
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    key = manifest["key"]
+    bounds = manifest["bounds"]
+
+    def part_range(p: int):
+        lo = bounds[p - 1] if p > 0 else None  # inclusive
+        hi = bounds[p] if p < len(bounds) else None  # exclusive
+        return lo, hi
+
+    paths = []
+    for entry in manifest["parts"]:
+        p = entry["part"]
+        lo, hi = part_range(p)
+        if key_min is not None and hi is not None and hi <= key_min:
+            continue
+        if key_max is not None and lo is not None and lo > key_max:
+            continue
+        paths.append(os.path.join(out_dir, f"part-{p:05d}.parquet"))
+    if not paths:
+        import pyarrow.parquet as pq
+
+        first = os.path.join(out_dir, f"part-{manifest['parts'][0]['part']:05d}.parquet")
+        return ray.data.from_arrow(pq.read_schema(first).empty_table())
+
+    ds = ray.data.read_parquet(paths)
+
+    if key_min is None and key_max is None:
+        return ds
+
+    def residual(t: pa.Table) -> pa.Table:
+        import numpy as np_
+
+        k = t[key].to_numpy(zero_copy_only=False)
+        m = np_.ones(len(k), dtype=bool)
+        if key_min is not None:
+            m &= k >= key_min
+        if key_max is not None:
+            m &= k <= key_max
+        return t.filter(pa.array(m))
+
+    return ds.map_batches(residual, batch_format="pyarrow")

