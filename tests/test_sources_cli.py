@@ -379,3 +379,50 @@ def test_read_clustered_parquet_prunes_and_matches(ray_session, tmp_path):
     assert narrow.count() == int((k == bounds[0]).sum()) or narrow.count() >= 0
     # unbounded read returns everything
     assert read_clustered_parquet(out).count() == n
+
+
+def test_spatial_layout_pipeline_end_to_end(ray_session, tmp_path):
+    """Integration: stitch the golden corpus -> geometry centroids ->
+    z-order keys -> clustered write -> manifest-pruned range read."""
+    import json as _json
+
+    import numpy as np
+    import pyarrow as pa
+
+    from osm2geojson_ray.geom.metrics import metrics_features
+    from osm2geojson_ray.pipeline.osm import OsmPipeline, elements_dataset
+    from osm2geojson_ray.queries import _corpus_elements
+    from osm2geojson_ray.sources import (
+        read_clustered_parquet,
+        write_clustered_parquet,
+    )
+    from osm2geojson_ray.spatial.cells import zorder_key
+
+    base, elements = next(
+        (b, e) for b, e in _corpus_elements() if b == "map"
+    )
+    feats = OsmPipeline(num_partitions=4).features(elements_dataset(elements))
+    mets = metrics_features(feats)
+
+    def add_zkey(t: pa.Table) -> pa.Table:
+        z = zorder_key(
+            t["cx"].to_numpy(zero_copy_only=False),
+            t["cy"].to_numpy(zero_copy_only=False),
+            12,
+        )
+        return t.append_column("zkey", pa.array(z))
+
+    keyed = mets.map_batches(add_zkey, batch_format="pyarrow")
+    out = str(tmp_path / "layout")
+    man = write_clustered_parquet(keyed, "zkey", out, num_partitions=4)
+    n_total = sum(p["rows"] for p in man["parts"])
+    assert n_total == 11  # the 'map' fixture's feature count
+
+    back = read_clustered_parquet(out).to_pandas()
+    assert len(back) == 11 and set(back.columns) >= {"zkey", "seq", "cx", "cy"}
+    # a range read around the median key returns a strict, exact subset
+    ks = np.sort(back["zkey"].to_numpy())
+    lo, hi = int(ks[2]), int(ks[-3])
+    sub = read_clustered_parquet(out, key_min=lo, key_max=hi).to_pandas()
+    want = back[(back["zkey"] >= lo) & (back["zkey"] <= hi)]
+    assert sorted(sub["seq"].tolist()) == sorted(want["seq"].tolist())
