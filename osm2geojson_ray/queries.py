@@ -2137,6 +2137,35 @@ GROUP BY 1
 """
 
 
+def q24_returning_users(sf_dir: str):
+    """Set operations: users active in BOTH parity-halves of the event
+    log (SQL INTERSECT) — relational.intersect_distinct:
+    partition-wise distinct + left_semi on one exchange shape."""
+    from .relational import intersect_distinct
+
+    ev = _pq(sf_dir, "events", ["event_id", "user_id"])
+
+    # deterministic halves by event id parity (driver-recomputable)
+    def split(half):
+        def fn(t: pa.Table) -> pa.Table:
+            eid = t["event_id"].to_numpy(zero_copy_only=False)
+            m = eid % 2 == half
+            return pa.table({"user_id": t["user_id"].filter(pa.array(m))})
+
+        return fn
+
+    even = ev.map_batches(split(0), batch_format="pyarrow")
+    odd = ev.map_batches(split(1), batch_format="pyarrow")
+    return intersect_distinct(even, odd, on="user_id")
+
+
+Q24_SQL = """
+SELECT DISTINCT user_id FROM events WHERE event_id % 2 = 0
+INTERSECT
+SELECT user_id FROM events WHERE event_id % 2 = 1
+"""
+
+
 def m_caption_extract(sf_dir: str):
     """Caption-side analytics on the image+caption table: vectorized
     regex extraction (pyarrow.compute.extract_regex, no per-row
@@ -2456,6 +2485,7 @@ QUERIES = {
     "q21_rolling_revenue": q21_rolling_revenue,
     "q22_user_event_paths": q22_user_event_paths,
     "q23_urgent_lineitem_counts": q23_urgent_lineitem_counts,
+    "q24_returning_users": q24_returning_users,
     "t_token_count": t_token_count,
     "t_quality_stats": t_quality_stats,
     "t_token_quantiles": t_token_quantiles,
@@ -2516,6 +2546,7 @@ ORACLE_SQL = {
     "q21_rolling_revenue": Q21_SQL,
     "q22_user_event_paths": Q22_SQL,
     "q23_urgent_lineitem_counts": Q23_SQL,
+    "q24_returning_users": Q24_SQL,
     "t_token_count": T_TOKEN_SQL,
     "t_quality_stats": T_QUALITY_SQL,
     "t_token_quantiles": T_QUANTILES_SQL,

@@ -1465,3 +1465,33 @@ def bloom_semi_join(
         how="left_semi",
         num_partitions=num_partitions,
     )
+
+
+def intersect_distinct(left, right, *, on: str, num_partitions: int = 16):
+    """SQL INTERSECT over one int64 column: distinct left keys that
+    also occur on the right — distinct_on (partition-wise dedup) then
+    one left_semi hash join; both legs ride the same exchange shape,
+    no sort."""
+    return hash_join(
+        distinct_on(left.select_columns([on]), on, num_partitions=num_partitions),
+        right.select_columns([on]),
+        on=on,
+        l_schema=pa.schema([(on, pa.int64())]),
+        r_schema=pa.schema([(on, pa.int64())]),
+        how="left_semi",
+        num_partitions=num_partitions,
+    )
+
+
+def except_distinct(left, right, *, on: str, num_partitions: int = 16):
+    """SQL EXCEPT over one int64 column: distinct left keys with NO
+    occurrence on the right (left_anti on the deduped left)."""
+    return hash_join(
+        distinct_on(left.select_columns([on]), on, num_partitions=num_partitions),
+        right.select_columns([on]),
+        on=on,
+        l_schema=pa.schema([(on, pa.int64())]),
+        r_schema=pa.schema([(on, pa.int64())]),
+        how="left_anti",
+        num_partitions=num_partitions,
+    )

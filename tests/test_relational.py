@@ -789,3 +789,18 @@ def test_bloom_semi_join_exact_and_prefilter_effective(ray_session):
     bits = np.zeros(1 << 14, dtype=bool)
     bits[_bloom_positions(right, 1 << 14, 4).ravel()] = True
     assert bits[_bloom_positions(want, 1 << 14, 4)].all()
+
+
+def test_intersect_except_distinct(ray_session):
+    from osm2geojson_ray.relational import except_distinct, intersect_distinct
+
+    a = ray.data.from_arrow(
+        pa.table({"k": np.array([1, 2, 2, 3, 5, 5, 7], dtype=np.int64)})
+    ).repartition(3)
+    b = ray.data.from_arrow(
+        pa.table({"k": np.array([2, 3, 3, 4, 8], dtype=np.int64)})
+    ).repartition(2)
+    inter = sorted(intersect_distinct(a, b, on="k").to_pandas()["k"].tolist())
+    assert inter == [2, 3]
+    exc = sorted(except_distinct(a, b, on="k").to_pandas()["k"].tolist())
+    assert exc == [1, 5, 7]
