@@ -1418,16 +1418,39 @@ def _corpus_elements() -> List[Tuple[str, list]]:
     return docs
 
 
+_CORPUS_FEATURES_CACHE = None
+
+
+def _corpus_features_runs():
+    """Stitch every corpus fixture through the DISTRIBUTED pipeline
+    once per process and memoize the feature rows: three driver
+    queries (features / simplify / metrics) consume the same stitched
+    corpus, and re-running 17 pipelines per query would triple the
+    driver gate's cost without exercising anything new — the
+    distributed path runs in full on the first call; what differs per
+    query is the kernel applied downstream."""
+    global _CORPUS_FEATURES_CACHE
+    if _CORPUS_FEATURES_CACHE is None:
+        from .pipeline.osm import OsmPipeline, elements_dataset
+
+        runs = []
+        for base, elements in _corpus_elements():
+            feats = (
+                OsmPipeline(num_partitions=4)
+                .features(elements_dataset(elements))
+                .take_all()
+            )
+            feats.sort(key=lambda r: r["seq"])
+            runs.append((base, feats))
+        _CORPUS_FEATURES_CACHE = runs
+    return _CORPUS_FEATURES_CACHE
+
+
 def osm_corpus_features(sf_dir: str):
     """The whole golden corpus through the DISTRIBUTED pipeline; one
     run per doc keeps ids from colliding across fixtures."""
-    from .pipeline.osm import OsmPipeline, elements_dataset
-
     rows = []
-    for base, elements in _corpus_elements():
-        ds = elements_dataset(elements)
-        feats = OsmPipeline(num_partitions=4).features(ds).take_all()
-        feats.sort(key=lambda r: r["seq"])
+    for base, feats in _corpus_features_runs():
         for r in feats:
             rows.append(
                 {
@@ -1930,13 +1953,13 @@ def osm_corpus_simplify(sf_dir: str):
     are per-feature vertex counts before/after — deterministic because
     the corpus and eps are fixed (same freezing rationale as
     osm_corpus_features)."""
+    import ray.data as _rd
+
     from .geom.simplify import simplify_features
-    from .pipeline.osm import OsmPipeline, elements_dataset
 
     rows = []
-    for base, elements in _corpus_elements():
-        feats = OsmPipeline(num_partitions=4).features(elements_dataset(elements))
-        out = simplify_features(feats, eps=1e-5).take_all()
+    for base, feats in _corpus_features_runs():
+        out = simplify_features(_rd.from_items(feats), eps=1e-5).take_all()
         out.sort(key=lambda r: r["seq"])
         for r in out:
             rows.append(
@@ -1971,13 +1994,13 @@ def osm_corpus_metrics(sf_dir: str):
     and the corpus is fixed, so the VALUES literal below is
     deterministic; the kernels are pinned independently by
     tests/test_metrics.py known-shape checks."""
+    import ray.data as _rd
+
     from .geom.metrics import metrics_features
-    from .pipeline.osm import OsmPipeline, elements_dataset
 
     rows = []
-    for base, elements in _corpus_elements():
-        feats = OsmPipeline(num_partitions=4).features(elements_dataset(elements))
-        out = metrics_features(feats).take_all()
+    for base, feats in _corpus_features_runs():
+        out = metrics_features(_rd.from_items(feats)).take_all()
         out.sort(key=lambda r: r["seq"])
         for r in out:
             def _fl(v, s):
