@@ -1856,6 +1856,63 @@ FROM orders
 """
 
 
+def q25_order_date_distribution(sf_dir: str):
+    """PERCENT_RANK and CUME_DIST gated as EXACT RATIONALS — two int64
+    columns each (numerator, shared denominator) instead of a float
+    that could diverge in the last ulp: prnk_num=(rank-1),
+    den=(size-1), cume_num=#rows with key<=current; SQL emits the same
+    integers from its own window functions."""
+    from .relational import partitioned_window
+
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"].combine_chunks(),
+                "o_orderkey": t["o_orderkey"].combine_chunks(),
+                "o_date": t["o_orderdate"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    out = partitioned_window(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        "o_custkey",
+        [("o_date", False), ("o_orderkey", False)],
+        {
+            "rnk": ("o_date", "rank"),
+            "den": (None, "rank_den"),
+            "cume_num": ("o_date", "cume_num"),
+        },
+    )
+
+    def rationals(t: pa.Table) -> pa.Table:
+        rnk = t["rnk"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"].combine_chunks(),
+                "o_orderkey": t["o_orderkey"].combine_chunks(),
+                "prnk_num": pa.array((rnk - 1).astype(np.int64)),
+                "den": t["den"].combine_chunks(),
+                "cume_num": t["cume_num"].combine_chunks(),
+            }
+        )
+
+    return out.map_batches(rationals, batch_format="pyarrow")
+
+
+Q25_SQL = """
+SELECT o_custkey, o_orderkey,
+       rank() OVER w - 1 AS prnk_num,
+       count(*) OVER (PARTITION BY o_custkey) - 1 AS den,
+       CAST(round(cume_dist() OVER w
+                  * count(*) OVER (PARTITION BY o_custkey)) AS BIGINT)
+         AS cume_num
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+"""
+
+
 def q20_priciest_order_per_customer(sf_dir: str):
     """Grouped ARG_MAX with no join-back: each customer's most
     expensive order via the packed-key trick (value and complemented
@@ -2509,6 +2566,7 @@ QUERIES = {
     "q22_user_event_paths": q22_user_event_paths,
     "q23_urgent_lineitem_counts": q23_urgent_lineitem_counts,
     "q24_returning_users": q24_returning_users,
+    "q25_order_date_distribution": q25_order_date_distribution,
     "t_token_count": t_token_count,
     "t_quality_stats": t_quality_stats,
     "t_token_quantiles": t_token_quantiles,
@@ -2570,6 +2628,7 @@ ORACLE_SQL = {
     "q22_user_event_paths": Q22_SQL,
     "q23_urgent_lineitem_counts": Q23_SQL,
     "q24_returning_users": Q24_SQL,
+    "q25_order_date_distribution": Q25_SQL,
     "t_token_count": T_TOKEN_SQL,
     "t_quality_stats": T_QUALITY_SQL,
     "t_token_quantiles": T_QUANTILES_SQL,

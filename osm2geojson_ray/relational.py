@@ -1081,6 +1081,14 @@ def partitioned_window(
                       CURRENT ROW) — a cumsum difference against the
                       frame start (clamped to the partition start), so
                       the sliding frame costs O(n) not O(nK)
+      - "rank_den":   the PERCENT_RANK denominator (size-1) as an
+                      int64 — emit next to "rank" and gate the exact
+                      rational (rank-1)/(size-1) as two integers
+                      instead of a float
+      - "cume_num":   the CUME_DIST numerator (#rows with order key <=
+                      current, within the partition) as an int64 —
+                      with "rank_den"+1 as denominator this is the
+                      exact CUME_DIST rational
 
     ``order_keys`` = [(col, descending)]; include a unique tiebreak for
     deterministic output.  Output = input columns + window columns,
@@ -1166,6 +1174,27 @@ def partitioned_window(
                 lo = np.maximum(idx - k, group_start)
                 base = np.where(lo > 0, cs[lo - 1], 0)
                 out = out.append_column(out_col, pa.array(cs - base))
+            elif kind == "rank_den":
+                s = np.flatnonzero(starts_mask)
+                sizes = np.diff(np.r_[s, n])
+                per_size = np.repeat(sizes, sizes)
+                out = out.append_column(
+                    out_col, pa.array((per_size - 1).astype(np.int64))
+                )
+            elif kind == "cume_num":
+                # rows whose order key <= current = index of the NEXT
+                # key run start, relative to the partition start
+                v = out[in_col].to_numpy(zero_copy_only=False)
+                kc = starts_mask.copy()
+                kc[1:] |= v[1:] != v[:-1]
+                run_starts = np.flatnonzero(kc)
+                run_len = np.diff(np.r_[run_starts, n])
+                run_end = np.repeat(run_starts + run_len, run_len)
+                # clamp run ends at partition boundaries: a run never
+                # crosses a partition (kc includes starts_mask)
+                out = out.append_column(
+                    out_col, pa.array((run_end - group_start).astype(np.int64))
+                )
             else:
                 raise ValueError(f"unknown window kind {kind!r}")
         return out
