@@ -2246,6 +2246,76 @@ SELECT user_id FROM events WHERE event_id % 2 = 1
 """
 
 
+def t_snapshot_diff(sf_dir: str):
+    """CDC snapshot diff (relational.snapshot_diff): v2 of the document
+    table derived deterministically (drop doc_id%11==0, append 'X' to
+    text for doc_id%7==0, add new ids +1e9 for doc_id%13==0), then the
+    delta classified as added/removed/changed with payloads never
+    entering the shuffle (crc32 fingerprints ride the exchange, the
+    oracle compares the texts themselves)."""
+    from .relational import _crc32_vectorized, snapshot_diff
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def with_fp(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks(),
+                "fp": pa.array(
+                    _crc32_vectorized(t["text"].combine_chunks()).astype(np.int64)
+                ),
+            }
+        )
+
+    def make_v2(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        text = t["text"].combine_chunks()
+        keep = did % 11 != 0
+        did_k = did[keep]
+        text_k = text.filter(pa.array(keep))
+        mod = did_k % 7 == 0
+        suffix = pa.array(np.where(mod, "X", ""))
+        text_k = pc.binary_join_element_wise(text_k, suffix, "")
+        new_mask = did % 13 == 0
+        new_ids = did[new_mask] + 1_000_000_000
+        new_text = pa.array([f"new {i}" for i in did[new_mask]])
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([did_k, new_ids])),
+                "text": pa.concat_arrays([text_k.cast(pa.string()), new_text]),
+            }
+        )
+
+    v2 = docs.map_batches(make_v2, batch_format="pyarrow")
+    return snapshot_diff(
+        docs.map_batches(with_fp, batch_format="pyarrow"),
+        v2.map_batches(with_fp, batch_format="pyarrow"),
+        key="doc_id",
+        fp_col="fp",
+    )
+
+
+T_SNAPSHOT_SQL = """
+WITH oldv AS (SELECT doc_id, text FROM documents),
+newv AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || 'X' ELSE text END AS text
+  FROM documents WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000000, 'new ' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 13 = 0
+),
+j AS (SELECT coalesce(o.doc_id, n.doc_id) AS key,
+             o.text AS ot, n.text AS nt
+      FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id)
+SELECT key,
+       CASE WHEN ot IS NULL THEN 'added'
+            WHEN nt IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM j WHERE ot IS NULL OR nt IS NULL OR ot <> nt
+"""
+
+
 def m_caption_extract(sf_dir: str):
     """Caption-side analytics on the image+caption table: vectorized
     regex extraction (pyarrow.compute.extract_regex, no per-row
@@ -2575,6 +2645,7 @@ QUERIES = {
     "t_minhash_pairs": t_minhash_pairs,
     "t_jaccard_pairs": t_jaccard_pairs,
     "t_dup_clusters": t_dup_clusters,
+    "t_snapshot_diff": t_snapshot_diff,
     "t_simhash": t_simhash,
     "t_tfidf_topk": t_tfidf_topk,
     "t_heavy_tokens": t_heavy_tokens,
@@ -2636,6 +2707,7 @@ ORACLE_SQL = {
     "t_exact_dedup": T_DEDUP_SQL,
     "t_jaccard_pairs": T_JACCARD_SQL,
     "t_dup_clusters": T_DUP_CLUSTERS_SQL,
+    "t_snapshot_diff": T_SNAPSHOT_SQL,
     "t_simhash": T_SIMHASH_SQL,
     "t_tfidf_topk": T_TFIDF_SQL,
     "t_heavy_tokens": T_HEAVY_TOKENS_SQL,

@@ -804,3 +804,32 @@ def test_intersect_except_distinct(ray_session):
     assert inter == [2, 3]
     exc = sorted(except_distinct(a, b, on="k").to_pandas()["k"].tolist())
     assert exc == [1, 5, 7]
+
+
+def test_snapshot_diff_matches_bruteforce(ray_session):
+    from osm2geojson_ray.relational import snapshot_diff
+
+    rng = np.random.default_rng(61)
+    old_k = np.sort(rng.choice(10_000, 500, replace=False)).astype(np.int64)
+    old_f = rng.integers(0, 1 << 40, 500, dtype=np.int64)
+    # new: drop 50, change 60, add 40
+    keep = np.ones(500, bool)
+    keep[rng.choice(500, 50, replace=False)] = False
+    new_k = old_k[keep].copy()
+    new_f = old_f[keep].copy()
+    ch = rng.choice(len(new_k), 60, replace=False)
+    new_f[ch] = new_f[ch] + 1
+    add_k = np.arange(20_000, 20_040, dtype=np.int64)
+    add_f = rng.integers(0, 1 << 40, 40, dtype=np.int64)
+    nk = np.concatenate([new_k, add_k])
+    nf = np.concatenate([new_f, add_f])
+
+    ods = ray.data.from_arrow(pa.table({"doc_id": old_k, "fp": old_f})).repartition(3)
+    nds = ray.data.from_arrow(pa.table({"doc_id": nk, "fp": nf})).repartition(4)
+    got = snapshot_diff(ods, nds, key="doc_id", fp_col="fp").to_pandas()
+    got_set = set(zip(got["key"], got["change"]))
+
+    want = {(int(k), "added") for k in add_k}
+    want |= {(int(k), "removed") for k in old_k[~keep]}
+    want |= {(int(k), "changed") for k in new_k[ch]}
+    assert got_set == want and len(got) == len(want)
