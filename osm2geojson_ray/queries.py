@@ -2536,6 +2536,22 @@ _GEO_QKEYS = [7, 19, 31]
 _GEO_RADIUS_M = 120_000.0
 
 
+def e_kmeans_sizes(sf_dir: str):
+    """Distributed Lloyd's k-means over the embedding table
+    (vectors.kmeans: broadcast centroids, per-batch argmin + reduceat
+    partials, vectors never shuffle; deterministic farthest-point
+    init).  Iterative and float-centroid-valued, so no SQL oracle —
+    output is the deterministic per-cluster size table and pytest pins
+    planted-cluster recovery, argmin-consistency and partition-count
+    independence."""
+    from .relational import partial_grouped_agg
+    from .vectors import kmeans
+
+    emb = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    assign, _cents, _iters = kmeans(emb, "vec_id", "embedding", k=4, max_iters=15)
+    return partial_grouped_agg(assign, ["cluster"], {"n_vecs": (None, "count")})
+
+
 def g_radius_geo(sf_dir: str):
     """Geodesic (haversine, meters) within-distance join — the
     latitude-correct variant of g_radius_join
@@ -2655,6 +2671,7 @@ QUERIES = {
     "e_knn_cosine": e_knn_cosine,
     "e_knn_ivf": e_knn_ivf,
     "e_neardup_pairs": e_neardup_pairs,
+    "e_kmeans_sizes": e_kmeans_sizes,
     "g_cell_encode": g_cell_encode,
     "g_tile_counts": g_tile_counts,
     "g_knn_phash": g_knn_phash,

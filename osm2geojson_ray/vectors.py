@@ -171,3 +171,110 @@ def quantize_embeddings(ds, id_col: str, vec_col: str, *, levels: int = 127):
         )
 
     return ds.map_batches(quantize, batch_format="pyarrow")
+
+
+def kmeans(ds, id_col: str, vec_col: str, *, k: int = 8, max_iters: int = 20,
+           tol: float = 1e-7):
+    """Distributed Lloyd's k-means over an embedding column — the
+    clustering step of a data-curation pipeline (domain balancing,
+    per-cluster sampling).  Returns (assignments Dataset with columns
+    (id, cluster), centroids ndarray (k, d), n_iters).
+
+    Scale shape per iteration: centroids broadcast once (ray.put);
+    each batch computes the (n, k) distance matrix, argmins, and
+    reduces ITSELF to per-cluster (sum, count) partials via
+    argsort+reduceat — raw vectors never shuffle and the reduce sees
+    only k x d x #blocks tiny rows.  One final assignment pass emits
+    (id, cluster).  Deterministic: init = the k smallest-id vectors
+    (one tiny driver take on a sorted filter-free head), ties in
+    argmin go to the lower cluster index.  Convergence = max centroid
+    shift < tol (or max_iters)."""
+    import ray as _ray
+
+    # deterministic farthest-point init on a smallest-id sample: first
+    # centroid = smallest id, each next = the sample point farthest
+    # from the chosen set (ties to smaller id).  Greedy farthest-point
+    # avoids the all-seeds-in-one-cluster local optimum that naive
+    # first-k seeding hits, with no randomness to break reproducibility.
+    sample_cap = max(64 * k, 256)
+
+    def id_partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids)[:sample_cap]
+        return t.select([id_col, vec_col]).take(pa.array(order))
+
+    head = pa.concat_tables(
+        [b for b in ds.map_batches(id_partial, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow")],
+        promote_options="default",
+    )
+    order = np.argsort(head[id_col].to_numpy(zero_copy_only=False))[:sample_cap]
+    S = vec_matrix(head[vec_col].combine_chunks().take(pa.array(order)))
+    if len(S) < k:
+        raise ValueError(f"need >= {k} rows to init {k} clusters")
+    chosen = [0]
+    dmin = ((S - S[0]) ** 2).sum(axis=1)
+    while len(chosen) < k:
+        nxt = int(np.argmax(dmin))  # argmax ties -> smaller index/id
+        chosen.append(nxt)
+        dmin = np.minimum(dmin, ((S - S[nxt]) ** 2).sum(axis=1))
+    centroids = S[chosen].copy()
+
+    d = centroids.shape[1]
+
+    def partials_for(c_ref):
+        def fn(t: pa.Table) -> pa.Table:
+            C = _ray.get(c_ref)
+            M = vec_matrix(t[vec_col])
+            if M.size == 0:
+                return pa.table({"cluster": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64()),
+                                 "vsum": pa.array([], pa.list_(pa.float64()))})
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin ignores ||x||^2
+            scores = M @ C.T - 0.5 * (C * C).sum(axis=1)[None, :]
+            assign = np.argmax(scores, axis=1)  # ties -> lower index
+            order = np.argsort(assign, kind="stable")
+            a_s = assign[order]
+            starts = np.flatnonzero(np.r_[True, a_s[1:] != a_s[:-1]])
+            sums = np.add.reduceat(M[order], starts, axis=0)
+            counts = np.diff(np.r_[starts, len(a_s)])
+            return pa.table({
+                "cluster": pa.array(a_s[starts].astype(np.int64)),
+                "n": pa.array(counts.astype(np.int64)),
+                "vsum": pa.array(list(sums)),
+            })
+
+        return fn
+
+    n_iters = 0
+    for _ in range(max_iters):
+        n_iters += 1
+        c_ref = _ray.put(centroids)
+        parts = ds.map_batches(partials_for(c_ref), batch_format="pyarrow")
+        agg_s = np.zeros((k, d), dtype=np.float64)
+        agg_n = np.zeros(k, dtype=np.int64)
+        for b in parts.iter_batches(batch_format="pyarrow"):
+            cl = b["cluster"].to_numpy(zero_copy_only=False)
+            nn = b["n"].to_numpy(zero_copy_only=False)
+            vs = vec_matrix(b["vsum"])
+            np.add.at(agg_s, cl, vs)
+            np.add.at(agg_n, cl, nn)
+        new = np.where(agg_n[:, None] > 0, agg_s / np.maximum(agg_n, 1)[:, None],
+                       centroids)
+        shift = float(np.abs(new - centroids).max())
+        centroids = new
+        if shift < tol:
+            break
+
+    c_ref = _ray.put(centroids)
+
+    def assign_fn(t: pa.Table) -> pa.Table:
+        C = _ray.get(c_ref)
+        M = vec_matrix(t[vec_col])
+        scores = M @ C.T - 0.5 * (C * C).sum(axis=1)[None, :]
+        return pa.table({
+            "id": t[id_col].cast(pa.int64()).combine_chunks(),
+            "cluster": pa.array(np.argmax(scores, axis=1).astype(np.int64)),
+        })
+
+    return ds.map_batches(assign_fn, batch_format="pyarrow"), centroids, n_iters

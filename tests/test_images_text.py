@@ -352,3 +352,55 @@ def test_quantize_embeddings_roundtrip_bound(ray_session):
     recon = codes * amax / 127.0
     # floor quantization: reconstruction within one step of the input
     assert np.all(np.abs(recon - M.astype(np.float64)) <= amax / 127.0 + 1e-12)
+
+
+def test_kmeans_recovers_planted_clusters(ray_session):
+    import ray.data
+
+    from osm2geojson_ray.vectors import kmeans
+
+    rng = np.random.default_rng(71)
+    centers = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0], [10.0, 10.0]])
+    n_per = 60
+    pts = np.concatenate(
+        [c + rng.normal(0, 0.3, (n_per, 2)) for c in centers]
+    ).astype(np.float32)
+    ids = np.arange(len(pts), dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"vec_id": ids, "embedding": list(pts)})
+    ).repartition(4)
+
+    assign_ds, cents, iters = kmeans(ds, "vec_id", "embedding", k=4, max_iters=30)
+    out = assign_ds.to_pandas().sort_values("id").reset_index(drop=True)
+    assert len(out) == len(pts) and iters <= 30
+
+    # every planted cluster maps to exactly one k-means cluster
+    labels = out["cluster"].to_numpy()
+    for g in range(4):
+        grp = labels[g * n_per : (g + 1) * n_per]
+        assert len(set(grp.tolist())) == 1
+    assert len(set(labels.tolist())) == 4
+
+    # each final centroid is near its planted center
+    recovered = sorted(tuple(np.round(c).astype(int)) for c in cents)
+    assert recovered == sorted(map(tuple, centers.astype(int)))
+
+    # assignments equal argmin distance to the returned centroids
+    d2 = ((pts[:, None, :].astype(np.float64) - cents[None, :, :]) ** 2).sum(axis=2)
+    assert (labels == np.argmin(d2, axis=1)).all()
+
+
+def test_kmeans_deterministic(ray_session):
+    import ray.data
+
+    from osm2geojson_ray.vectors import kmeans
+
+    rng = np.random.default_rng(72)
+    pts = rng.normal(0, 1, (150, 4)).astype(np.float32)
+    tbl = pa.table({"vec_id": np.arange(150, dtype=np.int64), "embedding": list(pts)})
+    a1, c1, _ = kmeans(ray.data.from_arrow(tbl).repartition(3), "vec_id", "embedding", k=5)
+    a2, c2, _ = kmeans(ray.data.from_arrow(tbl).repartition(5), "vec_id", "embedding", k=5)
+    p1 = a1.to_pandas().sort_values("id").reset_index(drop=True)
+    p2 = a2.to_pandas().sort_values("id").reset_index(drop=True)
+    assert p1["cluster"].tolist() == p2["cluster"].tolist()
+    assert np.allclose(c1, c2)
