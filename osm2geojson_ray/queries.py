@@ -2278,11 +2278,14 @@ def t_snapshot_diff(sf_dir: str):
         text_k = pc.binary_join_element_wise(text_k, suffix, "")
         new_mask = did % 13 == 0
         new_ids = did[new_mask] + 1_000_000_000
-        new_text = pa.array([f"new {i}" for i in did[new_mask]])
+        new_text = pa.array([f"new {i}" for i in did[new_mask]], pa.string())
+        text_arr = text_k.cast(pa.string())
+        if isinstance(text_arr, pa.ChunkedArray):
+            text_arr = text_arr.combine_chunks()
         return pa.table(
             {
                 "doc_id": pa.array(np.concatenate([did_k, new_ids])),
-                "text": pa.concat_arrays([text_k.cast(pa.string()), new_text]),
+                "text": pa.concat_arrays([text_arr, new_text]),
             }
         )
 
