@@ -873,7 +873,7 @@ WITH o AS (
   FROM orders
 )
 SELECT o_custkey, o_orderkey, o_date, price_cents,
-       sum(price_cents) OVER w AS cum_cents,
+       CAST(sum(price_cents) OVER w AS BIGINT) AS cum_cents,
        CAST(row_number() OVER w AS BIGINT) AS rn,
        COALESCE(lag(price_cents) OVER w, -1) AS prev_cents
 FROM o
@@ -1996,9 +1996,9 @@ def q21_rolling_revenue(sf_dir: str):
 
 Q21_SQL = """
 SELECT o_custkey, o_orderkey,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll3_cents
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll3_cents
 FROM orders
 """
 

@@ -1458,14 +1458,24 @@ def bloom_semi_join(
             bits[_bloom_positions(keys, m_bits, k_hashes).ravel()] = True
         return pa.table({"words": [np.packbits(bits)]})
 
-    partials = right_keys.map_batches(set_bits, batch_format="pyarrow")
+    # bounded batch_size keeps the per-batch bit array cheap on huge
+    # blocks; the task then emits MULTIPLE one-row partials that Ray
+    # coalesces into one multi-row block — _or must fold every row
+    partials = right_keys.map_batches(
+        set_bits, batch_format="pyarrow", batch_size=4096
+    )
 
     @_ray.remote
     def _or(*blocks):
+        # OR EVERY row of every block: Ray Data coalesces multiple
+        # per-batch outputs into one block whenever a task processes
+        # >1 batch, so a block may hold many packed filters — reading
+        # only row 0 would silently drop bits (false negatives).
         out = None
         for b in blocks:
-            w = np.asarray(b["words"].to_pylist()[0], dtype=np.uint8)
-            out = w if out is None else (out | w)
+            for w in b["words"].to_pylist():
+                w = np.asarray(w, dtype=np.uint8)
+                out = w if out is None else (out | w)
         return out
 
     refs = []

@@ -305,8 +305,26 @@ def write_clustered_parquet(
 
     os.makedirs(out_dir, exist_ok=True)
 
-    sample = ds.limit(sample_rows).select_columns([key]).take_all()
-    keys = np.sort(np.array([r[key] for r in sample], dtype=np.int64))
+    # Bounds from a CROSS-BLOCK strided sample, not ds.limit (the first
+    # rows): on key-sorted/clustered input a head sample collapses the
+    # quantiles and routes nearly everything to one partition.  Up to 64
+    # evenly-strided keys per block keeps the pulled sample tiny (64 x
+    # #blocks int64s) while covering every block's key range.
+    def block_sample(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return pa.table({key: pa.array([], pa.int64())})
+        idx = np.unique(np.linspace(0, n - 1, min(64, n)).astype(np.int64))
+        return pa.table({key: pa.array(
+            t[key].to_numpy(zero_copy_only=False)[idx].astype(np.int64))})
+
+    sample = ds.select_columns([key]).map_batches(
+        block_sample, batch_format="pyarrow"
+    ).take_all()
+    keys = np.array([r[key] for r in sample], dtype=np.int64)
+    if len(keys) > sample_rows:  # driver-side cap, still strided
+        keys = keys[np.unique(np.linspace(0, len(keys) - 1, sample_rows).astype(np.int64))]
+    keys = np.sort(keys)
     if len(keys) == 0:
         bounds = np.array([], dtype=np.int64)
     else:
@@ -346,6 +364,20 @@ def write_clustered_parquet(
     routed = ds.map_batches(assign, batch_format="pyarrow")
     stats_ds = hash_exchange_map(routed, "__range", nparts, write_part)
     stats = stats_ds.take_all() if stats_ds is not None else []
+    if not stats:
+        # empty input: persist the schema in an empty part file so
+        # read_clustered_parquet returns an empty dataset instead of
+        # IndexError-ing on manifest["parts"][0]
+        import pyarrow.parquet as pq
+
+        schema = ds.schema()
+        pa_schema = getattr(schema, "base_schema", None) if schema is not None else None
+        if pa_schema is None:
+            pa_schema = pa.schema([(key, pa.int64())])
+        pq.write_table(
+            pa_schema.empty_table(), os.path.join(out_dir, "part-00000.parquet")
+        )
+        stats = [{"part": 0, "n": 0}]
     manifest = {
         "key": key,
         "bounds": bounds.tolist(),

@@ -197,7 +197,15 @@ def radius_join_geo(
     r = float(radius_m)
     # degrees per meter: 1 deg lat ~ R*pi/180 meters
     deg_lat = r / (_EARTH_R_M * np.pi / 180.0)
-    coslat = np.maximum(np.cos(np.radians(qy)), 1e-6)
+    # The max in-radius |dlon| occurs at the POLEWARD edge of the
+    # latitude band (smallest cos), not at the query latitude — use the
+    # band's minimum cos so the bbox is a strict superset of the disk.
+    band_lo = np.clip(qy - deg_lat, -90.0, 90.0)
+    band_hi = np.clip(qy + deg_lat, -90.0, 90.0)
+    coslat = np.minimum(np.cos(np.radians(band_lo)), np.cos(np.radians(band_hi)))
+    # band containing a pole -> cos reaches 0 there: no lon prefilter
+    pole = (band_lo <= -90.0 + 1e-12) | (band_hi >= 90.0 - 1e-12)
+    coslat = np.maximum(np.where(pole, 0.0, coslat), 1e-6)
     deg_lon = np.minimum(deg_lat / coslat, 360.0)
 
     def per_batch(t: pa.Table) -> pa.Table:

@@ -36,6 +36,16 @@ def to_pandas(result):
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    # width-canonicalize numerics the way the driver does (int32 vs
+    # int64 hashed equal in r04: q13) but do NOT coerce object/Decimal
+    # columns (DuckDB DECIMAL(38,0) vs int64 hashed DIFFERENT: q12/q21)
+    # — so the dtype-strict assert below predicts the driver's gate.
+    df = df.copy()
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
     df = df[sorted(df.columns)]
     df = df.sort_values(list(df.columns)).reset_index(drop=True)
     return df
@@ -62,6 +72,12 @@ def test_query_matches_oracle(ray_session, con, name):
     assert len(got) == len(want), f"{name}: rows {len(got)} vs {len(want)}"
     got_r, want_r = got.reset_index(drop=True), want.reset_index(drop=True)
     for col in want_r.columns:
+        # dtype-STRICT: the driver's value hash is type-sensitive
+        # (DuckDB windowed sum(BIGINT) -> DECIMAL(38,0)/HUGEINT bit the
+        # q12/q21 gates while a tolist() compare stayed green), so the
+        # mirror must reject dtype divergence too
+        gd, wd = got_r[col].dtype, want_r[col].dtype
+        assert gd == wd, f"{name}: column {col} dtype {gd} vs oracle {wd}"
         gl, wl = got_r[col].tolist(), want_r[col].tolist()
         assert gl == wl, f"{name}: column {col} differs: {gl[:5]} vs {wl[:5]}"
 

@@ -833,3 +833,26 @@ def test_snapshot_diff_matches_bruteforce(ray_session):
     want |= {(int(k), "removed") for k in old_k[~keep]}
     want |= {(int(k), "changed") for k in new_k[ch]}
     assert got_set == want and len(got) == len(want)
+
+
+def test_bloom_semi_join_multi_row_partial_blocks(ray_session):
+    # A right side whose set_bits partials COALESCE into one multi-row
+    # block (one task, many batches): with the row-0-only OR reducer
+    # every key hashed only in later batches was silently dropped
+    # (false negatives).  Single-block 5000-row right side -> ~5
+    # batches -> one partials block with ~5 rows.
+    from osm2geojson_ray.relational import bloom_semi_join
+
+    right = np.arange(5000, dtype=np.int64)
+    left = np.arange(3900, 6000, dtype=np.int64)  # matches live in LAST batches
+    lds = ray.data.from_arrow(pa.table({"k": left})).repartition(2)
+    rds = ray.data.from_arrow(pa.table({"k": right}))  # ONE block
+    got = (
+        bloom_semi_join(
+            lds, rds, on="k", l_schema=pa.schema([("k", pa.int64())]), m_bits=1 << 14
+        )
+        .to_pandas()["k"]
+        .to_numpy()
+    )
+    want = left[left < 5000]
+    assert sorted(got.tolist()) == sorted(want.tolist())

@@ -426,3 +426,38 @@ def test_spatial_layout_pipeline_end_to_end(ray_session, tmp_path):
     sub = read_clustered_parquet(out, key_min=lo, key_max=hi).to_pandas()
     want = back[(back["zkey"] >= lo) & (back["zkey"] <= hi)]
     assert sorted(sub["seq"].tolist()) == sorted(want["seq"].tolist())
+
+
+def test_write_clustered_parquet_empty_and_sorted_input(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from osm2geojson_ray.sources import read_clustered_parquet, write_clustered_parquet
+
+    # empty input: manifest still readable, reader returns 0 rows (was
+    # IndexError on manifest["parts"][0])
+    out0 = str(tmp_path / "empty")
+    empty = ray.data.from_arrow(
+        pa.table({"zkey": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+    )
+    man0 = write_clustered_parquet(empty, "zkey", out0, num_partitions=4)
+    assert man0["parts"] and man0["parts"][0]["rows"] == 0
+    rd = read_clustered_parquet(out0)
+    assert rd.count() == 0
+    assert set(rd.schema().names) == {"zkey", "v"}
+
+    # key-SORTED input across many blocks: bounds must come from a
+    # cross-block sample, not the head, or everything routes to part 0
+    n = 20_000
+    tbl = pa.table(
+        {"zkey": np.arange(n, dtype=np.int64), "v": np.arange(n, dtype=np.int64)}
+    )
+    out1 = str(tmp_path / "sorted")
+    man1 = write_clustered_parquet(
+        ray.data.from_arrow(tbl).repartition(10), "zkey", out1, num_partitions=8
+    )
+    rows = [p["rows"] for p in man1["parts"]]
+    assert sum(rows) == n and len(rows) >= 6
+    assert max(rows) <= 2.5 * (n / len(rows))  # no single-partition collapse

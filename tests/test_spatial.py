@@ -378,3 +378,35 @@ def test_radius_join_geo_matches_bruteforce(ray_session):
         for i in np.flatnonzero(d <= r):
             want.add((qid[j], pid[i]))
     assert got_set == want and len(got) == len(want)
+
+
+def test_radius_join_geo_poleward_bbox_not_clipped(ray_session):
+    # The max in-radius |dlon| is at the TANGENT latitude poleward of
+    # the query (lat_T = arcsin(sin(q)/cos(r/R)), dlon_max =
+    # arcsin(sin(r/R)/cos(qlat))); a prefilter using cos(qlat) at the
+    # query latitude clips such points.  Plant one just inside the
+    # geodesic disk but outside the old (query-latitude) lon window.
+    from osm2geojson_ray.spatial.distance import _EARTH_R_M, haversine_m, radius_join_geo
+
+    qlat, qlon, r = 75.0, 10.0, 500_000.0
+    delta = r / _EARTH_R_M
+    lat_t = np.degrees(np.arcsin(np.sin(np.radians(qlat)) / np.cos(delta)))
+    dlon_max = np.degrees(np.arcsin(np.sin(delta) / np.cos(np.radians(qlat))))
+    old_window = (r / (_EARTH_R_M * np.pi / 180.0)) / np.cos(np.radians(qlat))
+    p_lon = qlon + 0.999 * dlon_max
+    assert abs(p_lon - qlon) > old_window  # outside the buggy prefilter
+    assert haversine_m([p_lon], [lat_t], qlon, qlat)[0] <= r  # inside the disk
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "point_id": np.array([7], dtype=np.int64),
+                "lon": np.array([p_lon]),
+                "lat": np.array([lat_t]),
+            }
+        )
+    )
+    got = radius_join_geo(
+        ds, [1], [qlon], [qlat], r
+    ).to_pandas()
+    assert got["point_id"].tolist() == [7]
