@@ -293,9 +293,15 @@ def _tfidf_score(tbl: pa.Table, *, ref, n_docs: float, scale: int,
     return pa.table({doc_col: tbl[doc_col], "term": tbl["term"], out_col: pa.array(scaled)})
 
 
+def _tfidf_scaled(tf: np.ndarray, dfv: np.ndarray, n_docs: float, scale: int) -> np.ndarray:
+    score = tf * np.log(n_docs / dfv) * scale
+    # half-away-from-zero to match SQL round() (np.round is half-to-even)
+    return (np.sign(score) * np.floor(np.abs(score) + 0.5)).astype(np.int64)
+
+
 def tfidf_topk(docs, *, doc_col: str = "doc_id", text_col: str = "text",
                k: int = 3, scale: int = 1_000_000, out_col: str = "score_1e6",
-               num_partitions: int = 16):
+               num_partitions: int = 16, df_mode: str = "join"):
     """Top-k TF-IDF terms per document (score = tf * ln(N/df), ranked on
     the integer-scaled score with the term as deterministic tiebreak).
 
@@ -303,18 +309,31 @@ def tfidf_topk(docs, *, doc_col: str = "doc_id", text_col: str = "text",
     stream (TF-IDF is inherently two-pass: df must be complete before
     scoring, and materializing the slim term rows beats re-tokenizing
     the raw text); df comes from a combiner push-down groupby whose
-    output is vocabulary-sized; the df map broadcasts as ONE ray.put
-    read per worker (per-worker cache); scoring is a vectorized
-    index_in lookup; and the final per-doc top-k is grouped_topk — at
-    most k x docs-in-block candidate rows leave any block, raw term
-    rows never sort-shuffle.  At web scale (vocab too big to broadcast)
-    swap the broadcast for a hash-exchange join on term — the term_rows
-    stream and grouped_topk stages are unchanged."""
+    output is vocabulary-sized; the final per-doc top-k is grouped_topk
+    — at most k x docs-in-block candidate rows leave any block, raw
+    term rows never sort-shuffle.
+
+    ``df_mode="join"`` (default, web-scale shape): the df table STAYS a
+    Dataset — term rows and df rows ride ONE string-keyed hash exchange
+    on ``term`` and scoring is a partition-local exact ``index_in``
+    against that partition's slice of the vocabulary.  Nothing
+    vocabulary-sized ever lands on the driver or in any single worker
+    (a 10^8-term vocab splits ~evenly across partitions).
+
+    ``df_mode="broadcast"``: classic small-side broadcast — the (vocab,
+    df) arrays are assembled by a REMOTE reduce task straight from the
+    df Dataset's block refs (never driver pandas) and read once per
+    worker via the worker_state cache.  Cheaper below ~10^6 terms."""
     import functools
 
     import ray as _ray
 
-    from ..relational import grouped_topk, partial_grouped_agg
+    from ..relational import (
+        empty_dataset,
+        grouped_topk,
+        hash_exchange_map,
+        partial_grouped_agg,
+    )
 
     n_docs = float(docs.count())  # parquet metadata count, no scan
     term_rows = docs.map_batches(
@@ -323,17 +342,92 @@ def tfidf_topk(docs, *, doc_col: str = "doc_id", text_col: str = "text",
     ).materialize()
     df = partial_grouped_agg(
         term_rows.select_columns(["term"]), ["term"], {"df": (None, "count")}
-    ).to_pandas()
-    ref = _ray.put(
-        (pa.array(df["term"].tolist(), pa.string()), df["df"].to_numpy().astype(np.float64))
     )
-    scored = term_rows.map_batches(
-        functools.partial(
-            _tfidf_score, ref=ref, n_docs=n_docs, scale=scale,
-            doc_col=doc_col, out_col=out_col,
-        ),
-        batch_format="pyarrow",
-    )
+
+    if df_mode == "broadcast":
+        @_ray.remote
+        def _df_pack(*blocks):
+            t = pa.concat_tables(blocks, promote_options="default")
+            return (
+                t["term"].combine_chunks(),
+                pc.fill_null(t["df"], 0).cast(pa.int64())
+                .combine_chunks().to_numpy(zero_copy_only=False)
+                .astype(np.float64),
+            )
+
+        block_refs = [
+            block_ref
+            for bundle in df.iter_internal_ref_bundles()
+            for block_ref, _meta in bundle.blocks
+        ]
+        ref = _df_pack.remote(*block_refs)
+        scored = term_rows.map_batches(
+            functools.partial(
+                _tfidf_score, ref=ref, n_docs=n_docs, scale=scale,
+                doc_col=doc_col, out_col=out_col,
+            ),
+            batch_format="pyarrow",
+        )
+    else:
+        union_schema = pa.schema(
+            [(doc_col, pa.int64()), ("term", pa.string()),
+             ("tf", pa.int64()), ("df", pa.int64()), ("__side", pa.int8())]
+        )
+
+        def pad_terms(t: pa.Table) -> pa.Table:
+            n = len(t)
+            return pa.Table.from_arrays(
+                [t[doc_col].cast(pa.int64()), t["term"], t["tf"].cast(pa.int64()),
+                 pa.nulls(n, pa.int64()), pa.array(np.zeros(n, np.int8))],
+                schema=union_schema,
+            )
+
+        def pad_df(t: pa.Table) -> pa.Table:
+            n = len(t)
+            return pa.Table.from_arrays(
+                [pa.nulls(n, pa.int64()), t["term"], pa.nulls(n, pa.int64()),
+                 t["df"].cast(pa.int64()), pa.array(np.ones(n, np.int8))],
+                schema=union_schema,
+            )
+
+        out_schema = pa.schema(
+            [(doc_col, pa.int64()), ("term", pa.string()), (out_col, pa.int64())]
+        )
+
+        def score_partition(tbl: pa.Table) -> pa.Table:
+            # split by side BEFORE numpy extraction: the padded union
+            # has nulls that would otherwise round through float64
+            lmask = pc.equal(tbl["__side"], 0)
+            lt = tbl.filter(lmask)
+            rt = tbl.filter(pc.invert(lmask))
+            if len(lt) == 0:
+                return out_schema.empty_table()
+            vocab = rt["term"].combine_chunks()
+            dfv = rt["df"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+            codes = (
+                pc.index_in(lt["term"], value_set=vocab)
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)  # same rows built df: every term hits
+            )
+            tf = lt["tf"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+            return pa.Table.from_arrays(
+                [lt[doc_col].combine_chunks(), lt["term"].combine_chunks(),
+                 pa.array(_tfidf_scaled(tf, dfv[codes], n_docs, scale))],
+                schema=out_schema,
+            )
+
+        scored = hash_exchange_map(
+            [
+                term_rows.map_batches(pad_terms, batch_format="pyarrow"),
+                df.map_batches(pad_df, batch_format="pyarrow"),
+            ],
+            "term",
+            num_partitions,
+            score_partition,
+        )
+        if scored is None:
+            return empty_dataset(out_schema)
     return grouped_topk(
         scored, doc_col, [(out_col, True), ("term", False)],
         k=k, num_partitions=num_partitions,

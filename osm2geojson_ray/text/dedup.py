@@ -32,6 +32,56 @@ from .analysis import _hash63
 
 _TOKEN_RE = re.compile(r"\S+")
 
+_PAIR_CAND_SCHEMA = pa.schema([("a_id", pa.int64()), ("b_id", pa.int64())])
+
+
+def _enumerate_bucket_pairs(
+    keys: np.ndarray, ids: np.ndarray, *, cap: int = 0, what: str = "bucket"
+) -> pa.Table:
+    """All unordered distinct-id pairs (a_id < b_id) within each key
+    group, vectorized: ONE lexsort, consecutive (key, id) dedup, then
+    ``np.triu_indices`` per surviving group — no per-pair Python loop.
+
+    ``cap`` > 0 skips groups with more than ``cap`` distinct ids.  A
+    degenerate group (10^6 boilerplate-identical docs in one LSH
+    bucket) would otherwise emit ~5*10^11 pair rows; the drop is NEVER
+    silent — a warning logs how many groups/ids were skipped (use
+    exact_dedup first if mass-identical content is expected)."""
+    if len(keys) == 0:
+        return _PAIR_CAND_SCHEMA.empty_table()
+    order = np.lexsort((ids, keys))
+    k = keys[order]
+    d = ids[order]
+    keep = np.r_[True, (k[1:] != k[:-1]) | (d[1:] != d[:-1])]
+    k, d = k[keep], d[keep]
+    starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+    ends = np.r_[starts[1:], len(k)]
+    sizes = ends - starts
+    mult = sizes >= 2
+    if cap:
+        over = mult & (sizes > cap)
+        if over.any():
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "dropping %d oversized %s group(s) (> %d ids; largest %d, "
+                "%d ids total) from pair enumeration",
+                int(over.sum()), what, cap, int(sizes[over].max()),
+                int(sizes[over].sum()),
+            )
+        mult &= sizes <= cap
+    a_out, b_out = [], []
+    for s, e in zip(starts[mult], ends[mult]):
+        ii, jj = np.triu_indices(int(e - s), k=1)
+        a_out.append(d[s + ii])
+        b_out.append(d[s + jj])
+    if not a_out:
+        return _PAIR_CAND_SCHEMA.empty_table()
+    return pa.Table.from_pydict(
+        {"a_id": np.concatenate(a_out), "b_id": np.concatenate(b_out)},
+        schema=_PAIR_CAND_SCHEMA,
+    )
+
 
 def _pair_route_key(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Routing/grouping key for an id pair: splitmix64 mix of both ids.
@@ -164,9 +214,15 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.8,
     concurrency: int = 2,
     num_partitions: int = 16,
+    max_bucket_size: int = 1024,
 ):
     """Near-duplicate pairs (a_id < b_id, exact-verified n-gram Jaccard
     >= threshold).
+
+    ``max_bucket_size``: LSH buckets with more distinct docs are
+    DROPPED from pair enumeration, with a logged warning (a degenerate
+    boilerplate bucket is quadratic; run exact_dedup first for
+    mass-identical content).  0 disables the cap.
 
     Scale shape (100-TB regime): document TEXT never enters a shuffle.
     One pass tokenizes each doc into its unique shingle-hash set (grams,
@@ -229,22 +285,15 @@ def minhash_lsh_pairs(
 
     banded = grams_ds.map_batches(band_rows, batch_format="pyarrow")
 
-    def partition_pairs(df):
-        import pandas as pd
-
-        df = df[df.duplicated("bucket", keep=False)]
-        rows = []
-        for _, grp in df.groupby("bucket", sort=False):
-            ids = sorted(set(grp["doc_id_"].tolist()))
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    rows.append((ids[i], ids[j]))
-        return pd.DataFrame(rows, columns=["a_id", "b_id"]).astype(
-            {"a_id": "int64", "b_id": "int64"}
+    def partition_pairs(tbl: pa.Table) -> pa.Table:
+        return _enumerate_bucket_pairs(
+            tbl["bucket"].to_numpy(zero_copy_only=False),
+            tbl["doc_id_"].to_numpy(zero_copy_only=False),
+            cap=max_bucket_size,
+            what="LSH bucket",
         )
 
-    cands = hash_exchange_map(banded, "bucket", num_partitions, partition_pairs,
-                              fn_format="pandas")
+    cands = hash_exchange_map(banded, "bucket", num_partitions, partition_pairs)
     if cands is None:
         return empty_dataset(PAIR_SCHEMA)
     cands = _distinct_pairs_ids(cands, num_partitions)
@@ -387,24 +436,15 @@ def jaccard_pairs(
 
     inverted = grams_ds.map_batches(invert, batch_format="pyarrow")
 
-    def partition_pairs(df):
-        import pandas as pd
-
-        df = df[df.duplicated("gram", keep=False)]
-        rows = []
-        for _, grp in df.groupby("gram", sort=False):
-            ids = sorted(set(grp["doc_id_"].tolist()))
-            if hot_gram_cap and len(ids) > hot_gram_cap:
-                continue
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    rows.append((ids[i], ids[j]))
-        return pd.DataFrame(rows, columns=["a_id", "b_id"]).astype(
-            {"a_id": "int64", "b_id": "int64"}
+    def partition_pairs(tbl: pa.Table) -> pa.Table:
+        return _enumerate_bucket_pairs(
+            tbl["gram"].to_numpy(zero_copy_only=False),
+            tbl["doc_id_"].to_numpy(zero_copy_only=False),
+            cap=hot_gram_cap,
+            what="gram posting",
         )
 
-    cands = hash_exchange_map(inverted, "gram", num_partitions, partition_pairs,
-                              fn_format="pandas")
+    cands = hash_exchange_map(inverted, "gram", num_partitions, partition_pairs)
     if cands is None:
         return empty_dataset(PAIR_SCHEMA)
     cands = _distinct_pairs_ids(cands, num_partitions)

@@ -404,3 +404,87 @@ def test_kmeans_deterministic(ray_session):
     p2 = a2.to_pandas().sort_values("id").reset_index(drop=True)
     assert p1["cluster"].tolist() == p2["cluster"].tolist()
     assert np.allclose(c1, c2)
+
+
+def test_tfidf_df_path_never_driver_materializes(ray_session, monkeypatch):
+    """Default (join) mode: the document-frequency table must stay a
+    Dataset end-to-end — no .to_pandas()/take_all() of the vocabulary on
+    the driver (the 100-TB scale-killer flagged in round 4)."""
+    import ray.data
+
+    from osm2geojson_ray.text.analysis import tfidf_topk
+
+    def boom(self, *a, **k):
+        raise AssertionError("driver-side materialization inside tfidf_topk")
+
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(6), pa.int64()),
+                  "text": pa.array([f"alpha beta w{i} w{i%3}" for i in range(6)])})
+    ).repartition(3)
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", boom)
+    monkeypatch.setattr(ray.data.Dataset, "take_all", boom)
+    out = tfidf_topk(docs, k=2, scale=1_000_000)
+    monkeypatch.undo()
+    got = out.to_pandas().sort_values(["doc_id", "score_1e6", "term"],
+                                      ascending=[True, False, True])
+    assert len(got) == 12  # 2 per doc
+
+    # broadcast mode (remote-assembled ref, still no driver pandas of df)
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", boom)
+    out_b = tfidf_topk(docs, k=2, scale=1_000_000, df_mode="broadcast")
+    monkeypatch.undo()
+    got_b = out_b.to_pandas().sort_values(["doc_id", "score_1e6", "term"],
+                                          ascending=[True, False, True])
+    assert got.reset_index(drop=True).equals(got_b.reset_index(drop=True))
+
+
+def test_enumerate_bucket_pairs_vectorized_and_capped():
+    from osm2geojson_ray.text.dedup import _enumerate_bucket_pairs
+
+    keys = np.array([5, 5, 5, 9, 9, 9, 9, 2, 5], dtype=np.int64)
+    ids = np.array([3, 1, 3, 7, 8, 7, 9, 4, 2], dtype=np.int64)  # dups collapse
+    t = _enumerate_bucket_pairs(keys, ids)
+    got = sorted(zip(t["a_id"].to_pylist(), t["b_id"].to_pylist()))
+    assert got == [(1, 2), (1, 3), (2, 3), (7, 8), (7, 9), (8, 9)]
+
+    # cap: the size-4 group {1,2,3} has 3 ids, group 9 has 3 -> cap=2 drops both
+    t2 = _enumerate_bucket_pairs(keys, ids, cap=2)
+    assert len(t2) == 0
+
+    # degenerate bucket: 10^4 identical-signature docs complete fast
+    # with a logged drop instead of enumerating ~5*10^7 pairs
+    big_k = np.zeros(10_000, dtype=np.int64)
+    big_i = np.arange(10_000, dtype=np.int64)
+    t3 = _enumerate_bucket_pairs(big_k, big_i, cap=1024)
+    assert len(t3) == 0
+
+
+def test_minhash_degenerate_bucket_bounded(ray_session, caplog):
+    """10^3 byte-identical docs: with the bucket cap the LSH stage
+    completes without enumerating the ~500k-pair clique, and the drop
+    is logged (no silent caps)."""
+    import logging
+
+    from osm2geojson_ray.text.dedup import minhash_lsh_pairs
+
+    n = 1000
+    docs = ray.data.from_arrow(
+        pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(["the same boilerplate text repeated here"] * n),
+        })
+    ).repartition(4)
+    with caplog.at_level(logging.WARNING, logger="osm2geojson_ray.text.dedup"):
+        out = minhash_lsh_pairs(docs, max_bucket_size=100).take_all()
+    assert out == []  # every bucket was the oversized clique
+    # uncapped still works on a small clique (completeness preserved)
+    small = ray.data.from_arrow(
+        pa.table({
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array(["identical words for everyone present"] * 4),
+        })
+    )
+    pairs = minhash_lsh_pairs(small, max_bucket_size=0).take_all()
+    got = sorted((r["a_id"], r["b_id"]) for r in pairs)
+    assert got == [(a, b) for a in range(4) for b in range(a + 1, 4)]
