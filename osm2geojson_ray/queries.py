@@ -367,6 +367,45 @@ FROM events e ASOF LEFT JOIN events p
 """
 
 
+def q26_asof_banded_prev_event(sf_dir: str):
+    """q7's backward as-of self-join through the HOT-KEY-safe banded
+    implementation (temporal.asof_join_banded): both sides route on
+    (user_id, ts // 6h) so one hot user spreads across partitions; the
+    in-band misses are patched from per-band boundary summaries.  Same
+    oracle as q7 — the band decomposition must be invisible in the
+    result."""
+    from .temporal import asof_join_banded
+
+    schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("value", pa.float64()),
+        ]
+    )
+    cols = ["user_id", "event_id", "ts", "value"]
+    out = asof_join_banded(
+        _pq(sf_dir, "events", cols), _pq(sf_dir, "events", cols),
+        by="user_id", on="ts", band_width=6 * 3600 * 1_000_000,
+        l_schema=schema, r_schema=schema,
+        strict=True, r_suffix="_prev", num_partitions=16,
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                t["event_id"],
+                t["user_id"],
+                pc.fill_null(t["event_id_prev"], -1),
+                pc.fill_null(t["value_prev"], 0.0),
+            ],
+            names=["event_id", "user_id", "prev_event_id", "prev_value"],
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def q8_nation_revenue(sf_dir: str):
     """Multi-way join with mixed strategies: lineitem x orders is
     big x big (hash-exchange join on orderkey); customer->nation and
@@ -2656,6 +2695,7 @@ QUERIES = {
     "q23_urgent_lineitem_counts": q23_urgent_lineitem_counts,
     "q24_returning_users": q24_returning_users,
     "q25_order_date_distribution": q25_order_date_distribution,
+    "q26_asof_banded_prev_event": q26_asof_banded_prev_event,
     "t_token_count": t_token_count,
     "t_quality_stats": t_quality_stats,
     "t_token_quantiles": t_token_quantiles,
@@ -2720,6 +2760,7 @@ ORACLE_SQL = {
     "q23_urgent_lineitem_counts": Q23_SQL,
     "q24_returning_users": Q24_SQL,
     "q25_order_date_distribution": Q25_SQL,
+    "q26_asof_banded_prev_event": Q7_SQL,
     "t_token_count": T_TOKEN_SQL,
     "t_quality_stats": T_QUALITY_SQL,
     "t_token_quantiles": T_QUANTILES_SQL,

@@ -381,3 +381,349 @@ def asof_join(
     if exchanged is None:
         return empty_dataset(out_schema)
     return exchanged
+
+
+def _pair_gid(a: np.ndarray, b: np.ndarray) -> "tuple[np.ndarray, int]":
+    """Exact group ids for (a, b) pairs (one lexsort, no packing — no
+    hash-collision risk for arbitrary int64 values).  Returns (gid per
+    row, number of groups)."""
+    n = len(a)
+    if n == 0:
+        return np.empty(0, np.int64), 0
+    order = np.lexsort((b, a))
+    a_s, b_s = a[order], b[order]
+    new = np.r_[True, (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])]
+    gid_sorted = np.cumsum(new) - 1
+    gid = np.empty(n, np.int64)
+    gid[order] = gid_sorted
+    return gid, int(gid_sorted[-1]) + 1
+
+
+def _band_route(by: np.ndarray, band: np.ndarray) -> np.ndarray:
+    """Deterministic int64 routing key for a (by, band) pair — mixes the
+    band in so one hot ``by`` key spreads across partitions.  Collisions
+    only co-locate groups (kernels regroup on the exact pair)."""
+    from .images.synth import splitmix64
+
+    u = by.astype(np.uint64, copy=False)
+    b = band.astype(np.uint64, copy=False)
+    return (
+        splitmix64(u ^ splitmix64(b + np.uint64(0x9E3779B97F4A7C15)))
+        >> np.uint64(1)
+    ).astype(np.int64)
+
+
+def asof_join_banded(
+    left,
+    right,
+    *,
+    by: str,
+    on: str,
+    band_width: int,
+    l_schema: pa.Schema,
+    r_schema: pa.Schema,
+    strict: bool = False,
+    r_suffix: str = "_r",
+    num_partitions: int = 16,
+):
+    """Backward as-of join with HOT-KEY skew handling: identical
+    semantics to :func:`asof_join`, but both sides route on
+    ``(by, on // band_width)`` instead of ``by`` alone, so a single hot
+    equality key (one user holding 90 % of the event log — the common
+    real shape) spreads across partitions instead of bounding one
+    worker's heap.  Mirrors the mega-relation salting in pipeline/osm.py
+    and the band machinery of :func:`interval_count_join`.
+
+    Three-round shape (rounds 2–3 touch only boundary data):
+      1. exchange on (by, band): per-partition IN-BAND as-of; matched
+         left rows finish here.  Also emits, per (by, band): the band's
+         latest right row (a summary) and, where in-band-unmatched left
+         rows exist, a band token — both one row per group.
+      2. tiny exchange of summaries + tokens on ``by``: each token band
+         b gets the summary of the greatest summary band < b (its rows'
+         ``on`` < b*band_width <= any left ``on`` in band b, so the
+         carry is always admissible, strict included).
+      3. exchange of the in-band-unmatched rows + patches on the SAME
+         (by, band) routing: attach the carry payload (or keep nulls).
+
+    Tie note: equal (by, on) right rows resolve to the last row in
+    partition order, as in asof_join; with a hot key the band routing
+    changes which order that is — byte-parity with asof_join requires
+    tie-free (by, on) right rows (true for all gated inputs).
+
+    ``band_width`` is the skew knob: small bands spread a hot key wider
+    but make more rows take the round-3 patch path."""
+    import pyarrow.compute as pc
+
+    from .relational import hash_exchange_map
+
+    if band_width <= 0:
+        raise ValueError("band_width must be positive")
+    if not r_suffix:
+        raise ValueError("r_suffix must be non-empty")
+
+    l_names = [f.name for f in l_schema if f.name != by]
+    r_names = [f.name for f in r_schema if f.name != by]
+    out_schema = pa.schema(
+        [l_schema.field(by)]
+        + [l_schema.field(n) for n in l_names]
+        + [pa.field(n + r_suffix, r_schema.field(n).type) for n in r_names]
+    )
+    names_all = [f.name for f in out_schema] + ["__side", "__band", "__bb", "__kind"]
+    if len(set(names_all)) != len(names_all):
+        raise ValueError(f"column collision after suffixing: {sorted(names_all)}")
+    # exchange schema: out columns + side/band/routing/kind markers
+    ex_schema = pa.schema(
+        list(out_schema)
+        + [
+            pa.field("__side", pa.int8()),
+            pa.field("__band", pa.int64()),
+            pa.field("__bb", pa.int64()),
+            pa.field("__kind", pa.int8()),
+        ]
+    )
+    on_r = on + r_suffix
+
+    def pad(side: int):
+        names = set(l_names) if side == 0 else set(r_names)
+
+        def fn(batch: pa.Table) -> pa.Table:
+            if side == 1:
+                # right rows with null key/on can never match
+                batch = batch.filter(
+                    pc.and_(pc.is_valid(batch[by]), pc.is_valid(batch[on]))
+                )
+            n = len(batch)
+            on_np = _order_as_int64(batch[on]) if n else np.empty(0, np.int64)
+            band = on_np // band_width
+            by_np = _order_as_int64(batch[by]) if n else np.empty(0, np.int64)
+            if side == 0:
+                # null by/on left rows: park in band 0 (kernel emits
+                # them unmatched without consulting the band)
+                ok = (
+                    pc.and_(pc.is_valid(batch[by]), pc.is_valid(batch[on]))
+                    .to_numpy(zero_copy_only=False)
+                    .astype(bool)
+                )
+                band = np.where(ok, band, 0)
+            arrays = []
+            for f in ex_schema:
+                if f.name == by:
+                    arrays.append(batch[by])
+                elif f.name == "__side":
+                    arrays.append(pa.array(np.full(n, side, np.int8)))
+                elif f.name == "__band":
+                    arrays.append(pa.array(band))
+                elif f.name == "__bb":
+                    arrays.append(pa.array(_band_route(by_np, band)))
+                elif f.name == "__kind":
+                    arrays.append(pa.array(np.zeros(n, np.int8)))
+                else:
+                    src = (
+                        f.name[: -len(r_suffix)]
+                        if side == 1 and f.name.endswith(r_suffix)
+                        else f.name
+                    )
+                    if (side == 1 and f.name.endswith(r_suffix) and src in names) or (
+                        side == 0 and f.name in names and not f.name.endswith(r_suffix)
+                    ):
+                        col = batch[src if side == 1 else f.name]
+                        arrays.append(col.cast(f.type) if col.type != f.type else col)
+                    else:
+                        arrays.append(pa.nulls(n, f.type))
+            return pa.Table.from_arrays(arrays, schema=ex_schema)
+
+        return fn
+
+    def _emit(tbl: pa.Table, *, kind: int, take=None, r_from=None, r_take=None,
+              band=None) -> pa.Table:
+        """Build ex_schema rows from a base table slice: l cols from
+        ``tbl`` (optionally .take(take)), r cols from ``r_from`` rows
+        ``r_take`` (mask -1 -> null), __band/__kind constants/arrays."""
+        base = tbl.take(pa.array(take)) if take is not None else tbl
+        n = len(base)
+        arrays = []
+        for f in ex_schema:
+            if f.name == "__side":
+                arrays.append(pa.array(np.zeros(n, np.int8)))
+            elif f.name == "__kind":
+                arrays.append(pa.array(np.full(n, kind, np.int8)))
+            elif f.name == "__band":
+                arrays.append(
+                    pa.array(band) if band is not None else pa.nulls(n, pa.int64())
+                )
+            elif f.name == "__bb":
+                if band is not None:
+                    by_np = _order_as_int64(base[by])
+                    arrays.append(pa.array(_band_route(by_np, band)))
+                else:
+                    arrays.append(pa.nulls(n, pa.int64()))
+            elif f.name == by or not f.name.endswith(r_suffix) or f.name[: -len(r_suffix)] not in r_names:
+                arrays.append(base[f.name])
+            else:  # an r-suffixed payload column
+                if r_from is None:
+                    arrays.append(pa.nulls(n, f.type))
+                else:
+                    ridx = pa.array(np.maximum(r_take, 0), mask=r_take < 0)
+                    arrays.append(r_from[f.name].take(ridx))
+        return pa.Table.from_arrays(arrays, schema=ex_schema)
+
+    def kernel1(tbl: pa.Table) -> pa.Table:
+        if "__part" in tbl.column_names:
+            tbl = tbl.drop_columns(["__part"])
+        lmask = pc.equal(tbl["__side"], 0)
+        lt = tbl.filter(lmask)
+        rt = tbl.filter(pc.invert(lmask))
+        nl, nr = len(lt), len(rt)
+        if nl == 0 and nr == 0:
+            return ex_schema.empty_table()
+        outs = []
+        l_ok = (
+            pc.and_(pc.is_valid(lt[by]), pc.is_valid(lt[on]))
+            .to_numpy(zero_copy_only=False)
+            .astype(bool)
+            if nl
+            else np.empty(0, bool)
+        )
+        if nl and (~l_ok).any():
+            # null-key left rows are FINAL unmatched (kind 0, null r)
+            outs.append(_emit(lt, kind=0, take=np.flatnonzero(~l_ok)))
+        li = np.flatnonzero(l_ok)
+        if len(li):
+            lby = _order_as_int64(lt[by])[li]
+            lband = _order_as_int64(lt["__band"])[li]
+            lts_np = _order_as_int64(lt[on])[li]
+            rby = _order_as_int64(rt[by])
+            rband = _order_as_int64(rt["__band"])
+            rts_np = _order_as_int64(rt[on_r])
+            gid, _ = _pair_gid(
+                np.concatenate([lby, rby]), np.concatenate([lband, rband])
+            )
+            match = _asof_merge_indices(
+                gid[: len(li)], lts_np, gid[len(li):], rts_np, strict
+            )
+            hit = match >= 0
+            if hit.any():
+                outs.append(
+                    _emit(lt, kind=0, take=li[hit], r_from=rt, r_take=match[hit])
+                )
+            if (~hit).any():
+                miss = li[~hit]
+                outs.append(_emit(lt, kind=1, take=miss, band=lband[~hit]))
+                # band tokens: one per unmatched (by, band)
+                tgid, tn = _pair_gid(lby[~hit], lband[~hit])
+                first = np.full(tn, -1, np.int64)
+                # last write wins -> use reversed first-occurrence
+                first[tgid[::-1]] = np.arange(len(tgid))[::-1]
+                outs.append(
+                    _emit(lt, kind=3, take=miss[first], band=lband[~hit][first])
+                )
+        if nr:
+            # per-(by, band) summary: latest right row (max on, last in
+            # partition order on ties)
+            rby = _order_as_int64(rt[by])
+            rband = _order_as_int64(rt["__band"])
+            rts_np = _order_as_int64(rt[on_r])
+            sgid, sn = _pair_gid(rby, rband)
+            order = np.lexsort((np.arange(nr), rts_np, sgid))
+            last = np.zeros(sn, np.int64)
+            last[sgid[order]] = order  # ascending scan: final write = max
+            sum_tbl = rt.take(pa.array(last))
+            # right-side rows already carry null l cols; r payload is
+            # taken from the summary rows themselves
+            outs.append(
+                _emit(
+                    sum_tbl,
+                    kind=2,
+                    r_from=sum_tbl,
+                    r_take=np.arange(sn),
+                    band=_order_as_int64(sum_tbl["__band"]),
+                )
+            )
+        return pa.concat_tables(outs) if outs else ex_schema.empty_table()
+
+    def kernel2(tbl: pa.Table) -> pa.Table:
+        # summaries (kind 2) + tokens (kind 3), all bands of a by-key
+        # co-located: each token band gets the greatest summary band
+        # strictly below it
+        if "__part" in tbl.column_names:
+            tbl = tbl.drop_columns(["__part"])
+        smask = pc.equal(tbl["__kind"], 2)
+        st = tbl.filter(smask)
+        tt = tbl.filter(pc.invert(smask))
+        if len(tt) == 0 or len(st) == 0:
+            return ex_schema.empty_table()
+        s_by = _order_as_int64(st[by])
+        s_band = _order_as_int64(st["__band"])
+        t_by = _order_as_int64(tt[by])
+        t_band = _order_as_int64(tt["__band"])
+        # "greatest summary band strictly below the token band" IS a
+        # strict backward as-of on (key=by, on=band) — reuse the
+        # vectorized merge kernel
+        idx = _asof_merge_indices(t_by, t_band, s_by, s_band, strict=True)
+        have = idx >= 0
+        if not have.any():
+            return ex_schema.empty_table()
+        # patches: kind 4 rows keyed (by, band of the TOKEN), r payload
+        # from the chosen summary
+        return _emit(
+            tt.take(pa.array(np.flatnonzero(have))),
+            kind=4,
+            r_from=st,
+            r_take=idx[have],
+            band=t_band[have],
+        )
+
+    def kernel3(tbl: pa.Table) -> pa.Table:
+        if "__part" in tbl.column_names:
+            tbl = tbl.drop_columns(["__part"])
+        umask = pc.equal(tbl["__kind"], 1)
+        ut = tbl.filter(umask)
+        ptbl = tbl.filter(pc.invert(umask))
+        nu = len(ut)
+        if nu == 0:
+            return out_schema.empty_table()
+        u_by = _order_as_int64(ut[by])
+        u_band = _order_as_int64(ut["__band"])
+        p_by = _order_as_int64(ptbl[by])
+        p_band = _order_as_int64(ptbl["__band"])
+        gid, ng = _pair_gid(
+            np.concatenate([u_by, p_by]), np.concatenate([u_band, p_band])
+        )
+        lookup = np.full(ng, -1, np.int64)
+        lookup[gid[nu:]] = np.arange(len(p_by))
+        ridx_np = lookup[gid[:nu]]
+        ridx = pa.array(np.maximum(ridx_np, 0), mask=ridx_np < 0)
+        arrays = [ut[by]] + [ut[n] for n in l_names]
+        for n in r_names:
+            col = n + r_suffix
+            arrays.append(
+                ptbl[col].take(ridx) if len(ptbl) else pa.nulls(nu, r_schema.field(n).type)
+            )
+        return pa.Table.from_arrays(arrays, schema=out_schema)
+
+    lt = left.map_batches(pad(0), batch_format="pyarrow")
+    rt = right.map_batches(pad(1), batch_format="pyarrow")
+
+    round1 = hash_exchange_map([lt, rt], "__bb", num_partitions, kernel1)
+    if round1 is None:
+        return empty_dataset(out_schema)
+
+    def pick(kinds):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t["__kind"], value_set=pa.array(kinds, pa.int8())))
+
+        return fn
+
+    done = round1.map_batches(pick([0]), batch_format="pyarrow").map_batches(
+        lambda t: t.select([f.name for f in out_schema]), batch_format="pyarrow"
+    )
+    boundary = round1.map_batches(pick([2, 3]), batch_format="pyarrow")
+    unmatched = round1.map_batches(pick([1]), batch_format="pyarrow")
+
+    patches = hash_exchange_map(boundary, by, num_partitions, kernel2)
+    round3_in = [unmatched] if patches is None else [unmatched, patches]
+    patched = hash_exchange_map(round3_in, "__bb", num_partitions, kernel3)
+    if patched is None:
+        return done
+    return done.union(patched)

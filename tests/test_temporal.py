@@ -349,3 +349,118 @@ def test_interval_count_join_bigint_times(ray_session):
     # interval 1 = [base+1, base+3) -> {base+1, base+2}; interval 2 = [base+3, base+6) -> {base+5}
     assert out["iid"].tolist() == [1, 2]
     assert out["n"].tolist() == [2, 1]
+
+
+def _asof_pair_sets(out_df):
+    return sorted(
+        map(tuple, out_df.fillna(-999).to_numpy().tolist())
+    )
+
+
+def test_asof_join_banded_matches_plain(ray_session):
+    """Banded (hot-key) as-of == plain as-of on tie-free inputs, across
+    band widths and strictness."""
+    from osm2geojson_ray.temporal import asof_join_banded
+
+    rng = np.random.RandomState(7)
+    nl, nr = 400, 300
+    lk = rng.randint(0, 6, nl).astype(np.int64)
+    rk = rng.randint(0, 6, nr).astype(np.int64)
+    lts = rng.permutation(10_000)[:nl].astype(np.int64)
+    rts = (rng.permutation(10_000)[:nr] + 10_000).astype(np.int64)
+    rts[: nr // 2] -= 10_000  # half the right rows in the left's range
+    lds = ray.data.from_arrow(pa.table(
+        {"k": lk, "ts": lts, "lv": rng.rand(nl)})).repartition(5)
+    rds = ray.data.from_arrow(pa.table(
+        {"k": rk, "ts": rts, "rv": rng.randint(0, 99, nr).astype(np.int64)}
+    )).repartition(3)
+
+    for strict in (False, True):
+        for bw in (64, 1000, 10**9):  # 10^9: everything in one band
+            want = asof_join(
+                lds, rds, by="k", on="ts", l_schema=L_SCHEMA,
+                r_schema=R_SCHEMA, strict=strict,
+            ).to_pandas()
+            got = asof_join_banded(
+                lds, rds, by="k", on="ts", band_width=bw,
+                l_schema=L_SCHEMA, r_schema=R_SCHEMA, strict=strict,
+            ).to_pandas()
+            assert _asof_pair_sets(got) == _asof_pair_sets(want), (strict, bw)
+
+
+def test_asof_join_banded_hot_key_spreads(ray_session):
+    """One key holding 90% of both sides: the banded routing keeps
+    every partition's share bounded (the plain by-key routing would put
+    90% of all rows in ONE partition), and the result is still exact."""
+    from osm2geojson_ray.temporal import _band_route, asof_join_banded
+
+    rng = np.random.RandomState(3)
+    n = 20_000
+    hot = int(n * 0.9)
+    lk = np.concatenate([np.full(hot, 42), rng.randint(100, 120, n - hot)]).astype(np.int64)
+    lts = rng.permutation(n * 4)[:n].astype(np.int64)
+    rk = lk.copy()
+    rts = rng.permutation(n * 4)[:n].astype(np.int64)
+    P, BW = 16, 1024
+
+    # routing bound: no partition sees more than 3x its fair share
+    band = lts // BW
+    parts = _band_route(lk, band) % P
+    counts = np.bincount(parts, minlength=P)
+    assert counts.max() <= 3 * (n / P), counts.max()
+
+    lds = ray.data.from_arrow(pa.table(
+        {"k": lk, "ts": lts, "lv": np.arange(n, dtype=np.float64)})).repartition(8)
+    rds = ray.data.from_arrow(pa.table(
+        {"k": rk, "ts": rts, "rv": np.arange(n, dtype=np.int64)})).repartition(8)
+    got = asof_join_banded(
+        lds, rds, by="k", on="ts", band_width=BW,
+        l_schema=L_SCHEMA, r_schema=R_SCHEMA, num_partitions=P,
+    ).to_pandas().sort_values(["k", "ts"]).reset_index(drop=True)
+
+    # pandas merge_asof oracle
+    ldf = pd.DataFrame({"k": lk, "ts": lts, "lv": np.arange(n, dtype=np.float64)}).sort_values("ts")
+    rdf = pd.DataFrame({"k": rk, "ts": rts, "rv": np.arange(n, dtype=np.int64)}).sort_values("ts")
+    want = pd.merge_asof(ldf, rdf, on="ts", by="k", suffixes=("", "_r")) \
+        .rename(columns={"rv": "rv_r"}) if False else pd.merge_asof(
+            ldf, rdf, on="ts", by="k")
+    want = want.rename(columns={"rv": "rv_r"})
+    want["ts_r"] = want["ts"].where(want["rv_r"].notna(), np.nan)
+    # merge_asof doesn't emit the matched right ts; check k/ts/lv/rv_r
+    want = want.sort_values(["k", "ts"]).reset_index(drop=True)
+    assert got["k"].tolist() == want["k"].tolist()
+    assert got["ts"].tolist() == want["ts"].tolist()
+    assert got["lv"].tolist() == want["lv"].tolist()
+    g = got["rv_r"].fillna(-1).astype(int).tolist()
+    w = want["rv_r"].fillna(-1).astype(int).tolist()
+    assert g == w
+
+
+def test_asof_join_banded_nulls_and_empty(ray_session):
+    from osm2geojson_ray.temporal import asof_join_banded
+
+    lds = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, None, 2, 1], pa.int64()),
+        "ts": pa.array([10, 5, None, 100], pa.int64()),
+        "lv": pa.array([0.5, 1.5, 2.5, 3.5]),
+    }))
+    rds = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 1, None], pa.int64()),
+        "ts": pa.array([8, None, 3], pa.int64()),
+        "rv": pa.array([7, 8, 9], pa.int64()),
+    }))
+    got = asof_join_banded(
+        lds, rds, by="k", on="ts", band_width=16,
+        l_schema=L_SCHEMA, r_schema=R_SCHEMA,
+    ).to_pandas().sort_values("lv").reset_index(drop=True)
+    assert len(got) == 4
+    # k=1/ts=10 and k=1/ts=100 match rv=7 (ts=8, earlier band for 100);
+    # null-key/null-ts lefts and k=2 stay unmatched
+    assert got["rv_r"].fillna(-1).astype(int).tolist() == [7, -1, -1, 7]
+
+    empty_r = ray.data.from_arrow(R_SCHEMA.empty_table())
+    got2 = asof_join_banded(
+        lds, empty_r, by="k", on="ts", band_width=16,
+        l_schema=L_SCHEMA, r_schema=R_SCHEMA,
+    ).to_pandas()
+    assert len(got2) == 4 and got2["rv_r"].isna().all()
