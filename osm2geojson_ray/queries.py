@@ -1852,6 +1852,63 @@ SELECT u AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY u
 """
 
 
+def t_curation_pass(sf_dir: str):
+    """The composed end-to-end pass a training-data team actually runs,
+    as ONE pipeline: exact near-dup pair edges (jaccard_pairs) ->
+    distributed connected components -> keep only each cluster's
+    smallest doc (left-anti hash join against the losers) -> per-
+    language deterministic quota sample (stratified_hash_sample).
+    Every stage is the already-oracled operator; the composition's SQL
+    twin chains the same recursive-CTE components and splitmix64
+    threshold in one statement."""
+    from .relational import connected_components, hash_join, stratified_hash_sample
+    from .text.dedup import jaccard_pairs
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text", "lang"])
+    pairs = jaccard_pairs(
+        docs.select_columns(["doc_id", "text"]), jaccard_threshold=0.8
+    ).select_columns(["a_id", "b_id"])
+    comp = connected_components(pairs, a_col="a_id", b_col="b_id")
+
+    def losers(t: pa.Table) -> pa.Table:
+        drop = t.filter(pc.not_equal(t["node"], t["label"]))
+        return pa.Table.from_pydict(
+            {"doc_id": drop["node"]}, schema=pa.schema([("doc_id", pa.int64())])
+        )
+
+    lose_ds = comp.map_batches(losers, batch_format="pyarrow")
+    survivors = hash_join(
+        _pq(sf_dir, "documents", ["doc_id", "lang"]),
+        lose_ds,
+        on="doc_id",
+        l_schema=pa.schema([("doc_id", pa.int64()), ("lang", pa.string())]),
+        r_schema=pa.schema([("doc_id", pa.int64())]),
+        how="left_anti",
+    )
+    return stratified_hash_sample(
+        survivors, "doc_id", "lang", rates={"en": 60}, default_num=15, keep_den=100
+    )
+
+
+T_CURATION_SQL = f"""
+WITH RECURSIVE pair_edges AS ({T_JACCARD_SQL}),
+und AS (SELECT a_id AS u, b_id AS v FROM pair_edges
+        UNION ALL SELECT b_id, a_id FROM pair_edges),
+reach(u, lbl) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM und) t
+  UNION
+  SELECT und.u, reach.lbl FROM und JOIN reach ON und.v = reach.u
+),
+clusters AS (SELECT u AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY u),
+losers AS (SELECT doc_id FROM clusters WHERE cluster_id <> doc_id),
+{_splitmix_over("doc_id", "documents")}
+SELECT d.doc_id, d.lang
+FROM documents d JOIN smfin ON smfin.k = d.doc_id
+WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+  AND h64 % 100 < CASE WHEN d.lang = 'en' THEN 60 ELSE 15 END
+"""
+
+
 def q19_order_rank_windows(sf_dir: str):
     """Ranking window family — RANK / DENSE_RANK / NTILE(4) OVER
     (PARTITION BY custkey ORDER BY date[, key]) — through the same one
@@ -2704,6 +2761,7 @@ QUERIES = {
     "t_minhash_pairs": t_minhash_pairs,
     "t_jaccard_pairs": t_jaccard_pairs,
     "t_dup_clusters": t_dup_clusters,
+    "t_curation_pass": t_curation_pass,
     "t_snapshot_diff": t_snapshot_diff,
     "t_simhash": t_simhash,
     "t_tfidf_topk": t_tfidf_topk,
@@ -2768,6 +2826,7 @@ ORACLE_SQL = {
     "t_exact_dedup": T_DEDUP_SQL,
     "t_jaccard_pairs": T_JACCARD_SQL,
     "t_dup_clusters": T_DUP_CLUSTERS_SQL,
+    "t_curation_pass": T_CURATION_SQL,
     "t_snapshot_diff": T_SNAPSHOT_SQL,
     "t_simhash": T_SIMHASH_SQL,
     "t_tfidf_topk": T_TFIDF_SQL,
