@@ -301,7 +301,8 @@ def _tfidf_scaled(tf: np.ndarray, dfv: np.ndarray, n_docs: float, scale: int) ->
 
 def tfidf_topk(docs, *, doc_col: str = "doc_id", text_col: str = "text",
                k: int = 3, scale: int = 1_000_000, out_col: str = "score_1e6",
-               num_partitions: int = 16, df_mode: str = "join"):
+               num_partitions: int = 16, df_mode: str = "join",
+               term_salt: int = 8):
     """Top-k TF-IDF terms per document (score = tf * ln(N/df), ranked on
     the integer-scaled score with the term as deterministic tiebreak).
 
@@ -314,11 +315,15 @@ def tfidf_topk(docs, *, doc_col: str = "doc_id", text_col: str = "text",
     term rows never sort-shuffle.
 
     ``df_mode="join"`` (default, web-scale shape): the df table STAYS a
-    Dataset — term rows and df rows ride ONE string-keyed hash exchange
-    on ``term`` and scoring is a partition-local exact ``index_in``
-    against that partition's slice of the vocabulary.  Nothing
-    vocabulary-sized ever lands on the driver or in any single worker
-    (a 10^8-term vocab splits ~evenly across partitions).
+    Dataset — term rows and df rows ride ONE hash exchange keyed on
+    (term, doc_id % term_salt) and scoring is a partition-local exact
+    ``index_in`` against that partition's slice of the vocabulary.
+    Nothing vocabulary-sized ever lands on the driver or in any single
+    worker (a 10^8-term vocab splits ~evenly across partitions), and a
+    HOT term (a stopword present in every document) spreads across
+    ``term_salt`` partitions — the tiny df side is replicated to every
+    salt (broadcast-fragment join) so each partition stays self-
+    contained.
 
     ``df_mode="broadcast"``: classic small-side broadcast — the (vocab,
     df) arrays are assembled by a REMOTE reduce task straight from the
@@ -369,24 +374,52 @@ def tfidf_topk(docs, *, doc_col: str = "doc_id", text_col: str = "text",
             batch_format="pyarrow",
         )
     else:
+        from ..relational import _crc32_vectorized
+
         union_schema = pa.schema(
             [(doc_col, pa.int64()), ("term", pa.string()),
-             ("tf", pa.int64()), ("df", pa.int64()), ("__side", pa.int8())]
+             ("tf", pa.int64()), ("df", pa.int64()), ("__side", pa.int8()),
+             ("__route", pa.int64())]
         )
+        S = max(1, int(term_salt))
 
+        # HOT-TERM skew guard: a stopword occurs in ~every document, so
+        # routing term rows on the term alone would put O(corpus) rows
+        # in one partition.  Salt the big side by doc_id % S and
+        # replicate the TINY df side to all S salts (broadcast-fragment
+        # join): each partition still holds every df row its term rows
+        # need, and a hot term spreads across S partitions.
         def pad_terms(t: pa.Table) -> pa.Table:
             n = len(t)
+            crc = _crc32_vectorized(
+                t["term"].combine_chunks()
+                if isinstance(t["term"], pa.ChunkedArray) else t["term"]
+            ).astype(np.int64)
+            docs_np = (
+                pc.fill_null(t[doc_col], 0).cast(pa.int64())
+                .combine_chunks().to_numpy(zero_copy_only=False)
+            )
+            route = crc * S + (docs_np % S)
             return pa.Table.from_arrays(
                 [t[doc_col].cast(pa.int64()), t["term"], t["tf"].cast(pa.int64()),
-                 pa.nulls(n, pa.int64()), pa.array(np.zeros(n, np.int8))],
+                 pa.nulls(n, pa.int64()), pa.array(np.zeros(n, np.int8)),
+                 pa.array(route)],
                 schema=union_schema,
             )
 
         def pad_df(t: pa.Table) -> pa.Table:
             n = len(t)
+            crc = _crc32_vectorized(
+                t["term"].combine_chunks()
+                if isinstance(t["term"], pa.ChunkedArray) else t["term"]
+            ).astype(np.int64)
+            rep = t.take(pa.array(np.tile(np.arange(n, dtype=np.int64), S)))
+            route = np.tile(crc, S) * S + np.repeat(np.arange(S, dtype=np.int64), n)
+            m = len(rep)
             return pa.Table.from_arrays(
-                [pa.nulls(n, pa.int64()), t["term"], pa.nulls(n, pa.int64()),
-                 t["df"].cast(pa.int64()), pa.array(np.ones(n, np.int8))],
+                [pa.nulls(m, pa.int64()), rep["term"], pa.nulls(m, pa.int64()),
+                 rep["df"].cast(pa.int64()), pa.array(np.ones(m, np.int8)),
+                 pa.array(route)],
                 schema=union_schema,
             )
 
@@ -422,7 +455,7 @@ def tfidf_topk(docs, *, doc_col: str = "doc_id", text_col: str = "text",
                 term_rows.map_batches(pad_terms, batch_format="pyarrow"),
                 df.map_batches(pad_df, batch_format="pyarrow"),
             ],
-            "term",
+            "__route",
             num_partitions,
             score_partition,
         )

@@ -488,3 +488,29 @@ def test_minhash_degenerate_bucket_bounded(ray_session, caplog):
     pairs = minhash_lsh_pairs(small, max_bucket_size=0).take_all()
     got = sorted((r["a_id"], r["b_id"]) for r in pairs)
     assert got == [(a, b) for a in range(4) for b in range(a + 1, 4)]
+
+
+def test_tfidf_hot_term_salt_spreads_and_matches(ray_session):
+    """A term present in EVERY doc (stopword shape): the salted route
+    (term, doc % S) spreads its rows across S partitions instead of
+    one, and the scores still match the unsalted broadcast mode."""
+    from osm2geojson_ray.relational import _crc32_vectorized
+    from osm2geojson_ray.text.analysis import tfidf_topk
+
+    S, P, n = 8, 16, 400
+    crc = int(_crc32_vectorized(pa.array(["common"]))[0])
+    parts = {(crc * S + d % S) % P for d in range(n)}
+    assert parts == {(crc * S + s) % P for s in range(S)}  # all S salt cells
+    assert len(parts) == S  # crc*S is a multiple of S: no mod-P collision
+
+    docs = ray.data.from_arrow(
+        pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array([f"common w{i % 37} w{i % 11}" for i in range(n)]),
+        })
+    ).repartition(4)
+    a = tfidf_topk(docs, k=2).to_pandas().sort_values(
+        ["doc_id", "score_1e6", "term"]).reset_index(drop=True)
+    b = tfidf_topk(docs, k=2, df_mode="broadcast").to_pandas().sort_values(
+        ["doc_id", "score_1e6", "term"]).reset_index(drop=True)
+    assert a.equals(b) and len(a) == 2 * n
