@@ -955,6 +955,114 @@ FROM documents
 """
 
 
+def t_langid(sf_dir: str):
+    """Deterministic heuristic language ID: per-language stopword hit
+    votes over the lowercased \\S+ tokens, first-max tiebreak in
+    _STOPWORDS declaration order, 'und' on zero hits — plus the
+    floor-scaled best-language stopword ratio (text/analysis
+    TextAnalyzer)."""
+    from .text.analysis import analyze_documents
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    out = analyze_documents(docs, concurrency=2).select_columns(
+        ["doc_id", "lang_pred", "stopword_ratio"]
+    )
+    return _int_scale_cols(
+        out, {"stopword_ratio": ("stopword_ratio_ppm", 1_000_000, "floor")}
+    )
+
+
+def _langid_values_sql() -> str:
+    """VALUES rows (lang, idx, word) mirroring analysis._STOPWORDS —
+    idx is the declaration order the engine's argmax tiebreak uses."""
+    from .text.analysis import _STOPWORDS
+
+    rows = []
+    for idx, (lang, words) in enumerate(_STOPWORDS.items()):
+        for w in sorted(words):
+            rows.append(f"('{lang}',{idx},'{w}')")
+    return ",".join(rows)
+
+
+T_LANGID_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, lower(u.w) AS w
+  FROM documents, UNNEST(regexp_extract_all(text, '\S+')) AS u(w)
+),
+ntok AS (
+  SELECT d.doc_id, count(t.w) AS n
+  FROM documents d LEFT JOIN toks t ON t.doc_id = d.doc_id
+  GROUP BY d.doc_id
+),
+sw(lang, idx, w) AS (VALUES {_langid_values_sql()}),
+hits AS (
+  SELECT t.doc_id, s.lang, s.idx, count(*) AS c
+  FROM toks t JOIN sw s ON t.w = s.w
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT doc_id, lang, c,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, idx) AS rn
+  FROM hits
+)
+SELECT n.doc_id,
+       COALESCE(b.lang, 'und') AS lang_pred,
+       CAST(floor(CASE WHEN n.n = 0 OR b.c IS NULL THEN 0.0
+                       ELSE CAST(b.c AS DOUBLE) / n.n END * 1000000) AS BIGINT)
+         AS stopword_ratio_ppm
+FROM ntok n LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.doc_id = n.doc_id
+"""
+
+
+def t_fingerprint(sf_dir: str):
+    """Per-document phrase fingerprint: min FNV-1a-63 over word
+    3-grams (lowercased, single-space-joined); documents shorter than
+    3 tokens hash their full joined text (TextAnalyzer
+    _fingerprint_batch — the rolling-hash document fingerprint)."""
+    from .text.analysis import analyze_documents
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return analyze_documents(docs, concurrency=2).select_columns(
+        ["doc_id", "fingerprint"]
+    )
+
+
+T_FINGERPRINT_SQL = r"""
+WITH RECURSIVE words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws
+  FROM documents
+),
+tri AS (
+  SELECT w.doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+  FROM words w, UNNEST(generate_series(1, len(ws) - 2)) AS u(i)
+  WHERE len(ws) >= 3
+),
+short AS (
+  SELECT doc_id, array_to_string(ws, ' ') AS g FROM words WHERE len(ws) < 3
+),
+gs AS (
+  SELECT DISTINCT g FROM (SELECT g FROM tri UNION ALL SELECT g FROM short)
+),
+fnv AS (
+  SELECT g, 1 AS pos, CAST(14695981039346656037 AS HUGEINT) AS h FROM gs
+  UNION ALL
+  SELECT g, pos + 1,
+         (xor(h, CAST(ord(substr(g, pos, 1)) AS HUGEINT)) * 1099511628211)
+           % 18446744073709551616
+  FROM fnv WHERE pos <= length(g)
+),
+gh AS (
+  SELECT g, CAST(h % 9223372036854775808 AS BIGINT) AS h63
+  FROM fnv WHERE pos = length(g) + 1
+)
+SELECT t.doc_id, min(gh.h63) AS fingerprint
+FROM tri t JOIN gh ON gh.g = t.g GROUP BY t.doc_id
+UNION ALL
+SELECT s.doc_id, gh.h63 AS fingerprint
+FROM short s JOIN gh ON gh.g = s.g
+"""
+
+
 def t_exact_dedup(sf_dir: str):
     from .text.dedup import exact_dedup
 
@@ -2755,6 +2863,8 @@ QUERIES = {
     "q26_asof_banded_prev_event": q26_asof_banded_prev_event,
     "t_token_count": t_token_count,
     "t_quality_stats": t_quality_stats,
+    "t_langid": t_langid,
+    "t_fingerprint": t_fingerprint,
     "t_token_quantiles": t_token_quantiles,
     "t_chars_quantiles_cont": t_chars_quantiles_cont,
     "t_exact_dedup": t_exact_dedup,
@@ -2821,6 +2931,8 @@ ORACLE_SQL = {
     "q26_asof_banded_prev_event": Q7_SQL,
     "t_token_count": T_TOKEN_SQL,
     "t_quality_stats": T_QUALITY_SQL,
+    "t_langid": T_LANGID_SQL,
+    "t_fingerprint": T_FINGERPRINT_SQL,
     "t_token_quantiles": T_QUANTILES_SQL,
     "t_chars_quantiles_cont": T_CHARS_QUANTILES_SQL,
     "t_exact_dedup": T_DEDUP_SQL,
