@@ -2570,6 +2570,82 @@ FROM fin GROUP BY 1
 """
 
 
+def m_image_dedup(sf_dir: str):
+    """Content-based exact image dedup: FNV63 over the encoded BYTES
+    (vectorized buffer-level hash, payloads never shuffle — only slim
+    (image_idx, content_hash) rows ride the exchange), keeper = min
+    image_idx per distinct payload plus the duplicate count.
+
+    On this deterministic corpus byte-equality is exactly
+    (phase, codec) equality — two images share bytes iff splitmix64
+    phases match AND both are lossy or both lossless — so the DuckDB
+    oracle recomputes the clusters from the image index alone."""
+    from .images.synth import synth_image_table
+    from .relational import hash_exchange_map
+    from .text.dedup import _content_hash_col
+
+    ds = synth_image_table(2000, partition_rows=500)
+
+    def hash_rows(t: pa.Table) -> pa.Table:
+        idx = pc.cast(pc.utf8_slice_codeunits(t["image_id"], 4), pa.int64())
+        slim = pa.table({"image_idx": idx, "bytes": t["bytes"]})
+        return _content_hash_col(slim, "bytes").select(["image_idx", "content_hash"])
+
+    hashed = ds.map_batches(hash_rows, batch_format="pyarrow")
+
+    def agg(df):
+        g = df.groupby("content_hash", sort=False)
+        import pandas as pd
+
+        return pd.DataFrame(
+            {"image_idx": g["image_idx"].min(), "n_dups": g.size()}
+        ).reset_index(drop=True)
+
+    return hash_exchange_map(hashed, "content_hash", 16, agg, fn_format="pandas")
+
+
+M_IMAGE_DEDUP_SQL = f"""
+WITH {_SPLITMIX_PHASE_CTE}
+SELECT CAST(min(i) AS BIGINT) AS image_idx, CAST(count(*) AS BIGINT) AS n_dups
+FROM fin GROUP BY h64 % 1000, (i % 4 = 0)
+"""
+
+
+def m_phash_clusters(sf_dir: str):
+    """Near-duplicate image clustering end to end: pHash band-LSH
+    candidate pairs at Hamming 0 -> distributed connected components ->
+    (cluster representative = min image_idx, cluster size), clusters of
+    size >= 2 only (singletons never enter the edge list).
+
+    No SQL oracle: the phash is a float block-mean image hash (not
+    SQL-expressible, and many-to-one on generator phases — 221 hashes
+    across 851 phases at n=2000), so the driver records rows-only and
+    tests/test_images_text.py pins the clusters against an exact
+    single-process group-by-phash oracle."""
+    from .images.synth import synth_image_table
+    from .relational import connected_components, grouped_count
+    from .spatial.knn import phash_band_pairs
+
+    ds = synth_image_table(2000, partition_rows=500)
+
+    def items(t: pa.Table) -> pa.Table:
+        idx = pc.cast(pc.utf8_slice_codeunits(t["image_id"], 4), pa.int64())
+        return pa.table({"item_id": idx, "phash": t["phash"]})
+
+    pairs = ds.map_batches(items, batch_format="pyarrow")
+    edges = phash_band_pairs(pairs, max_distance=0)
+    comps = connected_components(edges, a_col="a_id", b_col="b_id")
+    out = grouped_count(comps, "label", alias="csize")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"rep_idx": t["label"].cast(pa.int64()),
+             "csize": t["csize"].cast(pa.int64())}
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
 # ------------------------------------------------- distance joins (integer)
 # Integer micro-degree points derived from part keys: every distance is
 # exact int64 arithmetic, so the DuckDB twins replay the joins
@@ -2900,6 +2976,8 @@ QUERIES = {
     "m_image_decode": m_image_decode,
     "m_image_features": m_image_features,
     "m_caption_extract": m_caption_extract,
+    "m_image_dedup": m_image_dedup,
+    "m_phash_clusters": m_phash_clusters,
 }
 
 ORACLE_SQL = {
@@ -2965,4 +3043,5 @@ ORACLE_SQL = {
     "m_image_decode": M_IMAGE_DECODE_SQL,
     "m_image_features": M_IMAGE_FEATURES_SQL,
     "m_caption_extract": M_CAPTION_SQL,
+    "m_image_dedup": M_IMAGE_DEDUP_SQL,
 }

@@ -39,18 +39,25 @@ def _hash63(s: str) -> int:
 
 
 def _hash63_batch(strings: pa.Array) -> np.ndarray:
-    """Vectorized FNV-1a over a utf8/binary Arrow array: one pass per
-    byte POSITION (max string length passes), each vectorized over all
-    strings — identical results to ``_hash63`` per element."""
+    """Vectorized FNV-1a over a utf8/binary (or large_*) Arrow array:
+    one pass per byte POSITION (max string length passes), each
+    vectorized over all strings — identical results to ``_hash63`` per
+    element (for binary payloads, to hashing the raw bytes)."""
     n = len(strings)
     if n == 0:
         return np.empty(0, dtype=np.int64)
     arr = strings.combine_chunks() if isinstance(strings, pa.ChunkedArray) else strings
     if arr.null_count:
-        arr = pc.fill_null(arr, "")
+        fill = b"" if pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type) else ""
+        arr = pc.fill_null(arr, fill)
     buffers = arr.buffers()
-    # utf8/binary layout: [validity, offsets(int32), data]
-    offsets = np.frombuffer(buffers[1], dtype=np.int32)[
+    # utf8/binary layout: [validity, offsets(int32; int64 for large_*), data]
+    off_dt = (
+        np.int64
+        if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type)
+        else np.int32
+    )
+    offsets = np.frombuffer(buffers[1], dtype=off_dt)[
         arr.offset : arr.offset + n + 1
     ].astype(np.int64)
     data = np.frombuffer(buffers[2], dtype=np.uint8) if buffers[2] is not None else np.empty(0, np.uint8)

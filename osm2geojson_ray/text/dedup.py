@@ -28,7 +28,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..images.synth import splitmix64
-from .analysis import _hash63
+from .analysis import _hash63, _hash63_batch
 
 _TOKEN_RE = re.compile(r"\S+")
 
@@ -114,12 +114,12 @@ def _distinct_pairs(pairs, num_partitions: int = 16):
 
 
 def _content_hash_col(batch: pa.Table, text_col: str) -> pa.Table:
-    hashes = np.fromiter(
-        (_hash63(t or "") for t in batch[text_col].to_pylist()),
-        dtype=np.int64,
-        count=len(batch),
-    )
-    return batch.append_column("content_hash", pa.array(hashes))
+    """FNV63 content hash of a string OR binary column — vectorized
+    buffer-level passes (_hash63_batch), no per-row Python."""
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return batch.append_column("content_hash", pa.array(_hash63_batch(col)))
 
 
 def exact_dedup(docs, *, text_col: str = "text", id_col: str = "doc_id",

@@ -514,3 +514,70 @@ def test_tfidf_hot_term_salt_spreads_and_matches(ray_session):
     b = tfidf_topk(docs, k=2, df_mode="broadcast").to_pandas().sort_values(
         ["doc_id", "score_1e6", "term"]).reset_index(drop=True)
     assert a.equals(b) and len(a) == 2 * n
+
+
+def test_content_hash_binary_matches_scalar(ray_session):
+    """_content_hash_col on a BINARY column: the vectorized buffer-level
+    FNV63 equals the scalar reference on raw bytes, including nulls and
+    the empty payload; large_binary takes the int64-offset path."""
+    from osm2geojson_ray.text.analysis import _hash63
+    from osm2geojson_ray.text.dedup import _content_hash_col
+
+    payloads = [b"", b"abc", bytes(range(256)), None, b"abc"]
+    want = [_hash63_bytes(p) for p in payloads]
+    for typ in (pa.binary(), pa.large_binary()):
+        t = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                      "payload": pa.array(payloads, typ)})
+        got = _content_hash_col(t, "payload")["content_hash"].to_pylist()
+        assert got == want, typ
+    # string column stays equal to the scalar text hash
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["hello world", ""], pa.string())})
+    got = _content_hash_col(t, "text")["content_hash"].to_pylist()
+    assert got == [_hash63("hello world"), _hash63("")]
+
+
+def _hash63_bytes(b):
+    h = 0xCBF29CE484222325
+    for x in (b or b""):
+        h ^= x
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h & 0x7FFFFFFFFFFFFFFF
+
+
+def test_m_image_dedup_and_phash_clusters_vs_slow_oracle(ray_session):
+    """The two multimodal curation queries against exact single-process
+    oracles over the same deterministic corpus: byte-content dedup
+    groups == pandas groupby(bytes); phash clusters (band-LSH Hamming-0
+    pairs -> connected components) == groupby(phash) with size >= 2."""
+    import pandas as pd
+
+    from osm2geojson_ray.queries import m_image_dedup, m_phash_clusters
+
+    corpus = synth_image_table(2000, partition_rows=500).to_pandas()
+    corpus["image_idx"] = corpus["image_id"].str.slice(4).astype("int64")
+
+    got = (
+        m_image_dedup("unused").to_pandas()
+        .sort_values(["image_idx"]).reset_index(drop=True)[["image_idx", "n_dups"]]
+    )
+    g = corpus.groupby("bytes", sort=False)
+    want = (
+        pd.DataFrame({"image_idx": g["image_idx"].min(), "n_dups": g.size()})
+        .sort_values(["image_idx"]).reset_index(drop=True)
+    )
+    assert got["image_idx"].tolist() == want["image_idx"].tolist()
+    assert got["n_dups"].tolist() == want["n_dups"].tolist()
+
+    got_c = (
+        m_phash_clusters("unused").to_pandas()
+        .sort_values(["rep_idx"]).reset_index(drop=True)[["rep_idx", "csize"]]
+    )
+    gp = corpus.groupby("phash", sort=False)
+    want_c = (
+        pd.DataFrame({"rep_idx": gp["image_idx"].min(), "csize": gp.size()})
+        .query("csize >= 2")
+        .sort_values(["rep_idx"]).reset_index(drop=True)
+    )
+    assert got_c["rep_idx"].tolist() == want_c["rep_idx"].tolist()
+    assert got_c["csize"].tolist() == want_c["csize"].tolist()
