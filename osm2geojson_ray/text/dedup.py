@@ -155,6 +155,24 @@ def minhash_signature(text: str, num_hashes: int, shingle_k: int) -> np.ndarray:
     return perm.min(axis=0)
 
 
+def _flat_tokens(col):
+    """Vectorized \\S+ tokenization of a string column: returns
+    (flat_lower tokens, parent doc index per token, tokens per doc) —
+    identical to per-row ``_TOKEN_RE.findall`` + ``str.lower`` (regex
+    split emits empties at leading/trailing whitespace; dropped)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    n = len(col)
+    tokens = pc.split_pattern_regex(col, r"\s+")
+    flat = pc.list_flatten(tokens)
+    parent = pc.list_parent_indices(tokens).to_numpy(zero_copy_only=False)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat = pc.utf8_lower(flat.filter(pa.array(nonempty)))
+    parent = parent[nonempty]
+    return flat, parent, np.bincount(parent, minlength=n).astype(np.int64)
+
+
 GRAMS_SCHEMA = pa.schema([("doc_id", pa.int64()), ("grams", pa.list_(pa.int64()))])
 
 
@@ -166,27 +184,58 @@ def grams_dataset(docs, *, text_col: str = "text", id_col: str = "doc_id",
     candidate stage and the verify join."""
 
     class Grams:
-        """doc -> sorted unique shingle hashes (list<int64>)."""
+        """doc -> sorted unique shingle hashes (list<int64>), fully
+        vectorized: k-gram windows are k shifted takes of the flattened
+        token array joined element-wise, hashed by the buffer-level FNV
+        batch kernel; per-doc unique+sort is one lexsort + adjacent
+        dedupe.  Value-identical to the former per-row loop
+        (tests pin parity)."""
 
         def __init__(self):
             self.k = shingle_k
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            vals, counts = [], []
-            for text in batch[text_col].to_pylist():
-                words = [w.lower() for w in _TOKEN_RE.findall(text or "")]
-                sh = _shingles(words, self.k)
-                g = (
-                    np.unique(np.fromiter((_hash63(s) for s in sh), np.int64, len(sh)))
-                    if sh
-                    else np.array([], dtype=np.int64)
+            k = self.k
+            n = len(batch)
+            flat, parent, n_tokens = _flat_tokens(batch[text_col])
+            total = len(flat)
+            # gram windows live inside one doc's token run: a start is a
+            # position whose (k-1)-ahead neighbour shares the parent
+            if total >= k:
+                starts = np.flatnonzero(parent[: total - k + 1] == parent[k - 1 :])
+            else:
+                starts = np.empty(0, dtype=np.int64)
+            if len(starts):
+                parts = [flat.take(pa.array(starts + j, pa.int64())) for j in range(k)]
+                gh = _hash63_batch(pc.binary_join_element_wise(*parts, " "))
+                gram_doc = parent[starts]
+            else:
+                gh = np.empty(0, dtype=np.int64)
+                gram_doc = np.empty(0, dtype=np.int64)
+            # short docs (1 <= tokens < k) hash their full joined text
+            short = np.flatnonzero((n_tokens > 0) & (n_tokens < k))
+            if len(short):
+                sel = np.flatnonzero(np.isin(parent, short))
+                toks = flat.take(pa.array(sel, pa.int64()))
+                offs = np.concatenate(([0], np.cumsum(n_tokens[short]))).astype(np.int32)
+                joined = pc.binary_join(
+                    pa.ListArray.from_arrays(pa.array(offs, pa.int32()), toks),
+                    " ",
                 )
-                vals.append(g)
-                counts.append(len(g))
+                gh = np.concatenate([gh, _hash63_batch(joined)])
+                gram_doc = np.concatenate([gram_doc, short])
+            # per-doc sorted unique hash sets in one pass
+            order = np.lexsort((gh, gram_doc))
+            gd, gs = gram_doc[order], gh[order]
+            if len(gd):
+                keep = np.concatenate(
+                    ([True], (gd[1:] != gd[:-1]) | (gs[1:] != gs[:-1]))
+                )
+                gd, gs = gd[keep], gs[keep]
+            counts = np.bincount(gd, minlength=n)
             offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
-            values = np.concatenate(vals) if vals else np.array([], dtype=np.int64)
             grams = pa.ListArray.from_arrays(
-                pa.array(offsets, pa.int32()), pa.array(values, pa.int64())
+                pa.array(offsets, pa.int32()), pa.array(gs, pa.int64())
             )
             return pa.Table.from_arrays(
                 [batch[id_col], grams],
@@ -457,18 +506,12 @@ def simhash_signatures(docs, *, text_col: str = "text", id_col: str = "doc_id",
 
     class Sim:
         def __call__(self, batch: pa.Table) -> pa.Table:
-            texts = batch[text_col].to_pylist()
-            flat, counts = [], []
-            for text in texts:
-                words = [w.lower() for w in _TOKEN_RE.findall(text or "")]
-                flat.extend(_hash63(w) for w in words)
-                counts.append(len(words))
-            n = len(texts)
-            counts = np.array(counts, dtype=np.int64)
+            n = len(batch)
+            flat_toks, _parent, counts = _flat_tokens(batch[text_col])
             sigs = np.zeros(n, dtype=np.uint64)
             nz = np.flatnonzero(counts > 0)
             if len(nz):
-                hs = np.array(flat, dtype=np.uint64)
+                hs = _hash63_batch(flat_toks).astype(np.uint64)
                 # (G, 64) bit matrix -> per-doc vote sums via reduceat;
                 # bit b set when strictly more ones than zeros
                 bits = (
