@@ -187,17 +187,17 @@ class TextAnalyzer:
             out[order_docs] = mins
         short = np.flatnonzero((n_tokens < g))
         if len(short):
-            # join each short document's tokens with single spaces
-            joined = np.empty(len(short), dtype=object)
-            doc_to_slot = {int(d): s for s, d in enumerate(short)}
-            pieces: dict = {int(d): [] for d in short}
-            short_mask = np.isin(parent, short)
-            toks = flat_lower.take(pa.array(np.flatnonzero(short_mask), pa.int64()))
-            for t, d in zip(toks.to_pylist(), parent[short_mask]):
-                pieces[int(d)].append(t)
-            for d, s in doc_to_slot.items():
-                joined[s] = " ".join(pieces[d])
-            out[short] = _hash63_batch(pa.array(joined.tolist(), pa.string()))
+            # join each short document's tokens with single spaces —
+            # vectorized: slice the shorts' tokens into a list array
+            # and element-wise binary_join (token positions are
+            # doc-ordered, so the per-doc runs are contiguous)
+            sel = np.flatnonzero(np.isin(parent, short))
+            toks = flat_lower.take(pa.array(sel, pa.int64()))
+            offs = np.concatenate(([0], np.cumsum(n_tokens[short]))).astype(np.int32)
+            joined = pc.binary_join(
+                pa.ListArray.from_arrays(pa.array(offs, pa.int32()), toks), " "
+            )
+            out[short] = _hash63_batch(joined)
         return out
 
 

@@ -581,3 +581,23 @@ def test_m_image_dedup_and_phash_clusters_vs_slow_oracle(ray_session):
     )
     assert got_c["rep_idx"].tolist() == want_c["rep_idx"].tolist()
     assert got_c["csize"].tolist() == want_c["csize"].tolist()
+
+
+def test_fingerprint_short_doc_vectorized_path(ray_session):
+    """The vectorized short-doc join (binary_join over contiguous
+    token runs) matches the scalar FNV on every boundary shape:
+    empty, null, 1 token, 2 tokens, padded whitespace, and the 3-gram
+    min path."""
+    from osm2geojson_ray.text.analysis import TextAnalyzer, _hash63
+
+    t = pa.table({"text": pa.array(["", "one", "two words", "a b c d",
+                                    "  pad  ", None])})
+    got = TextAnalyzer()(t)["fingerprint"].to_pylist()
+    assert got == [
+        _hash63(""),
+        _hash63("one"),
+        _hash63("two words"),
+        min(_hash63("a b c"), _hash63("b c d")),
+        _hash63("pad"),
+        _hash63(""),
+    ]
