@@ -2611,6 +2611,32 @@ FROM fin GROUP BY h64 % 1000, (i % 4 = 0)
 """
 
 
+def m_image_curation(sf_dir: str):
+    """Composed multimodal curation pass — the image-side twin of
+    t_curation_pass: byte-content dedup (keeper = min image_idx per
+    distinct payload) -> deterministic splitmix64 hash sample of the
+    keepers (keep 25%).  Shuffle-free after the dedup exchange; every
+    stage re-runs to the identical sample (resume-stable), and the
+    whole pipeline is one SQL statement for the oracle."""
+    from .relational import hash_sample
+
+    keepers = m_image_dedup(sf_dir)
+    return hash_sample(keepers, "image_idx", 25, 100)
+
+
+M_IMAGE_CURATION_SQL = f"""
+WITH {_SPLITMIX_PHASE_CTE},
+keepers AS (
+  SELECT CAST(min(i) AS BIGINT) AS image_idx, CAST(count(*) AS BIGINT) AS n_dups
+  FROM fin GROUP BY h64 % 1000, (i % 4 = 0)
+),
+{_splitmix_over("image_idx", "keepers")}
+SELECT k2.image_idx, k2.n_dups
+FROM keepers k2 JOIN smfin ON smfin.k = k2.image_idx
+WHERE smfin.h64 % 100 < 25
+"""
+
+
 def m_phash_clusters(sf_dir: str):
     """Near-duplicate image clustering end to end: pHash band-LSH
     candidate pairs at Hamming 0 -> distributed connected components ->
@@ -2977,6 +3003,7 @@ QUERIES = {
     "m_image_features": m_image_features,
     "m_caption_extract": m_caption_extract,
     "m_image_dedup": m_image_dedup,
+    "m_image_curation": m_image_curation,
     "m_phash_clusters": m_phash_clusters,
 }
 
@@ -3044,4 +3071,5 @@ ORACLE_SQL = {
     "m_image_features": M_IMAGE_FEATURES_SQL,
     "m_caption_extract": M_CAPTION_SQL,
     "m_image_dedup": M_IMAGE_DEDUP_SQL,
+    "m_image_curation": M_IMAGE_CURATION_SQL,
 }
