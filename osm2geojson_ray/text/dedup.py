@@ -158,8 +158,12 @@ def minhash_signature(text: str, num_hashes: int, shingle_k: int) -> np.ndarray:
 def _flat_tokens(col):
     """Vectorized \\S+ tokenization of a string column: returns
     (flat_lower tokens, parent doc index per token, tokens per doc) —
-    identical to per-row ``_TOKEN_RE.findall`` + ``str.lower`` (regex
-    split emits empties at leading/trailing whitespace; dropped)."""
+    identical to per-row ``_TOKEN_RE.findall`` + ``str.lower`` for
+    ASCII whitespace (regex split emits empties at leading/trailing
+    whitespace; dropped).  Uses Arrow/RE2 ``\\s`` (ASCII-only), the
+    same dialect as the analyzer stage and the DuckDB oracles'
+    ``regexp_split_to_array`` — Python ``re`` additionally treats
+    Unicode spaces (\\xa0 etc.) as separators."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     col = pc.fill_null(col, "")

@@ -601,3 +601,31 @@ def test_fingerprint_short_doc_vectorized_path(ray_session):
         _hash63("pad"),
         _hash63(""),
     ]
+
+
+def test_grams_vectorized_matches_scalar_reference(ray_session):
+    """Vectorized Grams stage vs the scalar shingle pipeline
+    (_TOKEN_RE.findall + _shingles + _hash63 + unique) over an
+    adversarial ASCII corpus: tabs/newlines/padding, repeated tokens,
+    case folding, 0/1/2-token docs, duplicate shingles."""
+    import numpy as np
+
+    from osm2geojson_ray.text.analysis import _hash63
+    from osm2geojson_ray.text.dedup import _TOKEN_RE, _shingles, grams_dataset
+
+    texts = [
+        "", "  ", "one", "Two\twords", "a b c d e",
+        "x X x X x", "tab\tsep\nnewline  multi   space",
+        "dup dup dup dup", None, "end s",
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(3)
+    got = {r["doc_id"]: list(r["grams"])
+           for r in grams_dataset(ds, shingle_k=3).take_all()}
+    for i, text in enumerate(texts):
+        words = [w.lower() for w in _TOKEN_RE.findall(text or "")]
+        sh = _shingles(words, 3)
+        want = sorted(np.unique([_hash63(s) for s in sh]).tolist()) if sh else []
+        assert got[i] == want, (i, text)
