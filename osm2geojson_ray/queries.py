@@ -920,6 +920,62 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_date, o_orderkey)
 """
 
 
+def q27_customer_order_neighbors(sf_dir: str):
+    """LEAD + FIRST_VALUE window functions per customer order history —
+    the forward-looking twins of q12's cumsum/lag frame, one hash
+    exchange + segmented vectorized pass (relational.partitioned_window
+    'lead' / 'first_value' kinds)."""
+    from .relational import partitioned_window
+
+    orders = _pq(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = np.round(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "o_custkey": t["o_custkey"].combine_chunks(),
+                "o_orderkey": t["o_orderkey"].combine_chunks(),
+                "o_date": t["o_orderdate"].combine_chunks().cast(pa.int64()),
+                "price_cents": pa.array(cents),
+            }
+        )
+
+    ds = orders.map_batches(to_cents, batch_format="pyarrow")
+    out = partitioned_window(
+        ds,
+        "o_custkey",
+        [("o_date", False), ("o_orderkey", False)],
+        {
+            "next_cents": ("price_cents", "lead"),
+            "first_cents": ("price_cents", "first_value"),
+        },
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("next_cents")
+        return t.set_column(i, "next_cents", pc.fill_null(t["next_cents"], -1))
+
+    return out.map_batches(fill, batch_format="pyarrow")
+
+
+Q27_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(epoch_us(o_orderdate) AS BIGINT) AS o_date,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, o_date, price_cents,
+       COALESCE(lead(price_cents) OVER w, -1) AS next_cents,
+       first_value(price_cents) OVER w AS first_cents
+FROM o
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_date, o_orderkey)
+"""
+
+
 # ---------------------------------------------------------------- text ops
 def t_token_count(sf_dir: str):
     from .text.analysis import analyze_documents
@@ -2963,6 +3019,7 @@ QUERIES = {
     "q24_returning_users": q24_returning_users,
     "q25_order_date_distribution": q25_order_date_distribution,
     "q26_asof_banded_prev_event": q26_asof_banded_prev_event,
+    "q27_customer_order_neighbors": q27_customer_order_neighbors,
     "t_token_count": t_token_count,
     "t_quality_stats": t_quality_stats,
     "t_langid": t_langid,
@@ -3034,6 +3091,7 @@ ORACLE_SQL = {
     "q24_returning_users": Q24_SQL,
     "q25_order_date_distribution": Q25_SQL,
     "q26_asof_banded_prev_event": Q7_SQL,
+    "q27_customer_order_neighbors": Q27_SQL,
     "t_token_count": T_TOKEN_SQL,
     "t_quality_stats": T_QUALITY_SQL,
     "t_langid": T_LANGID_SQL,

@@ -1067,6 +1067,8 @@ def partitioned_window(
                       values for float money: bit-exact, order-robust)
       - "row_number": 1-based rank within the partition
       - "lag":        previous row's value (null at partition starts)
+      - "lead":       next row's value (null at partition ends)
+      - "first_value": the partition's first value in order
       - "rank":       SQL RANK() where ties are rows sharing ``in_col``
                       (in_col must be one of the order keys; ties share
                       the run-start position, so the result depends only
@@ -1103,7 +1105,11 @@ def partitioned_window(
         if n == 0:
             out = tbl
             for out_col, (in_col, kind) in ops.items():
-                typ = pa.int64() if kind != "lag" else tbl.schema.field(in_col).type
+                typ = (
+                    tbl.schema.field(in_col).type
+                    if kind in ("lag", "lead", "first_value")
+                    else pa.int64()
+                )
                 out = out.append_column(out_col, pa.array([], typ))
             return out
         part = tbl[part_col].to_numpy(zero_copy_only=False)
@@ -1139,6 +1145,25 @@ def partitioned_window(
                     pa.array(~starts_mask), lagged, pa.scalar(None, col.type)
                 )
                 out = out.append_column(out_col, lagged)
+            elif kind == "lead":
+                import pyarrow.compute as pc
+
+                col = out[in_col].combine_chunks()
+                # next row's value, nulled at partition ENDS (a row is
+                # last in its partition iff the next row starts one)
+                ends_mask = np.empty(n, dtype=bool)
+                ends_mask[:-1] = starts_mask[1:]
+                ends_mask[-1] = True
+                led = col.take(pa.array(np.minimum(idx + 1, n - 1), pa.int64()))
+                led = pc.if_else(
+                    pa.array(~ends_mask), led, pa.scalar(None, col.type)
+                )
+                out = out.append_column(out_col, led)
+            elif kind == "first_value":
+                col = out[in_col].combine_chunks()
+                out = out.append_column(
+                    out_col, col.take(pa.array(group_start, pa.int64()))
+                )
             elif kind in ("rank", "dense_rank"):
                 v = out[in_col].to_numpy(zero_copy_only=False)
                 kc = starts_mask.copy()
