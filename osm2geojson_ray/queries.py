@@ -1814,6 +1814,67 @@ JOIN (VALUES
 """
 
 
+def _part_rects(mulx: int, muly: int, mulw: int, mulh: int):
+    """Deterministic integer rectangles from part keys (x0..x1, y0..y1
+    closed; all arithmetic exact int64, so the DuckDB twin replays the
+    derivation bit-for-bit)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        k = t["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x0 = k * mulx % 8000000
+        y0 = k * muly % 8000000
+        return pa.Table.from_pydict(
+            {
+                "id": k,
+                "x0": x0,
+                "y0": y0,
+                "x1": x0 + k * mulw % 60000 + 1,
+                "y1": y0 + k * mulh % 60000 + 1,
+            },
+            schema=pa.schema([(c, pa.int64()) for c in ("id", "x0", "y0", "x1", "y1")]),
+        )
+
+    return f
+
+
+def g_rect_join(sf_dir: str):
+    """Rect x rect intersection join between two large derived
+    rectangle sets — cell-cover explode, one hash exchange, vectorized
+    per-cell candidate merge, exact closed-interval test, and
+    canonical-cell report-once dedup (spatial/boxjoin.py)."""
+    from .spatial.boxjoin import rect_intersection_join
+
+    part = _pq(sf_dir, "part", ["p_partkey"])
+    a = part.map_batches(_part_rects(2654435761, 40503, 2246822519, 97577),
+                         batch_format="pyarrow")
+    b = part.map_batches(_part_rects(3266489917, 65521, 374761393, 13007),
+                         batch_format="pyarrow")
+    return rect_intersection_join(a, b)
+
+
+G_RECT_SQL = """
+WITH a AS (
+  SELECT p_partkey AS a_id,
+         (p_partkey * 2654435761) % 8000000 AS x0,
+         (p_partkey * 40503) % 8000000 AS y0,
+         (p_partkey * 2654435761) % 8000000 + (p_partkey * 2246822519) % 60000 + 1 AS x1,
+         (p_partkey * 40503) % 8000000 + (p_partkey * 97577) % 60000 + 1 AS y1
+  FROM part
+),
+b AS (
+  SELECT p_partkey AS b_id,
+         (p_partkey * 3266489917) % 8000000 AS x0,
+         (p_partkey * 65521) % 8000000 AS y0,
+         (p_partkey * 3266489917) % 8000000 + (p_partkey * 374761393) % 60000 + 1 AS x1,
+         (p_partkey * 65521) % 8000000 + (p_partkey * 13007) % 60000 + 1 AS y1
+  FROM part
+)
+SELECT a.a_id, b.b_id
+FROM a JOIN b
+  ON a.x0 <= b.x1 AND b.x0 <= a.x1 AND a.y0 <= b.y1 AND b.y0 <= a.y1
+"""
+
+
 def m_image_decode(sf_dir: str):
     """Decode + verify the deterministic image table (actor pool).
 
@@ -3052,6 +3113,7 @@ QUERIES = {
     "g_radius_geo": g_radius_geo,
     "g_cell_pyramid": g_cell_pyramid,
     "g_zorder_keys": g_zorder_keys,
+    "g_rect_join": g_rect_join,
     "e_quantize_codes": e_quantize_codes,
     "osm_corpus_features": osm_corpus_features,
     "osm_corpus_simplify": osm_corpus_simplify,
@@ -3124,6 +3186,7 @@ ORACLE_SQL = {
     "g_radius_geo": G_RADIUS_GEO_SQL,
     "g_cell_pyramid": G_PYRAMID_SQL,
     "g_zorder_keys": G_ZORDER_SQL,
+    "g_rect_join": G_RECT_SQL,
     "e_quantize_codes": E_QUANTIZE_SQL,
     "m_image_decode": M_IMAGE_DECODE_SQL,
     "m_image_features": M_IMAGE_FEATURES_SQL,

@@ -410,3 +410,54 @@ def test_radius_join_geo_poleward_bbox_not_clipped(ray_session):
         ds, [1], [qlon], [qlat], r
     ).to_pandas()
     assert got["point_id"].tolist() == [7]
+
+
+def test_rect_intersection_join_brute_force(ray_session):
+    """rect x rect join vs a brute-force oracle on an adversarial set:
+    tiny cells force every rect to span many cells (canonical-cell
+    report-once must dedupe), touching edges/corners count as
+    intersecting, plus disjoint and contained rects."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from osm2geojson_ray.spatial.boxjoin import rect_intersection_join
+
+    rng = np.random.default_rng(7)
+    def mk(n, seed_off):
+        x0 = rng.integers(0, 3000, n); y0 = rng.integers(0, 3000, n)
+        w = rng.integers(0, 900, n); h = rng.integers(0, 900, n)
+        return pa.table({
+            "id": pa.array(np.arange(n) + seed_off, pa.int64()),
+            "x0": pa.array(x0, pa.int64()), "y0": pa.array(y0, pa.int64()),
+            "x1": pa.array(x0 + w, pa.int64()), "y1": pa.array(y0 + h, pa.int64()),
+        })
+
+    ta, tb = mk(60, 0), mk(70, 1000)
+    # planted touching cases: shared edge and shared corner
+    ta = pa.concat_tables([ta, pa.table({
+        "id": pa.array([500, 501], pa.int64()),
+        "x0": pa.array([0, 100], pa.int64()), "y0": pa.array([0, 100], pa.int64()),
+        "x1": pa.array([50, 150], pa.int64()), "y1": pa.array([50, 150], pa.int64())})])
+    tb = pa.concat_tables([tb, pa.table({
+        "id": pa.array([600, 601], pa.int64()),
+        "x0": pa.array([50, 150], pa.int64()), "y0": pa.array([10, 150], pa.int64()),
+        "x1": pa.array([90, 200], pa.int64()), "y1": pa.array([60, 200], pa.int64())})])
+
+    got = rect_intersection_join(
+        ray.data.from_arrow(ta).repartition(3),
+        ray.data.from_arrow(tb).repartition(2),
+        cell=64, num_partitions=8,
+    ).take_all()
+    got_pairs = sorted((r["a_id"], r["b_id"]) for r in got)
+
+    A, B = ta.to_pydict(), tb.to_pydict()
+    want = sorted(
+        (A["id"][i], B["id"][j])
+        for i in range(len(A["id"])) for j in range(len(B["id"]))
+        if A["x0"][i] <= B["x1"][j] and B["x0"][j] <= A["x1"][i]
+        and A["y0"][i] <= B["y1"][j] and B["y0"][j] <= A["y1"][i]
+    )
+    assert got_pairs == want and len(got_pairs) == len(set(got_pairs))
+    # the planted edge-touch and corner-touch pairs are present
+    assert (500, 600) in got_pairs and (501, 601) in got_pairs
