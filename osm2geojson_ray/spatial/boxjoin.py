@@ -77,11 +77,18 @@ def rect_intersection_join(
     *,
     cell: int = 1 << 16,
     num_partitions: int = 16,
+    max_cell_pairs: int = 1 << 22,
 ):
     """All intersecting (a_id, b_id) pairs between two rect Datasets
     with int64 columns (id, x0, y0, x1, y1), x0 <= x1 and y0 <= y1.
     Closed-interval semantics: touching rects intersect.  Each pair is
-    emitted exactly once (canonical-cell report-once)."""
+    emitted exactly once (canonical-cell report-once).
+
+    ``max_cell_pairs``: a DEGENERATE cell whose candidate product
+    n_left x n_right exceeds this is dropped from enumeration with a
+    logged warning (the no-silent-caps standard — a pile of stacked
+    rects in one cell is quadratic; pick a smaller ``cell`` or
+    pre-aggregate identical rects).  0 disables the cap."""
     from ..relational import empty_dataset, hash_exchange_map
 
     lrows = left.map_batches(
@@ -99,6 +106,25 @@ def rect_intersection_join(
         if not len(a) or not len(b):
             return pd.DataFrame({"a_id": pd.Series([], dtype="int64"),
                                  "b_id": pd.Series([], dtype="int64")})
+        if max_cell_pairs:
+            ca = a["cell_key"].value_counts()
+            cb = b["cell_key"].value_counts()
+            prod = ca.mul(cb, fill_value=0)
+            hot = prod[prod > max_cell_pairs]
+            if len(hot):
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "rect_intersection_join: dropping %d cell(s) with "
+                    "candidate products up to %d (> max_cell_pairs=%d)",
+                    len(hot), int(hot.max()), max_cell_pairs,
+                )
+                a = a[~a["cell_key"].isin(hot.index)]
+                b = b[~b["cell_key"].isin(hot.index)]
+                if not len(a) or not len(b):
+                    return pd.DataFrame(
+                        {"a_id": pd.Series([], dtype="int64"),
+                         "b_id": pd.Series([], dtype="int64")})
         m = a.merge(b, on="cell_key", suffixes=("_a", "_b"))
         keep = (
             (m["x0_a"] <= m["x1_b"]) & (m["x0_b"] <= m["x1_a"])

@@ -461,3 +461,28 @@ def test_rect_intersection_join_brute_force(ray_session):
     assert got_pairs == want and len(got_pairs) == len(set(got_pairs))
     # the planted edge-touch and corner-touch pairs are present
     assert (500, 600) in got_pairs and (501, 601) in got_pairs
+
+
+def test_rect_join_hot_cell_cap(ray_session, caplog):
+    """A degenerate cell (many stacked rects) is dropped with a logged
+    warning under the cap, and cap=0 disables the cap."""
+    import logging
+
+    import pyarrow as pa
+
+    import ray.data
+    from osm2geojson_ray.spatial.boxjoin import rect_intersection_join
+
+    n = 40  # all in one 64-cell, product 40*40 = 1600
+    stack = pa.table({
+        "id": pa.array(range(n), pa.int64()),
+        "x0": pa.array([1] * n, pa.int64()), "y0": pa.array([1] * n, pa.int64()),
+        "x1": pa.array([10] * n, pa.int64()), "y1": pa.array([10] * n, pa.int64()),
+    })
+    a = ray.data.from_arrow(stack)
+    b = ray.data.from_arrow(stack)
+    with caplog.at_level(logging.WARNING):
+        capped = rect_intersection_join(a, b, cell=64, max_cell_pairs=100).take_all()
+    assert capped == []
+    full = rect_intersection_join(a, b, cell=64, max_cell_pairs=0).take_all()
+    assert len(full) == n * n
