@@ -951,6 +951,7 @@ def q27_customer_order_neighbors(sf_dir: str):
         {
             "next_cents": ("price_cents", "lead"),
             "first_cents": ("price_cents", "first_value"),
+            "last_cents": ("price_cents", "last_value"),
         },
     )
 
@@ -970,7 +971,11 @@ WITH o AS (
 )
 SELECT o_custkey, o_orderkey, o_date, price_cents,
        COALESCE(lead(price_cents) OVER w, -1) AS next_cents,
-       first_value(price_cents) OVER w AS first_cents
+       first_value(price_cents) OVER w AS first_cents,
+       last_value(price_cents) OVER (
+         PARTITION BY o_custkey ORDER BY o_date, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS last_cents
 FROM o
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_date, o_orderkey)
 """

@@ -1069,6 +1069,9 @@ def partitioned_window(
       - "lag":        previous row's value (null at partition starts)
       - "lead":       next row's value (null at partition ends)
       - "first_value": the partition's first value in order
+      - "last_value": the partition's last value (SQL LAST_VALUE over
+                      the full frame: ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND UNBOUNDED FOLLOWING)
       - "rank":       SQL RANK() where ties are rows sharing ``in_col``
                       (in_col must be one of the order keys; ties share
                       the run-start position, so the result depends only
@@ -1107,7 +1110,7 @@ def partitioned_window(
             for out_col, (in_col, kind) in ops.items():
                 typ = (
                     tbl.schema.field(in_col).type
-                    if kind in ("lag", "lead", "first_value")
+                    if kind in ("lag", "lead", "first_value", "last_value")
                     else pa.int64()
                 )
                 out = out.append_column(out_col, pa.array([], typ))
@@ -1163,6 +1166,16 @@ def partitioned_window(
                 col = out[in_col].combine_chunks()
                 out = out.append_column(
                     out_col, col.take(pa.array(group_start, pa.int64()))
+                )
+            elif kind == "last_value":
+                # SQL LAST_VALUE over the FULL partition frame (ROWS
+                # BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                col = out[in_col].combine_chunks()
+                s = np.flatnonzero(starts_mask)
+                sizes = np.diff(np.r_[s, n])
+                group_end = np.repeat(s + sizes - 1, sizes)
+                out = out.append_column(
+                    out_col, col.take(pa.array(group_end, pa.int64()))
                 )
             elif kind in ("rank", "dense_rank"):
                 v = out[in_col].to_numpy(zero_copy_only=False)
