@@ -1124,6 +1124,70 @@ FROM short s JOIN gh ON gh.g = s.g
 """
 
 
+def t_repetition(sf_dir: str):
+    """Token-repetition stats per document — the boilerplate/spam
+    curation signal: total tokens, distinct tokens (type-token ratio
+    numerator) and the hottest token's count.  Fully vectorized and
+    collision-free: tokens dictionary-encode to exact per-string codes,
+    per-doc runs come from one lexsort, run maxima from one reduceat.
+    All-integer output, so the gate is hash-exact."""
+    from .text.dedup import _flat_tokens
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def rep(t: pa.Table) -> pa.Table:
+        n = len(t)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat, parent, n_tokens = _flat_tokens(t["text"])
+        distinct = np.zeros(n, dtype=np.int64)
+        maxrun = np.zeros(n, dtype=np.int64)
+        if len(flat):
+            codes = flat.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+            order = np.lexsort((codes, parent))
+            p, c = parent[order], codes[order]
+            new = np.r_[True, (p[1:] != p[:-1]) | (c[1:] != c[:-1])]
+            run_len = np.diff(np.r_[np.flatnonzero(new), len(p)])
+            run_doc = p[new]
+            distinct = np.bincount(run_doc, minlength=n).astype(np.int64)
+            doc_new = np.r_[True, run_doc[1:] != run_doc[:-1]]
+            maxrun[run_doc[doc_new]] = np.maximum.reduceat(
+                run_len, np.flatnonzero(doc_new)
+            )
+        return pa.Table.from_pydict(
+            {
+                "doc_id": ids,
+                "n_tokens": n_tokens,
+                "distinct_tokens": distinct,
+                "max_tok_count": maxrun,
+            },
+            schema=pa.schema([(c, pa.int64()) for c in
+                              ("doc_id", "n_tokens", "distinct_tokens",
+                               "max_tok_count")]),
+        )
+
+    return docs.map_batches(rep, batch_format="pyarrow")
+
+
+T_REPETITION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lower(u.w) AS w
+  FROM documents, UNNEST(regexp_extract_all(text, '\S+')) AS u(w)
+),
+wc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS distinct_tokens,
+         CAST(max(c) AS BIGINT) AS max_tok_count
+  FROM wc GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(a.n_tokens, 0) AS n_tokens,
+       COALESCE(a.distinct_tokens, 0) AS distinct_tokens,
+       COALESCE(a.max_tok_count, 0) AS max_tok_count
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+
 def t_exact_dedup(sf_dir: str):
     from .text.dedup import exact_dedup
 
@@ -3090,6 +3154,7 @@ QUERIES = {
     "t_quality_stats": t_quality_stats,
     "t_langid": t_langid,
     "t_fingerprint": t_fingerprint,
+    "t_repetition": t_repetition,
     "t_token_quantiles": t_token_quantiles,
     "t_chars_quantiles_cont": t_chars_quantiles_cont,
     "t_exact_dedup": t_exact_dedup,
@@ -3163,6 +3228,7 @@ ORACLE_SQL = {
     "t_quality_stats": T_QUALITY_SQL,
     "t_langid": T_LANGID_SQL,
     "t_fingerprint": T_FINGERPRINT_SQL,
+    "t_repetition": T_REPETITION_SQL,
     "t_token_quantiles": T_QUANTILES_SQL,
     "t_chars_quantiles_cont": T_CHARS_QUANTILES_SQL,
     "t_exact_dedup": T_DEDUP_SQL,
