@@ -1254,6 +1254,57 @@ WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
 """
 
 
+def t_contamination(sf_dir: str):
+    """Cross-document n-gram contamination: per document, how many of
+    its distinct word-3-grams appear in at least one OTHER document,
+    and the ratio in ppm (integer division — exact on both sides).
+    The set-level form of the duplicated-training-data signal (Lee et
+    al. 2022); shares the 3-gram dialect (and the gram CTE) with
+    t_jaccard_pairs."""
+    from .text.dedup import ngram_contamination
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_contamination(docs)
+
+
+T_CONTAMINATION_SQL = r"""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents WHERE trim(text) <> ''
+),
+toks AS (
+  SELECT doc_id, lower(ws[i]) AS w, i
+  FROM words, UNNEST(generate_series(1, len(ws))) AS u(i)
+),
+nw AS (SELECT doc_id, len(ws) AS n FROM words),
+tri AS (
+  SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+),
+short AS (
+  SELECT t.doc_id, string_agg(t.w, ' ' ORDER BY t.i) AS g
+  FROM toks t JOIN nw ON nw.doc_id = t.doc_id
+  WHERE nw.n < 3
+  GROUP BY t.doc_id
+),
+grams AS (
+  SELECT DISTINCT doc_id, g FROM tri
+  UNION
+  SELECT DISTINCT doc_id, g FROM short
+),
+cnt AS (SELECT g, count(*) AS nd FROM grams GROUP BY g)
+SELECT gr.doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       CAST(sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+         // count(*) AS shared_ppm
+FROM grams gr JOIN cnt c ON c.g = gr.g
+GROUP BY gr.doc_id
+"""
+
+
 def t_simhash(sf_dir: str):
     from .text.dedup import simhash_signatures
 
@@ -3160,6 +3211,7 @@ QUERIES = {
     "t_exact_dedup": t_exact_dedup,
     "t_minhash_pairs": t_minhash_pairs,
     "t_jaccard_pairs": t_jaccard_pairs,
+    "t_contamination": t_contamination,
     "t_dup_clusters": t_dup_clusters,
     "t_curation_pass": t_curation_pass,
     "t_snapshot_diff": t_snapshot_diff,
@@ -3233,6 +3285,7 @@ ORACLE_SQL = {
     "t_chars_quantiles_cont": T_CHARS_QUANTILES_SQL,
     "t_exact_dedup": T_DEDUP_SQL,
     "t_jaccard_pairs": T_JACCARD_SQL,
+    "t_contamination": T_CONTAMINATION_SQL,
     "t_dup_clusters": T_DUP_CLUSTERS_SQL,
     "t_curation_pass": T_CURATION_SQL,
     "t_snapshot_diff": T_SNAPSHOT_SQL,

@@ -504,6 +504,78 @@ def jaccard_pairs(
     return _verify_exact_jaccard(cands, grams_ds, jaccard_threshold, num_partitions)
 
 
+def ngram_contamination(
+    docs,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    concurrency: int = 2,
+    num_partitions: int = 16,
+):
+    """Cross-document n-gram contamination: for every document, how
+    many of its DISTINCT k-gram shingles also occur in at least one
+    OTHER document (the duplicated-training-data signal of Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", at the
+    set level) plus the ratio in ppm.  Documents with no tokens emit
+    no row (they have no grams), matching the SQL oracle.
+
+    Scale shape: text is tokenized once (``grams_dataset``); only slim
+    (gram_hash:int64, doc_id:int64) rows ride ONE hash exchange keyed
+    on the gram, where per-gram document counts are partition-local
+    facts (grams are unique within a doc, so a gram's row count IS its
+    document count).  Each partition then collapses to <= #docs tiny
+    (doc_id, n_grams, n_shared) partials and the final reduce is a
+    combiner-push-down groupby over #docs x P rows — raw grams shuffle
+    once, text never."""
+    from ..relational import hash_exchange_map, partial_grouped_agg
+
+    grams_ds = grams_dataset(docs, text_col=text_col, id_col=id_col,
+                             shingle_k=shingle_k, concurrency=concurrency)
+
+    def invert(batch: pa.Table) -> pa.Table:
+        col = batch["grams"].combine_chunks()
+        flat = col.flatten()
+        parent = pc.list_parent_indices(col)
+        return pa.Table.from_arrays(
+            [flat, pc.take(batch["doc_id"].combine_chunks(), parent)],
+            schema=pa.schema([("gram", pa.int64()), ("doc_id", pa.int64())]),
+        )
+
+    inverted = grams_ds.map_batches(invert, batch_format="pyarrow")
+
+    def per_partition(tbl: pa.Table) -> pa.Table:
+        gh = tbl["gram"].to_numpy(zero_copy_only=False)
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        # all rows of a gram are co-located here and unique per doc:
+        # the gram's multiplicity IS its distinct-document count
+        _, inv, counts = np.unique(gh, return_inverse=True, return_counts=True)
+        shared = counts[inv] >= 2
+        udoc, dinv = np.unique(ids, return_inverse=True)
+        n_grams = np.bincount(dinv).astype(np.int64)
+        n_shared = np.bincount(dinv, weights=shared).astype(np.int64)
+        return pa.Table.from_pydict(
+            {"doc_id": udoc, "n_grams": n_grams, "n_shared": n_shared},
+            schema=pa.schema([("doc_id", pa.int64()), ("n_grams", pa.int64()),
+                              ("n_shared", pa.int64())]),
+        )
+
+    partials = hash_exchange_map(inverted, "gram", num_partitions, per_partition)
+    out = partial_grouped_agg(
+        partials, ["doc_id"],
+        {"n_grams": ("n_grams", "sum"), "n_shared": ("n_shared", "sum")},
+    )
+
+    def ratio(t: pa.Table) -> pa.Table:
+        ng = t["n_grams"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ns = t["n_shared"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # pure integer division: exact on both sides of the gate
+        ppm = np.where(ng > 0, (ns * 1_000_000) // np.maximum(ng, 1), 0)
+        return t.append_column("shared_ppm", pa.array(ppm, pa.int64()))
+
+    return out.map_batches(ratio, batch_format="pyarrow")
+
+
 def simhash_signatures(docs, *, text_col: str = "text", id_col: str = "doc_id",
                        concurrency: int = 4):
     """64-bit simhash per doc: weighted bit-vote over token hashes."""

@@ -104,6 +104,44 @@ def test_minhash_pairs(ray_session):
     assert all(a != 4 and b != 4 for a, b in pairs)
 
 
+def test_ngram_contamination_matches_bruteforce(ray_session):
+    from osm2geojson_ray.text.dedup import ngram_contamination
+
+    docs = DOCS + [(5, ""), (6, "two words"), (7, "two words")]
+    ds = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {"doc_id": [d[0] for d in docs], "text": [d[1] for d in docs]}
+        )
+    )
+
+    def gram_set(text):
+        ws = text.lower().split()
+        if not ws:
+            return set()
+        if len(ws) < 3:
+            return {" ".join(ws)}
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    sets = {i: gram_set(t) for i, t in docs}
+    expect = {}
+    for i, s in sets.items():
+        if not s:
+            continue  # no-token docs emit no row
+        shared = sum(
+            1 for g in s if any(g in sets[j] for j in sets if j != i)
+        )
+        expect[i] = (len(s), shared, shared * 1_000_000 // len(s))
+
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_shared"], r["shared_ppm"])
+        for r in ngram_contamination(ds, num_partitions=4).take_all()
+    }
+    assert got == expect
+    # the planted structure: doc 1 fully contaminated by its dup of 0
+    assert got[1][2] == 1_000_000
+    assert got[4][1] == 0  # unique content shares nothing
+
+
 def test_simhash(ray_session):
     sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(_docs_ds()).take_all()}
     assert sigs[0] == sigs[1]
