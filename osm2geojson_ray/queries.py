@@ -1467,6 +1467,25 @@ WHERE h64 % 100 < CASE WHEN d.lang = 'en' THEN 60 ELSE 15 END
 """
 
 
+def t_weighted_sample(sf_dir: str):
+    """Length-proportional deterministic sampling: keep each document
+    with probability min(n_chars, 4000)/4000 — the weighted curation
+    sample (longer docs more likely kept), shuffle-free and exactly
+    reproducible from the key alone (pure integer gate)."""
+    from .relational import weighted_hash_sample
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return weighted_hash_sample(docs, "doc_id", "n_chars", 4000)
+
+
+T_WEIGHTED_SAMPLE_SQL = f"""
+WITH {_splitmix_over("doc_id", "documents")}
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN smfin ON smfin.k = d.doc_id
+WHERE h64 % 4000 < LEAST(GREATEST(d.n_chars, 0), 4000)
+"""
+
+
 # ---------------------------------------------------------------- embeddings
 def e_knn_cosine(sf_dir: str):
     from .spatial.knn import embedding_knn
@@ -3220,6 +3239,7 @@ QUERIES = {
     "t_heavy_tokens": t_heavy_tokens,
     "t_hash_sample": t_hash_sample,
     "t_stratified_sample": t_stratified_sample,
+    "t_weighted_sample": t_weighted_sample,
     "e_label_centroid": e_label_centroid,
     "e_knn_cosine": e_knn_cosine,
     "e_knn_ivf": e_knn_ivf,
@@ -3294,6 +3314,7 @@ ORACLE_SQL = {
     "t_heavy_tokens": T_HEAVY_TOKENS_SQL,
     "t_hash_sample": T_HASH_SAMPLE_SQL,
     "t_stratified_sample": T_STRATIFIED_SAMPLE_SQL,
+    "t_weighted_sample": T_WEIGHTED_SAMPLE_SQL,
     "e_label_centroid": E_LABEL_CENTROID_SQL,
     "osm_corpus_features": OSM_CORPUS_SQL,
     "osm_corpus_simplify": OSM_SIMPLIFY_SQL,

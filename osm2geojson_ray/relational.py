@@ -798,6 +798,36 @@ def stratified_hash_sample(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def weighted_hash_sample(ds, key_col: str, weight_col: str, keep_den: int,
+                         *, max_weight: Optional[int] = None):
+    """Deterministic sampling proportional to a per-row INTEGER weight:
+    keep a row iff ``splitmix64(key) % keep_den < weight`` — each row's
+    inclusion probability is ``weight / keep_den`` (weights clamped to
+    [0, keep_den], optionally pre-capped at ``max_weight``).  The
+    weighted twin of ``hash_sample``: quality-score- or
+    length-proportional curation sampling that stays shuffle-free,
+    RNG-state-free and rerun/resume-stable at 100-TB scale, and is
+    exactly reproducible by the splitmix64 SQL mirror in pure integer
+    arithmetic."""
+    import pyarrow.compute as pc
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        h = _sample_hashes(tbl, key_col)
+        w = (
+            pc.fill_null(tbl[weight_col], 0)
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        if max_weight is not None:
+            w = np.minimum(w, max_weight)
+        w = np.clip(w, 0, keep_den).astype(np.uint64)
+        keep = h % np.uint64(keep_den) < w
+        return tbl.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def heavy_hitters(
     ds,
     item_col: str,

@@ -382,6 +382,33 @@ def test_stratified_hash_sample_rates_and_default(ray_session):
     assert counts["a"] > 5 * max(counts.get("b", 0), counts.get("c", 0))
 
 
+def test_weighted_hash_sample_proportional_and_clamped(ray_session):
+    from osm2geojson_ray.images.synth import splitmix64
+    from osm2geojson_ray.relational import weighted_hash_sample
+
+    ids = np.arange(20000, dtype=np.int64)
+    # weights spanning negative (drop always), 0, mid, and above-den
+    w = (ids % 250 - 10) * 20  # in [-200, 4780]
+    tbl = pa.table({"id": ids, "w": w})
+    out = (
+        weighted_hash_sample(_ds(tbl, blocks=7), "id", "w", 4000)
+        .to_pandas().sort_values("id")
+    )
+    h = splitmix64(ids.astype(np.uint64)) % np.uint64(4000)
+    want = ids[h < np.clip(w, 0, 4000).astype(np.uint64)]
+    assert out["id"].tolist() == want.tolist()
+    # w <= 0 never kept; w >= den always kept
+    kept = set(out["id"].tolist())
+    assert not (kept & set(ids[w <= 0].tolist()))
+    assert set(ids[w >= 4000].tolist()) <= kept
+    # inclusion tracks weight: high-weight band kept far more often
+    hi = (w >= 3000) & (w < 4000)
+    lo = (w > 0) & (w <= 1000)
+    rate_hi = np.isin(ids[hi], out["id"]).mean()
+    rate_lo = np.isin(ids[lo], out["id"]).mean()
+    assert rate_hi > 2.5 * rate_lo
+
+
 def test_grouped_centroid_matches_numpy(ray_session):
     from osm2geojson_ray.vectors import grouped_centroid
 
