@@ -1703,6 +1703,72 @@ FROM img GROUP BY 1
 """
 
 
+COMPACT_LEVEL = 9
+
+
+def g_cell_compact(sf_dir: str):
+    """H3/S2-style ``compact`` over the image corpus's level-9 cell
+    cover: the minimal mixed-level cell set covering exactly the same
+    area (complete sibling quads promote to their parent, cascading).
+    One exchange keyed on the level-4 ancestor co-locates every cell
+    that can merge; a tiny residue finishes in one final task
+    (spatial/cells.compact_cell_set)."""
+    from .spatial.cells import cell_id, compact_cell_set
+
+    def encode(t: pa.Table) -> pa.Table:
+        cells = cell_id(
+            t["lon"].to_numpy(zero_copy_only=False),
+            t["lat"].to_numpy(zero_copy_only=False),
+            COMPACT_LEVEL,
+        )
+        return pa.Table.from_pydict({"cell_id": pa.array(cells)},
+                                    schema=pa.schema([("cell_id", pa.int64())]))
+
+    enc = part_images(sf_dir).map_batches(encode, batch_format="pyarrow")
+    return compact_cell_set(enc, anchor_level=4, num_partitions=16)
+
+
+def _compact_oracle_sql() -> str:
+    """Unrolled complete-quad CTE chain (level 9 -> 0): DuckDB lacks
+    GROUP BY in recursive CTEs, and the level count is a fixed small
+    constant, so the cascade is spelled out level by level in pure
+    integer arithmetic."""
+    n = 1 << COMPACT_LEVEL
+    parts = [
+        f"""b{COMPACT_LEVEL} AS (
+  SELECT DISTINCT CAST(floor((lon + 180) / 360 * {n}) AS BIGINT) AS x,
+                  CAST(floor((lat + 90) / 180 * {n}) AS BIGINT) AS y
+  FROM img)"""
+    ]
+    src = {COMPACT_LEVEL: f"b{COMPACT_LEVEL}"}
+    for lv in range(COMPACT_LEVEL - 1, -1, -1):
+        parts.append(
+            f"c{lv} AS (SELECT x // 2 AS x, y // 2 AS y FROM {src[lv + 1]} "
+            f"GROUP BY 1, 2 HAVING count(*) = 4)"
+        )
+        src[lv] = f"c{lv}"
+    sel = []
+    for lv in range(COMPACT_LEVEL, -1, -1):
+        s = src[lv]
+        cid = f"{lv} * 288230376151711744 + {s}.x * 536870912 + {s}.y AS cell_id"
+        if lv > 0:
+            sel.append(
+                f"SELECT {cid} FROM {s} ANTI JOIN c{lv - 1} p "
+                f"ON p.x = {s}.x // 2 AND p.y = {s}.y // 2"
+            )
+        else:
+            sel.append(f"SELECT {cid} FROM {s}")
+    return (
+        f"WITH img AS ({_PART_IMG_SQL}),\n"
+        + ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(sel)
+    )
+
+
+G_COMPACT_SQL = _compact_oracle_sql()
+
+
 def g_knn_phash(sf_dir: str):
     from .spatial.knn import phash_knn
 
@@ -3254,6 +3320,7 @@ QUERIES = {
     "g_nearest_site": g_nearest_site,
     "g_radius_geo": g_radius_geo,
     "g_cell_pyramid": g_cell_pyramid,
+    "g_cell_compact": g_cell_compact,
     "g_zorder_keys": g_zorder_keys,
     "g_rect_join": g_rect_join,
     "e_quantize_codes": e_quantize_codes,
@@ -3330,6 +3397,7 @@ ORACLE_SQL = {
     "g_nearest_site": G_NEAREST_SQL,
     "g_radius_geo": G_RADIUS_GEO_SQL,
     "g_cell_pyramid": G_PYRAMID_SQL,
+    "g_cell_compact": G_COMPACT_SQL,
     "g_zorder_keys": G_ZORDER_SQL,
     "g_rect_join": G_RECT_SQL,
     "e_quantize_codes": E_QUANTIZE_SQL,

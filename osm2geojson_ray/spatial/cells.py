@@ -327,6 +327,145 @@ def _any_edge_crossing(rect, ring) -> bool:
     return False
 
 
+def compact_cells(cids: np.ndarray, *, stop_level: int = 0) -> np.ndarray:
+    """H3/S2-style ``compact``: replace every COMPLETE set of 4 sibling
+    cells by their parent, cascading upward, never promoting below
+    ``stop_level``.  Input may mix levels; duplicate ids dedupe.  The
+    contract matches H3 ``compactCells``: input is a DISJOINT cover
+    (an ancestor and its descendant in the same set is out of
+    contract — neither subsumes the other).  Output is the minimal
+    covering set (sorted, distinct).  Pure numpy: one unique+isin pass
+    per level, no Python per-cell loop."""
+    cids = np.unique(np.asarray(cids, dtype=np.int64))
+    if len(cids) == 0:
+        return cids
+    levels = (cids >> np.int64(58)).astype(np.int64)
+    by_level = {int(l): cids[levels == l] for l in np.unique(levels)}
+    out = []
+    for lv in range(max(by_level), stop_level, -1):
+        cur = by_level.pop(lv, None)
+        if cur is None or len(cur) == 0:
+            continue
+        x = (cur >> np.int64(29)) & np.int64((1 << 29) - 1)
+        y = cur & np.int64((1 << 29) - 1)
+        parents = (np.int64(lv - 1) << np.int64(58)) | ((x >> 1) << np.int64(29)) | (y >> 1)
+        uniq, counts = np.unique(parents, return_counts=True)
+        complete = uniq[counts == 4]
+        out.append(cur[~np.isin(parents, complete)])
+        if len(complete):
+            prev = by_level.get(lv - 1)
+            by_level[lv - 1] = (
+                complete if prev is None else np.union1d(prev, complete)
+            )
+    for rest in by_level.values():
+        out.append(rest)
+    return np.sort(np.concatenate(out)) if out else cids[:0]
+
+
+def uncompact_cells(cids: np.ndarray, level: int) -> np.ndarray:
+    """Inverse of ``compact_cells``: expand every cell to ALL its
+    descendants at ``level`` (cells already at ``level`` pass through).
+    Raises if any input cell is finer than ``level``.  Vectorized per
+    source level: each expansion is one broadcast add over a 4^d
+    offset grid."""
+    cids = np.asarray(cids, dtype=np.int64)
+    if len(cids) == 0:
+        return cids
+    levels = (cids >> np.int64(58)).astype(np.int64)
+    if (levels > level).any():
+        raise ValueError("uncompact target level above an input cell's level")
+    out = []
+    for lv in np.unique(levels):
+        cur = cids[levels == lv]
+        shift = int(level - lv)
+        n = 1 << shift
+        x = ((cur >> np.int64(29)) & np.int64((1 << 29) - 1)) << np.int64(shift)
+        y = (cur & np.int64((1 << 29) - 1)) << np.int64(shift)
+        dx = np.repeat(np.arange(n, dtype=np.int64), n)
+        dy = np.tile(np.arange(n, dtype=np.int64), n)
+        cx = (x[:, None] + dx[None, :]).ravel()
+        cy = (y[:, None] + dy[None, :]).ravel()
+        out.append((np.int64(level) << np.int64(58)) | (cx << np.int64(29)) | cy)
+    return np.sort(np.concatenate(out))
+
+
+def compact_cell_set(ds, cell_col: str = "cell_id", *, anchor_level: int = 4,
+                     num_partitions: int = 16):
+    """Distributed compact of a cell-id Dataset column (ids need not be
+    distinct): ONE hash exchange routes every cell by its ancestor at
+    ``anchor_level``, which co-locates all cells that could ever merge
+    at levels ABOVE the anchor (siblings share their coarse ancestor),
+    so each partition compacts independently down to the anchor.  Cells
+    that reach (or arrived at/below) the anchor level — at most one per
+    anchor cell per partition, a globally tiny set — finish in a single
+    final compact task.  Output: one ``cell_id`` column, the minimal
+    covering set."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..relational import dataset_from_table, empty_dataset, hash_exchange_map, union_all
+
+    schema = pa.schema([("cell_id", pa.int64())])
+
+    def split(t: pa.Table) -> pa.Table:
+        c = t[cell_col].combine_chunks().to_numpy(zero_copy_only=False)
+        lv = c >> np.int64(58)
+        fine = lv > anchor_level
+        x = (c >> np.int64(29)) & np.int64((1 << 29) - 1)
+        y = c & np.int64((1 << 29) - 1)
+        sh = (lv - anchor_level).clip(min=0)
+        route = (
+            (np.int64(anchor_level) << np.int64(58))
+            | ((x >> sh) << np.int64(29))
+            | (y >> sh)
+        )
+        return pa.Table.from_pydict(
+            {"cell_id": c, "route": np.where(fine, route, c), "fine": fine},
+            schema=pa.schema([("cell_id", pa.int64()), ("route", pa.int64()),
+                              ("fine", pa.bool_())]),
+        )
+
+    keyed = ds.map_batches(split, batch_format="pyarrow")
+
+    coarse_parts = []
+
+    def local_compact(t: pa.Table) -> pa.Table:
+        c = t["cell_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        fine = t["fine"].combine_chunks().to_numpy(zero_copy_only=False)
+        compacted = compact_cells(c[fine], stop_level=anchor_level)
+        lv = compacted >> np.int64(58)
+        # anchor-level results may still merge with siblings from OTHER
+        # partitions; ship them (plus pass-through coarse input) to the
+        # tiny final stage, emit the rest as final
+        coarse = np.concatenate([compacted[lv <= anchor_level], np.unique(c[~fine])])
+        done = compacted[lv > anchor_level]
+        return pa.Table.from_pydict(
+            {"cell_id": np.concatenate([done, coarse]),
+             "final": np.concatenate([np.ones(len(done), bool), np.zeros(len(coarse), bool)])},
+            schema=pa.schema([("cell_id", pa.int64()), ("final", pa.bool_())]),
+        )
+
+    mixed = hash_exchange_map(keyed, "route", num_partitions, local_compact)
+    if mixed is None:
+        return empty_dataset(schema)
+
+    def keep_final(t: pa.Table) -> pa.Table:
+        return t.filter(t["final"]).select(["cell_id"])
+
+    done_ds = mixed.map_batches(keep_final, batch_format="pyarrow")
+    # the non-final residue is <= one cell per (anchor cell, partition) —
+    # globally tiny by construction, so a driver-side finish is safe
+    coarse = np.concatenate(
+        [t.filter(pc.invert(t["final"].combine_chunks()))["cell_id"]
+         .to_numpy(zero_copy_only=False)
+         for t in mixed.iter_batches(batch_format="pyarrow")]
+        or [np.empty(0, dtype=np.int64)]
+    )
+    top = compact_cells(coarse, stop_level=0)
+    top_tbl = pa.Table.from_pydict({"cell_id": top}, schema=schema)
+    return union_all([done_ds, dataset_from_table(top_tbl)], schema=schema)
+
+
 def _spread_bits16(v: np.ndarray) -> np.ndarray:
     """Interleave-ready spread of 16-bit values into even bit
     positions (classic Morton magic constants), vectorized int64."""

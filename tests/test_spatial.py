@@ -486,3 +486,72 @@ def test_rect_join_hot_cell_cap(ray_session, caplog):
     assert capped == []
     full = rect_intersection_join(a, b, cell=64, max_cell_pairs=0).take_all()
     assert len(full) == n * n
+
+
+def _leafset(cids, level):
+    from osm2geojson_ray.spatial.cells import uncompact_cells
+
+    return set(uncompact_cells(np.asarray(list(cids), dtype=np.int64), level).tolist())
+
+
+def test_compact_uncompact_roundtrip_and_minimality():
+    from osm2geojson_ray.spatial.cells import (
+        compact_cells,
+        uncompact_cells,
+    )
+
+    # a full level-3 cell expanded to level 6 compacts back to itself
+    root = (3 << 58) | (5 << 29) | 2
+    leaves = uncompact_cells(np.array([root], dtype=np.int64), 6)
+    assert len(leaves) == 4 ** 3
+    assert compact_cells(leaves).tolist() == [root]
+
+    # drop one leaf: cover preserved minus that leaf, and MINIMAL
+    # (no complete sibling quad survives in the output)
+    partial = leaves[1:]
+    comp = compact_cells(partial)
+    assert _leafset(comp, 6) == set(partial.tolist())
+    lv = np.asarray(comp) >> 58
+    parents = np.array(
+        [cell_parent(int(c), int(l) - 1) for c, l in zip(comp, lv)], dtype=np.int64
+    )
+    _, counts = np.unique(parents, return_counts=True)
+    assert (counts < 4).all()
+
+    # duplicate ids dedupe (input contract: a disjoint cover, like
+    # H3's compactCells; ancestor+descendant overlap is out of contract)
+    mixed = np.concatenate([partial, partial[:7]])
+    comp2 = compact_cells(mixed)
+    assert comp2.tolist() == comp.tolist()
+
+    # stop_level: promotion halts there
+    comp3 = compact_cells(leaves, stop_level=5)
+    assert (np.asarray(comp3) >> 58 == 5).all()
+    assert _leafset(comp3, 6) == set(leaves.tolist())
+
+    with pytest.raises(ValueError):
+        uncompact_cells(leaves, 5)
+
+
+def test_compact_cell_set_distributed_matches_local(ray_session):
+    from osm2geojson_ray.spatial.cells import (
+        cell_id as cid_fn,
+        compact_cells,
+        compact_cell_set,
+    )
+
+    rng = np.random.RandomState(7)
+    # dense cluster (forces real promotion) + sparse global scatter
+    lon = np.concatenate([rng.uniform(0, 2.8125, 6000), rng.uniform(-180, 180, 500)])
+    lat = np.concatenate([rng.uniform(0, 1.40625, 6000), rng.uniform(-90, 90, 500)])
+    cells = cid_fn(lon, lat, 9)
+    want = compact_cells(cells).tolist()
+    assert len(want) < len(np.unique(cells))  # promotion actually fired
+    for blocks in (3, 11):
+        tbl = pa.table({"cell_id": cells})
+        ds = ray.data.from_arrow(tbl).repartition(blocks)
+        got = sorted(
+            r["cell_id"]
+            for r in compact_cell_set(ds, anchor_level=4, num_partitions=8).take_all()
+        )
+        assert got == want
