@@ -235,6 +235,80 @@ class SampleFrames:
         )
 
 
+class VerifyPixels:
+    """Decoded-pixel verification stage — the input_hint's per-row
+    invariant ("decoded-pixel allclose, PSNR >= 40 dB for lossy")
+    expressed as a distributed operator: decode every image, regenerate
+    the REFERENCE pixels from the image index (the synthetic
+    generator plays the role of the ground-truth original; a real
+    pipeline would read them from the source store), and emit
+    pure-integer evidence per row:
+
+    - ``sse``: exact integer sum of squared pixel errors,
+    - ``sse_zero``: lossless rows must round-trip bit-exact,
+    - ``pass_40db``: PSNR >= 40 dB as the integer inequality
+      ``sse * 10^4 <= 255^2 * npx`` (10*log10(255^2*npx/sse) >= 40).
+
+    Uniform-size batches verify on one zero-copy (n, h, w, 3) view;
+    ragged batches fall back to per-row decode."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from .codec import batch_pixel_view
+        from .synth import _pixels_batch, _pixels_for
+
+        n = len(batch)
+        idx = (
+            pc.cast(pc.utf8_slice_codeunits(batch["image_id"], 4), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        lossy = pc.equal(batch["fmt"], "rgb5").to_numpy(zero_copy_only=False)
+        view = batch_pixel_view(batch["bytes"])
+        if view is not None:
+            px, w, h = view
+            ref = _pixels_batch(idx.astype(np.uint64), w, h)
+            diff = px.astype(np.int32) - ref.astype(np.int32)
+            sse = np.square(diff, dtype=np.int64).reshape(n, -1).sum(axis=1)
+            npx = np.full(n, w * h * 3, dtype=np.int64)
+        else:
+            sse = np.empty(n, dtype=np.int64)
+            npx = np.empty(n, dtype=np.int64)
+            for i, row in enumerate(batch.select(["bytes"]).to_pylist()):
+                pxr = decode_image(row["bytes"])
+                hh, ww = pxr.shape[0], pxr.shape[1]
+                refr = _pixels_for(int(idx[i]), ww, hh)
+                d = pxr.astype(np.int32) - refr.astype(np.int32)
+                sse[i] = int(np.square(d, dtype=np.int64).sum())
+                npx[i] = ww * hh * 3
+        pass40 = sse * 10_000 <= np.int64(65025) * npx
+        return pa.Table.from_pydict(
+            {
+                "image_idx": idx,
+                "lossy": lossy,
+                "npx": npx,
+                "sse": sse,
+                "sse_zero": sse == 0,
+                "pass_40db": pass40,
+            },
+            schema=pa.schema(
+                [("image_idx", pa.int64()), ("lossy", pa.bool_()),
+                 ("npx", pa.int64()), ("sse", pa.int64()),
+                 ("sse_zero", pa.bool_()), ("pass_40db", pa.bool_())]
+            ),
+        )
+
+
+def verify_images(ds, *, concurrency: int = 2,
+                  batch_size: Optional[int] = None):
+    return ds.map_batches(
+        VerifyPixels,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def resize_images(ds, *, size: Tuple[int, int] = (16, 16), concurrency: int = 2,
                   batch_size: Optional[int] = None):
     return ds.map_batches(

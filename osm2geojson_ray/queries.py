@@ -2188,6 +2188,33 @@ FROM fin
 """
 
 
+def m_psnr_verify(sf_dir: str):
+    """The input_hint's decoded-pixel invariant as a distributed
+    verification pass (images/transform.VerifyPixels): decode every
+    image, regenerate reference pixels from the index, emit the exact
+    integer SSE evidence and the PSNR>=40dB gate.  The driver gate
+    pins the derivable columns (lossless rows bit-exact, every row
+    over 40 dB); the raw per-row ``sse`` integers are pinned by the
+    pytest scalar oracle (test_images_text)."""
+    from .images.synth import synth_image_table
+    from .images.transform import verify_images
+
+    ds = synth_image_table(2000, partition_rows=500)
+    return verify_images(ds, concurrency=2).select_columns(
+        ["image_idx", "lossy", "npx", "sse_zero", "pass_40db"]
+    )
+
+
+M_PSNR_SQL = """
+SELECT range AS image_idx,
+       (range % 4 = 0) AS lossy,
+       1152 AS npx,
+       (range % 4 <> 0) AS sse_zero,
+       TRUE AS pass_40db
+FROM range(0, 2000)
+"""
+
+
 def m_image_features(sf_dir: str):
     """Multimodal transform chain: synthesize -> resize (actor pool) ->
     feature-extract (actor pool, deterministic projection) — the Ray
@@ -3328,6 +3355,7 @@ QUERIES = {
     "osm_corpus_simplify": osm_corpus_simplify,
     "osm_corpus_metrics": osm_corpus_metrics,
     "m_image_decode": m_image_decode,
+    "m_psnr_verify": m_psnr_verify,
     "m_image_features": m_image_features,
     "m_caption_extract": m_caption_extract,
     "m_image_dedup": m_image_dedup,
@@ -3402,6 +3430,7 @@ ORACLE_SQL = {
     "g_rect_join": G_RECT_SQL,
     "e_quantize_codes": E_QUANTIZE_SQL,
     "m_image_decode": M_IMAGE_DECODE_SQL,
+    "m_psnr_verify": M_PSNR_SQL,
     "m_image_features": M_IMAGE_FEATURES_SQL,
     "m_caption_extract": M_CAPTION_SQL,
     "m_image_dedup": M_IMAGE_DEDUP_SQL,

@@ -193,6 +193,31 @@ def test_embedding_neardup_probe_cap(ray_session):
     assert len(_probe_bucket_codes(dots, 8, None)[0]) == 2 ** 8
 
 
+def test_verify_pixels_sse_matches_scalar_oracle(ray_session):
+    from osm2geojson_ray.images.synth import _pixels_for, synth_image_table
+    from osm2geojson_ray.images.transform import verify_images
+
+    ds = synth_image_table(64, partition_rows=16)
+    rows = {r["image_idx"]: r for r in verify_images(ds).take_all()}
+    assert len(rows) == 64
+    for i in range(64):
+        r = rows[i]
+        # scalar per-image oracle: decode + regenerate + exact SSE
+        blob = [b for b in ds.take_all() if b["image_id"] == f"img-{i:012d}"][0]["bytes"]
+        px = decode_image(blob)
+        ref = _pixels_for(i, px.shape[1], px.shape[0])
+        want_sse = int(((px.astype(np.int64) - ref.astype(np.int64)) ** 2).sum())
+        assert r["sse"] == want_sse
+        assert r["lossy"] == (i % 4 == 0)
+        assert r["sse_zero"] == (want_sse == 0)
+        # lossless rows are bit-exact; lossy rows really are lossy but
+        # clear the 40 dB bar (the codec's design point)
+        assert r["sse_zero"] == (not r["lossy"])
+        assert r["pass_40db"]
+        p = psnr(px, ref)
+        assert (p == float("inf")) if not r["lossy"] else (40.0 <= p < 46.0)
+
+
 def test_image_transform_stages(ray_session):
     """resize / feature-extract / frame-sample actor stages: real Ray
     plumbing over the self-contained container."""
