@@ -982,6 +982,67 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_date, o_orderkey)
 
 
 # ---------------------------------------------------------------- text ops
+def q28_customer_order_fill(sf_dir: str):
+    """LEFT OUTER equi-join with zero-fill: every customer row with
+    order count and revenue cents, customers without orders kept at
+    zero (relational.hash_join ``how='left_outer'`` — the driver gate
+    for the outer-join path; the orders side pre-aggregates
+    combiner-style so raw order rows never shuffle)."""
+    from .relational import hash_join, partial_grouped_agg
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_mktsegment"]),
+        batch_format="pyarrow",
+    )
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = np.round(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table({"o_custkey": t["o_custkey"].combine_chunks(),
+                         "cents": pa.array(cents)})
+
+    agg = partial_grouped_agg(
+        orders.map_batches(to_cents, batch_format="pyarrow"),
+        ["o_custkey"],
+        {"n_orders": (None, "count"), "cents_sum": ("cents", "sum")},
+    )
+    joined = hash_join(
+        cust,
+        agg,
+        on="o_custkey",
+        l_schema=pa.schema([("o_custkey", pa.int64()),
+                            ("c_mktsegment", pa.string())]),
+        r_schema=pa.schema([("o_custkey", pa.int64()),
+                            ("n_orders", pa.int64()),
+                            ("cents_sum", pa.int64())]),
+        how="left_outer",
+    )
+
+    def zero_fill(t: pa.Table) -> pa.Table:
+        out = {"o_custkey": t["o_custkey"], "c_mktsegment": t["c_mktsegment"]}
+        for c in ("n_orders", "cents_sum"):
+            v = t[c].combine_chunks().to_numpy(zero_copy_only=False)
+            v = np.nan_to_num(v.astype(np.float64), nan=0.0).astype(np.int64)
+            out[c] = pa.array(v, pa.int64())
+        return pa.Table.from_pydict(out)
+
+    return joined.map_batches(zero_fill, batch_format="pyarrow")
+
+
+Q28_SQL = """
+SELECT c.c_custkey AS o_custkey, c.c_mktsegment,
+       COALESCE(o.n_orders, 0) AS n_orders,
+       COALESCE(o.cents_sum, 0) AS cents_sum
+FROM customer c LEFT JOIN (
+  SELECT o_custkey, count(*) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum
+  FROM orders GROUP BY 1
+) o ON o.o_custkey = c.c_custkey
+"""
+
+
 def t_token_count(sf_dir: str):
     from .text.analysis import analyze_documents
 
@@ -3313,6 +3374,7 @@ QUERIES = {
     "q25_order_date_distribution": q25_order_date_distribution,
     "q26_asof_banded_prev_event": q26_asof_banded_prev_event,
     "q27_customer_order_neighbors": q27_customer_order_neighbors,
+    "q28_customer_order_fill": q28_customer_order_fill,
     "t_token_count": t_token_count,
     "t_quality_stats": t_quality_stats,
     "t_langid": t_langid,
@@ -3391,6 +3453,7 @@ ORACLE_SQL = {
     "q25_order_date_distribution": Q25_SQL,
     "q26_asof_banded_prev_event": Q7_SQL,
     "q27_customer_order_neighbors": Q27_SQL,
+    "q28_customer_order_fill": Q28_SQL,
     "t_token_count": T_TOKEN_SQL,
     "t_quality_stats": T_QUALITY_SQL,
     "t_langid": T_LANGID_SQL,
