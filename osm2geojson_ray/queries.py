@@ -1789,6 +1789,50 @@ def g_cell_compact(sf_dir: str):
     return compact_cell_set(enc, anchor_level=4, num_partitions=16)
 
 
+def g_cell_uncompact(sf_dir: str):
+    """Round-trip gate for the compact/uncompact pair: compacting the
+    level-9 cover and expanding it back must reproduce EXACTLY the
+    original distinct level-9 cell set (uncompact is per-cell
+    independent, so the expansion is a plain map_batches)."""
+    from .spatial.cells import cell_id, compact_cell_set, uncompact_cells
+
+    def encode(t: pa.Table) -> pa.Table:
+        cells = cell_id(
+            t["lon"].to_numpy(zero_copy_only=False),
+            t["lat"].to_numpy(zero_copy_only=False),
+            COMPACT_LEVEL,
+        )
+        return pa.Table.from_pydict({"cell_id": pa.array(cells)},
+                                    schema=pa.schema([("cell_id", pa.int64())]))
+
+    enc = part_images(sf_dir).map_batches(encode, batch_format="pyarrow")
+    comp = compact_cell_set(enc, anchor_level=4, num_partitions=16)
+
+    def expand(t: pa.Table) -> pa.Table:
+        out = uncompact_cells(
+            t["cell_id"].combine_chunks().to_numpy(zero_copy_only=False),
+            COMPACT_LEVEL,
+        )
+        return pa.Table.from_pydict({"cell_id": out},
+                                    schema=pa.schema([("cell_id", pa.int64())]))
+
+    return comp.map_batches(expand, batch_format="pyarrow")
+
+
+def _uncompact_oracle_sql() -> str:
+    n = 1 << COMPACT_LEVEL
+    return f"""
+WITH img AS ({_PART_IMG_SQL})
+SELECT DISTINCT {COMPACT_LEVEL} * 288230376151711744
+       + CAST(floor((lon + 180) / 360 * {n}) AS BIGINT) * 536870912
+       + CAST(floor((lat + 90) / 180 * {n}) AS BIGINT) AS cell_id
+FROM img
+"""
+
+
+G_UNCOMPACT_SQL = _uncompact_oracle_sql()
+
+
 def _compact_oracle_sql() -> str:
     """Unrolled complete-quad CTE chain (level 9 -> 0): DuckDB lacks
     GROUP BY in recursive CTEs, and the level count is a fixed small
@@ -3410,6 +3454,7 @@ QUERIES = {
     "g_radius_geo": g_radius_geo,
     "g_cell_pyramid": g_cell_pyramid,
     "g_cell_compact": g_cell_compact,
+    "g_cell_uncompact": g_cell_uncompact,
     "g_zorder_keys": g_zorder_keys,
     "g_rect_join": g_rect_join,
     "e_quantize_codes": e_quantize_codes,
@@ -3489,6 +3534,7 @@ ORACLE_SQL = {
     "g_radius_geo": G_RADIUS_GEO_SQL,
     "g_cell_pyramid": G_PYRAMID_SQL,
     "g_cell_compact": G_COMPACT_SQL,
+    "g_cell_uncompact": G_UNCOMPACT_SQL,
     "g_zorder_keys": G_ZORDER_SQL,
     "g_rect_join": G_RECT_SQL,
     "e_quantize_codes": E_QUANTIZE_SQL,
