@@ -561,6 +561,13 @@ def ngram_contamination(
         )
 
     partials = hash_exchange_map(inverted, "gram", num_partitions, per_partition)
+    if partials is None:  # no grams at all (empty/blank corpus)
+        from ..relational import empty_dataset
+
+        return empty_dataset(
+            pa.schema([("doc_id", pa.int64()), ("n_grams", pa.int64()),
+                       ("n_shared", pa.int64()), ("shared_ppm", pa.int64())])
+        )
     out = partial_grouped_agg(
         partials, ["doc_id"],
         {"n_grams": ("n_grams", "sum"), "n_shared": ("n_shared", "sum")},

@@ -692,3 +692,17 @@ def test_grams_vectorized_matches_scalar_reference(ray_session):
         sh = _shingles(words, 3)
         want = sorted(np.unique([_hash63(s) for s in sh]).tolist()) if sh else []
         assert got[i] == want, (i, text)
+
+
+def test_ngram_contamination_empty_and_allempty_docs(ray_session):
+    from osm2geojson_ray.text.dedup import ngram_contamination
+
+    empty = ray.data.from_arrow(
+        pa.schema([("doc_id", pa.int64()), ("text", pa.string())]).empty_table()
+    )
+    assert ngram_contamination(empty, num_partitions=4).take_all() == []
+
+    blank = ray.data.from_arrow(
+        pa.Table.from_pydict({"doc_id": [1, 2], "text": ["", "   "]})
+    )
+    assert ngram_contamination(blank, num_partitions=4).take_all() == []

@@ -555,3 +555,12 @@ def test_compact_cell_set_distributed_matches_local(ray_session):
             for r in compact_cell_set(ds, anchor_level=4, num_partitions=8).take_all()
         )
         assert got == want
+
+
+def test_compact_cell_set_empty_input(ray_session):
+    from osm2geojson_ray.spatial.cells import compact_cell_set
+
+    ds = ray.data.from_arrow(pa.schema([("cell_id", pa.int64())]).empty_table())
+    out = compact_cell_set(ds, anchor_level=4, num_partitions=4)
+    assert out.take_all() == []
+    assert out.schema().names == ["cell_id"]
