@@ -362,18 +362,30 @@ def compact_cells(cids: np.ndarray, *, stop_level: int = 0) -> np.ndarray:
     return np.sort(np.concatenate(out)) if out else cids[:0]
 
 
-def uncompact_cells(cids: np.ndarray, level: int) -> np.ndarray:
+def uncompact_cells(cids: np.ndarray, level: int, *,
+                    max_out: int = 64_000_000) -> np.ndarray:
     """Inverse of ``compact_cells``: expand every cell to ALL its
     descendants at ``level`` (cells already at ``level`` pass through).
     Raises if any input cell is finer than ``level``.  Vectorized per
     source level: each expansion is one broadcast add over a 4^d
-    offset grid."""
+    offset grid.
+
+    ``max_out`` guards the 4^d fan-out (one level-0 cell uncompacted
+    to level 24 is 2.8e14 ids): the total output size is computed up
+    front from the level histogram and the call raises — loudly, never
+    truncating — when it exceeds the bound.  Expand in level-windowed
+    hops (or raise the bound) for genuinely huge covers."""
     cids = np.asarray(cids, dtype=np.int64)
     if len(cids) == 0:
         return cids
     levels = (cids >> np.int64(58)).astype(np.int64)
     if (levels > level).any():
         raise ValueError("uncompact target level above an input cell's level")
+    n_out = int((4 ** (np.int64(level) - levels)).sum())
+    if n_out > max_out:
+        raise ValueError(
+            f"uncompact_cells would emit {n_out} ids (> max_out={max_out})"
+        )
     out = []
     for lv in np.unique(levels):
         cur = cids[levels == lv]

@@ -532,6 +532,10 @@ def test_compact_uncompact_roundtrip_and_minimality():
     with pytest.raises(ValueError):
         uncompact_cells(leaves, 5)
 
+    # fan-out guard: loud raise, never a silent truncation
+    with pytest.raises(ValueError, match="max_out"):
+        uncompact_cells(np.array([root], dtype=np.int64), 20)
+
 
 def test_compact_cell_set_distributed_matches_local(ray_session):
     from osm2geojson_ray.spatial.cells import (
