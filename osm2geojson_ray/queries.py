@@ -3390,6 +3390,89 @@ FROM f GROUP BY 1, 2
 """
 
 
+_REDACT_PATTERN = r"\b(spark|slow)\b"
+
+
+def t_redact(sf_dir: str):
+    """Regex scrub / PII-redaction stage (text/analysis
+    redact_documents): global RE2 replace of the target pattern plus a
+    per-document hit-count audit column — one stateless vectorized
+    map_batches, no shuffle.  Arrow and DuckDB both execute RE2, which
+    is what makes the gate byte-exact on the redacted text."""
+    from .text.analysis import redact_documents
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return redact_documents(docs, pattern=_REDACT_PATTERN, replacement="[X]")
+
+
+T_REDACT_SQL = rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_REDACT_PATTERN}')) AS BIGINT) AS n_hits,
+       regexp_replace(text, '{_REDACT_PATTERN}', '[X]', 'g') AS redacted
+FROM documents
+"""
+
+
+def q29_user_mode_event(sf_dir: str):
+    """Statistical mode per group (relational.grouped_mode): each
+    user's most frequent event type with its count, ties to the
+    lexically smaller type — combiner-push-down (user, type) counts
+    then a k=1 grouped_topk; raw events never shuffle."""
+    from .relational import grouped_mode
+
+    ev = _pq(sf_dir, "events", ["user_id", "event_type"])
+    return grouped_mode(ev, "user_id", "event_type", count_col="mode_count")
+
+
+Q29_SQL = """
+SELECT user_id, event_type, mode_count FROM (
+  SELECT user_id, event_type, CAST(cnt AS BIGINT) AS mode_count,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY cnt DESC, event_type) AS rn
+  FROM (SELECT user_id, event_type, count(*) AS cnt
+        FROM events GROUP BY 1, 2)
+) WHERE rn = 1
+"""
+
+
+def g_knn_sites(sf_dir: str):
+    """k-nearest spatial join (spatial/distance.knearest_join): each
+    point's 3 closest of the 16 sites, ranked, ties to the smaller
+    site id via the same packed (d2*64 + idx) integer key as
+    g_nearest_site — broadcast site table, one (n, 16) distance matrix
+    + argpartition per batch, no shuffle."""
+    from .spatial.distance import knearest_join
+
+    j = np.arange(16, dtype=np.int64)
+    return knearest_join(
+        part_points_int(sf_dir),
+        j,
+        (j * 5915587277 + 1000003) % 8000000,
+        (j * 3367900313 + 2000003) % 8000000,
+        k=3,
+    )
+
+
+G_KNN_SITES_SQL = f"""
+WITH pts AS ({_PART_PTS_SQL}),
+s AS (SELECT j AS site_idx,
+             (j * 5915587277 + 1000003) % 8000000 AS sx,
+             (j * 3367900313 + 2000003) % 8000000 AS sy
+      FROM range(16) t(j)),
+r AS (SELECT p.point_id,
+             ((p.x - s.sx) * (p.x - s.sx) + (p.y - s.sy) * (p.y - s.sy)) * 64
+             + s.site_idx AS key
+      FROM pts p CROSS JOIN s),
+w AS (SELECT point_id, key,
+             row_number() OVER (PARTITION BY point_id ORDER BY key) AS nn_rank
+      FROM r)
+SELECT point_id, CAST(nn_rank AS BIGINT) AS nn_rank,
+       CAST(key % 64 AS BIGINT) AS site_id,
+       CAST(key // 64 AS BIGINT) AS d2_udeg
+FROM w WHERE nn_rank <= 3
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_segment_revenue": q2_segment_revenue,
@@ -3468,6 +3551,9 @@ QUERIES = {
     "m_image_dedup": m_image_dedup,
     "m_image_curation": m_image_curation,
     "m_phash_clusters": m_phash_clusters,
+    "t_redact": t_redact,
+    "q29_user_mode_event": q29_user_mode_event,
+    "g_knn_sites": g_knn_sites,
 }
 
 ORACLE_SQL = {
@@ -3544,4 +3630,7 @@ ORACLE_SQL = {
     "m_caption_extract": M_CAPTION_SQL,
     "m_image_dedup": M_IMAGE_DEDUP_SQL,
     "m_image_curation": M_IMAGE_CURATION_SQL,
+    "t_redact": T_REDACT_SQL,
+    "q29_user_mode_event": Q29_SQL,
+    "g_knn_sites": G_KNN_SITES_SQL,
 }

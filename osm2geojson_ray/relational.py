@@ -1680,3 +1680,30 @@ def snapshot_diff(old, new, *, key: str, fp_col: str, num_partitions: int = 16):
     if out is None:
         return empty_dataset(_DIFF_SCHEMA)
     return out
+
+
+def grouped_mode(ds, group_key: str, val_col: str, *,
+                 count_col: str = "mode_count", num_partitions: int = 16):
+    """Statistical MODE per group (SQL ``mode()``, ties to the SMALLEST
+    value so the result is deterministic): the most frequent ``val_col``
+    per ``group_key``, plus its count.
+
+    Distributed shape — two stages that each keep raw rows off the
+    wire: (1) ``partial_grouped_agg`` collapses every block to
+    (group, value) -> count partials (combiner push-down; only
+    #distinct-pairs x #blocks tiny rows reach the merge), then (2)
+    ``grouped_topk`` k=1 ordered (count desc, value asc) picks the
+    winner per group — block-local candidate reduction then one slim
+    hash exchange on ``group_key``.  Works for string values (the
+    lexsort tiebreak is dtype-generic); for dense integer values
+    ``grouped_argmax`` over the count table is the single-exchange
+    alternative.  Output columns: (group_key, val_col, count_col)."""
+    counts = partial_grouped_agg(
+        ds.select_columns([group_key, val_col]),
+        [group_key, val_col],
+        {count_col: (None, "count")},
+    )
+    return grouped_topk(
+        counts, group_key, [(count_col, True), (val_col, False)],
+        k=1, num_partitions=num_partitions,
+    )

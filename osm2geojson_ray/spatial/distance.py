@@ -151,6 +151,80 @@ def nearest_join(
     return points.map_batches(per_batch, batch_format="pyarrow")
 
 
+_KNEAREST_SCHEMA = pa.schema(
+    [("point_id", pa.int64()), ("nn_rank", pa.int64()),
+     ("site_id", pa.int64()), ("d2_udeg", pa.int64())]
+)
+
+
+def knearest_join(
+    points,
+    site_ids: Sequence[int],
+    sx: Sequence[int],
+    sy: Sequence[int],
+    *,
+    k: int = 3,
+    id_col: str = "point_id",
+    x_col: str = "x",
+    y_col: str = "y",
+):
+    """Each point -> its k NEAREST sites, ranked 1..k (the spatial
+    k-nearest-join; ties break to the smaller site index, which equals
+    the smaller site id for strictly-ascending ``site_ids`` — asserted,
+    same contract as ``nearest_join``).
+
+    Same packed integer key (d2 * 64 + site_idx) as ``nearest_join``,
+    so the SQL twin is an exact cross-join + ``row_number() OVER
+    (PARTITION BY point ORDER BY key)`` decode.  Per batch: ONE (n, s)
+    int64 distance matrix, then ``argpartition`` to the k smallest
+    packed keys per row and a tiny (n, k) sort — O(n*s) not
+    O(n*s*log s).  Broadcast-small-side shape: the site table rides in
+    the task closure (<= 64 sites by the 6-bit pack), points stream —
+    no shuffle at any scale.  Output rows = k x points, slim int64
+    columns only."""
+    s_ids = np.asarray(site_ids, dtype=np.int64)
+    s_x = np.asarray(sx, dtype=np.int64)
+    s_y = np.asarray(sy, dtype=np.int64)
+    if len(s_ids) > 64:
+        raise ValueError("knearest_join packs site index into 6 bits (<= 64 sites)")
+    if not np.all(np.diff(s_ids) > 0):
+        raise ValueError("site_ids must be strictly ascending for the tie-break")
+    kk = min(int(k), len(s_ids))
+    if kk < 1:
+        raise ValueError("k must be >= 1 with at least one site")
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        pid = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        n = len(pid)
+        if n == 0:
+            return _KNEAREST_SCHEMA.empty_table()
+        dx = x[:, None] - s_x[None, :]
+        dy = y[:, None] - s_y[None, :]
+        key = (dx * dx + dy * dy) * np.int64(64) + np.arange(
+            len(s_ids), dtype=np.int64
+        )[None, :]
+        if kk < key.shape[1]:
+            part = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+            sub = np.take_along_axis(key, part, axis=1)
+            order = np.argsort(sub, axis=1)
+            top_keys = np.take_along_axis(sub, order, axis=1)
+        else:
+            top_keys = np.sort(key, axis=1)
+        return pa.Table.from_pydict(
+            {
+                "point_id": np.repeat(pid, kk),
+                "nn_rank": np.tile(np.arange(1, kk + 1, dtype=np.int64), n),
+                "site_id": s_ids[(top_keys % 64).ravel()],
+                "d2_udeg": (top_keys // 64).ravel(),
+            },
+            schema=_KNEAREST_SCHEMA,
+        )
+
+    return points.map_batches(per_batch, batch_format="pyarrow")
+
+
 _EARTH_R_M = 6_371_008.8  # IUGG mean radius
 
 

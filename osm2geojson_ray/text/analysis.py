@@ -472,3 +472,40 @@ def tfidf_topk(docs, *, doc_col: str = "doc_id", text_col: str = "text",
         scored, doc_col, [(out_col, True), ("term", False)],
         k=k, num_partitions=num_partitions,
     )
+
+
+def redact_documents(docs, *, pattern: str, replacement: str = "[REDACTED]",
+                     doc_col: str = "doc_id", text_col: str = "text",
+                     out_col: str = "redacted", n_col: str = "n_hits"):
+    """Regex scrub stage — the PII-redaction shape of a curation
+    pipeline (strip emails/phones/IDs before training).  Stateless
+    ``map_batches``: per batch ONE ``pc.count_substring_regex`` (hit
+    count per document, non-overlapping — the audit column) and ONE
+    ``pc.replace_substring_regex`` (global replace), both RE2 executed
+    in Arrow C++ — no Python per row, no state, embarrassingly
+    parallel at any scale.
+
+    Dialect note: Arrow's regex engine is RE2 and so is DuckDB's
+    (``regexp_replace(..., 'g')`` / ``len(regexp_extract_all(...))``),
+    which is what makes the driver gate exact — the same caveat as the
+    tokenizer dialect documented on ``_term_freqs``.  Reference analog:
+    none (the reference has no text surface); this extends the
+    training-data curation suite (SURVEY.md §2 training-data ops).
+    """
+    out_schema = pa.schema([
+        (doc_col, pa.int64()), (n_col, pa.int64()), (out_col, pa.string()),
+    ])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        txt = t[text_col]
+        n = pc.count_substring_regex(txt, pattern=pattern).cast(pa.int64())
+        red = pc.replace_substring_regex(
+            txt, pattern=pattern, replacement=replacement
+        )
+        return pa.Table.from_arrays(
+            [t[doc_col].cast(pa.int64()), n.combine_chunks(),
+             red.combine_chunks().cast(pa.string())],
+            schema=out_schema,
+        )
+
+    return docs.map_batches(kernel, batch_format="pyarrow")

@@ -706,3 +706,35 @@ def test_ngram_contamination_empty_and_allempty_docs(ray_session):
         pa.Table.from_pydict({"doc_id": [1, 2], "text": ["", "   "]})
     )
     assert ngram_contamination(blank, num_partitions=4).take_all() == []
+
+
+def test_redact_documents_counts_and_parity(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from osm2geojson_ray.text.analysis import redact_documents
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": [
+            "spark is fast but spark is slow",
+            "nothing to see here",
+            "",
+            "sparkly slowly spark",  # \b: sparkly/slowly must NOT match
+        ],
+    })
+    out = (
+        redact_documents(
+            ray.data.from_arrow(docs), pattern=r"\b(spark|slow)\b",
+            replacement="[X]",
+        )
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["n_hits"].tolist() == [3, 0, 0, 1]
+    assert out["redacted"].tolist() == [
+        "[X] is fast but [X] is [X]",
+        "nothing to see here",
+        "",
+        "sparkly slowly [X]",
+    ]
+    assert out["n_hits"].dtype == "int64"

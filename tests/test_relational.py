@@ -883,3 +883,42 @@ def test_bloom_semi_join_multi_row_partial_blocks(ray_session):
     )
     want = left[left < 5000]
     assert sorted(got.tolist()) == sorted(want.tolist())
+
+
+def test_grouped_mode_ties_and_strings(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from osm2geojson_ray.relational import grouped_mode
+
+    t = pa.table({
+        "g": [1, 1, 1, 1, 2, 2, 3],
+        "v": ["b", "a", "b", "a", "x", "x", "solo"],
+    })
+    out = (
+        grouped_mode(ray.data.from_arrow(t), "g", "v")
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    )
+    # g=1: a and b tie at 2 -> smaller value wins
+    assert out["v"].tolist() == ["a", "x", "solo"]
+    assert out["mode_count"].tolist() == [2, 2, 1]
+    # one row per group, columns preserved
+    assert list(out.columns) == ["g", "v", "mode_count"]
+
+
+def test_grouped_mode_cross_block_counts(ray_session):
+    """Counts must combine ACROSS blocks: the winner in the merged
+    counts differs from any single block's local winner."""
+    import pyarrow as pa
+    import ray.data
+
+    from osm2geojson_ray.relational import grouped_mode
+
+    # block 1: z appears twice, m once; block 2: m twice, z once
+    # merged: m=3 > z=3? make m=3, z=2 -> m wins only after merge
+    b1 = pa.table({"g": [7, 7, 7], "v": ["z", "z", "m"]})
+    b2 = pa.table({"g": [7, 7, 7], "v": ["m", "m", "q"]})
+    ds = ray.data.from_arrow([b1, b2])
+    out = grouped_mode(ds, "g", "v").to_pandas()
+    assert out["v"].tolist() == ["m"]
+    assert out["mode_count"].tolist() == [3]

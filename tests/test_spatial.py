@@ -568,3 +568,61 @@ def test_compact_cell_set_empty_input(ray_session):
     out = compact_cell_set(ds, anchor_level=4, num_partitions=4)
     assert out.take_all() == []
     assert out.schema().names == ["cell_id"]
+
+
+def test_knearest_join_brute_force_and_edges(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from osm2geojson_ray.spatial.distance import knearest_join
+
+    rng = np.random.default_rng(7)
+    n, s = 200, 9
+    pts = pa.table({
+        "point_id": np.arange(n, dtype=np.int64),
+        "x": rng.integers(0, 1000, n).astype(np.int64),
+        "y": rng.integers(0, 1000, n).astype(np.int64),
+    })
+    sids = np.arange(s, dtype=np.int64) * 3 + 1  # ascending, non-dense
+    sx = rng.integers(0, 1000, s).astype(np.int64)
+    sy = rng.integers(0, 1000, s).astype(np.int64)
+
+    out = (
+        knearest_join(ray.data.from_arrow(pts), sids, sx, sy, k=3)
+        .to_pandas().sort_values(["point_id", "nn_rank"]).reset_index(drop=True)
+    )
+    assert len(out) == n * 3
+
+    # brute-force oracle with the same packed-key tiebreak
+    x = pts["x"].to_numpy()[:, None]
+    y = pts["y"].to_numpy()[:, None]
+    d2 = (x - sx[None, :]) ** 2 + (y - sy[None, :]) ** 2
+    key = d2 * 64 + np.arange(s)
+    order = np.argsort(key, axis=1)[:, :3]
+    want_site = sids[order.ravel()]
+    want_d2 = np.take_along_axis(d2, order, axis=1).ravel()
+    assert out["site_id"].tolist() == want_site.tolist()
+    assert out["d2_udeg"].tolist() == want_d2.tolist()
+    assert out["nn_rank"].tolist() == list(np.tile([1, 2, 3], n))
+
+    # k >= number of sites: clamps to s rows per point
+    out_all = knearest_join(
+        ray.data.from_arrow(pts.slice(0, 4)), sids, sx, sy, k=99
+    ).to_pandas()
+    assert len(out_all) == 4 * s
+
+    # tie to the smaller site id: two sites at the same location
+    tie = knearest_join(
+        ray.data.from_arrow(pa.table({
+            "point_id": np.array([0], dtype=np.int64),
+            "x": np.array([5], dtype=np.int64),
+            "y": np.array([5], dtype=np.int64),
+        })),
+        np.array([2, 4], dtype=np.int64),
+        np.array([5, 5], dtype=np.int64),
+        np.array([5, 5], dtype=np.int64),
+        k=2,
+    ).to_pandas().sort_values("nn_rank")
+    assert tie["site_id"].tolist() == [2, 4]
+    assert tie["d2_udeg"].tolist() == [0, 0]
