@@ -3390,6 +3390,52 @@ FROM f GROUP BY 1, 2
 """
 
 
+def m_tile_phash_rollup(sf_dir: str):
+    """Geo x image composition: every image point is assigned its
+    level-6 grid cell (spatial/cells.cell_id — same float-floor-once
+    encode the pyramid uses) and each tile rolls up to image count,
+    bit_xor pHash fingerprint (order-independent, exact — the 'did
+    this tile's content change' signal for incremental re-processing)
+    and min pHash — one combiner-push-down partial_grouped_agg, raw
+    image rows never shuffle."""
+    from .relational import partial_grouped_agg
+    from .spatial.cells import cell_id
+
+    def assign(t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {"cell_id": cell_id(lon, lat, 6), "phash": t["phash"]},
+            schema=pa.schema([("cell_id", pa.int64()), ("phash", pa.int64())]),
+        )
+
+    cells = part_images(sf_dir).map_batches(assign, batch_format="pyarrow")
+    return partial_grouped_agg(
+        cells,
+        ["cell_id"],
+        {
+            "n_images": (None, "count"),
+            "phash_xor": ("phash", "xor"),
+            "phash_min": ("phash", "min"),
+        },
+    )
+
+
+M_TILE_ROLLUP_SQL = f"""
+WITH img AS ({_PART_IMG_SQL}),
+c AS (SELECT 6 * 288230376151711744
+             + CAST(floor((lon + 180) / 360 * 64) AS BIGINT) * 536870912
+             + CAST(floor((lat + 90) / 180 * 64) AS BIGINT) AS cell_id,
+             phash
+      FROM img)
+SELECT cell_id,
+       CAST(count(*) AS BIGINT) AS n_images,
+       bit_xor(phash) AS phash_xor,
+       min(phash) AS phash_min
+FROM c GROUP BY 1
+"""
+
+
 _REDACT_PATTERN = r"\b(spark|slow)\b"
 
 
@@ -3554,6 +3600,7 @@ QUERIES = {
     "t_redact": t_redact,
     "q29_user_mode_event": q29_user_mode_event,
     "g_knn_sites": g_knn_sites,
+    "m_tile_phash_rollup": m_tile_phash_rollup,
 }
 
 ORACLE_SQL = {
@@ -3633,4 +3680,5 @@ ORACLE_SQL = {
     "t_redact": T_REDACT_SQL,
     "q29_user_mode_event": Q29_SQL,
     "g_knn_sites": G_KNN_SITES_SQL,
+    "m_tile_phash_rollup": M_TILE_ROLLUP_SQL,
 }

@@ -507,11 +507,17 @@ def partial_grouped_agg(ds, keys: List[str], aggs: Dict[str, Tuple[str, str]]):
     one partial row per group key ("sum"/"count" specs), so only
     #groups x #blocks tiny partial rows reach the final (small) groupby
     — raw rows never shuffle.  ``aggs``: {out_col: (in_col, "sum") |
-    (None, "count") | (in_col, "max") | (in_col, "min")} — count
-    partials combine by sum, max by max, min by min (all associative).
-    The scale pattern for low-cardinality keys; for high-cardinality
-    keys use hash_exchange_map instead."""
+    (None, "count") | (in_col, "max") | (in_col, "min") |
+    (in_col, "xor")} — count partials combine by sum, max by max, min
+    by min, xor by xor (all associative; xor is SQL ``bit_xor``, an
+    order-independent integer fingerprint aggregate).  The scale
+    pattern for low-cardinality keys; for high-cardinality keys use
+    hash_exchange_map instead (the xor partial additionally pays one
+    per-group reduce call, bounded by that same cardinality)."""
     import pandas as pd
+
+    def _xor_reduce(s):
+        return np.bitwise_xor.reduce(s.to_numpy())
 
     def partial(df):
         # dropna=False: null group keys must aggregate like any other
@@ -525,6 +531,8 @@ def partial_grouped_agg(ds, keys: List[str], aggs: Dict[str, Tuple[str, str]]):
                 out[out_col] = g[in_col].max()
             elif how == "min":
                 out[out_col] = g[in_col].min()
+            elif how == "xor":
+                out[out_col] = g[in_col].agg(_xor_reduce)
             else:
                 out[out_col] = g.size()
         return pd.DataFrame(out).reset_index()
@@ -547,14 +555,18 @@ def partial_grouped_agg(ds, keys: List[str], aggs: Dict[str, Tuple[str, str]]):
         ]
         df = _pd.concat(frames, ignore_index=True)
         g = df.groupby(keys, sort=False, dropna=False)
-        out = {
-            c: (
-                g[c].max()
-                if aggs[c][1] == "max"
-                else g[c].min() if aggs[c][1] == "min" else g[c].sum()
-            )
-            for c in aggs
-        }
+
+        def _combine(c):
+            how = aggs[c][1]
+            if how == "max":
+                return g[c].max()
+            if how == "min":
+                return g[c].min()
+            if how == "xor":
+                return g[c].agg(lambda s: np.bitwise_xor.reduce(s.to_numpy()))
+            return g[c].sum()
+
+        out = {c: _combine(c) for c in aggs}
         return pa.Table.from_pandas(_pd.DataFrame(out).reset_index(), preserve_index=False)
 
     refs = []

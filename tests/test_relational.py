@@ -922,3 +922,25 @@ def test_grouped_mode_cross_block_counts(ray_session):
     out = grouped_mode(ds, "g", "v").to_pandas()
     assert out["v"].tolist() == ["m"]
     assert out["mode_count"].tolist() == [3]
+
+
+def test_partial_grouped_agg_xor_cross_block(ray_session):
+    """bit_xor partials must combine by xor ACROSS blocks, including
+    negative int64 (two's-complement, matching DuckDB bit_xor)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from osm2geojson_ray.relational import partial_grouped_agg
+
+    b1 = pa.table({"g": pa.array([1, 1, 2], pa.int64()),
+                   "v": pa.array([-5, 9, 7], pa.int64())})
+    b2 = pa.table({"g": pa.array([1, 2], pa.int64()),
+                   "v": pa.array([3, -7], pa.int64())})
+    out = (
+        partial_grouped_agg(ray.data.from_arrow([b1, b2]), ["g"],
+                            {"x": ("v", "xor"), "n": (None, "count")})
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    )
+    assert out["x"].tolist() == [(-5) ^ 9 ^ 3, 7 ^ (-7)]
+    assert out["n"].tolist() == [3, 2]
