@@ -3390,6 +3390,63 @@ FROM f GROUP BY 1, 2
 """
 
 
+def q30_user_coverage(sf_dir: str):
+    """Union-of-intervals per user (temporal.interval_coverage): each
+    event opens a deterministic (event_id % 7 + 1)-minute interval;
+    the query reports total covered microseconds and merged-island
+    count per user — overlaps collapse, touching intervals merge.
+    One slim hash exchange + a single vectorized segmented pass per
+    partition."""
+    from .temporal import interval_coverage
+
+    ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        s = (
+            t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = s + (eid % 7 + 1) * 60_000_000
+        return pa.Table.from_pydict(
+            {"user_id": t["user_id"].cast(pa.int64()), "s": s, "e": e},
+            schema=pa.schema([("user_id", pa.int64()), ("s", pa.int64()),
+                              ("e", pa.int64())]),
+        )
+
+    iv = ev.map_batches(mk, batch_format="pyarrow")
+    out = interval_coverage(iv, by="user_id", start_col="s", end_col="e")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["user_id", "covered_us", "n_islands"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+Q30_SQL = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + (event_id % 7 + 1) * 60000000 AS e
+  FROM events),
+m AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM iv),
+isl AS (
+  SELECT user_id, s, e,
+         CAST(sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY s, e
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+  FROM m),
+pi AS (SELECT user_id, island, max(e) - min(s) AS len
+       FROM isl GROUP BY 1, 2)
+SELECT user_id, CAST(sum(len) AS BIGINT) AS covered_us,
+       CAST(count(*) AS BIGINT) AS n_islands
+FROM pi GROUP BY 1
+"""
+
+
 def m_tile_phash_rollup(sf_dir: str):
     """Geo x image composition: every image point is assigned its
     level-6 grid cell (spatial/cells.cell_id — same float-floor-once
@@ -3601,6 +3658,7 @@ QUERIES = {
     "q29_user_mode_event": q29_user_mode_event,
     "g_knn_sites": g_knn_sites,
     "m_tile_phash_rollup": m_tile_phash_rollup,
+    "q30_user_coverage": q30_user_coverage,
 }
 
 ORACLE_SQL = {
@@ -3681,4 +3739,5 @@ ORACLE_SQL = {
     "q29_user_mode_event": Q29_SQL,
     "g_knn_sites": G_KNN_SITES_SQL,
     "m_tile_phash_rollup": M_TILE_ROLLUP_SQL,
+    "q30_user_coverage": Q30_SQL,
 }

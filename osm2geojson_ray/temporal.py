@@ -727,3 +727,83 @@ def asof_join_banded(
     if patched is None:
         return done
     return done.union(patched)
+
+
+def interval_coverage(ds, *, by: str, start_col: str, end_col: str,
+                      num_partitions: int = 16):
+    """UNION-of-intervals per group: total covered length and island
+    (maximal merged run) count — the gaps-and-islands aggregate
+    (per-user active time from overlapping sessions, per-region sensor
+    uptime).  Touching intervals (next.start == running max end) MERGE;
+    island breaks only on a strict gap, matching the SQL twin's
+    ``start > max(end) OVER (... 1 PRECEDING)`` break rule.
+
+    Distributed shape: ONE hash exchange on ``by`` (slim (by, s, e)
+    int64 rows), then each partition runs a single vectorized pass:
+    lexsort by (group, start, end), segmented running-max-of-end via a
+    rebased group-offset packed key (one np.maximum.accumulate — the
+    monotone group prefix makes the global cummax a per-group cummax),
+    island starts from the strict-gap test, per-island extents with
+    maximum.reduceat, per-group totals with add.reduceat.  No per-row
+    or per-group Python.  The packed key bounds #groups x time-span
+    per partition to 2^62 (checked, loud raise — rebase/band upstream
+    for wider spans).
+
+    Output: (by, covered, n_islands), one row per group.  Requires
+    int64 start/end with start <= end (validated)."""
+    out_fields = [(by, pa.int64()), ("covered", pa.int64()),
+                  ("n_islands", pa.int64())]
+    out_schema = pa.schema(out_fields)
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if "__part" in tbl.column_names:
+            tbl = tbl.drop_columns(["__part"])
+        n = len(tbl)
+        if n == 0:
+            return out_schema.empty_table()
+        g = tbl[by].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        s = tbl[start_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        e = tbl[end_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        if (s > e).any():
+            raise ValueError("interval_coverage: start > end row")
+        order = np.lexsort((e, s, g))
+        g, s, e = g[order], s[order], e[order]
+        gstart = np.empty(n, dtype=bool)
+        gstart[0] = True
+        gstart[1:] = g[1:] != g[:-1]
+        grp = np.cumsum(gstart) - 1  # dense group rank, partition-local
+        base = int(s.min())
+        s0 = s - base
+        e0 = e - base
+        span = int(e0.max()) + 1
+        n_groups = int(grp[-1]) + 1
+        if n_groups * span >= (1 << 62):
+            raise ValueError(
+                "interval_coverage packed key would overflow: "
+                f"{n_groups} groups x span {span}; band the 'on' axis upstream"
+            )
+        key = grp * span + e0
+        prev_ckey = np.empty(n, dtype=np.int64)
+        prev_ckey[0] = -1
+        prev_ckey[1:] = np.maximum.accumulate(key)[:-1]
+        # for non-start rows the prefix max key is from THIS group
+        # (group keys strictly dominate all earlier groups'), so the
+        # decode prev_ckey - grp*span is the group's running max end
+        brk = gstart | (s0 > prev_ckey - grp * span)
+        starts = np.flatnonzero(brk)
+        isl_len = np.maximum.reduceat(e0, starts) - s0[starts]
+        isl_g = g[starts]
+        gi = np.flatnonzero(np.r_[True, isl_g[1:] != isl_g[:-1]])
+        covered = np.add.reduceat(isl_len, gi)
+        n_isl = np.diff(np.r_[gi, len(isl_len)])
+        return pa.Table.from_pydict(
+            {by: isl_g[gi], "covered": covered.astype(np.int64),
+             "n_islands": n_isl.astype(np.int64)},
+            schema=out_schema,
+        )
+
+    slim = ds.select_columns([by, start_col, end_col])
+    out = hash_exchange_map(slim, by, num_partitions, kernel)
+    if out is None:
+        return empty_dataset(out_schema)
+    return out

@@ -464,3 +464,95 @@ def test_asof_join_banded_nulls_and_empty(ray_session):
         l_schema=L_SCHEMA, r_schema=R_SCHEMA,
     ).to_pandas()
     assert len(got2) == 4 and got2["rv_r"].isna().all()
+
+
+def test_interval_coverage_merge_touch_gap(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from osm2geojson_ray.temporal import interval_coverage
+
+    t = pa.table({
+        "u": pa.array([1, 1, 1, 1, 2, 2, 3], pa.int64()),
+        # u=1: [0,10] + [5,20] overlap -> [0,20]; [20,30] touches -> merge;
+        #      [40,41] gap -> 2nd island.  u=2: disjoint.  u=3: zero-length.
+        "s": pa.array([0, 5, 20, 40, 100, 300, 7], pa.int64()),
+        "e": pa.array([10, 20, 30, 41, 200, 400, 7], pa.int64()),
+    })
+    out = (
+        interval_coverage(ray.data.from_arrow(t), by="u",
+                          start_col="s", end_col="e")
+        .to_pandas().sort_values("u").reset_index(drop=True)
+    )
+    assert out["covered"].tolist() == [31, 200, 0]
+    assert out["n_islands"].tolist() == [2, 2, 1]
+
+
+def test_interval_coverage_matches_bruteforce_across_blocks(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from osm2geojson_ray.temporal import interval_coverage
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    u = rng.integers(0, 40, n).astype(np.int64)
+    s = rng.integers(0, 10_000, n).astype(np.int64)
+    e = s + rng.integers(0, 500, n).astype(np.int64)
+    blocks = [
+        pa.table({"u": u[i::3], "s": s[i::3], "e": e[i::3]}) for i in range(3)
+    ]
+    out = (
+        interval_coverage(ray.data.from_arrow(blocks), by="u",
+                          start_col="s", end_col="e", num_partitions=7)
+        .to_pandas().sort_values("u").reset_index(drop=True)
+    )
+
+    # brute force per group
+    want_cov, want_isl, want_u = [], [], []
+    for g in sorted(set(u.tolist())):
+        iv = sorted(zip(s[u == g].tolist(), e[u == g].tolist()))
+        cov = isl = 0
+        cur_s, cur_e = None, None
+        for a, b in iv:
+            if cur_e is None or a > cur_e:
+                if cur_e is not None:
+                    cov += cur_e - cur_s
+                cur_s, cur_e, isl = a, b, isl + 1
+            else:
+                cur_e = max(cur_e, b)
+        if cur_e is not None:
+            cov += cur_e - cur_s
+        want_u.append(g); want_cov.append(cov); want_isl.append(isl)
+    assert out["u"].tolist() == want_u
+    assert out["covered"].tolist() == want_cov
+    assert out["n_islands"].tolist() == want_isl
+
+
+def test_interval_coverage_validates_and_overflows(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from osm2geojson_ray.temporal import interval_coverage
+
+    bad = pa.table({"u": pa.array([1], pa.int64()),
+                    "s": pa.array([5], pa.int64()),
+                    "e": pa.array([4], pa.int64())})
+    with pytest.raises(Exception, match="start > end"):
+        interval_coverage(ray.data.from_arrow(bad), by="u",
+                          start_col="s", end_col="e").materialize()
+
+    # packed-key overflow guard: huge span x many groups raises loudly
+    n = 4096
+    wide = pa.table({
+        "u": pa.array(np.arange(n, dtype=np.int64)),
+        "s": pa.array(np.zeros(n, dtype=np.int64)),
+        "e": pa.array(np.full(n, (1 << 52), dtype=np.int64)),
+    })
+    with pytest.raises(Exception, match="overflow"):
+        interval_coverage(ray.data.from_arrow(wide), by="u",
+                          start_col="s", end_col="e",
+                          num_partitions=1).materialize()
