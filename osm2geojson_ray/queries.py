@@ -3390,6 +3390,30 @@ FROM f GROUP BY 1, 2
 """
 
 
+def t_char_diversity(sf_dir: str):
+    """Character-diversity quality signal (text/analysis
+    char_diversity): per-doc character count, distinct characters, and
+    the exact-integer Simpson collision sum — one flat-buffer
+    np.unique pass per batch, no shuffle, no floats anywhere."""
+    from .text.analysis import char_diversity
+
+    return char_diversity(_pq(sf_dir, "documents", ["doc_id", "text"]))
+
+
+T_CHAR_DIVERSITY_SQL = r"""
+WITH ch AS (
+  SELECT doc_id, u.c AS c, count(*) AS cnt
+  FROM documents, unnest(regexp_extract_all(text, '[\s\S]')) AS u(c)
+  GROUP BY 1, 2)
+SELECT d.doc_id,
+       CAST(length(d.text) AS BIGINT) AS n_chars,
+       CAST(count(ch.c) AS BIGINT) AS n_distinct_chars,
+       CAST(COALESCE(sum(ch.cnt * ch.cnt), 0) AS BIGINT) AS collision_sum
+FROM documents d LEFT JOIN ch ON ch.doc_id = d.doc_id
+GROUP BY 1, 2
+"""
+
+
 def q30_user_coverage(sf_dir: str):
     """Union-of-intervals per user (temporal.interval_coverage): each
     event opens a deterministic (event_id % 7 + 1)-minute interval;
@@ -3659,6 +3683,7 @@ QUERIES = {
     "g_knn_sites": g_knn_sites,
     "m_tile_phash_rollup": m_tile_phash_rollup,
     "q30_user_coverage": q30_user_coverage,
+    "t_char_diversity": t_char_diversity,
 }
 
 ORACLE_SQL = {
@@ -3740,4 +3765,5 @@ ORACLE_SQL = {
     "g_knn_sites": G_KNN_SITES_SQL,
     "m_tile_phash_rollup": M_TILE_ROLLUP_SQL,
     "q30_user_coverage": Q30_SQL,
+    "t_char_diversity": T_CHAR_DIVERSITY_SQL,
 }

@@ -509,3 +509,70 @@ def redact_documents(docs, *, pattern: str, replacement: str = "[REDACTED]",
         )
 
     return docs.map_batches(kernel, batch_format="pyarrow")
+
+
+def char_diversity(docs, *, doc_col: str = "doc_id", text_col: str = "text"):
+    """Character-diversity / repetitiveness signals per document, all
+    exact integers: character count, distinct-character count, and the
+    collision sum  sum_c count(c)^2  (the Simpson-index numerator —
+    collision_sum / n_chars^2 is the probability two random character
+    draws collide, a classic low-quality/repetitive-text flag that
+    needs no float anywhere).
+
+    Vectorized per batch with NO per-row work: the batch's utf8 data
+    buffer is ONE flat uint8 array (string offsets are gapless), each
+    byte is packed with its row index (row * 256 + byte), one
+    ``np.unique`` yields all (doc, char) counts, and ``reduceat`` folds
+    them to per-doc distinct counts / collision sums.
+
+    Byte == character is asserted per batch (``utf8_length`` vs byte
+    length): multi-byte (non-ASCII) input raises loudly rather than
+    silently counting bytes as characters — extend with a codepoint
+    decode stage for non-ASCII corpora."""
+    out_schema = pa.schema([
+        (doc_col, pa.int64()), ("n_chars", pa.int64()),
+        ("n_distinct_chars", pa.int64()), ("collision_sum", pa.int64()),
+    ])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return out_schema.empty_table()
+        arr = t[text_col].combine_chunks()
+        if arr.null_count:
+            arr = pc.fill_null(arr, "")
+        off_dt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+        buffers = arr.buffers()
+        offsets = np.frombuffer(buffers[1], dtype=off_dt)[
+            arr.offset : arr.offset + n + 1
+        ].astype(np.int64)
+        lengths = offsets[1:] - offsets[:-1]
+        char_len = pc.utf8_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+        if not np.array_equal(char_len, lengths):
+            raise ValueError(
+                "char_diversity: multi-byte (non-ASCII) text in batch — "
+                "byte != character; decode to codepoints upstream"
+            )
+        data = (
+            np.frombuffer(buffers[2], dtype=np.uint8)
+            if buffers[2] is not None else np.empty(0, np.uint8)
+        )
+        flat = data[offsets[0] : offsets[-1]]
+        row_of_byte = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        packed = row_of_byte * 256 + flat
+        uniq, counts = np.unique(packed, return_counts=True)
+        rows = uniq >> np.int64(8)
+        rstart = np.flatnonzero(np.r_[True, rows[1:] != rows[:-1]])
+        nd = np.zeros(n, dtype=np.int64)
+        cs = np.zeros(n, dtype=np.int64)
+        if len(uniq):
+            present = rows[rstart]
+            nd[present] = np.diff(np.r_[rstart, len(uniq)])
+            cs[present] = np.add.reduceat(counts * counts, rstart)
+        return pa.Table.from_pydict(
+            {doc_col: t[doc_col].cast(pa.int64()), "n_chars": lengths,
+             "n_distinct_chars": nd, "collision_sum": cs},
+            schema=out_schema,
+        )
+
+    return docs.map_batches(kernel, batch_format="pyarrow")

@@ -738,3 +738,48 @@ def test_redact_documents_counts_and_parity(ray_session):
         "sparkly slowly [X]",
     ]
     assert out["n_hits"].dtype == "int64"
+
+
+def test_char_diversity_exact_and_guards(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from osm2geojson_ray.text.analysis import char_diversity
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": ["aab", "", "zzzz", "ab ba"],
+    })
+    out = (
+        char_diversity(ray.data.from_arrow(docs))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["n_chars"].tolist() == [3, 0, 4, 5]
+    assert out["n_distinct_chars"].tolist() == [2, 0, 1, 3]
+    # aab: 2^2+1 = 5; zzzz: 16; "ab ba": a=2,b=2,space=1 -> 4+4+1
+    assert out["collision_sum"].tolist() == [5, 0, 16, 9]
+
+    # scalar brute-force parity on random ASCII
+    rng = np.random.default_rng(3)
+    texts = [
+        "".join(chr(c) for c in rng.integers(32, 127, rng.integers(0, 50)))
+        for _ in range(64)
+    ]
+    t = pa.table({"doc_id": pa.array(range(64), pa.int64()), "text": texts})
+    got = (
+        char_diversity(ray.data.from_arrow(t))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    from collections import Counter
+    for i, txt in enumerate(texts):
+        c = Counter(txt)
+        assert got["n_chars"][i] == len(txt)
+        assert got["n_distinct_chars"][i] == len(c)
+        assert got["collision_sum"][i] == sum(v * v for v in c.values())
+
+    # non-ASCII raises loudly instead of counting bytes as chars
+    bad = pa.table({"doc_id": pa.array([0], pa.int64()), "text": ["héllo"]})
+    with pytest.raises(Exception, match="multi-byte"):
+        char_diversity(ray.data.from_arrow(bad)).materialize()
