@@ -3390,6 +3390,65 @@ FROM f GROUP BY 1, 2
 """
 
 
+def g_convex_hull(sf_dir: str):
+    """Distributed convex hull (spatial/hull.convex_hull): per-block
+    vectorized Akl-Toussaint prune, exact monotone chain over the tiny
+    survivor stream.  Gate input: integer points derived from the 64
+    smallest supplier keys (relational.topk, no sort shuffle) so the
+    Caratheodory SQL vertex test (p is a vertex iff p is not inside
+    any triangle / segment of the other distinct points) stays a
+    feasible cross join.  Output = the distinct strict hull vertices;
+    row order is not meaningful (the driver sorts)."""
+    from .relational import topk
+    from .spatial.hull import convex_hull
+
+    sup = topk(_pq(sf_dir, "supplier", ["s_suppkey"]),
+               [("s_suppkey", False)], k=64)
+
+    def to_pts(t: pa.Table) -> pa.Table:
+        k = t["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_pydict(
+            {"x": k * 2654435761 % 8000000, "y": k * 40503 % 8000000},
+            schema=pa.schema([("x", pa.int64()), ("y", pa.int64())]),
+        )
+
+    return convex_hull(sup.map_batches(to_pts, batch_format="pyarrow"))
+
+
+G_HULL_SQL = """
+WITH sk AS (SELECT CAST(s_suppkey AS BIGINT) AS k
+            FROM supplier ORDER BY s_suppkey LIMIT 64),
+pts AS (SELECT DISTINCT k * 2654435761 % 8000000 AS x,
+                        k * 40503 % 8000000 AS y FROM sk),
+inner_tri AS (
+  SELECT DISTINCT p.x, p.y
+  FROM pts p
+  JOIN pts a ON (a.x, a.y) != (p.x, p.y)
+  JOIN pts b ON (b.x, b.y) != (p.x, p.y)
+  JOIN pts c ON (c.x, c.y) != (p.x, p.y)
+  WHERE (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) != 0
+    AND sign((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x))
+        * sign((c.x - b.x) * (p.y - b.y) - (c.y - b.y) * (p.x - b.x)) >= 0
+    AND sign((c.x - b.x) * (p.y - b.y) - (c.y - b.y) * (p.x - b.x))
+        * sign((a.x - c.x) * (p.y - c.y) - (a.y - c.y) * (p.x - c.x)) >= 0
+    AND sign((a.x - c.x) * (p.y - c.y) - (a.y - c.y) * (p.x - c.x))
+        * sign((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x)) >= 0
+),
+inner_seg AS (
+  SELECT DISTINCT p.x, p.y
+  FROM pts p
+  JOIN pts a ON (a.x, a.y) != (p.x, p.y)
+  JOIN pts b ON (b.x, b.y) != (p.x, p.y) AND (b.x, b.y) != (a.x, a.y)
+  WHERE (b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x) = 0
+    AND (p.x - a.x) * (b.x - a.x) + (p.y - a.y) * (b.y - a.y) >= 0
+    AND (p.x - b.x) * (a.x - b.x) + (p.y - b.y) * (a.y - b.y) >= 0
+)
+SELECT x, y FROM pts
+EXCEPT SELECT x, y FROM inner_tri
+EXCEPT SELECT x, y FROM inner_seg
+"""
+
+
 def t_char_diversity(sf_dir: str):
     """Character-diversity quality signal (text/analysis
     char_diversity): per-doc character count, distinct characters, and
@@ -3684,6 +3743,7 @@ QUERIES = {
     "m_tile_phash_rollup": m_tile_phash_rollup,
     "q30_user_coverage": q30_user_coverage,
     "t_char_diversity": t_char_diversity,
+    "g_convex_hull": g_convex_hull,
 }
 
 ORACLE_SQL = {
@@ -3766,4 +3826,5 @@ ORACLE_SQL = {
     "m_tile_phash_rollup": M_TILE_ROLLUP_SQL,
     "q30_user_coverage": Q30_SQL,
     "t_char_diversity": T_CHAR_DIVERSITY_SQL,
+    "g_convex_hull": G_HULL_SQL,
 }

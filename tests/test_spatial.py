@@ -626,3 +626,84 @@ def test_knearest_join_brute_force_and_edges(ray_session):
     ).to_pandas().sort_values("nn_rank")
     assert tie["site_id"].tolist() == [2, 4]
     assert tie["d2_udeg"].tolist() == [0, 0]
+
+
+def _gift_wrap(xy):
+    """Independent O(nh) hull oracle (Jarvis march), strict vertices of
+    the DISTINCT point set, different algorithm family from the
+    engine's monotone chain."""
+    import numpy as np
+
+    pts = np.unique(np.asarray(xy, dtype=np.int64), axis=0)
+    n = len(pts)
+    if n <= 2:
+        return {tuple(p) for p in pts}
+    start = min(range(n), key=lambda i: (pts[i, 0], pts[i, 1]))
+    hull = []
+    cur = start
+    while True:
+        hull.append(cur)
+        cand = (cur + 1) % n
+        for j in range(n):
+            if j == cur:
+                continue
+            cross = (pts[cand, 0] - pts[cur, 0]) * (pts[j, 1] - pts[cur, 1]) \
+                - (pts[cand, 1] - pts[cur, 1]) * (pts[j, 0] - pts[cur, 0])
+            if cross < 0 or (
+                cross == 0
+                and np.sum((pts[j] - pts[cur]) ** 2)
+                > np.sum((pts[cand] - pts[cur]) ** 2)
+            ):
+                cand = j
+        cur = cand
+        if cur == start:
+            break
+    return {tuple(pts[i]) for i in hull}
+
+
+def test_convex_hull_matches_gift_wrap(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from osm2geojson_ray.spatial.hull import convex_hull
+
+    rng = np.random.default_rng(23)
+    for case, xy in {
+        "scatter": rng.integers(0, 10_000, (5000, 2)),
+        "dupes+collinear": np.array(
+            [[0, 0], [10, 0], [5, 0], [0, 10], [10, 10], [5, 5],
+             [0, 0], [10, 0], [3, 0], [0, 4]] * 50
+        ),
+        "tiny": np.array([[3, 7]]),
+        "two": np.array([[1, 2], [5, 9]]),
+        "line": np.array([[i, 2 * i] for i in range(50)]),
+    }.items():
+        xy = np.asarray(xy, dtype=np.int64)
+        blocks = [
+            pa.table({"x": xy[i::4, 0], "y": xy[i::4, 1]}) for i in range(4)
+            if len(xy[i::4])
+        ]
+        got = convex_hull(ray.data.from_arrow(blocks)).to_pandas()
+        got_set = set(zip(got["x"].tolist(), got["y"].tolist()))
+        assert got_set == _gift_wrap(xy), case
+
+
+def test_convex_hull_candidate_cap_raises(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from osm2geojson_ray.spatial.hull import convex_hull
+
+    # points on a circle defeat pruning -> must raise loudly, not truncate
+    th = np.linspace(0, 2 * np.pi, 500, endpoint=False)
+    xy = np.stack([(np.cos(th) * 1e6).astype(np.int64),
+                   (np.sin(th) * 1e6).astype(np.int64)], axis=1)
+    ds = ray.data.from_arrow(pa.table({"x": xy[:, 0], "y": xy[:, 1]}))
+    with pytest.raises(Exception, match="max_candidates"):
+        convex_hull(ds, max_candidates=100).materialize()
+    # and succeeds with an adequate cap
+    out = convex_hull(ds, max_candidates=1000).to_pandas()
+    assert len(out) > 100
