@@ -3390,6 +3390,46 @@ FROM f GROUP BY 1, 2
 """
 
 
+def t_bm25_topk(sf_dir: str):
+    """Top-3 BM25 terms per document (text/analysis.bm25_topk):
+    Robertson idf with dl/avgdl length normalization, ranked on the
+    half-away-rounded integer score with the term as tiebreak (the
+    tfidf-proven ulp-proof recipe)."""
+    from .text.analysis import bm25_topk
+
+    return bm25_topk(_pq(sf_dir, "documents", ["doc_id", "text"]), k=3)
+
+
+T_BM25_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+a AS (SELECT (SELECT CAST(sum(dl) AS DOUBLE) FROM dl) / (SELECT n FROM n) AS avgdl),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(round(
+           ln(1.0 + (n.n - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * (1.2 + 1))
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / a.avgdl))
+           * 1000000) AS BIGINT) AS score_1e6
+  FROM tf JOIN df ON tf.term = df.term
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN n CROSS JOIN a
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score_1e6 DESC, term) AS r
+  FROM scored
+)
+SELECT doc_id, term, score_1e6 FROM ranked WHERE r <= 3
+"""
+
+
 def g_convex_hull(sf_dir: str):
     """Distributed convex hull (spatial/hull.convex_hull): per-block
     vectorized Akl-Toussaint prune, exact monotone chain over the tiny
@@ -3744,6 +3784,7 @@ QUERIES = {
     "q30_user_coverage": q30_user_coverage,
     "t_char_diversity": t_char_diversity,
     "g_convex_hull": g_convex_hull,
+    "t_bm25_topk": t_bm25_topk,
 }
 
 ORACLE_SQL = {
@@ -3827,4 +3868,5 @@ ORACLE_SQL = {
     "q30_user_coverage": Q30_SQL,
     "t_char_diversity": T_CHAR_DIVERSITY_SQL,
     "g_convex_hull": G_HULL_SQL,
+    "t_bm25_topk": T_BM25_SQL,
 }

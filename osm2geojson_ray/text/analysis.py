@@ -576,3 +576,104 @@ def char_diversity(docs, *, doc_col: str = "doc_id", text_col: str = "text"):
         )
 
     return docs.map_batches(kernel, batch_format="pyarrow")
+
+
+def _term_freqs_with_dl(tbl: pa.Table, *, doc_col: str, text_col: str) -> pa.Table:
+    """(doc, term, tf, dl) rows — ``_term_freqs`` plus the document
+    token length attached AT TOKENIZE TIME: a document's text is one
+    row, so all its term rows come from this batch and dl is a
+    batch-local reduceat fact (no doc-keyed exchange ever needed)."""
+    t = _term_freqs(tbl, doc_col=doc_col, text_col=text_col)
+    n = len(t)
+    if n == 0:
+        return t.append_column("dl", pa.array([], pa.int64()))
+    ids = t[doc_col].to_numpy(zero_copy_only=False)
+    tf = t["tf"].to_numpy(zero_copy_only=False)
+    starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+    dl = np.add.reduceat(tf, starts)
+    reps = np.diff(np.r_[starts, n])
+    return t.append_column("dl", pa.array(np.repeat(dl, reps).astype(np.int64)))
+
+
+def bm25_topk(docs, *, doc_col: str = "doc_id", text_col: str = "text",
+              k: int = 3, k1: float = 1.2, b: float = 0.75,
+              scale: int = 1_000_000, out_col: str = "score_1e6",
+              num_partitions: int = 16):
+    """Top-k BM25 terms per document — the retrieval-grade upgrade of
+    tfidf_topk: score = idf(term) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+    with idf = ln(1 + (N-df+0.5)/(df+0.5)) (Robertson/Sparck-Jones).
+
+    Parity recipe (proven on tfidf_topk): both engines rank on the
+    HALF-AWAY-rounded integer-scaled score with the term as tiebreak,
+    so an ulp wobble in ln can never flip a rank; the SQL twin writes
+    the arithmetic in the exact same operation order (including
+    ``(k1 + 1)`` as a SUM — the literal 2.2 is a DIFFERENT double).
+
+    Scale shape: tokenize once into materialized slim (doc, term, tf,
+    dl) rows (dl attached batch-locally — a doc's text is one row, so
+    no doc-keyed exchange); df via combiner-push-down groupby; scoring
+    reads the (vocab, df) pair assembled by a REMOTE reduce straight
+    from the df Dataset's blocks (never driver pandas) through the
+    worker_state cache.  For 10^8+-term vocabularies swap the df side
+    to the term-salted hash-exchange join exactly as tfidf_topk's
+    ``df_mode="join"`` does — the machinery is shared."""
+    import functools
+
+    import ray as _ray
+
+    from ..relational import grouped_topk, partial_grouped_agg
+    from ..worker_state import cache_key_for_ref, get_or_build
+
+    n_docs = float(docs.count())
+    rows = docs.map_batches(
+        functools.partial(_term_freqs_with_dl, doc_col=doc_col, text_col=text_col),
+        batch_format="pyarrow",
+    ).materialize()
+    total_tokens = rows.sum("tf")
+    avgdl = float(total_tokens) / n_docs
+    df = partial_grouped_agg(
+        rows.select_columns(["term"]), ["term"], {"df": (None, "count")}
+    )
+
+    @_ray.remote
+    def _df_pack(*blocks):
+        t = pa.concat_tables(blocks, promote_options="default")
+        return (
+            t["term"].combine_chunks(),
+            pc.fill_null(t["df"], 0).cast(pa.int64())
+            .combine_chunks().to_numpy(zero_copy_only=False)
+            .astype(np.float64),
+        )
+
+    block_refs = [
+        block_ref
+        for bundle in df.iter_internal_ref_bundles()
+        for block_ref, _meta in bundle.blocks
+    ]
+    ref = _df_pack.remote(*block_refs)
+
+    def score(t: pa.Table) -> pa.Table:
+        vocab, dfv = get_or_build(
+            ("bm25_df", cache_key_for_ref(ref)), lambda: _ray.get(ref)
+        )
+        codes = (
+            pc.index_in(t["term"], value_set=vocab)
+            .combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfx = dfv[codes]
+        idf = np.log(1.0 + (n_docs - dfx + 0.5) / (dfx + 0.5))
+        s = idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl)) * scale
+        scaled = (np.sign(s) * np.floor(np.abs(s) + 0.5)).astype(np.int64)
+        return pa.Table.from_pydict(
+            {doc_col: t[doc_col], "term": t["term"], out_col: pa.array(scaled)},
+            schema=pa.schema([(doc_col, pa.int64()), ("term", pa.string()),
+                              (out_col, pa.int64())]),
+        )
+
+    scored = rows.map_batches(score, batch_format="pyarrow")
+    return grouped_topk(
+        scored, doc_col, [(out_col, True), ("term", False)],
+        k=k, num_partitions=num_partitions,
+    )

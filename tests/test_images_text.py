@@ -783,3 +783,47 @@ def test_char_diversity_exact_and_guards(ray_session):
     bad = pa.table({"doc_id": pa.array([0], pa.int64()), "text": ["héllo"]})
     with pytest.raises(Exception, match="multi-byte"):
         char_diversity(ray.data.from_arrow(bad)).materialize()
+
+
+def test_bm25_topk_scalar_parity(ray_session):
+    import math
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data
+
+    from osm2geojson_ray.text.analysis import bm25_topk
+
+    texts = [
+        "apple banana apple cherry",
+        "banana banana date",
+        "apple date date date cherry",
+        "",
+        "cherry",
+    ]
+    docs = pa.table({"doc_id": pa.array(range(5), pa.int64()), "text": texts})
+    got = (
+        bm25_topk(ray.data.from_arrow(docs), k=2)
+        .to_pandas().sort_values(["doc_id", "score_1e6", "term"],
+                                 ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+
+    # scalar BM25 oracle
+    k1, b = 1.2, 0.75
+    toks = [t.split() for t in texts]
+    tfs = [Counter(t) for t in toks]
+    n_docs = float(len(texts))
+    df = Counter(w for c in tfs for w in c)
+    avgdl = sum(len(t) for t in toks) / n_docs
+    want = []
+    for i, c in enumerate(tfs):
+        scored = []
+        for w, tf in c.items():
+            idf = math.log(1.0 + (n_docs - df[w] + 0.5) / (df[w] + 0.5))
+            s = idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(toks[i]) / avgdl))
+            scored.append((w, math.floor(abs(s * 1e6) + 0.5) * (1 if s >= 0 else -1)))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        for w, s in scored[:2]:
+            want.append((i, w, s))
+    assert list(zip(got["doc_id"], got["term"], got["score_1e6"])) == want
