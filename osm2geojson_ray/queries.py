@@ -3390,6 +3390,72 @@ FROM f GROUP BY 1, 2
 """
 
 
+def q31_order_expectations(sf_dir: str):
+    """Data-quality expectation gate (relational.validate_expectations):
+    four vectorized rules over orders, ONE scan, (rule, n_rows,
+    n_violations) per rule — the publish gate a production pipeline
+    runs before promoting a dataset."""
+    from .relational import validate_expectations
+
+    orders = _pq(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"])
+
+    def _nonpositive_price(t: pa.Table):
+        return pc.less_equal(t["o_totalprice"], 0.0)
+
+    def _null_custkey(t: pa.Table):
+        return pc.is_null(t["o_custkey"])
+
+    def _bad_priority(t: pa.Table):
+        return pc.invert(pc.is_in(
+            t["o_orderpriority"],
+            value_set=pa.array(["1-URGENT", "2-HIGH", "3-MEDIUM",
+                                "4-NOT SPECIFIED", "5-LOW"]),
+        ))
+
+    def _dup_low_key(t: pa.Table):
+        # plausibility rule exercising a numeric band: keys must be > 0
+        return pc.less_equal(t["o_orderkey"], 0)
+
+    def _price_band(t: pa.Table):
+        # a rule that actually FIRES on this data (anomalously large
+        # orders) so the gate checks non-zero violation accounting too
+        return pc.greater(t["o_totalprice"], 300000.0)
+
+    return validate_expectations(orders, {
+        "nonpositive_price": _nonpositive_price,
+        "null_custkey": _null_custkey,
+        "bad_priority": _bad_priority,
+        "nonpositive_key": _dup_low_key,
+        "price_above_300k": _price_band,
+    })
+
+
+Q31_SQL = """
+SELECT 'bad_priority' AS rule, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN
+            ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+FROM orders
+UNION ALL
+SELECT 'nonpositive_key', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_orderkey <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'nonpositive_price', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'null_custkey', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'price_above_300k', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+"""
+
+
 def t_bm25_topk(sf_dir: str):
     """Top-3 BM25 terms per document (text/analysis.bm25_topk):
     Robertson idf with dl/avgdl length normalization, ranked on the
@@ -3785,6 +3851,7 @@ QUERIES = {
     "t_char_diversity": t_char_diversity,
     "g_convex_hull": g_convex_hull,
     "t_bm25_topk": t_bm25_topk,
+    "q31_order_expectations": q31_order_expectations,
 }
 
 ORACLE_SQL = {
@@ -3869,4 +3936,5 @@ ORACLE_SQL = {
     "t_char_diversity": T_CHAR_DIVERSITY_SQL,
     "g_convex_hull": G_HULL_SQL,
     "t_bm25_topk": T_BM25_SQL,
+    "q31_order_expectations": Q31_SQL,
 }

@@ -1719,3 +1719,64 @@ def grouped_mode(ds, group_key: str, val_col: str, *,
         counts, group_key, [(count_col, True), (val_col, False)],
         k=1, num_partitions=num_partitions,
     )
+
+
+def validate_expectations(ds, rules: Dict[str, "callable"]):
+    """Data-quality expectation checks (the Deequ/Great-Expectations
+    shape): ``rules`` maps rule name -> a vectorized predicate
+    ``pa.Table -> bool ndarray/BooleanArray`` that is TRUE where the
+    row VIOLATES the rule.  Returns one row per rule: (rule, n_rows,
+    n_violations) — the stop-the-line gate a production pipeline runs
+    before publishing a dataset.
+
+    Scale shape: every rule is evaluated vectorized inside ONE
+    map_batches pass over the data (a batch emits #rules tiny partial
+    rows), and the partials fold in a single small groupby — the data
+    is scanned once regardless of rule count, nothing wide ever
+    shuffles."""
+    names = sorted(rules)
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = len(t)
+        viol = []
+        for name in names:
+            v = rules[name](t)
+            if isinstance(v, (pa.Array, pa.ChunkedArray)):
+                v = v.to_numpy(zero_copy_only=False)
+            viol.append(int(np.count_nonzero(np.asarray(v, dtype=bool))))
+        return pa.Table.from_pydict(
+            {"rule": pa.array(names, pa.string()),
+             "n_rows": pa.array([n] * len(names), pa.int64()),
+             "n_violations": pa.array(viol, pa.int64())},
+        )
+
+    # rule names are a tiny fixed key set: string-keyed pandas groupby
+    # in one remote reduce (same shape as partial_grouped_agg's final)
+    import ray as _ray
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    @_ray.remote
+    def _final(*blocks):
+        import pandas as _pd
+
+        df = _pd.concat(
+            [b.to_pandas() if not isinstance(b, _pd.DataFrame) else b
+             for b in blocks],
+            ignore_index=True,
+        )
+        out = df.groupby("rule", sort=True, dropna=False).sum().reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    refs = [
+        block_ref
+        for bundle in partials.iter_internal_ref_bundles()
+        for block_ref, meta in bundle.blocks
+        if meta.num_rows is None or meta.num_rows > 0
+    ]
+    if not refs:
+        return empty_dataset(pa.schema(
+            [("rule", pa.string()), ("n_rows", pa.int64()),
+             ("n_violations", pa.int64())]
+        ))
+    return ray.data.from_arrow_refs([_final.remote(*refs)])

@@ -944,3 +944,24 @@ def test_partial_grouped_agg_xor_cross_block(ray_session):
     )
     assert out["x"].tolist() == [(-5) ^ 9 ^ 3, 7 ^ (-7)]
     assert out["n"].tolist() == [3, 2]
+
+
+def test_validate_expectations_counts_across_blocks(ray_session):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from osm2geojson_ray.relational import validate_expectations
+
+    b1 = pa.table({"v": pa.array([1, -2, 3], pa.int64())})
+    b2 = pa.table({"v": pa.array([-4, 5], pa.int64())})
+    out = (
+        validate_expectations(ray.data.from_arrow([b1, b2]), {
+            "negative": lambda t: pc.less(t["v"], 0),
+            "huge": lambda t: pc.greater(t["v"], 100),
+        })
+        .to_pandas().sort_values("rule").reset_index(drop=True)
+    )
+    assert out["rule"].tolist() == ["huge", "negative"]
+    assert out["n_rows"].tolist() == [5, 5]
+    assert out["n_violations"].tolist() == [0, 2]
