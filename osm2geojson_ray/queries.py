@@ -3390,6 +3390,81 @@ FROM f GROUP BY 1, 2
 """
 
 
+def q32_full_outer_fill(sf_dir: str):
+    """FULL OUTER equi-join driver gate (relational.hash_join
+    ``how='full_outer'``): BUILDING-segment customers vs per-customer
+    order aggregates — left-only rows (BUILDING customers without
+    orders) zero-fill the order stats, right-only rows (non-BUILDING
+    customers' orders) sentinel-fill the segment flag; both sides'
+    unmatched rows survive, gate columns all non-null integers."""
+    from .relational import hash_join, partial_grouped_agg
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def bld(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["c_mktsegment"], "BUILDING")
+        return pa.table({
+            "o_custkey": t["c_custkey"].filter(keep).cast(pa.int64()),
+            "is_building": pa.array(
+                np.ones(int(np.count_nonzero(keep.to_numpy(zero_copy_only=False))),
+                        dtype=np.int64)
+            ),
+        })
+
+    left = cust.map_batches(bld, batch_format="pyarrow")
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = np.round(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table({"o_custkey": t["o_custkey"].combine_chunks(),
+                         "cents": pa.array(cents)})
+
+    agg = partial_grouped_agg(
+        orders.map_batches(to_cents, batch_format="pyarrow"),
+        ["o_custkey"],
+        {"n_orders": (None, "count"), "cents_sum": ("cents", "sum")},
+    )
+    joined = hash_join(
+        left,
+        agg,
+        on="o_custkey",
+        l_schema=pa.schema([("o_custkey", pa.int64()),
+                            ("is_building", pa.int64())]),
+        r_schema=pa.schema([("o_custkey", pa.int64()),
+                            ("n_orders", pa.int64()),
+                            ("cents_sum", pa.int64())]),
+        how="full_outer",
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        out = {"custkey": t["o_custkey"].cast(pa.int64())}
+        for c in ("is_building", "n_orders", "cents_sum"):
+            v = t[c].combine_chunks().to_numpy(zero_copy_only=False)
+            v = np.nan_to_num(v.astype(np.float64), nan=0.0).astype(np.int64)
+            out[c] = pa.array(v, pa.int64())
+        return pa.Table.from_pydict(out)
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
+Q32_SQL = """
+WITH bld AS (SELECT c_custkey AS custkey, CAST(1 AS BIGINT) AS is_building
+             FROM customer WHERE c_mktsegment = 'BUILDING'),
+agg AS (SELECT o_custkey AS custkey,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents_sum
+        FROM orders GROUP BY 1)
+SELECT COALESCE(b.custkey, a.custkey) AS custkey,
+       COALESCE(b.is_building, 0) AS is_building,
+       COALESCE(a.n_orders, 0) AS n_orders,
+       COALESCE(a.cents_sum, 0) AS cents_sum
+FROM bld b FULL OUTER JOIN agg a ON b.custkey = a.custkey
+"""
+
+
 def q31_order_expectations(sf_dir: str):
     """Data-quality expectation gate (relational.validate_expectations):
     four vectorized rules over orders, ONE scan, (rule, n_rows,
@@ -3852,6 +3927,7 @@ QUERIES = {
     "g_convex_hull": g_convex_hull,
     "t_bm25_topk": t_bm25_topk,
     "q31_order_expectations": q31_order_expectations,
+    "q32_full_outer_fill": q32_full_outer_fill,
 }
 
 ORACLE_SQL = {
@@ -3937,4 +4013,5 @@ ORACLE_SQL = {
     "g_convex_hull": G_HULL_SQL,
     "t_bm25_topk": T_BM25_SQL,
     "q31_order_expectations": Q31_SQL,
+    "q32_full_outer_fill": Q32_SQL,
 }

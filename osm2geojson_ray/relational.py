@@ -75,9 +75,12 @@ def hash_join(
 ):
     """Equi-join two Datasets on an int64 key column.
 
-    ``how``: "inner" | "left_outer" | "left_anti" | "left_semi".
+    ``how``: "inner" | "left_outer" | "full_outer" | "left_anti" |
+    "left_semi".
     Output schema: key + left columns + right columns (left columns
-    only for anti/semi).  Robust to empty inputs and arbitrary skew up
+    only for anti/semi).  full_outer emits unmatched rows of BOTH
+    sides (the other side's columns null; the key column taken from
+    whichever side has the row).  Robust to empty inputs and arbitrary skew up
     to one partition's rows per worker heap.  ``left_anti`` keeps left
     rows whose key has NO match on the right, ``left_semi`` those WITH
     a match — both via one membership test per partition (duplicate
@@ -99,7 +102,8 @@ def hash_join(
         out_schema = pa.schema([superset.field(on)] + [l_schema.field(n) for n in l_names])
         pandas_how = None
     else:
-        pandas_how = {"inner": "inner", "left_outer": "left"}[how]
+        pandas_how = {"inner": "inner", "left_outer": "left",
+                      "full_outer": "outer"}[how]
 
     # A side may arrive as a ``ShardedRefs`` already padded to the
     # superset schema (via ``pad_block_to``) and split on the join key
@@ -136,12 +140,27 @@ def hash_join(
         rdf = pd.DataFrame({"k": rt[on].to_numpy(zero_copy_only=False),
                             "ri": np.arange(len(rt))})
         m = ldf.merge(rdf, on="k", how=pandas_how)
-        li = pa.array(m["li"].to_numpy().astype(np.int64))
         ri_np = m["ri"].to_numpy(dtype="float64", na_value=np.nan)
         ri_mask = np.isnan(ri_np)
         ri = pa.array(np.where(ri_mask, 0, ri_np).astype(np.int64), mask=ri_mask)
-        out_l = lt.select([on] + l_names).take(li)
-        arrays = [out_l[c] for c in out_l.column_names]
+        if how == "full_outer":
+            # li may also be null (right-only rows); the key comes from
+            # whichever side has the row (genuinely-null keys never
+            # match, so coalesce(null, null) stays null — correct)
+            li_np = m["li"].to_numpy(dtype="float64", na_value=np.nan)
+            li_mask = np.isnan(li_np)
+            li = pa.array(np.where(li_mask, 0, li_np).astype(np.int64),
+                          mask=li_mask)
+            lsel = lt.select([on] + l_names)
+            key = pc.coalesce(
+                lsel[on].take(li).combine_chunks(),
+                rt[on].take(ri).combine_chunks(),
+            )
+            arrays = [key] + [lsel[c].take(li) for c in l_names]
+        else:
+            li = pa.array(m["li"].to_numpy().astype(np.int64))
+            out_l = lt.select([on] + l_names).take(li)
+            arrays = [out_l[c] for c in out_l.column_names]
         rt_sel = rt.select(r_names)
         for c in r_names:
             arrays.append(rt_sel[c].take(ri))

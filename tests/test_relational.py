@@ -965,3 +965,29 @@ def test_validate_expectations_counts_across_blocks(ray_session):
     assert out["rule"].tolist() == ["huge", "negative"]
     assert out["n_rows"].tolist() == [5, 5]
     assert out["n_violations"].tolist() == [0, 2]
+
+
+def test_hash_join_full_outer(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from osm2geojson_ray.relational import hash_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "lv": pa.array([10, 20, 30], pa.int64()),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([2, 3, 3, 4], pa.int64()),
+        "rv": pa.array([200, 300, 301, 400], pa.int64()),
+    }))
+    out = hash_join(
+        left, right, on="k",
+        l_schema=pa.schema([("k", pa.int64()), ("lv", pa.int64())]),
+        r_schema=pa.schema([("k", pa.int64()), ("rv", pa.int64())]),
+        how="full_outer", num_partitions=3,
+    ).to_pandas().sort_values(["k", "rv"]).reset_index(drop=True)
+    # left-only k=1, inner k=2, many-match k=3 (x2), right-only k=4
+    assert out["k"].tolist() == [1, 2, 3, 3, 4]
+    assert out["lv"].fillna(-1).astype(int).tolist() == [10, 20, 30, 30, -1]
+    assert out["rv"].fillna(-1).astype(int).tolist() == [-1, 200, 300, 301, 400]
