@@ -624,12 +624,18 @@ def bm25_topk(docs, *, doc_col: str = "doc_id", text_col: str = "text",
     from ..relational import grouped_topk, partial_grouped_agg
     from ..worker_state import cache_key_for_ref, get_or_build
 
+    from ..relational import empty_dataset
+
+    out_schema = pa.schema([(doc_col, pa.int64()), ("term", pa.string()),
+                            (out_col, pa.int64())])
     n_docs = float(docs.count())
     rows = docs.map_batches(
         functools.partial(_term_freqs_with_dl, doc_col=doc_col, text_col=text_col),
         batch_format="pyarrow",
     ).materialize()
-    total_tokens = rows.sum("tf")
+    total_tokens = rows.sum("tf") if rows.count() else None
+    if not n_docs or total_tokens is None:
+        return empty_dataset(out_schema)
     avgdl = float(total_tokens) / n_docs
     df = partial_grouped_agg(
         rows.select_columns(["term"]), ["term"], {"df": (None, "count")}
