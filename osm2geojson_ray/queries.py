@@ -3390,6 +3390,78 @@ FROM f GROUP BY 1, 2
 """
 
 
+_TS_MAX = np.int64(1) << np.int64(62)
+
+
+def q33_user_funnel(sf_dir: str):
+    """Sequence-funnel conversion per user (view -> purchase): a user
+    converts iff SOME view strictly precedes SOME purchase, i.e.
+    min(view ts) < max(purchase ts) — the order-sensitive funnel
+    reduced to two conditional extremes, so ONE combiner-push-down
+    partial_grouped_agg does the whole thing (sentinel-coded
+    conditional min/max; raw events never shuffle)."""
+    from .relational import partial_grouped_agg
+
+    ev = _pq(sf_dir, "events", ["ts", "user_id", "event_type"])
+
+    def code(t: pa.Table) -> pa.Table:
+        ts = (
+            t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        is_v = et == "view"
+        is_p = et == "purchase"
+        return pa.Table.from_pydict(
+            {
+                "user_id": t["user_id"].cast(pa.int64()),
+                "view_ts": np.where(is_v, ts, _TS_MAX),
+                "purch_ts": np.where(is_p, ts, -_TS_MAX),
+                "n_v": is_v.astype(np.int64),
+                "n_p": is_p.astype(np.int64),
+            },
+        )
+
+    agg = partial_grouped_agg(
+        ev.map_batches(code, batch_format="pyarrow"),
+        ["user_id"],
+        {
+            "min_view": ("view_ts", "min"),
+            "max_purch": ("purch_ts", "max"),
+            "n_views": ("n_v", "sum"),
+            "n_purchases": ("n_p", "sum"),
+        },
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        mv = t["min_view"].to_numpy(zero_copy_only=False)
+        mp = t["max_purch"].to_numpy(zero_copy_only=False)
+        nv = t["n_views"].to_numpy(zero_copy_only=False).astype(np.int64)
+        npp = t["n_purchases"].to_numpy(zero_copy_only=False).astype(np.int64)
+        conv = ((nv > 0) & (npp > 0) & (mv < mp)).astype(np.int64)
+        return pa.Table.from_pydict(
+            {"user_id": t["user_id"].cast(pa.int64()),
+             "n_views": nv, "n_purchases": npp, "converted": conv},
+            schema=pa.schema([("user_id", pa.int64()), ("n_views", pa.int64()),
+                              ("n_purchases", pa.int64()),
+                              ("converted", pa.int64())]),
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+Q33_SQL = """
+SELECT user_id,
+       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_views,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+         AS n_purchases,
+       CAST(CASE WHEN min(epoch_us(ts)) FILTER (WHERE event_type = 'view')
+                      < max(epoch_us(ts)) FILTER (WHERE event_type = 'purchase')
+                 THEN 1 ELSE 0 END AS BIGINT) AS converted
+FROM events GROUP BY 1
+"""
+
+
 def q32_full_outer_fill(sf_dir: str):
     """FULL OUTER equi-join driver gate (relational.hash_join
     ``how='full_outer'``): BUILDING-segment customers vs per-customer
@@ -3928,6 +4000,7 @@ QUERIES = {
     "t_bm25_topk": t_bm25_topk,
     "q31_order_expectations": q31_order_expectations,
     "q32_full_outer_fill": q32_full_outer_fill,
+    "q33_user_funnel": q33_user_funnel,
 }
 
 ORACLE_SQL = {
@@ -4014,4 +4087,5 @@ ORACLE_SQL = {
     "t_bm25_topk": T_BM25_SQL,
     "q31_order_expectations": Q31_SQL,
     "q32_full_outer_fill": Q32_SQL,
+    "q33_user_funnel": Q33_SQL,
 }

@@ -991,3 +991,45 @@ def test_hash_join_full_outer(ray_session):
     assert out["k"].tolist() == [1, 2, 3, 3, 4]
     assert out["lv"].fillna(-1).astype(int).tolist() == [10, 20, 30, 30, -1]
     assert out["rv"].fillna(-1).astype(int).tolist() == [-1, 200, 300, 301, 400]
+
+
+def test_user_funnel_branches(ray_session, tmp_path):
+    """q33 semantics on planted users covering every branch: converter,
+    purchase-before-view, view-only, purchase-only, tie timestamps."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osm2geojson_ray.queries import q33_user_funnel
+
+    us = pa.timestamp("us")
+    rows = [
+        # u1: view @10, purchase @20 -> converted
+        (1, 10, "view"), (1, 20, "purchase"),
+        # u2: purchase @10, view @20 -> NOT converted
+        (2, 10, "purchase"), (2, 20, "view"),
+        # u3: views only
+        (3, 5, "view"), (3, 6, "view"),
+        # u4: purchases only
+        (4, 7, "purchase"),
+        # u5: same-instant view and purchase -> strict < fails
+        (5, 30, "view"), (5, 30, "purchase"),
+        # u6: noise types only
+        (6, 1, "click"), (6, 2, "error"),
+    ]
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([r[1] * 1_000_000 for r in rows], us),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "value": pa.array([0.0] * len(rows), pa.float64()),
+        "props": pa.array([""] * len(rows), pa.string()),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = (
+        q33_user_funnel(str(tmp_path))
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    assert out["user_id"].tolist() == [1, 2, 3, 4, 5, 6]
+    assert out["converted"].tolist() == [1, 0, 0, 0, 0, 0]
+    assert out["n_views"].tolist() == [1, 1, 2, 0, 1, 0]
+    assert out["n_purchases"].tolist() == [1, 1, 0, 1, 1, 0]
