@@ -1489,6 +1489,77 @@ WHERE n_occurrences * 200 > total
 """
 
 
+def t_vocab_coverage(sf_dir: str):
+    """Per-document coverage by the global top-100 vocabulary: the
+    fraction of a document's token occurrences that the corpus's 100
+    most frequent terms explain, as the exact rational
+    (covered_tokens, total_tokens).  Pipeline shape: tokenize once to
+    slim (doc, term, tf) rows, combiner-push-down term counts, top-100
+    via relational.topk (no sort shuffle, term-asc tiebreak), broadcast
+    the tiny vocab via ray.put, then one vectorized is_in pass + one
+    doc-keyed partial agg — raw text never shuffles and the vocabulary
+    never lands driver-side beyond the 100 winners."""
+    import functools
+
+    import ray as _ray
+
+    from .relational import partial_grouped_agg, topk
+    from .text.analysis import _term_freqs
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    term_rows = docs.map_batches(
+        functools.partial(_term_freqs, doc_col="doc_id", text_col="text"),
+        batch_format="pyarrow",
+    ).materialize()
+    counts = partial_grouped_agg(term_rows, ["term"], {"cnt": ("tf", "sum")})
+    top = topk(counts, [("cnt", True), ("term", False)], k=100)
+    vocab = pa.concat_tables(
+        [b for b in top.iter_batches(batch_format="pyarrow")]
+    )["term"].combine_chunks()
+    vocab_ref = _ray.put(vocab)
+
+    def score(t: pa.Table, *, vref) -> pa.Table:
+        from .worker_state import cache_key_for_ref, get_or_build
+
+        v = get_or_build(("vocab100", cache_key_for_ref(vref)),
+                         lambda: _ray.get(vref))
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        inv = pc.is_in(t["term"], value_set=v).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks(),
+                "covered": pa.array(np.where(inv, tf, 0)),
+                "total": pa.array(tf),
+            }
+        )
+
+    scored = term_rows.map_batches(
+        functools.partial(score, vref=vocab_ref), batch_format="pyarrow"
+    )
+    return partial_grouped_agg(
+        scored, ["doc_id"],
+        {"covered_tokens": ("covered", "sum"), "total_tokens": ("total", "sum")},
+    )
+
+
+T_VOCAB_COVERAGE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2
+),
+cnt AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY 1),
+top AS (SELECT term FROM cnt ORDER BY cnt DESC, term LIMIT 100)
+SELECT doc_id,
+       CAST(sum(CASE WHEN term IN (SELECT term FROM top) THEN tf ELSE 0 END)
+            AS BIGINT) AS covered_tokens,
+       CAST(sum(tf) AS BIGINT) AS total_tokens
+FROM tf GROUP BY 1
+"""
+
+
 def t_hash_sample(sf_dir: str):
     """Deterministic 10% hash sample of the documents table — the
     reproducible, shuffle-free sampling primitive a training-data
@@ -2121,6 +2192,38 @@ JOIN (VALUES
   ('box_c', 3.0000005, -1.9999995, 5.9000005, 0.5000005)
 ) AS b(gid, x0, y0, x1, y1)
   ON img.lon > b.x0 AND img.lon < b.x1 AND img.lat > b.y0 AND img.lat < b.y1
+"""
+
+
+def g_pip_anti(sf_dir: str):
+    """Spatial ANTI join: every image point contained in NO polygon
+    (NOT EXISTS), via the broadcast cell-index path with ``anti=True``
+    — the curation shape "drop everything inside the exclusion zones".
+    Exact per batch because the polygon side is broadcast; reuses the
+    half-microdegree boxes so the open-interval SQL twin is bit-exact."""
+    from .spatial.pip import broadcast_pip_join
+
+    polys = [
+        (gid, [[[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]])
+        for gid, x0, y0, x1, y1 in _PIP_BOXES
+    ]
+    imgs = part_images(sf_dir)
+    return broadcast_pip_join(imgs, polys, level=10, id_col="image_id", anti=True)
+
+
+G_PIP_ANTI_SQL = f"""
+WITH img AS ({_PART_IMG_SQL})
+SELECT image_id
+FROM img
+WHERE NOT EXISTS (
+  SELECT 1 FROM (VALUES
+    ('box_a', -1.4999995, -0.7999995, 1.2500005, 2.3500005),
+    ('box_b', 0.5000005, 1.5000005, 4.7500005, 5.2500005),
+    ('box_c', 3.0000005, -1.9999995, 5.9000005, 0.5000005)
+  ) AS b(gid, x0, y0, x1, y1)
+  WHERE img.lon > b.x0 AND img.lon < b.x1
+    AND img.lat > b.y0 AND img.lat < b.y1
+)
 """
 
 
@@ -3462,6 +3565,126 @@ FROM events GROUP BY 1
 """
 
 
+def q34_event_value_tiles(sf_dir: str):
+    """Distribution windows per user over event values — NTILE(4),
+    RANK with the PERCENT_RANK denominator, and the CUME_DIST
+    numerator, all exact integers (the rational-as-two-ints recipe that
+    keeps float window functions hash-gateable).  One hash exchange +
+    one segmented vectorized pass computes all four
+    (relational.partitioned_window kinds 'ntile:4' / 'rank' /
+    'rank_den' / 'cume_num')."""
+    from .relational import partitioned_window
+
+    ev = _pq(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = np.round(
+            t["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "user_id": t["user_id"].cast(pa.int64()),
+                "event_id": t["event_id"].cast(pa.int64()),
+                "value_cents": pa.array(cents),
+            }
+        )
+
+    ds = ev.map_batches(to_cents, batch_format="pyarrow")
+    return partitioned_window(
+        ds,
+        "user_id",
+        [("value_cents", False), ("event_id", False)],
+        {
+            "quartile": ("value_cents", "ntile:4"),
+            "vrank": ("value_cents", "rank"),
+            "prank_den": ("value_cents", "rank_den"),
+            "cume_rows": ("value_cents", "cume_num"),
+        },
+    )
+
+
+Q34_SQL = """
+WITH e AS (
+  SELECT user_id, event_id,
+         CAST(round(value * 100) AS BIGINT) AS value_cents
+  FROM events
+)
+SELECT user_id, event_id, value_cents,
+       CAST(ntile(4) OVER (
+         PARTITION BY user_id ORDER BY value_cents, event_id
+       ) AS BIGINT) AS quartile,
+       CAST(rank() OVER w AS BIGINT) AS vrank,
+       CAST(count(*) OVER (PARTITION BY user_id) - 1 AS BIGINT) AS prank_den,
+       CAST(count(*) OVER w AS BIGINT) AS cume_rows
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY value_cents)
+"""
+
+
+def q35_qty_disc_corr_parts(sf_dir: str):
+    """Grouped CORRELATION via exact-integer sufficient statistics —
+    per return flag, the six corr/covariance partials (n, Σx, Σy, Σx²,
+    Σy², Σxy) over quantity x discount-basis-points, one combiner
+    push-down pass (raw lineitem rows never shuffle; corr(x,y) =
+    (nΣxy − ΣxΣy) / √((nΣx²−Σx²ₛ)(nΣy²−Σy²ₛ)) is a driver-side
+    rational of these integers, so the gate is bit-exact where a float
+    corr() could never be)."""
+    from .relational import partial_grouped_agg
+
+    li = _pq(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_discount"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        q = np.round(
+            t["l_quantity"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        d = np.round(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        one = np.ones(len(t), dtype=np.int64)
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"].combine_chunks(),
+                "one": pa.array(one),
+                "x": pa.array(q),
+                "y": pa.array(d),
+                "xx": pa.array(q * q),
+                "yy": pa.array(d * d),
+                "xy": pa.array(q * d),
+            }
+        )
+
+    return partial_grouped_agg(
+        li.map_batches(derive, batch_format="pyarrow"),
+        ["l_returnflag"],
+        {
+            "n": ("one", "sum"),
+            "sum_x": ("x", "sum"),
+            "sum_y": ("y", "sum"),
+            "sum_xx": ("xx", "sum"),
+            "sum_yy": ("yy", "sum"),
+            "sum_xy": ("xy", "sum"),
+        },
+    )
+
+
+Q35_SQL = """
+WITH li AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity) AS BIGINT) AS x,
+         CAST(round(l_discount * 100) AS BIGINT) AS y
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(x) AS BIGINT) AS sum_x,
+       CAST(sum(y) AS BIGINT) AS sum_y,
+       CAST(sum(x * x) AS BIGINT) AS sum_xx,
+       CAST(sum(y * y) AS BIGINT) AS sum_yy,
+       CAST(sum(x * y) AS BIGINT) AS sum_xy
+FROM li GROUP BY 1
+"""
+
+
 def q32_full_outer_fill(sf_dir: str):
     """FULL OUTER equi-join driver gate (relational.hash_join
     ``how='full_outer'``): BUILDING-segment customers vs per-customer
@@ -3958,6 +4181,7 @@ QUERIES = {
     "t_simhash": t_simhash,
     "t_tfidf_topk": t_tfidf_topk,
     "t_heavy_tokens": t_heavy_tokens,
+    "t_vocab_coverage": t_vocab_coverage,
     "t_hash_sample": t_hash_sample,
     "t_stratified_sample": t_stratified_sample,
     "t_weighted_sample": t_weighted_sample,
@@ -3971,6 +4195,7 @@ QUERIES = {
     "g_knn_phash": g_knn_phash,
     "g_pip_join_osm": g_pip_join_osm,
     "g_pip_join_boxes": g_pip_join_boxes,
+    "g_pip_anti": g_pip_anti,
     "g_radius_join": g_radius_join,
     "g_nearest_site": g_nearest_site,
     "g_radius_geo": g_radius_geo,
@@ -4001,6 +4226,8 @@ QUERIES = {
     "q31_order_expectations": q31_order_expectations,
     "q32_full_outer_fill": q32_full_outer_fill,
     "q33_user_funnel": q33_user_funnel,
+    "q34_event_value_tiles": q34_event_value_tiles,
+    "q35_qty_disc_corr_parts": q35_qty_disc_corr_parts,
 }
 
 ORACLE_SQL = {
@@ -4048,6 +4275,7 @@ ORACLE_SQL = {
     "t_simhash": T_SIMHASH_SQL,
     "t_tfidf_topk": T_TFIDF_SQL,
     "t_heavy_tokens": T_HEAVY_TOKENS_SQL,
+    "t_vocab_coverage": T_VOCAB_COVERAGE_SQL,
     "t_hash_sample": T_HASH_SAMPLE_SQL,
     "t_stratified_sample": T_STRATIFIED_SAMPLE_SQL,
     "t_weighted_sample": T_WEIGHTED_SAMPLE_SQL,
@@ -4062,6 +4290,7 @@ ORACLE_SQL = {
     "g_tile_counts": G_TILE_SQL,
     "g_knn_phash": G_KNN_SQL,
     "g_pip_join_boxes": G_PIP_BOXES_SQL,
+    "g_pip_anti": G_PIP_ANTI_SQL,
     "g_radius_join": G_RADIUS_SQL,
     "g_nearest_site": G_NEAREST_SQL,
     "g_radius_geo": G_RADIUS_GEO_SQL,
@@ -4088,4 +4317,6 @@ ORACLE_SQL = {
     "q31_order_expectations": Q31_SQL,
     "q32_full_outer_fill": Q32_SQL,
     "q33_user_funnel": Q33_SQL,
+    "q34_event_value_tiles": Q34_SQL,
+    "q35_qty_disc_corr_parts": Q35_SQL,
 }

@@ -86,12 +86,18 @@ class PipTester:
     (SURVEY.md §2.3); __call__ is vectorized per batch.
     """
 
-    def __init__(self, index_ref, lon_col="lon", lat_col="lat", id_col="image_id"):
+    def __init__(self, index_ref, lon_col="lon", lat_col="lat", id_col="image_id",
+                 anti=False):
         self.index: _CellPolygonIndex = ray.get(index_ref)
         # sorted key array: one vectorized membership test per batch
         # replaces a Python candidates() lookup per distinct cell
         self.cell_keys = np.array(sorted(self.index.cells), dtype=np.int64)
         self.lon_col, self.lat_col, self.id_col = lon_col, lat_col, id_col
+        # anti=True inverts the join: emit each point contained in NO
+        # polygon, once (the SQL NOT EXISTS shape).  Correct per batch
+        # because the whole polygon side is broadcast — a point's
+        # verdict never depends on other batches.
+        self.anti = anti
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         lons = batch[self.lon_col].to_numpy(zero_copy_only=False)
@@ -139,6 +145,15 @@ class PipTester:
         # ids come straight from the Arrow column via take — the match
         # set is tiny, so the batch's id strings are never pythonized
         id_col = batch[self.id_col]
+        if self.anti:
+            matched = np.zeros(len(batch), dtype=bool)
+            if out_rows:
+                matched[np.asarray(out_rows, dtype=np.int64)] = True
+            keep = np.flatnonzero(~matched)
+            return pa.Table.from_arrays(
+                [id_col.take(pa.array(keep, pa.int64()))],
+                schema=pa.schema([("image_id", id_col.type)]),
+            )
         ids = (
             id_col.take(pa.array(out_rows, pa.int64()))
             if out_rows
@@ -152,15 +167,18 @@ class PipTester:
         )
 
 
-def _pip_task(batch: pa.Table, *, index_ref, lon_col, lat_col, id_col) -> pa.Table:
+def _pip_task(batch: pa.Table, *, index_ref, lon_col, lat_col, id_col,
+              anti=False) -> pa.Table:
     """Task-mode PIP: the prepared tester is built once per WORKER
     process (worker_state cache keyed by the broadcast ref) and reused
     by every task that lands there — actor-pool state without the
     actor-pool spawn cost."""
     from ..worker_state import cache_key_for_ref, get_or_build
 
-    key = ("pip_tester", cache_key_for_ref(index_ref), lon_col, lat_col, id_col)
-    tester = get_or_build(key, lambda: PipTester(index_ref, lon_col, lat_col, id_col))
+    key = ("pip_tester", cache_key_for_ref(index_ref), lon_col, lat_col, id_col, anti)
+    tester = get_or_build(
+        key, lambda: PipTester(index_ref, lon_col, lat_col, id_col, anti=anti)
+    )
     return tester(batch)
 
 
@@ -176,9 +194,13 @@ def broadcast_pip_join(
     batch_size: Optional[int] = None,
     compute: str = "tasks",
     index_ref: "Optional[ray.ObjectRef]" = None,
+    anti: bool = False,
 ):
     """images Dataset (with lon/lat columns) x small polygon list ->
-    Dataset of (image_id, geom_id) containment rows.
+    Dataset of (image_id, geom_id) containment rows; ``anti=True``
+    flips it to the spatial ANTI join — one (image_id,) row per point
+    contained in NO polygon (NOT EXISTS semantics), exact per batch
+    since the whole polygon index is broadcast.
 
     ``compute="tasks"`` (default) runs on the warm task pool with the
     index cached per worker process; ``"actors"`` keeps the classic
@@ -203,6 +225,7 @@ def broadcast_pip_join(
                 lon_col=lon_col,
                 lat_col=lat_col,
                 id_col=id_col,
+                anti=anti,
             ),
             batch_format="pyarrow",
             batch_size=batch_size,
@@ -214,6 +237,7 @@ def broadcast_pip_join(
             "lon_col": lon_col,
             "lat_col": lat_col,
             "id_col": id_col,
+            "anti": anti,
         },
         batch_format="pyarrow",
         batch_size=batch_size,

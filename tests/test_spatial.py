@@ -110,6 +110,20 @@ def test_pip_join_matches_oracle(ray_session, join_fn):
     assert got == _pip_oracle(tbl, polys)
 
 
+@pytest.mark.parametrize("compute", ["tasks", "actors"])
+def test_pip_anti_join_matches_oracle(ray_session, compute):
+    tbl = _image_points(400, (-5.0, -5.0, 15.0, 15.0))
+    polys = [("sq", SQUARE), ("holed", HOLED)]
+    images = ray.data.from_arrow(tbl)
+    ds = broadcast_pip_join(
+        images, polys, level=8, concurrency=2, compute=compute, anti=True
+    )
+    got = sorted(r["image_id"] for r in ds.take_all())
+    matched = {iid for iid, _gid in _pip_oracle(tbl, polys)}
+    want = sorted(iid for iid in tbl["image_id"].to_pylist() if iid not in matched)
+    assert got == want  # every point exactly once, no duplicates
+
+
 def test_tile_assignment_matches_oracle(ray_session):
     tbl = _image_points(300, (-5.0, -5.0, 15.0, 15.0))
     polys = [("sq", SQUARE)]
