@@ -1560,6 +1560,43 @@ FROM tf GROUP BY 1
 """
 
 
+def t_bigram_counts(sf_dir: str):
+    """Corpus-wide top-50 bigrams — the n-gram language-model counting
+    pass: per-batch partial bigram counts (adjacency by shifted
+    parent-index compare inside one vectorized stage, so raw text
+    never shuffles), a combiner-push-down grouped sum over (w1, w2),
+    and the shuffle-free relational.topk with full lexicographic
+    tiebreak for a deterministic hash gate."""
+    import functools
+
+    from .relational import partial_grouped_agg, topk
+    from .text.analysis import _bigram_counts
+
+    docs = _pq(sf_dir, "documents", ["text"])
+    partials = docs.map_batches(
+        functools.partial(_bigram_counts, text_col="text"),
+        batch_format="pyarrow",
+    )
+    counts = partial_grouped_agg(partials, ["w1", "w2"], {"n": ("n", "sum")})
+    return topk(counts, [("n", True), ("w1", False), ("w2", False)], k=50)
+
+
+T_BIGRAM_SQL = r"""
+WITH w AS (
+  SELECT list_filter(regexp_split_to_array(text, '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+bg AS (
+  SELECT unnest(ws[1:len(ws) - 1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+  FROM w WHERE len(ws) >= 2
+)
+SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+FROM bg GROUP BY 1, 2
+ORDER BY n DESC, w1, w2 LIMIT 50
+"""
+
+
 def t_hash_sample(sf_dir: str):
     """Deterministic 10% hash sample of the documents table — the
     reproducible, shuffle-free sampling primitive a training-data
@@ -1832,6 +1869,53 @@ SELECT {TILE_LEVEL} * 288230376151711744
        + CAST(floor((lat + 90) / 180 * 256) AS BIGINT) AS cell_id,
        count(*) AS n_images
 FROM img GROUP BY 1
+"""
+
+
+def g_cell_smooth(sf_dir: str):
+    """Sparse-raster 3x3 box smoothing over the image tile histogram
+    (spatial/tiles.neighborhood_rollup): each occupied cell's count
+    scatters to its grid neighbors, one combiner-push-down grouped sum
+    re-collapses — the heatmap/density-smoothing convolution, run on
+    the per-cell histogram so raw points never re-shuffle."""
+    from .spatial.cells import cell_id
+    from .spatial.tiles import neighborhood_rollup
+
+    def encode(t: pa.Table) -> pa.Table:
+        cells = cell_id(
+            t["lon"].to_numpy(zero_copy_only=False),
+            t["lat"].to_numpy(zero_copy_only=False),
+            TILE_LEVEL,
+        )
+        return pa.Table.from_pydict({"cell_id": pa.array(cells)},
+                                    schema=pa.schema([("cell_id", pa.int64())]))
+
+    from .relational import grouped_count
+
+    counts = grouped_count(
+        part_images(sf_dir).map_batches(encode, batch_format="pyarrow"),
+        "cell_id",
+        alias="n_images",
+    )
+    return neighborhood_rollup(counts, value_col="n_images", radius=1)
+
+
+G_CELL_SMOOTH_SQL = f"""
+WITH img AS ({_PART_IMG_SQL}),
+c AS (
+  SELECT CAST(floor((lon + 180) / 360 * 256) AS BIGINT) AS x,
+         CAST(floor((lat + 90) / 180 * 256) AS BIGINT) AS y,
+         count(*) AS n
+  FROM img GROUP BY 1, 2
+),
+o AS (SELECT t1.dx - 1 AS dx, t2.dy - 1 AS dy
+      FROM range(3) t1(dx), range(3) t2(dy))
+SELECT {TILE_LEVEL} * 288230376151711744
+       + (c.x + o.dx) * 536870912 + (c.y + o.dy) AS cell_id,
+       CAST(sum(c.n) AS BIGINT) AS n_smooth
+FROM c, o
+WHERE c.x + o.dx BETWEEN 0 AND 255 AND c.y + o.dy BETWEEN 0 AND 255
+GROUP BY 1
 """
 
 
@@ -3685,6 +3769,129 @@ FROM li GROUP BY 1
 """
 
 
+def q36_retention_cohorts(sf_dir: str):
+    """Cohort retention matrix: users bucketed by their FIRST active
+    month, counted per (cohort_month, month_offset) — the product
+    analytics staple.  Pipeline shape: events reduce to distinct
+    (user, month) pairs first (composite int key — exact, not a hash —
+    so raw events shuffle once as slim pairs), the per-user cohort is
+    a combiner-push-down min over those pairs, and ONE int-keyed
+    hash_join + tiny grouped count finishes — event payloads never
+    move."""
+    from .relational import distinct_on, hash_join, partial_grouped_agg
+
+    ev = _pq(sf_dir, "events", ["ts", "user_id"])
+
+    def month_pairs(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
+        m = ts.astype("datetime64[M]").astype(np.int64)  # months since 1970
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_pydict(
+            # months since 1970 stay < 4096 for any sane timestamp, so
+            # the composite key is collision-free by construction
+            {"user_id": pa.array(uid), "m": pa.array(m),
+             "um": pa.array(uid * 4096 + m)},
+            schema=pa.schema([("user_id", pa.int64()), ("m", pa.int64()),
+                              ("um", pa.int64())]),
+        )
+
+    pairs = distinct_on(
+        ev.map_batches(month_pairs, batch_format="pyarrow"), "um"
+    ).select_columns(["user_id", "m"]).materialize()
+    cohort = partial_grouped_agg(pairs, ["user_id"], {"cm": ("m", "min")})
+    joined = hash_join(
+        pairs,
+        cohort,
+        on="user_id",
+        l_schema=pa.schema([("user_id", pa.int64()), ("m", pa.int64())]),
+        r_schema=pa.schema([("user_id", pa.int64()), ("cm", pa.int64())]),
+        how="inner",
+        num_partitions=16,
+    )
+
+    def offs(t: pa.Table) -> pa.Table:
+        m = t["m"].to_numpy(zero_copy_only=False)
+        cm = t["cm"].to_numpy(zero_copy_only=False)
+        return pa.table({"cohort_month": pa.array(cm),
+                         "month_offset": pa.array(m - cm)})
+
+    return partial_grouped_agg(
+        joined.map_batches(offs, batch_format="pyarrow"),
+        ["cohort_month", "month_offset"],
+        {"n_users": (None, "count")},
+    )
+
+
+Q36_SQL = """
+WITH am AS (
+  SELECT DISTINCT user_id,
+         CAST(datediff('month', DATE '1970-01-01', ts) AS BIGINT) AS m
+  FROM events
+),
+coh AS (SELECT user_id, min(m) AS cm FROM am GROUP BY 1)
+SELECT cm AS cohort_month, m - cm AS month_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM am JOIN coh USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def q37_event_transitions(sf_dir: str):
+    """First-order event-transition matrix (Markov counts): per-user
+    LAG over the ts-ordered event log, then a grouped count of
+    (prev_event, next_event) bigrams — one hash exchange on user_id +
+    segmented lag (relational.partitioned_window, string 'lag' kind)
+    and one tiny combiner-push-down count; the sequence-statistics
+    shape an LLM behavioral-data pipeline runs."""
+    from .relational import partial_grouped_agg, partitioned_window
+
+    ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "user_id": t["user_id"].cast(pa.int64()),
+                "event_id": t["event_id"].cast(pa.int64()),
+                "ts_us": t["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+                "event_type": t["event_type"].combine_chunks(),
+            }
+        )
+
+    lagged = partitioned_window(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        "user_id",
+        [("ts_us", False), ("event_id", False)],
+        {"prev_event": ("event_type", "lag")},
+    )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        keep = pc.is_valid(t["prev_event"])
+        return pa.table(
+            {"prev_event": t["prev_event"].filter(keep),
+             "next_event": t["event_type"].filter(keep)}
+        )
+
+    return partial_grouped_agg(
+        lagged.map_batches(pairs, batch_format="pyarrow"),
+        ["prev_event", "next_event"],
+        {"n": (None, "count")},
+    )
+
+
+Q37_SQL = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_event
+  FROM events
+)
+SELECT prev_event, event_type AS next_event, CAST(count(*) AS BIGINT) AS n
+FROM s WHERE prev_event IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 def q32_full_outer_fill(sf_dir: str):
     """FULL OUTER equi-join driver gate (relational.hash_join
     ``how='full_outer'``): BUILDING-segment customers vs per-customer
@@ -4182,6 +4389,7 @@ QUERIES = {
     "t_tfidf_topk": t_tfidf_topk,
     "t_heavy_tokens": t_heavy_tokens,
     "t_vocab_coverage": t_vocab_coverage,
+    "t_bigram_counts": t_bigram_counts,
     "t_hash_sample": t_hash_sample,
     "t_stratified_sample": t_stratified_sample,
     "t_weighted_sample": t_weighted_sample,
@@ -4196,6 +4404,7 @@ QUERIES = {
     "g_pip_join_osm": g_pip_join_osm,
     "g_pip_join_boxes": g_pip_join_boxes,
     "g_pip_anti": g_pip_anti,
+    "g_cell_smooth": g_cell_smooth,
     "g_radius_join": g_radius_join,
     "g_nearest_site": g_nearest_site,
     "g_radius_geo": g_radius_geo,
@@ -4228,6 +4437,8 @@ QUERIES = {
     "q33_user_funnel": q33_user_funnel,
     "q34_event_value_tiles": q34_event_value_tiles,
     "q35_qty_disc_corr_parts": q35_qty_disc_corr_parts,
+    "q36_retention_cohorts": q36_retention_cohorts,
+    "q37_event_transitions": q37_event_transitions,
 }
 
 ORACLE_SQL = {
@@ -4276,6 +4487,7 @@ ORACLE_SQL = {
     "t_tfidf_topk": T_TFIDF_SQL,
     "t_heavy_tokens": T_HEAVY_TOKENS_SQL,
     "t_vocab_coverage": T_VOCAB_COVERAGE_SQL,
+    "t_bigram_counts": T_BIGRAM_SQL,
     "t_hash_sample": T_HASH_SAMPLE_SQL,
     "t_stratified_sample": T_STRATIFIED_SAMPLE_SQL,
     "t_weighted_sample": T_WEIGHTED_SAMPLE_SQL,
@@ -4291,6 +4503,7 @@ ORACLE_SQL = {
     "g_knn_phash": G_KNN_SQL,
     "g_pip_join_boxes": G_PIP_BOXES_SQL,
     "g_pip_anti": G_PIP_ANTI_SQL,
+    "g_cell_smooth": G_CELL_SMOOTH_SQL,
     "g_radius_join": G_RADIUS_SQL,
     "g_nearest_site": G_NEAREST_SQL,
     "g_radius_geo": G_RADIUS_GEO_SQL,
@@ -4319,4 +4532,6 @@ ORACLE_SQL = {
     "q33_user_funnel": Q33_SQL,
     "q34_event_value_tiles": Q34_SQL,
     "q35_qty_disc_corr_parts": Q35_SQL,
+    "q36_retention_cohorts": Q36_SQL,
+    "q37_event_transitions": Q37_SQL,
 }

@@ -87,6 +87,52 @@ _PYRAMID_SCHEMA = pa.schema(
 _XY_MASK = np.int64((1 << 29) - 1)
 
 
+def neighborhood_rollup(counts, *, value_col: str, radius: int = 1,
+                        out_col: str = "n_smooth"):
+    """Grid-neighborhood smoothing: for every cell, the sum of
+    ``value_col`` over the (2r+1)x(2r+1) cell window around it — the
+    sparse-raster box convolution (heatmap smoothing / density
+    estimation over tiles).
+
+    Input: a (cell_id, value) Dataset (e.g. ``grouped_count`` output —
+    already one row per DISTINCT cell, so the explode below runs on the
+    histogram, never the raw points).  Each input row scatters its
+    value to the <= (2r+1)^2 neighbors that exist on the grid
+    (edge-clipped, no wraparound — matches the SQL twin's bounds
+    predicate), then one combiner-push-down grouped sum re-collapses.
+    One exchange of <= (2r+1)^2 x #distinct-cells slim rows total.
+    Output cells are exactly those within ``radius`` of an occupied
+    cell; unreachable empty cells never materialize (sparse semantics).
+    """
+    from ..relational import partial_grouped_agg
+
+    k = 2 * radius + 1
+
+    def scatter(t: pa.Table) -> pa.Table:
+        cid = t["cell_id"].to_numpy(zero_copy_only=False)
+        val = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        level = cid >> np.int64(58)
+        x = (cid >> np.int64(29)) & _XY_MASK
+        y = cid & _XY_MASK
+        n = np.int64(1) << level  # grid size per row (level-mixed safe)
+        offs = np.arange(-radius, radius + 1, dtype=np.int64)
+        dx = np.repeat(offs, k)  # (k*k,)
+        dy = np.tile(offs, k)
+        nx = x[:, None] + dx[None, :]
+        ny = y[:, None] + dy[None, :]
+        ok = (nx >= 0) & (nx < n[:, None]) & (ny >= 0) & (ny < n[:, None])
+        tgt = (level[:, None] << np.int64(58)) | (nx << np.int64(29)) | ny
+        rep_val = np.broadcast_to(val[:, None], tgt.shape)
+        flat_ok = ok.ravel()
+        return pa.Table.from_pydict(
+            {"cell_id": tgt.ravel()[flat_ok], out_col: rep_val.ravel()[flat_ok]},
+            schema=pa.schema([("cell_id", pa.int64()), (out_col, pa.int64())]),
+        )
+
+    exploded = counts.map_batches(scatter, batch_format="pyarrow")
+    return partial_grouped_agg(exploded, ["cell_id"], {out_col: (out_col, "sum")})
+
+
 def cell_pyramid(points, levels, *, lon_col: str = "lon", lat_col: str = "lat"):
     """Multi-resolution point-count pyramid: (level, cell_id, n_points)
     for every requested level of the cell hierarchy — the

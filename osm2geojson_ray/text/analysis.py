@@ -278,6 +278,47 @@ def _term_freqs(tbl: pa.Table, *, doc_col: str, text_col: str) -> pa.Table:
     )
 
 
+def _bigram_counts(tbl: pa.Table, *, text_col: str) -> pa.Table:
+    """Batch -> per-batch partial bigram counts (w1, w2, n): the same
+    one-regex-split tokenization as ``_term_freqs``, adjacency by a
+    shifted parent-index compare (two tokens are a bigram iff they are
+    consecutive survivors of the SAME document after empty-token
+    filtering), then one np.unique over packed code pairs — the n-gram
+    LM-counting hot loop with zero per-row Python."""
+    col = tbl[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    tokens = pc.split_pattern_regex(col, r"\s+")
+    flat = pc.list_flatten(tokens)
+    parent = pc.list_parent_indices(tokens).to_numpy(zero_copy_only=False)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat = flat.filter(pa.array(nonempty))
+    parent = parent[nonempty].astype(np.int64)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    empty = pa.table(
+        {"w1": pa.array([], pa.string()), "w2": pa.array([], pa.string()),
+         "n": pa.array([], pa.int64())}
+    )
+    if len(flat) < 2:
+        return empty
+    denc = flat.dictionary_encode()
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    adj = parent[1:] == parent[:-1]
+    if not adj.any():
+        return empty
+    v = np.int64(len(denc.dictionary))
+    pair = codes[:-1][adj] * v + codes[1:][adj]  # v^2 <= tokens^2 < 2^62
+    uniq, counts = np.unique(pair, return_counts=True)
+    return pa.table(
+        {
+            "w1": denc.dictionary.take(pa.array(uniq // v)),
+            "w2": denc.dictionary.take(pa.array(uniq % v)),
+            "n": pa.array(counts.astype(np.int64)),
+        }
+    )
+
+
 def _tfidf_score(tbl: pa.Table, *, ref, n_docs: float, scale: int,
                  doc_col: str, out_col: str) -> pa.Table:
     import ray as _ray

@@ -841,3 +841,28 @@ def test_bm25_topk_empty_corpus(ray_session):
     # no crash, zero rows (Ray's zero-row from_arrow block drops the
     # pandas column projection — count is the stable signal here)
     assert len(out) == 0
+
+
+def test_bigram_counts_adjacency_and_edges():
+    """_bigram_counts: multi-space runs collapse (the survivors are
+    adjacent), single-token and empty docs emit nothing, bigrams never
+    cross documents, repeats accumulate."""
+    import pyarrow as pa
+
+    from osm2geojson_ray.text.analysis import _bigram_counts
+
+    t = pa.table({"text": pa.array([
+        "a  b b",          # a-b (multi-space), b-b
+        "solo",            # no bigram
+        "",                # empty
+        "x y",             # x-y; must NOT pair with next doc's tokens
+        "y x",
+    ], pa.string())})
+    out = _bigram_counts(t, text_col="text").to_pandas()
+    got = {(r.w1, r.w2): int(r.n) for r in out.itertuples()}
+    assert got == {("a", "b"): 1, ("b", "b"): 1, ("x", "y"): 1, ("y", "x"): 1}
+    empty = _bigram_counts(
+        pa.table({"text": pa.array([], pa.string())}), text_col="text"
+    )
+    assert len(empty) == 0
+    assert empty.schema.names == ["w1", "w2", "n"]

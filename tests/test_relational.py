@@ -1033,3 +1033,79 @@ def test_user_funnel_branches(ray_session, tmp_path):
     assert out["converted"].tolist() == [1, 0, 0, 0, 0, 0]
     assert out["n_views"].tolist() == [1, 1, 2, 0, 1, 0]
     assert out["n_purchases"].tolist() == [1, 1, 0, 1, 1, 0]
+
+
+def test_retention_cohorts_multi_month(ray_session, tmp_path):
+    """q36 on a planted multi-month log (the testdata spans one month,
+    so the real cohort/offset matrix only exercises here): two
+    cohorts, gaps, a user active twice in one month (dedup to one
+    pair), and a user seen only once."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osm2geojson_ray.queries import q36_retention_cohorts
+
+    us = pa.timestamp("us")
+    M = 2_678_400 * 1_000_000  # ~31 days in us: safely distinct months
+    rows = [
+        # u1: cohort m0, active m0, m1, m3 (skips m2)
+        (1, 0), (1, 1 * M), (1, 3 * M),
+        # u2: cohort m0, active m0 twice (dedups), m1
+        (2, 1000), (2, 2000), (2, 1 * M + 5),
+        # u3: cohort m1 only
+        (3, 1 * M + 10),
+    ]
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([r[1] for r in rows], us),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array(["view"] * len(rows), pa.string()),
+        "value": pa.array([0.0] * len(rows), pa.float64()),
+        "props": pa.array([""] * len(rows), pa.string()),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = (
+        q36_retention_cohorts(str(tmp_path))
+        .to_pandas()
+        .sort_values(["cohort_month", "month_offset"])
+        .reset_index(drop=True)
+    )
+    got = list(map(tuple, out.itertuples(index=False)))
+    # months since 1970: m0 = 648 (2024-01 in the testdata; here epoch
+    # month 0 and 1 and 3 by construction of M)
+    assert got == [(0, 0, 2), (0, 1, 2), (0, 3, 1), (1, 0, 1)]
+
+
+def test_neighborhood_rollup_edges_and_radius(ray_session):
+    """Scatter-sum equals the brute-force box sum, including grid-edge
+    clipping (corner cell) and radius=2; output is sparse (only cells
+    within radius of an occupied cell)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+    from osm2geojson_ray.spatial.tiles import neighborhood_rollup
+
+    level = 3  # 8x8 grid
+    occ = {(0, 0): 5, (1, 1): 7, (4, 4): 1, (7, 7): 9}  # corners + middle
+
+    def cid(x, y):
+        return (level << 58) | (x << 29) | y
+
+    t = pa.table({
+        "cell_id": pa.array([cid(x, y) for x, y in occ], pa.int64()),
+        "n": pa.array(list(occ.values()), pa.int64()),
+    })
+    for radius in (1, 2):
+        out = neighborhood_rollup(
+            ray.data.from_arrow(t), value_col="n", radius=radius
+        ).to_pandas()
+        got = {int(r.cell_id): int(r.n_smooth) for r in out.itertuples()}
+        want = {}
+        for (x, y), v in occ.items():
+            for dx in range(-radius, radius + 1):
+                for dy in range(-radius, radius + 1):
+                    nx, ny = x + dx, y + dy
+                    if 0 <= nx < 8 and 0 <= ny < 8:
+                        want[cid(nx, ny)] = want.get(cid(nx, ny), 0) + v
+        assert got == want
