@@ -4342,6 +4342,191 @@ FROM w WHERE nn_rank <= 3
 """
 
 
+def q38_pareto_orders(sf_dir: str):
+    """2-D Pareto frontier / skyline (relational.pareto_front): the
+    non-dominated orders on (price maximized, order date minimized) --
+    "no other order is both at least as expensive and at least as
+    early, one strictly".  Each block prunes to its local skyline
+    (a locally dominated pair can never be globally non-dominated)
+    before ONE exact reduce over the tiny survivor stream; per-pair
+    row counts sum across blocks exactly because every block holding a
+    global survivor emits it.  The oracle recomputes the frontier with
+    an independent mechanism (min-day representative per price + a
+    running-min window over descending price)."""
+    from .relational import pareto_front
+
+    ords = _pq(sf_dir, "orders", ["o_totalprice", "o_orderdate"])
+
+    def to_pts(t: pa.Table) -> pa.Table:
+        price = np.round(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        day = (
+            t["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False) // 86_400_000_000
+        )
+        return pa.Table.from_pydict(
+            {"price_cents": price, "day_i": day},
+            schema=pa.schema([("price_cents", pa.int64()),
+                              ("day_i", pa.int64())]),
+        )
+
+    out = pareto_front(ords.map_batches(to_pts, batch_format="pyarrow"),
+                       "price_cents", "day_i")
+    return out.map_batches(
+        lambda t: t.rename_columns(["price_cents", "day_i", "n_orders"]),
+        batch_format="pyarrow",
+    )
+
+
+Q38_SQL = """
+WITH pts AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+         CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day_i
+  FROM orders),
+d AS (SELECT price_cents, day_i, CAST(count(*) AS BIGINT) AS n_orders
+      FROM pts GROUP BY 1, 2),
+rep AS (SELECT price_cents, day_i, n_orders,
+               row_number() OVER (PARTITION BY price_cents
+                                  ORDER BY day_i) AS rn
+        FROM d),
+r2 AS (SELECT price_cents, day_i, n_orders,
+              min(day_i) OVER (ORDER BY price_cents DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS pm
+       FROM rep WHERE rn = 1)
+SELECT price_cents, day_i, n_orders FROM r2 WHERE pm IS NULL OR day_i < pm
+"""
+
+
+def q39_cms_user_registers(sf_dir: str):
+    """Count-Min sketch registers (relational.cms_registers) over the
+    event log's user column -- the mergeable point-frequency sketch:
+    4 x 1024 additive counters, each batch bincounts locally and only
+    nonzero slots travel; partials merge by SUM across any
+    partitioning.  Register-exact gate (same technique as the HLL
+    query): the oracle replays splitmix64(user_id*4 + r) % 1024 in
+    HUGEINT arithmetic and counts per slot."""
+    from .relational import cms_registers
+
+    return cms_registers(_pq(sf_dir, "events", ["user_id"]), "user_id",
+                         depth=4, width=1024)
+
+
+Q39_SQL = f"""
+WITH ks AS (SELECT user_id * 4 + rr AS kk
+            FROM events
+            CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS rr)),
+{_splitmix_over("kk", "ks")}
+SELECT CAST(k % 4 AS BIGINT) AS r,
+       CAST(h64 % 1024 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM smfin GROUP BY 1, 2
+"""
+
+
+def q40_group_checksum(sf_dir: str):
+    """Order-independent table checksum per group
+    (relational.table_checksum): modular sums of splitmix64 row-key
+    hashes under two independent primes + row count, per return flag
+    -- the validate-100-TB-without-moving-it primitive (any dropped /
+    duplicated / altered row flips the 62-bit fingerprint; commutative
+    addition makes it partitioning- and order-independent).  Row key =
+    (l_orderkey * 8 + l_linenumber) * 4 + flag code -- the group is
+    folded INTO the hashed key so the oracle recovers it from k % 4
+    without a join-back (the synthetic lineitem has duplicate
+    (orderkey, linenumber) pairs, so a join-back would fan out)."""
+    from .relational import table_checksum
+
+    li = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_linenumber", "l_returnflag"])
+    flag_set = pa.array(["A", "N", "R"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        code = (
+            pc.index_in(t["l_returnflag"], value_set=flag_set)
+            .cast(pa.int64()).combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        k = (
+            t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64) * 8
+            + t["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ) * 4 + code
+        return pa.Table.from_pydict(
+            {"rowk": k, "l_returnflag": t["l_returnflag"].combine_chunks()},
+            schema=pa.schema([("rowk", pa.int64()),
+                              ("l_returnflag", pa.string())]),
+        )
+
+    return table_checksum(ds=li.map_batches(keyed, batch_format="pyarrow"),
+                          key_col="rowk", group_keys=["l_returnflag"])
+
+
+Q40_SQL = f"""
+WITH src AS (SELECT (l_orderkey * 8 + l_linenumber) * 4
+                    + CASE l_returnflag WHEN 'A' THEN 0
+                                        WHEN 'N' THEN 1 ELSE 2 END AS rowk
+             FROM lineitem),
+{_splitmix_over("rowk", "src")}
+SELECT CASE k % 4 WHEN 0 THEN 'A' WHEN 1 THEN 'N' ELSE 'R' END
+         AS l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(h64 % 2147483647) % 2147483647 AS BIGINT) AS csum_a,
+       CAST(sum(h64 % 2147483629) % 2147483629 AS BIGINT) AS csum_b
+FROM smfin GROUP BY 1
+"""
+
+
+def m_tile_quota(sf_dir: str):
+    """Per-tile image quota (spatial rebalancing curation): cap every
+    level-6 tile at 8 images, kept deterministically by smallest
+    splitmix64(image_id) -- the dataset-balancing pass a
+    vision-pretraining pipeline runs so dense metros don't dominate
+    training batches.  Composition: cell assign (spatial/cells.cell_id)
+    -> relational.grouped_topk on the hash (per-block top-k first, so
+    raw rows never shuffle; the exchange carries <= 8 x tiles x blocks
+    candidate rows)."""
+    from .relational import grouped_topk
+    from .spatial.cells import cell_id
+
+    def assign(t: pa.Table) -> pa.Table:
+        from .images.synth import splitmix64
+
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        img = t["image_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = splitmix64(img.astype(np.uint64))
+        return pa.Table.from_pydict(
+            {"cell_id": cell_id(lon, lat, 6), "image_id": img,
+             "h64": h},
+            schema=pa.schema([("cell_id", pa.int64()),
+                              ("image_id", pa.int64()),
+                              ("h64", pa.uint64())]),
+        )
+
+    cells = part_images(sf_dir).map_batches(assign, batch_format="pyarrow")
+    kept = grouped_topk(cells, "cell_id",
+                        [("h64", False), ("image_id", False)], k=8)
+    return kept.select_columns(["cell_id", "image_id"])
+
+
+M_TILE_QUOTA_SQL = f"""
+WITH img AS ({_PART_IMG_SQL}),
+c AS (SELECT image_id,
+             6 * 288230376151711744
+             + CAST(floor((lon + 180) / 360 * 64) AS BIGINT) * 536870912
+             + CAST(floor((lat + 90) / 180 * 64) AS BIGINT) AS cell_id
+      FROM img),
+{_splitmix_over("image_id", "c")}
+, w AS (SELECT c.cell_id, c.image_id,
+               row_number() OVER (PARTITION BY c.cell_id
+                                  ORDER BY f.h64, c.image_id) AS rn
+        FROM c JOIN smfin f ON f.k = c.image_id)
+SELECT cell_id, image_id FROM w WHERE rn <= 8
+"""
+
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_segment_revenue": q2_segment_revenue,
@@ -4439,6 +4624,10 @@ QUERIES = {
     "q35_qty_disc_corr_parts": q35_qty_disc_corr_parts,
     "q36_retention_cohorts": q36_retention_cohorts,
     "q37_event_transitions": q37_event_transitions,
+    "q38_pareto_orders": q38_pareto_orders,
+    "q39_cms_user_registers": q39_cms_user_registers,
+    "q40_group_checksum": q40_group_checksum,
+    "m_tile_quota": m_tile_quota,
 }
 
 ORACLE_SQL = {
@@ -4534,4 +4723,8 @@ ORACLE_SQL = {
     "q35_qty_disc_corr_parts": Q35_SQL,
     "q36_retention_cohorts": Q36_SQL,
     "q37_event_transitions": Q37_SQL,
+    "q38_pareto_orders": Q38_SQL,
+    "q39_cms_user_registers": Q39_SQL,
+    "q40_group_checksum": Q40_SQL,
+    "m_tile_quota": M_TILE_QUOTA_SQL,
 }

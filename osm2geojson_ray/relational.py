@@ -1799,3 +1799,236 @@ def validate_expectations(ds, rules: Dict[str, "callable"]):
              ("n_violations", pa.int64())]
         ))
     return ray.data.from_arrow_refs([_final.remote(*refs)])
+
+
+# ---------------------------------------------------------------- skyline
+def _skyline_kernel(x: np.ndarray, y: np.ndarray, n: np.ndarray):
+    """Exact 2-D Pareto frontier over weighted points: maximize ``x``,
+    minimize ``y``, strict dominance (a pair survives iff no other pair
+    has x >= and y <= with at least one strict).  Fully vectorized:
+    lexsort -> weight-sum per distinct pair -> min-y representative per
+    x -> running-min scan from the largest x.  Returns the surviving
+    (x, y, summed n) arrays sorted by x descending."""
+    order = np.lexsort((y, x))
+    xs, ys, ns = x[order], y[order], n[order]
+    new_pair = np.r_[True, (xs[1:] != xs[:-1]) | (ys[1:] != ys[:-1])]
+    starts = np.flatnonzero(new_pair)
+    ux, uy = xs[starts], ys[starts]
+    un = np.add.reduceat(ns, starts)
+    # same x, larger y is strictly dominated by the x-group's min-y row
+    first_x = np.r_[True, ux[1:] != ux[:-1]]
+    rx, ry, rn = ux[first_x], uy[first_x], un[first_x]
+    # scan x descending: survive iff y strictly under every larger-x y
+    rx, ry, rn = rx[::-1], ry[::-1], rn[::-1]
+    cummin = np.minimum.accumulate(ry)
+    keep = np.r_[True, ry[1:] < cummin[:-1]] if len(ry) else np.zeros(0, bool)
+    return rx[keep], ry[keep], rn[keep]
+
+
+def pareto_front(ds, x_col: str = "x", y_col: str = "y", *,
+                 max_candidates: int = 200_000):
+    """Distributed 2-D Pareto frontier (skyline): the non-dominated
+    (x, y) pairs — maximize ``x``, minimize ``y``, strict dominance —
+    each with the total count of input rows carrying that exact pair.
+
+    Scale shape: dominance is global, but a locally dominated pair can
+    never be globally non-dominated, so each block prunes to ITS
+    skyline first (one vectorized lexsort + running-min pass, at most
+    one survivor per distinct x in the block).  Every block containing
+    a globally surviving pair emits it (local skyline superset-of
+    global restricted to the block), so summing partial counts before
+    the final prune is exact.  The tiny survivor stream folds in ONE
+    exact reduce; survivors beyond ``max_candidates`` raise LOUDLY
+    (an adversarial anti-chain keeps everything — pre-bucket x for
+    those; never silently truncate).
+
+    Reference analog: none (extends the relational family the same way
+    convex_hull extends the spatial one — a dominance aggregate)."""
+    import ray as _ray
+
+    schema = pa.schema([(x_col, pa.int64()), (y_col, pa.int64()),
+                        ("n", pa.int64())])
+
+    def _prune(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return schema.empty_table()
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        if "n" in t.column_names:
+            n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        else:
+            n = np.ones(len(t), dtype=np.int64)
+        kx, ky, kn = _skyline_kernel(x, y, n)
+        return pa.Table.from_pydict({x_col: kx, y_col: ky, "n": kn},
+                                    schema=schema)
+
+    pruned = ds.map_batches(_prune, batch_format="pyarrow")
+
+    @_ray.remote
+    def _final(*blocks):
+        tbl = pa.concat_tables(blocks, promote_options="default")
+        if len(tbl) > max_candidates:
+            raise ValueError(
+                f"pareto_front: {len(tbl)} candidates survived local "
+                f"pruning (> max_candidates={max_candidates}); pre-bucket "
+                "x or raise the cap"
+            )
+        if len(tbl) == 0:
+            return schema.empty_table()
+        kx, ky, kn = _skyline_kernel(
+            tbl[x_col].to_numpy(zero_copy_only=False),
+            tbl[y_col].to_numpy(zero_copy_only=False),
+            tbl["n"].to_numpy(zero_copy_only=False),
+        )
+        return pa.Table.from_pydict({x_col: kx, y_col: ky, "n": kn},
+                                    schema=schema)
+
+    refs = [
+        block_ref
+        for bundle in pruned.iter_internal_ref_bundles()
+        for block_ref, meta in bundle.blocks
+        if meta.num_rows is None or meta.num_rows > 0
+    ]
+    if not refs:
+        return empty_dataset(schema)
+    return ray.data.from_arrow_refs([_final.remote(*refs)])
+
+
+# ---------------------------------------------------------------- count-min
+def cms_registers(ds, key_col: str, *, depth: int = 4, width: int = 1024):
+    """Count-Min sketch registers over an integer key column — the
+    mergeable point-frequency sketch (HLL's sibling for counts): row r
+    of the sketch hashes key k to bucket splitmix64(k*depth + r) %
+    width and adds 1; ``cms_estimate`` answers a point query with the
+    min over rows, an upper-bounded overestimate (never under).
+
+    Scale shape: one map_batches pass bincounts each batch into the
+    (depth x width) counter grid and emits only the NONZERO slots as
+    (r, bucket, cnt) rows; partials merge by SUM (counters are
+    additive across any partitioning — the whole point), so a 10^12-row
+    stream reduces to <= depth*width integers.  Keys must be
+    non-negative (SQL-parity HUGEINT hash domain).  Output is the
+    register table itself — deterministically reproducible, so the
+    DuckDB oracle recomputes it register-exact."""
+    dw = depth * width
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from .images.synth import splitmix64
+
+        keys = (
+            pc.fill_null(tbl[key_col], 0)
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+        if len(keys) == 0:
+            return pa.table({"r": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        rr = np.arange(depth, dtype=np.uint64)
+        kk = (keys[:, None] * np.uint64(depth) + rr[None, :]).ravel()
+        h = splitmix64(kk)
+        bucket = (h % np.uint64(width)).astype(np.int64)
+        ridx = np.tile(np.arange(depth, dtype=np.int64), len(keys))
+        cnts = np.bincount(ridx * width + bucket, minlength=dw)
+        nz = np.flatnonzero(cnts)
+        return pa.table({"r": pa.array(nz // width),
+                         "bucket": pa.array(nz % width),
+                         "cnt": pa.array(cnts[nz])})
+
+    return partial_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["r", "bucket"],
+        {"cnt": ("cnt", "sum")},
+    )
+
+
+def cms_estimate(registers: pa.Table, keys, *, depth: int = 4,
+                 width: int = 1024) -> np.ndarray:
+    """Point-frequency estimates from collected CMS registers: min over
+    sketch rows of the key's counter.  Guaranteed >= the true count."""
+    from .images.synth import splitmix64
+
+    grid = np.zeros(depth * width, dtype=np.int64)
+    slot = (registers["r"].to_numpy() * width + registers["bucket"].to_numpy())
+    grid[slot] = registers["cnt"].to_numpy()
+    keys = np.asarray(keys, dtype=np.uint64)
+    rr = np.arange(depth, dtype=np.uint64)
+    kk = (keys[:, None] * np.uint64(depth) + rr[None, :]).ravel()
+    b = (splitmix64(kk) % np.uint64(width)).astype(np.int64)
+    ridx = np.tile(np.arange(depth, dtype=np.int64), len(keys))
+    return grid[ridx * width + b].reshape(len(keys), depth).min(axis=1)
+
+
+# ---------------------------------------------------------------- checksum
+def table_checksum(ds, key_col: str, group_keys: Optional[List[str]] = None, *,
+                   mod_a: int = 2147483647, mod_b: int = 2147483629):
+    """Order-independent content checksum — the 100-TB data-validation
+    primitive (compare two pipelines' outputs / two table versions
+    WITHOUT moving either): per row, splitmix64 of the integer row key;
+    per group, the modular sum of those hashes under two independent
+    prime moduli plus the row count.  Any dropped, duplicated or
+    altered row flips a 62-bit fingerprint; commutative addition makes
+    the result independent of partitioning and row order.
+
+    Scale shape: each batch folds to one (group, n, csum_a, csum_b)
+    partial with the mod applied PER BATCH (so the downstream int64
+    sums stay bounded by #blocks * mod, never rows * mod), partials
+    combine through partial_grouped_agg's push-down, and one final
+    cheap map re-applies the mod.  Nothing but the slim partials ever
+    shuffles."""
+    gks = list(group_keys or [])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        import pyarrow.compute as pc
+
+        from .images.synth import splitmix64
+
+        keys = (
+            pc.fill_null(t[key_col], 0)
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+        h = splitmix64(keys)
+        df = pd.DataFrame({
+            "csum_a": (h % np.uint64(mod_a)).astype(np.int64),
+            "csum_b": (h % np.uint64(mod_b)).astype(np.int64),
+        })
+        for g in gks:
+            df[g] = t[g].to_numpy(zero_copy_only=False)
+        if gks:
+            out = (df.groupby(gks, sort=True, dropna=False)
+                     .agg(n_rows=("csum_a", "size"), csum_a=("csum_a", "sum"),
+                          csum_b=("csum_b", "sum")).reset_index())
+        else:
+            out = pd.DataFrame({"__g": [0], "n_rows": [len(df)],
+                                "csum_a": [int(df["csum_a"].sum())],
+                                "csum_b": [int(df["csum_b"].sum())]})
+        out["csum_a"] = out["csum_a"] % mod_a
+        out["csum_b"] = out["csum_b"] % mod_b
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = partial_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        gks or ["__g"],
+        {"n_rows": ("n_rows", "sum"), "csum_a": ("csum_a", "sum"),
+         "csum_b": ("csum_b", "sum")},
+    )
+    if not gks:
+        agg = agg.map_batches(lambda t: t.drop_columns(["__g"]),
+                              batch_format="pyarrow")
+
+    def finish(t: pa.Table) -> pa.Table:
+        for col, mod in (("csum_a", mod_a), ("csum_b", mod_b)):
+            idx = t.column_names.index(col)
+            v = t[col].to_numpy(zero_copy_only=False) % mod
+            t = t.set_column(idx, col, pa.array(v.astype(np.int64)))
+        return t
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -1109,3 +1109,127 @@ def test_neighborhood_rollup_edges_and_radius(ray_session):
                     if 0 <= nx < 8 and 0 <= ny < 8:
                         want[cid(nx, ny)] = want.get(cid(nx, ny), 0) + v
         assert got == want
+
+
+def test_pareto_front_planted(ray_session):
+    """Skyline semantics vs a brute-force dominance oracle, across
+    block shapes (partial counts must sum exactly), plus duplicate
+    pairs, same-x groups and the strict-dominance tie rules."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+    from osm2geojson_ray.relational import pareto_front
+
+    rng = np.random.RandomState(7)
+    x = rng.randint(0, 50, size=400).astype(np.int64)
+    y = rng.randint(0, 50, size=400).astype(np.int64)
+
+    pairs = list(zip(x.tolist(), y.tolist()))
+    uniq = sorted(set(pairs))
+    want = {}
+    for px, py in uniq:
+        dominated = any(
+            bx >= px and by <= py and (bx > px or by < py)
+            for bx, by in uniq
+        )
+        if not dominated:
+            want[(px, py)] = pairs.count((px, py))
+
+    t = pa.table({"x": pa.array(x), "y": pa.array(y)})
+    for nblocks in (1, 7):
+        ds = ray.data.from_arrow(t).repartition(nblocks)
+        out = pareto_front(ds).to_pandas()
+        got = {(int(r.x), int(r.y)): int(r.n) for r in out.itertuples()}
+        assert got == want, nblocks
+
+
+def test_pareto_front_cap_and_empty(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import pytest
+    import ray
+    from osm2geojson_ray.relational import empty_dataset, pareto_front
+
+    # perfect anti-chain: every point survives -> loud raise at the cap
+    n = 50
+    k = np.arange(n, dtype=np.int64)
+    t = pa.table({"x": pa.array(k), "y": pa.array(k)})
+    with pytest.raises(ValueError, match="pareto_front"):
+        pareto_front(ray.data.from_arrow(t), max_candidates=10).to_pandas()
+
+    schema = pa.schema([("x", pa.int64()), ("y", pa.int64())])
+    out = pareto_front(empty_dataset(schema))
+    assert out.count() == 0
+    assert out.schema().names == ["x", "y", "n"]
+
+
+def test_cms_registers_and_estimate(ray_session):
+    """CMS registers sum to depth x rows; estimates are never under the
+    true count; a planted heavy key with no collisions in its buckets
+    estimates exactly."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+    from osm2geojson_ray.relational import cms_estimate, cms_registers
+
+    keys = np.r_[np.full(500, 42, dtype=np.int64),
+                 np.arange(100, 160, dtype=np.int64)]
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(keys)})).repartition(5)
+    regs = cms_registers(ds, "k", depth=4, width=1024).to_pandas()
+    assert regs["cnt"].sum() == 4 * len(keys)
+    regs_t = pa.Table.from_pandas(regs, preserve_index=False)
+
+    import collections
+
+    truth = collections.Counter(keys.tolist())
+    probe = sorted(truth)
+    est = cms_estimate(regs_t, probe, depth=4, width=1024)
+    for k, e in zip(probe, est):
+        assert e >= truth[k], (k, e, truth[k])
+    # 61 distinct keys in 1024 buckets: the heavy key's min-row is
+    # overwhelmingly collision-free; assert the exact recovery we see
+    assert est[probe.index(42)] == 500
+
+
+def test_table_checksum_invariance_and_sensitivity(ray_session):
+    """Checksum is partitioning/order independent, the ungrouped path
+    works, and any single-row mutation flips the fingerprint."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+    from osm2geojson_ray.relational import table_checksum
+
+    rng = np.random.RandomState(3)
+    k = rng.randint(0, 2**40, size=300).astype(np.int64)
+    g = (k % 3).astype(np.int64)
+    t = pa.table({"k": pa.array(k), "g": pa.array(g)})
+
+    base = None
+    for nblocks in (1, 11):
+        ds = ray.data.from_arrow(t).repartition(nblocks)
+        out = (table_checksum(ds, "k", ["g"]).to_pandas()
+               .sort_values("g").reset_index(drop=True))
+        if base is None:
+            base = out
+        else:
+            assert out.equals(base)
+    assert base["n_rows"].tolist() == [int((g == i).sum()) for i in range(3)]
+
+    # ungrouped: one global row
+    glob = table_checksum(ray.data.from_arrow(t), "k").to_pandas()
+    assert len(glob) == 1 and int(glob["n_rows"][0]) == 300
+
+    # mutate one row -> at least one modular sum changes in that group
+    k2 = k.copy()
+    k2[17] += 1
+    t2 = pa.table({"k": pa.array(k2), "g": pa.array(g)})
+    out2 = (table_checksum(ray.data.from_arrow(t2), "k", ["g"]).to_pandas()
+            .sort_values("g").reset_index(drop=True))
+    gi = int(g[17])
+    row_a, row_b = base.iloc[gi], out2.iloc[gi]
+    assert (row_a["csum_a"] != row_b["csum_a"]
+            or row_a["csum_b"] != row_b["csum_b"])
