@@ -4527,6 +4527,137 @@ SELECT cell_id, image_id FROM w WHERE rn <= 8
 
 
 
+def q41_user_hour_ohlc(sf_dir: str):
+    """Open-high-low-close bars per (user, hour)
+    (relational.grouped_ohlc): open/close are the values at the min /
+    max event time, recovered WITHOUT a sort or join-back by the
+    two-sided packed-key trick -- min(t*S+v) and max(t*S+(S-1-v)) are
+    the conditional extremes as plain min/max partials, so ONE
+    combiner-push-down pass computes all five bar columns; ties on t
+    take the smallest value at both ends, and the oracle runs the
+    identical packed expressions verbatim."""
+    from .relational import grouped_ohlc
+
+    ev = _pq(sf_dir, "events", ["ts", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = (
+            t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        vc = np.round(
+            t["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.Table.from_pydict(
+            {"user_id": t["user_id"].cast(pa.int64()),
+             "hour_i": us // 3_600_000_000,
+             "off_us": us % 3_600_000_000,
+             "vc": vc},
+        )
+
+    out = grouped_ohlc(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["user_id", "hour_i"], "off_us", "vc", value_bits=26,
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            ["user_id", "hour_i", "open_cents", "close_cents",
+             "high_cents", "low_cents", "n_events"]),
+        batch_format="pyarrow",
+    )
+
+
+Q41_SQL = """
+WITH e AS (
+  SELECT user_id,
+         epoch_us(ts) // 3600000000 AS hour_i,
+         epoch_us(ts) % 3600000000 AS off_us,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events)
+SELECT user_id, hour_i,
+       CAST(min(off_us * 67108864 + vc) % 67108864 AS BIGINT) AS open_cents,
+       CAST(67108863 - max(off_us * 67108864 + 67108863 - vc) % 67108864
+            AS BIGINT) AS close_cents,
+       max(vc) AS high_cents,
+       min(vc) AS low_cents,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM e GROUP BY 1, 2
+"""
+
+
+def t_fuzzy_name_pairs(sf_dir: str):
+    """Fuzzy entity-resolution join (text/dedup.editdist1_pairs): all
+    customer-name pairs at edit distance exactly 1 -- deletion-variant
+    blocking keys (complete for distance <= 1), vectorized per-bucket
+    pair enumeration with the capped-LSH standard, real-string-pair
+    dedup, exact verify.  The oracle blocks on the same deletion
+    variants in SQL and verifies with levenshtein()."""
+    from .text.dedup import editdist1_pairs
+
+    names = _pq(sf_dir, "customer", ["c_name"]).map_batches(
+        lambda t: pa.table({"term": t["c_name"].combine_chunks()}),
+        batch_format="pyarrow",
+    )
+    return editdist1_pairs(names, min_len=4)
+
+
+T_FUZZY_SQL = """
+WITH v AS (SELECT DISTINCT c_name AS term FROM customer
+           WHERE len(c_name) >= 4),
+idx AS (SELECT CAST(range AS BIGINT) AS i FROM range(64)),
+var AS (
+  SELECT term, term AS var FROM v
+  UNION ALL
+  SELECT term,
+         substr(term, 1, CAST(i AS INT)) || substr(term, CAST(i + 2 AS INT))
+           AS var
+  FROM v JOIN idx ON idx.i < len(term)),
+cand AS (SELECT DISTINCT least(a.term, b.term) AS term_a,
+                         greatest(a.term, b.term) AS term_b
+         FROM var a JOIN var b ON a.var = b.var AND a.term < b.term)
+SELECT term_a, term_b FROM cand WHERE levenshtein(term_a, term_b) = 1
+"""
+
+
+def g_triangles(sf_dir: str):
+    """Exact distributed triangle count (relational.triangle_count,
+    degree-ordered orientation -- wedge fan-out bounded by sqrt(m) even
+    with hub vertices): a deterministic 64-vertex graph derived from
+    part keys; output is one (n_edges, n_triangles) row the 3-way
+    self-join oracle recomputes."""
+    from .relational import triangle_count
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        k = t["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # high bits of the mixed key, NOT low bits: (x % 64) of a
+        # linear map is itself linear in k mod 64, which makes v a
+        # function of u (zero triangles); // 125000 decorrelates
+        return pa.Table.from_pydict(
+            {"u": k * 2654435761 % 8000000 // 125000,
+             "v": k * 40503 % 8000000 // 125000},
+            schema=pa.schema([("u", pa.int64()), ("v", pa.int64())]),
+        )
+
+    edges = _pq(sf_dir, "part", ["p_partkey"]).map_batches(
+        to_edges, batch_format="pyarrow")
+    return triangle_count(edges, "u", "v")
+
+
+G_TRIANGLES_SQL = """
+WITH raw AS (SELECT CAST(p_partkey AS BIGINT) AS k FROM part),
+e0 AS (SELECT k * 2654435761 % 8000000 // 125000 AS u,
+            k * 40503 % 8000000 // 125000 AS v FROM raw),
+e AS (SELECT DISTINCT least(u, v) AS lo, greatest(u, v) AS hi
+      FROM e0 WHERE u != v)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       CAST(count(*) AS BIGINT) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+JOIN e e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+"""
+
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_segment_revenue": q2_segment_revenue,
@@ -4628,6 +4759,9 @@ QUERIES = {
     "q39_cms_user_registers": q39_cms_user_registers,
     "q40_group_checksum": q40_group_checksum,
     "m_tile_quota": m_tile_quota,
+    "q41_user_hour_ohlc": q41_user_hour_ohlc,
+    "t_fuzzy_name_pairs": t_fuzzy_name_pairs,
+    "g_triangles": g_triangles,
 }
 
 ORACLE_SQL = {
@@ -4727,4 +4861,7 @@ ORACLE_SQL = {
     "q39_cms_user_registers": Q39_SQL,
     "q40_group_checksum": Q40_SQL,
     "m_tile_quota": M_TILE_QUOTA_SQL,
+    "q41_user_hour_ohlc": Q41_SQL,
+    "t_fuzzy_name_pairs": T_FUZZY_SQL,
+    "g_triangles": G_TRIANGLES_SQL,
 }

@@ -2032,3 +2032,251 @@ def table_checksum(ds, key_col: str, group_keys: Optional[List[str]] = None, *,
         return t
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- ohlc
+def grouped_ohlc(ds, keys: List[str], time_col: str, value_col: str, *,
+                 value_bits: int = 26):
+    """Open-high-low-close rollup per group — the time-series bar
+    aggregation: open = value at the MIN time, close = value at the MAX
+    time, plus high / low / count, in ONE combiner-push-down pass
+    (partial_grouped_agg) with NO sort and NO join-back.  The trick is
+    the grouped_argmax packing generalized to both ends: min(t*S + v)
+    is the lexicographic (t asc, v asc) winner and max(t*S + (S-1-v))
+    the (t desc, v asc) winner, so plain min/max partials ARE the
+    conditional extremes; ties on t deterministically take the SMALLEST
+    value at both ends, and a SQL twin can run the identical packed
+    expressions verbatim.
+
+    Requires 0 <= value < 2**value_bits and 0 <= time <
+    2**(62 - value_bits) (validated per batch) — e.g. cents within
+    2**26 and a within-bucket offset time within 2**36."""
+    scale = 1 << value_bits
+    comp = scale - 1
+    t_max = 1 << (62 - value_bits)
+
+    def pack(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        tt = t[time_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        if len(v) and (v.min() < 0 or v.max() > comp):
+            raise ValueError(f"{value_col} out of [0, 2**{value_bits})")
+        if len(tt) and (tt.min() < 0 or tt.max() >= t_max):
+            raise ValueError(f"{time_col} out of [0, 2**{62 - value_bits})")
+        cols = {k: t[k] for k in keys}
+        cols["__open_p"] = pa.array(tt * scale + v)
+        cols["__close_p"] = pa.array(tt * scale + (comp - v))
+        cols["__v"] = pa.array(v)
+        return pa.Table.from_pydict(cols)
+
+    agg = partial_grouped_agg(
+        ds.map_batches(pack, batch_format="pyarrow"),
+        keys,
+        {
+            "__open_p": ("__open_p", "min"),
+            "__close_p": ("__close_p", "max"),
+            "high": ("__v", "max"),
+            "low": ("__v", "min"),
+            "n": (None, "count"),
+        },
+    )
+
+    def decode(t: pa.Table) -> pa.Table:
+        cols = {k: t[k] for k in keys}
+        cols["open"] = pa.array(
+            t["__open_p"].to_numpy(zero_copy_only=False) % scale)
+        cols["close"] = pa.array(
+            comp - t["__close_p"].to_numpy(zero_copy_only=False) % scale)
+        for c in ("high", "low", "n"):
+            cols[c] = t[c]
+        return pa.Table.from_pydict(cols)
+
+    return agg.map_batches(decode, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- triangles
+def triangle_count(edges, u_col: str = "u", v_col: str = "v", *,
+                   num_partitions: int = 16):
+    """Exact distributed triangle count over an undirected graph given
+    as an edge stream (duplicates and self-loops tolerated) — the
+    classic graph-statistics operator, in the degree-ordered-orientation
+    shape that bounds work at O(m^1.5) regardless of hot vertices:
+
+    1. canonicalize + dedup edges (hash-route on a mixed pair key,
+       dedup on the real endpoint columns);
+    2. vertex degrees over the deduped edges (combiner-push-down);
+    3. orient every edge from its lower (degree, id) endpoint — a hub
+       vertex has high degree, so hubs get few OUT-neighbors and the
+       per-vertex wedge fan-out stays bounded by sqrt(m);
+    4. wedges: hash-exchange oriented edges on src; per src, enumerate
+       out-neighbor pairs in (degree, id) order (vectorized triu per
+       group) and pre-count identical wedges locally;
+    5. a wedge (a, b) closes a triangle iff the oriented edge a->b
+       exists — one hash join on the mixed pair key with an exact
+       column equality filter (the mixed key only routes; it never
+       merges pairs).
+
+    Every triangle is counted exactly once, from its smallest
+    (degree, id) vertex.  Returns a single row (n_edges, n_triangles).
+    """
+    from .text.dedup import _pair_route_key
+
+    pair_schema = pa.schema([("a_id", pa.int64()), ("b_id", pa.int64())])
+
+    def canon(t: pa.Table) -> pa.Table:
+        u = t[u_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        v = t[v_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        lo, hi = np.minimum(u, v), np.maximum(u, v)
+        return pa.Table.from_pydict(
+            {"a_id": lo, "b_id": hi,
+             "pair_key": _pair_route_key(lo, hi)},
+            schema=pa.schema([("a_id", pa.int64()), ("b_id", pa.int64()),
+                              ("pair_key", pa.int64())]),
+        )
+
+    dedup = distinct_on(
+        edges.map_batches(canon, batch_format="pyarrow"),
+        "pair_key", num_partitions=num_partitions,
+        subset=["a_id", "b_id"],
+    ).select_columns(["a_id", "b_id"]).materialize()
+    n_edges = dedup.count()
+
+    both = dedup.map_batches(
+        lambda t: pa.table({"vertex": pa.concat_arrays(
+            [t["a_id"].combine_chunks().cast(pa.int64()),
+             t["b_id"].combine_chunks().cast(pa.int64())])}),
+        batch_format="pyarrow",
+    )
+    deg = partial_grouped_agg(both, ["vertex"], {"deg": (None, "count")})
+
+    j1 = hash_join(
+        dedup.map_batches(lambda t: t.rename_columns(["vertex", "b_id"]),
+                          batch_format="pyarrow"),
+        deg, on="vertex",
+        l_schema=pa.schema([("vertex", pa.int64()), ("b_id", pa.int64())]),
+        r_schema=pa.schema([("vertex", pa.int64()), ("deg", pa.int64())]),
+        how="inner", num_partitions=num_partitions,
+    ).map_batches(
+        lambda t: t.rename_columns(["a_id", "vertex", "a_deg"]),
+        batch_format="pyarrow",
+    )
+    j2 = hash_join(
+        j1, deg, on="vertex",
+        l_schema=pa.schema([("a_id", pa.int64()), ("vertex", pa.int64()),
+                            ("a_deg", pa.int64())]),
+        r_schema=pa.schema([("vertex", pa.int64()), ("deg", pa.int64())]),
+        how="inner", num_partitions=num_partitions,
+    )
+
+    ori_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64()),
+                            ("dst_deg", pa.int64())])
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = t["a_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["vertex"].to_numpy(zero_copy_only=False).astype(np.int64)
+        da = t["a_deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        db = t["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a_first = (da < db) | ((da == db) & (a < b))
+        src = np.where(a_first, a, b)
+        dst = np.where(a_first, b, a)
+        ddeg = np.where(a_first, db, da)
+        return pa.Table.from_pydict(
+            {"src": src, "dst": dst, "dst_deg": ddeg}, schema=ori_schema)
+
+    oriented = j2.map_batches(orient, batch_format="pyarrow")
+
+    wedge_schema = pa.schema([("a_id", pa.int64()), ("b_id", pa.int64()),
+                              ("n_wedges", pa.int64())])
+
+    def wedges(t: pa.Table) -> pa.Table:
+        if "__part" in t.column_names:
+            t = t.drop_columns(["__part"])
+        if len(t) == 0:
+            return wedge_schema.empty_table()
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        ddeg = t["dst_deg"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((dst, ddeg, src))
+        s, d = src[order], dst[order]
+        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        ends = np.r_[starts[1:], len(s)]
+        a_out, b_out = [], []
+        for st, en in zip(starts, ends):
+            g = en - st
+            if g < 2:
+                continue
+            ii, jj = np.triu_indices(int(g), k=1)
+            a_out.append(d[st + ii])
+            b_out.append(d[st + jj])
+        if not a_out:
+            return wedge_schema.empty_table()
+        wa = np.concatenate(a_out)
+        wb = np.concatenate(b_out)
+        # canonicalize the wedge pair by ID: the per-src enumeration
+        # above orders out-neighbors by (degree, id), but the closure
+        # join matches the deduped edge table, which is (min_id,
+        # max_id) — on non-uniform-degree graphs the two orders differ
+        wa, wb = np.minimum(wa, wb), np.maximum(wa, wb)
+        # local pre-count of identical wedges before anything travels
+        key = np.lexsort((wb, wa))
+        wa, wb = wa[key], wb[key]
+        new = np.r_[True, (wa[1:] != wa[:-1]) | (wb[1:] != wb[:-1])]
+        st2 = np.flatnonzero(new)
+        cnt = np.diff(np.r_[st2, len(wa)])
+        return pa.Table.from_pydict(
+            {"a_id": wa[st2], "b_id": wb[st2], "n_wedges": cnt},
+            schema=wedge_schema)
+
+    wedged = hash_exchange_map(oriented, "src", num_partitions, wedges)
+    one_row = pa.table({"n_edges": pa.array([n_edges], pa.int64()),
+                        "n_triangles": pa.array([0], pa.int64())})
+    if wedged is None:
+        return dataset_from_table(one_row)
+
+    wsum = partial_grouped_agg(
+        wedged.map_batches(
+            lambda t: t.append_column("pair_key", pa.array(_pair_route_key(
+                t["a_id"].to_numpy(zero_copy_only=False),
+                t["b_id"].to_numpy(zero_copy_only=False)))),
+            batch_format="pyarrow",
+        ),
+        ["pair_key", "a_id", "b_id"],
+        {"n_wedges": ("n_wedges", "sum")},
+    )
+
+    edge_keyed = dedup.map_batches(
+        lambda t: pa.table({
+            "pair_key": pa.array(_pair_route_key(
+                t["a_id"].to_numpy(zero_copy_only=False),
+                t["b_id"].to_numpy(zero_copy_only=False))),
+            "e_a": t["a_id"].combine_chunks().cast(pa.int64()),
+            "e_b": t["b_id"].combine_chunks().cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(
+        wsum, edge_keyed, on="pair_key",
+        l_schema=pa.schema([("pair_key", pa.int64()), ("a_id", pa.int64()),
+                            ("b_id", pa.int64()), ("n_wedges", pa.int64())]),
+        r_schema=pa.schema([("pair_key", pa.int64()), ("e_a", pa.int64()),
+                            ("e_b", pa.int64())]),
+        how="inner", num_partitions=num_partitions,
+    )
+
+    def closed(t: pa.Table) -> pa.Table:
+        # the mixed key routes; triangle closure needs REAL equality
+        ok = (
+            (t["a_id"].to_numpy(zero_copy_only=False)
+             == t["e_a"].to_numpy(zero_copy_only=False))
+            & (t["b_id"].to_numpy(zero_copy_only=False)
+               == t["e_b"].to_numpy(zero_copy_only=False))
+        )
+        n = t["n_wedges"].to_numpy(zero_copy_only=False)[ok]
+        return pa.table({"n_tri": pa.array([int(n.sum())], pa.int64())})
+
+    parts = joined.map_batches(closed, batch_format="pyarrow").to_pandas()
+    n_tri = int(parts["n_tri"].sum()) if len(parts) else 0
+    return dataset_from_table(
+        pa.table({"n_edges": pa.array([n_edges], pa.int64()),
+                  "n_triangles": pa.array([n_tri], pa.int64())}))

@@ -770,3 +770,179 @@ def embedding_neardup_pairs(
             )
         )
     return _distinct_pairs(pairs)
+
+
+# ------------------------------------------------------------- fuzzy join
+_EDIT1_PAIR_SCHEMA = pa.schema([("term_a", pa.string()),
+                                ("term_b", pa.string())])
+
+
+def _is_edit1(a: str, b: str) -> bool:
+    """Exact edit-distance-==-1 test (insert/delete/substitute)."""
+    la, lb = len(a), len(b)
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    if lb - la > 1:
+        return False
+    if la == lb:
+        return sum(1 for x, y in zip(a, b) if x != y) == 1
+    # deletion: b drops one char to give a
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def _deletion_variant_rows(col: pa.Array) -> pa.Table:
+    """(variant_hash, term) rows for every term and every
+    single-character deletion of it — vectorized: one
+    utf8_slice+concat kernel pass per deletion POSITION (max-term-
+    length iterations of whole-column Arrow kernels, never per-row
+    Python).  Sharing a variant is a complete candidate generator for
+    edit distance <= 1 (delete/insert: the longer's deletion IS the
+    shorter; substitute at i: both sides' deletion at i coincide)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return pa.table({"bucket": pa.array([], pa.int64()),
+                         "term": pa.array([], pa.string())})
+    lens = pc.utf8_length(col).to_numpy(zero_copy_only=False)
+    buckets = [(_hash63_batch(col)).astype(np.int64)]
+    terms = [col]
+    for i in range(int(lens.max())):
+        mask = lens > i
+        sub = col.filter(pa.array(mask))
+        var = pc.binary_join_element_wise(
+            pc.utf8_slice_codeunits(sub, 0, i),
+            pc.utf8_slice_codeunits(sub, i + 1, np.iinfo(np.int32).max),
+            "",
+        )
+        buckets.append(_hash63_batch(var).astype(np.int64))
+        terms.append(sub)
+    return pa.table({
+        "bucket": pa.array(np.concatenate(buckets)),
+        "term": pa.concat_arrays([t.combine_chunks() if isinstance(t, pa.ChunkedArray) else t for t in terms]),
+    })
+
+
+def editdist1_pairs(
+    terms,
+    *,
+    term_col: str = "term",
+    min_len: int = 1,
+    bucket_cap: int = 256,
+    num_partitions: int = 16,
+):
+    """All DISTINCT term pairs at edit distance exactly 1 — the fuzzy
+    string-matching / entity-resolution join (SymSpell shape): each
+    term emits itself + its single-character deletions as hashed
+    blocking keys; terms sharing a key are candidates (a complete
+    generator for distance <= 1); candidates dedup on the real string
+    pair and an exact edit-distance verify keeps true pairs only.
+
+    Scale shape: the corpus-sized input reduces to its (much smaller)
+    distinct-term vocabulary FIRST; variants hash-exchange on the
+    blocking key (vectorized triu pair enumeration per bucket with the
+    LSH bucket cap + logged drops — a degenerate key such as the empty
+    string from length-1 terms would otherwise go quadratic); only the
+    slim candidate pairs travel afterwards.  Output: (term_a, term_b),
+    term_a < term_b."""
+    from ..relational import distinct_on, hash_exchange_map
+
+    def prep(t: pa.Table) -> pa.Table:
+        col = t[term_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        keep = pc.and_(pc.is_valid(col),
+                       pc.greater_equal(pc.utf8_length(col), min_len))
+        col = col.filter(keep)
+        return pa.table({
+            "term": col,
+            "term_key": pa.array(_hash63_batch(col).astype(np.int64)),
+        })
+
+    vocab = distinct_on(
+        terms.map_batches(prep, batch_format="pyarrow"),
+        "term_key", num_partitions=num_partitions, subset=["term"],
+    )
+
+    variants = vocab.map_batches(
+        lambda t: _deletion_variant_rows(t["term"]),
+        batch_format="pyarrow",
+    )
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        if "__part" in t.column_names:
+            t = t.drop_columns(["__part"])
+        if len(t) == 0:
+            return _EDIT1_PAIR_SCHEMA.empty_table()
+        b = t["bucket"].to_numpy(zero_copy_only=False)
+        terms_np = t["term"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((terms_np, b))
+        b, terms_np = b[order], terms_np[order]
+        keep = np.r_[True, (b[1:] != b[:-1]) | (terms_np[1:] != terms_np[:-1])]
+        b, terms_np = b[keep], terms_np[keep]
+        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        ends = np.r_[starts[1:], len(b)]
+        sizes = ends - starts
+        mult = sizes >= 2
+        over = mult & (sizes > bucket_cap)
+        if over.any():
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "editdist1_pairs: dropping %d oversized blocking bucket(s) "
+                "(> %d terms; largest %d)",
+                int(over.sum()), bucket_cap, int(sizes[over].max()),
+            )
+            mult &= sizes <= bucket_cap
+        a_out, b_out = [], []
+        for s, e in zip(starts[mult], ends[mult]):
+            ii, jj = np.triu_indices(int(e - s), k=1)
+            a_out.append(terms_np[s + ii])
+            b_out.append(terms_np[s + jj])
+        if not a_out:
+            return _EDIT1_PAIR_SCHEMA.empty_table()
+        ta = np.concatenate(a_out)
+        tb = np.concatenate(b_out)
+        lo = np.minimum(ta, tb)
+        hi = np.maximum(ta, tb)
+        return pa.Table.from_pydict({"term_a": lo, "term_b": hi},
+                                    schema=_EDIT1_PAIR_SCHEMA)
+
+    cands = hash_exchange_map(variants, "bucket", num_partitions, bucket_pairs)
+    if cands is None:
+        from ..relational import empty_dataset
+
+        return empty_dataset(_EDIT1_PAIR_SCHEMA)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        a = t["term_a"]
+        b = t["term_b"]
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        if isinstance(b, pa.ChunkedArray):
+            b = b.combine_chunks()
+        return t.append_column("pair_key", pa.array(_pair_route_key(
+            _hash63_batch(a), _hash63_batch(b))))
+
+    distinct = distinct_on(
+        cands.map_batches(keyed, batch_format="pyarrow"),
+        "pair_key", num_partitions=num_partitions,
+        subset=["term_a", "term_b"],
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _EDIT1_PAIR_SCHEMA.empty_table()
+        a = t["term_a"].to_numpy(zero_copy_only=False)
+        b = t["term_b"].to_numpy(zero_copy_only=False)
+        # candidate stream only (vocabulary-scale, capped): exact
+        # verify per pair, same precedent as the LSH pair verify
+        ok = np.fromiter((_is_edit1(x, y) for x, y in zip(a, b)),
+                         dtype=bool, count=len(a))
+        return pa.Table.from_pydict(
+            {"term_a": a[ok], "term_b": b[ok]}, schema=_EDIT1_PAIR_SCHEMA)
+
+    return distinct.map_batches(verify, batch_format="pyarrow")

@@ -866,3 +866,37 @@ def test_bigram_counts_adjacency_and_edges():
     )
     assert len(empty) == 0
     assert empty.schema.names == ["w1", "w2", "n"]
+
+
+def test_editdist1_pairs_exact_and_capped(ray_session):
+    """Deletion-variant blocking finds exactly the distance-1 pairs
+    (substitution, insertion/deletion), across blocks, with dupes;
+    min_len filters; the bucket cap drops degenerate keys."""
+    import pyarrow as pa
+
+    import ray
+    from osm2geojson_ray.text.dedup import _is_edit1, editdist1_pairs
+
+    words = ["cat", "cut", "cart", "dog", "dot", "dots", "cat", "x", "y"]
+    ds = ray.data.from_arrow(
+        pa.table({"term": pa.array(words, pa.string())})).repartition(3)
+    got = (editdist1_pairs(ds, min_len=2).to_pandas()
+           .sort_values(["term_a", "term_b"]).reset_index(drop=True))
+    vocab = sorted({w for w in words if len(w) >= 2})
+    want = sorted((a, b) for i, a in enumerate(vocab)
+                  for b in vocab[i + 1:] if _is_edit1(a, b))
+    assert list(map(tuple, got.itertuples(index=False))) == want
+
+    # scalar reference oracle for the verifier itself
+    assert _is_edit1("abc", "abd") and _is_edit1("abc", "abcd")
+    assert _is_edit1("abc", "bc") and not _is_edit1("abc", "abc")
+    assert not _is_edit1("abc", "abcde") and not _is_edit1("ab", "ba ")
+
+    # degenerate blocking key: many length-2 terms share their
+    # single-deletion variants; a tiny cap drops those buckets
+    many = [f"a{c}" for c in "bcdefghij"]
+    ds2 = ray.data.from_arrow(pa.table({"term": pa.array(many)}))
+    capped = editdist1_pairs(ds2, min_len=2, bucket_cap=2).to_pandas()
+    full = editdist1_pairs(ds2, min_len=2).to_pandas()
+    assert len(full) == len(many) * (len(many) - 1) // 2  # all dist-1
+    assert len(capped) < len(full)

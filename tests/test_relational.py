@@ -1233,3 +1233,82 @@ def test_table_checksum_invariance_and_sensitivity(ray_session):
     row_a, row_b = base.iloc[gi], out2.iloc[gi]
     assert (row_a["csum_a"] != row_b["csum_a"]
             or row_a["csum_b"] != row_b["csum_b"])
+
+
+def test_triangle_count_random_vs_bruteforce(ray_session):
+    """Random multigraphs (dupes + self-loops) against an O(m*d)
+    brute force; degree-ordered orientation must count each triangle
+    exactly once regardless of degree skew."""
+    import numpy as np
+    import pyarrow as pa
+
+    from osm2geojson_ray.relational import dataset_from_table, triangle_count
+
+    def brute(u, v):
+        es = {(min(a, b), max(a, b)) for a, b in zip(u, v) if a != b}
+        adj = {}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        n = sum(1 for a, b in es for c in (adj[a] & adj[b]) if c > b)
+        return len(es), n
+
+    rng = np.random.default_rng(11)
+    for _ in range(4):
+        m = int(rng.integers(30, 300))
+        nv = int(rng.integers(6, 30))
+        u = rng.integers(0, nv, m).astype(np.int64)
+        v = rng.integers(0, nv, m).astype(np.int64)
+        res = triangle_count(
+            dataset_from_table(pa.table({"u": u, "v": v})), "u", "v"
+        ).to_pandas()
+        ne, nt = brute(u.tolist(), v.tolist())
+        assert (int(res["n_edges"][0]), int(res["n_triangles"][0])) == (ne, nt)
+
+    # star graph: heavy hub, zero triangles
+    hub_u = np.zeros(50, np.int64)
+    hub_v = np.arange(1, 51, dtype=np.int64)
+    res = triangle_count(
+        dataset_from_table(pa.table({"u": hub_u, "v": hub_v})), "u", "v"
+    ).to_pandas()
+    assert int(res["n_triangles"][0]) == 0 and int(res["n_edges"][0]) == 50
+
+    # empty edge stream
+    res = triangle_count(
+        dataset_from_table(
+            pa.table({"u": pa.array([], pa.int64()),
+                      "v": pa.array([], pa.int64())})), "u", "v"
+    ).to_pandas()
+    assert int(res["n_edges"][0]) == 0 and int(res["n_triangles"][0]) == 0
+
+
+def test_grouped_ohlc_ties_and_bounds(ray_session):
+    """open/close recover the min/max-time values; ties on t take the
+    smallest value at BOTH ends; out-of-range values raise."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest as _pytest
+
+    import ray
+    from osm2geojson_ray.relational import grouped_ohlc
+
+    t = pa.table({
+        "g": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+        "ts": pa.array([5, 5, 9, 9, 3, 1], pa.int64()),
+        "v": pa.array([7, 4, 2, 8, 6, 6], pa.int64()),
+    })
+    out = (grouped_ohlc(ray.data.from_arrow(t).repartition(3),
+                        ["g"], "ts", "v", value_bits=8)
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    # g=1: min t=5 has values {7,4} -> open=4; max t=9 has {2,8} -> close=2
+    assert out.loc[0, ["open", "close", "high", "low", "n"]].tolist() == \
+        [4, 2, 8, 2, 4]
+    assert out.loc[1, ["open", "close", "high", "low", "n"]].tolist() == \
+        [6, 6, 6, 6, 2]
+
+    bad = pa.table({"g": pa.array([1], pa.int64()),
+                    "ts": pa.array([0], pa.int64()),
+                    "v": pa.array([256], pa.int64())})
+    with _pytest.raises(Exception):
+        grouped_ohlc(ray.data.from_arrow(bad), ["g"], "ts", "v",
+                     value_bits=8).to_pandas()
