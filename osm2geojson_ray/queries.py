@@ -4643,6 +4643,57 @@ def g_triangles(sf_dir: str):
     return triangle_count(edges, "u", "v")
 
 
+def g_pagerank(sf_dir: str):
+    """Fixed-iteration integer PageRank (relational.pagerank): ranks
+    in ppm, per-edge share r // outdeg, update ((100-85)*1e6)//100 +
+    85*contrib//100 — all-integer so the 3-iteration unrolled SQL twin
+    is bit-exact.  Directed 64-vertex graph from part keys (same
+    decorrelated high-bits construction as g_triangles)."""
+    from .relational import pagerank
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        k = t["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_pydict(
+            {"src": k * 2654435761 % 8000000 // 125000,
+             "dst": k * 40503 % 8000000 // 125000},
+            schema=pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
+        )
+
+    edges = _pq(sf_dir, "part", ["p_partkey"]).map_batches(
+        to_edges, batch_format="pyarrow")
+    return pagerank(edges, "src", "dst", iterations=3)
+
+
+G_PAGERANK_SQL = """
+WITH raw AS (SELECT CAST(p_partkey AS BIGINT) AS k FROM part),
+e AS (SELECT DISTINCT k * 2654435761 % 8000000 // 125000 AS src,
+                      k * 40503 % 8000000 // 125000 AS dst FROM raw),
+verts AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),
+od AS (SELECT src AS vertex, CAST(count(*) AS BIGINT) AS odeg
+       FROM e GROUP BY 1),
+r0 AS (SELECT vertex, CAST(1000000 AS BIGINT) AS r FROM verts),
+c1 AS (SELECT e.dst AS vertex, CAST(sum(r0.r // od.odeg) AS BIGINT) AS c
+       FROM e JOIN r0 ON r0.vertex = e.src JOIN od ON od.vertex = e.src
+       GROUP BY 1),
+r1 AS (SELECT v.vertex,
+              CAST(150000 + 85 * COALESCE(c1.c, 0) // 100 AS BIGINT) AS r
+       FROM verts v LEFT JOIN c1 USING (vertex)),
+c2 AS (SELECT e.dst AS vertex, CAST(sum(r1.r // od.odeg) AS BIGINT) AS c
+       FROM e JOIN r1 ON r1.vertex = e.src JOIN od ON od.vertex = e.src
+       GROUP BY 1),
+r2 AS (SELECT v.vertex,
+              CAST(150000 + 85 * COALESCE(c2.c, 0) // 100 AS BIGINT) AS r
+       FROM verts v LEFT JOIN c2 USING (vertex)),
+c3 AS (SELECT e.dst AS vertex, CAST(sum(r2.r // od.odeg) AS BIGINT) AS c
+       FROM e JOIN r2 ON r2.vertex = e.src JOIN od ON od.vertex = e.src
+       GROUP BY 1),
+r3 AS (SELECT v.vertex,
+              CAST(150000 + 85 * COALESCE(c3.c, 0) // 100 AS BIGINT) AS r
+       FROM verts v LEFT JOIN c3 USING (vertex))
+SELECT vertex, r AS rank_ppm FROM r3
+"""
+
+
 G_TRIANGLES_SQL = """
 WITH raw AS (SELECT CAST(p_partkey AS BIGINT) AS k FROM part),
 e0 AS (SELECT k * 2654435761 % 8000000 // 125000 AS u,
@@ -4762,6 +4813,7 @@ QUERIES = {
     "q41_user_hour_ohlc": q41_user_hour_ohlc,
     "t_fuzzy_name_pairs": t_fuzzy_name_pairs,
     "g_triangles": g_triangles,
+    "g_pagerank": g_pagerank,
 }
 
 ORACLE_SQL = {
@@ -4864,4 +4916,5 @@ ORACLE_SQL = {
     "q41_user_hour_ohlc": Q41_SQL,
     "t_fuzzy_name_pairs": T_FUZZY_SQL,
     "g_triangles": G_TRIANGLES_SQL,
+    "g_pagerank": G_PAGERANK_SQL,
 }

@@ -16,6 +16,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -2280,3 +2281,146 @@ def triangle_count(edges, u_col: str = "u", v_col: str = "v", *,
     return dataset_from_table(
         pa.table({"n_edges": pa.array([n_edges], pa.int64()),
                   "n_triangles": pa.array([n_tri], pa.int64())}))
+
+
+# ---------------------------------------------------------------- pagerank
+def pagerank(edges, src_col: str = "src", dst_col: str = "dst", *,
+             iterations: int = 3, damping_num: int = 85,
+             damping_den: int = 100, scale: int = 1_000_000,
+             num_partitions: int = 16):
+    """Fixed-iteration PageRank over a directed edge stream in
+    ALL-INTEGER arithmetic, so an unrolled SQL twin is bit-exact:
+    ranks live in 1/``scale`` units, each vertex's per-edge share is
+    ``r // outdeg`` (floor), and the update is
+    ``r' = ((den-num)*scale)//den + (num*contrib)//den``.  Dangling
+    mass is dropped (both sides of the gate drop it identically).
+
+    Scale shape — the canonical distributed PageRank: directed edges
+    dedup once (hash-route on a mixed pair key, identity on the real
+    endpoints) and are REUSED every iteration; out-degrees and the
+    (vertex, outdeg) base table are combiner-push-down aggregates;
+    each iteration is exactly one edges⋈share hash join, one grouped
+    sum of slim (dst, share) rows, and one base⋈contrib left join —
+    the vertex-scale rank table is materialized per iteration (tiny
+    next to edges) and raw edges never re-shuffle.  Overflow bound:
+    ``damping_num * n_vertices * scale`` must fit int64.
+
+    Returns (vertex, rank_ppm) with rank_ppm in 1/``scale`` units.
+    """
+    from .text.dedup import _pair_route_key
+
+    base_r = ((damping_den - damping_num) * scale) // damping_den
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t[src_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        d = t[dst_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        return pa.Table.from_pydict(
+            {"src": s, "dst": d, "pair_key": _pair_route_key(s, d)},
+            schema=pa.schema([("src", pa.int64()), ("dst", pa.int64()),
+                              ("pair_key", pa.int64())]),
+        )
+
+    dedup = distinct_on(
+        edges.map_batches(canon, batch_format="pyarrow"),
+        "pair_key", num_partitions=num_partitions, subset=["src", "dst"],
+    ).select_columns(["src", "dst"]).materialize()
+
+    both = dedup.map_batches(
+        lambda t: pa.table({"vertex": pa.concat_arrays(
+            [t["src"].combine_chunks().cast(pa.int64()),
+             t["dst"].combine_chunks().cast(pa.int64())])}),
+        batch_format="pyarrow",
+    )
+    verts = partial_grouped_agg(both, ["vertex"], {"__n": (None, "count")})
+    odeg = partial_grouped_agg(
+        dedup.map_batches(
+            lambda t: pa.table({"vertex": t["src"].combine_chunks()
+                                .cast(pa.int64())}),
+            batch_format="pyarrow"),
+        ["vertex"], {"odeg": (None, "count")},
+    )
+
+    base_schema = pa.schema([("vertex", pa.int64()), ("odeg", pa.int64())])
+
+    def fill_odeg(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"vertex": t["vertex"].combine_chunks().cast(pa.int64()),
+             "odeg": pc.fill_null(
+                 t["odeg"].combine_chunks().cast(pa.int64()), 0)},
+            schema=base_schema)
+
+    base = hash_join(
+        verts.select_columns(["vertex"]), odeg, on="vertex",
+        l_schema=pa.schema([("vertex", pa.int64())]),
+        r_schema=pa.schema([("vertex", pa.int64()), ("odeg", pa.int64())]),
+        how="left_outer", num_partitions=num_partitions,
+    ).map_batches(fill_odeg, batch_format="pyarrow").materialize()
+
+    rank_schema = pa.schema([("vertex", pa.int64()), ("odeg", pa.int64()),
+                             ("r", pa.int64())])
+    ranks = base.map_batches(
+        lambda t: t.append_column(
+            "r", pa.array(np.full(len(t), scale, np.int64))),
+        batch_format="pyarrow",
+    ).materialize()
+
+    share_schema = pa.schema([("vertex", pa.int64()), ("share", pa.int64())])
+    edges_keyed = dedup.map_batches(
+        lambda t: t.rename_columns(["vertex", "dst"]),
+        batch_format="pyarrow")
+
+    for _ in range(iterations):
+        def to_share(t: pa.Table) -> pa.Table:
+            od = t["odeg"].to_numpy(zero_copy_only=False)
+            r = t["r"].to_numpy(zero_copy_only=False)
+            pos = od > 0
+            return pa.Table.from_pydict(
+                {"vertex": t["vertex"].to_numpy(zero_copy_only=False)[pos],
+                 "share": r[pos] // od[pos]},
+                schema=share_schema)
+
+        share = ranks.map_batches(to_share, batch_format="pyarrow")
+        routed = hash_join(
+            edges_keyed, share, on="vertex",
+            l_schema=pa.schema([("vertex", pa.int64()), ("dst", pa.int64())]),
+            r_schema=share_schema,
+            how="inner", num_partitions=num_partitions,
+        )
+        contrib = partial_grouped_agg(
+            routed.map_batches(
+                lambda t: pa.table(
+                    {"vertex": t["dst"].combine_chunks().cast(pa.int64()),
+                     "share": t["share"].combine_chunks().cast(pa.int64())}),
+                batch_format="pyarrow"),
+            ["vertex"], {"c": ("share", "sum")},
+        )
+
+        def update(t: pa.Table) -> pa.Table:
+            c = t["c"].to_numpy(zero_copy_only=False)
+            c = np.where(np.isnan(c.astype(np.float64)), 0, c).astype(np.int64) \
+                if c.dtype != np.int64 else c
+            return pa.Table.from_pydict(
+                {"vertex": t["vertex"].combine_chunks().cast(pa.int64()),
+                 "odeg": t["odeg"].combine_chunks().cast(pa.int64()),
+                 "r": base_r + (damping_num * c) // damping_den},
+                schema=rank_schema)
+
+        joined = hash_join(
+            base, contrib, on="vertex",
+            l_schema=base_schema,
+            r_schema=pa.schema([("vertex", pa.int64()), ("c", pa.int64())]),
+            how="left_outer", num_partitions=num_partitions,
+        ).map_batches(
+            lambda t: t.set_column(
+                t.column_names.index("c"), "c",
+                pc.fill_null(t["c"].combine_chunks().cast(pa.int64()), 0)),
+            batch_format="pyarrow",
+        )
+        ranks = joined.map_batches(update, batch_format="pyarrow").materialize()
+
+    return ranks.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"vertex": t["vertex"].combine_chunks().cast(pa.int64()),
+             "rank_ppm": t["r"].combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow",
+    )

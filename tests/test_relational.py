@@ -1312,3 +1312,49 @@ def test_grouped_ohlc_ties_and_bounds(ray_session):
     with _pytest.raises(Exception):
         grouped_ohlc(ray.data.from_arrow(bad), ["g"], "ts", "v",
                      value_bits=8).to_pandas()
+
+
+def test_pagerank_integer_vs_bruteforce(ray_session):
+    """Random directed multigraphs against a scalar reference of the
+    same integer recurrence; hub/dangling vertices and partition count
+    must not change a single ppm."""
+    import numpy as np
+    import pyarrow as pa
+
+    from osm2geojson_ray.relational import dataset_from_table, pagerank
+
+    def brute(u, v, K=3, scale=1_000_000, dn=85, dd=100):
+        es = sorted(set(zip(u, v)))
+        verts = sorted({x for e in es for x in e})
+        od = {}
+        for s, _ in es:
+            od[s] = od.get(s, 0) + 1
+        r = {x: scale for x in verts}
+        base = ((dd - dn) * scale) // dd
+        for _ in range(K):
+            c = {x: 0 for x in verts}
+            for s, d in es:
+                c[d] += r[s] // od[s]
+            r = {x: base + (dn * c[x]) // dd for x in verts}
+        return r
+
+    rng = np.random.default_rng(19)
+    for _ in range(3):
+        m = int(rng.integers(20, 200))
+        nv = int(rng.integers(5, 25))
+        u = rng.integers(0, nv, m).astype(np.int64)
+        v = rng.integers(0, nv, m).astype(np.int64)
+        got = pagerank(
+            dataset_from_table(pa.table({"src": u, "dst": v})), "src", "dst"
+        ).to_pandas()
+        assert dict(zip(got["vertex"], got["rank_ppm"])) == \
+            brute(u.tolist(), v.tolist())
+
+    # pure sink (dangling) + hub: hub mass splits, sink accumulates,
+    # the dangling vertex contributes nothing back
+    u = np.array([0, 0, 0, 1, 2], np.int64)
+    v = np.array([1, 2, 3, 3, 3], np.int64)
+    got = pagerank(dataset_from_table(pa.table({"src": u, "dst": v})),
+                   "src", "dst").to_pandas()
+    assert dict(zip(got["vertex"], got["rank_ppm"])) == \
+        brute(u.tolist(), v.tolist())
