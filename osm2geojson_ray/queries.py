@@ -4585,6 +4585,79 @@ FROM e GROUP BY 1, 2
 """
 
 
+def e_int8_dot_topk(sf_dir: str):
+    """Quantized exact-re-rank ANN (vectors.int8_dot_topk): top-10
+    neighbors for the 4 smallest-id query vectors by the EXACT integer
+    dot product of int8 quantization codes — broadcast query codes,
+    per-batch integer matmul + partial top-k, grouped_topk finish; no
+    float tolerance anywhere.  The oracle recomputes the identical
+    floor-quantization (the e_quantize_codes expression) and joins
+    codes on dim."""
+    from .vectors import int8_dot_topk
+
+    emb = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return int8_dot_topk(emb, "vec_id", "embedding", k=10, num_queries=4)
+
+
+E_INT8_DOT_SQL = """
+WITH flat AS (
+  SELECT vec_id,
+         CAST(ord - 1 AS BIGINT) AS dim,
+         CAST(val AS DOUBLE) AS x
+  FROM (SELECT vec_id, unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) AS ord FROM embeddings)),
+s AS (SELECT dim, max(abs(x)) AS amax FROM flat GROUP BY 1),
+codes AS (
+  SELECT f.vec_id, f.dim,
+         CAST(greatest(-127, least(127,
+              floor((f.x * 127) / (CASE WHEN s.amax = 0 THEN 1.0 ELSE s.amax END))))
+              AS BIGINT) AS code
+  FROM flat f JOIN s USING (dim)),
+q AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4),
+dots AS (
+  SELECT qc.vec_id AS query_id, c.vec_id AS vec_id,
+         CAST(sum(qc.code * c.code) AS BIGINT) AS dot
+  FROM codes qc JOIN codes c USING (dim)
+  WHERE qc.vec_id IN (SELECT vec_id FROM q) AND c.vec_id <> qc.vec_id
+  GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY dot DESC, vec_id) AS rn
+      FROM dots)
+SELECT query_id, vec_id, dot FROM r WHERE rn <= 10
+"""
+
+
+def t_inverted_index(sf_dir: str):
+    """Exact-match search index over the documents corpus
+    (text/analysis.inverted_index): per distinct term, exact df and
+    total occurrences plus a posting list capped at the 16 smallest
+    doc_ids, comma-joined ascending; one term-hash exchange, lexsort +
+    reduceat + pc.binary_join kernel, raw text never shuffles.  The
+    oracle caps via row_number and string_aggs in the same order."""
+    from .text.analysis import inverted_index
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return inverted_index(docs, max_postings=16)
+
+
+T_INVIDX_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term <> '' GROUP BY 1, 2),
+rn AS (SELECT doc_id, term, tf,
+              row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+       FROM tf)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS n_occ,
+       string_agg(CASE WHEN rn <= 16 THEN CAST(doc_id AS VARCHAR) END,
+                  ',' ORDER BY doc_id) AS postings
+FROM rn GROUP BY term
+"""
+
+
 def t_fuzzy_name_pairs(sf_dir: str):
     """Fuzzy entity-resolution join (text/dedup.editdist1_pairs): all
     customer-name pairs at edit distance exactly 1 -- deletion-variant
@@ -4814,6 +4887,8 @@ QUERIES = {
     "t_fuzzy_name_pairs": t_fuzzy_name_pairs,
     "g_triangles": g_triangles,
     "g_pagerank": g_pagerank,
+    "t_inverted_index": t_inverted_index,
+    "e_int8_dot_topk": e_int8_dot_topk,
 }
 
 ORACLE_SQL = {
@@ -4917,4 +4992,6 @@ ORACLE_SQL = {
     "t_fuzzy_name_pairs": T_FUZZY_SQL,
     "g_triangles": G_TRIANGLES_SQL,
     "g_pagerank": G_PAGERANK_SQL,
+    "t_inverted_index": T_INVIDX_SQL,
+    "e_int8_dot_topk": E_INT8_DOT_SQL,
 }

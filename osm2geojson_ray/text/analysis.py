@@ -724,3 +724,82 @@ def bm25_topk(docs, *, doc_col: str = "doc_id", text_col: str = "text",
         scored, doc_col, [(out_col, True), ("term", False)],
         k=k, num_partitions=num_partitions,
     )
+
+
+_INVIDX_SCHEMA = pa.schema([("term", pa.string()), ("df", pa.int64()),
+                            ("n_occ", pa.int64()), ("postings", pa.string())])
+
+
+def inverted_index(
+    docs,
+    *,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings: int = 16,
+    num_partitions: int = 16,
+):
+    """Build the exact-match search index over a document corpus: one
+    row per distinct term with its document frequency, total occurrence
+    count, and a posting list CAPPED at the ``max_postings`` smallest
+    doc ids (comma-joined ascending — deterministic, SQL
+    string_agg-comparable).  The cap is the index truncation every
+    search engine applies to stop-word-grade terms; df/n_occ stay EXACT
+    over all documents.
+
+    Scale shape: raw text reduces to slim (term, doc_id, tf) rows
+    inside the reading task (_term_freqs — one Arrow regex split +
+    packed np.unique per batch, each doc lives in exactly one row so
+    the pairs are globally unique); ONE hash exchange on the term hash
+    co-locates each term's postings; the per-partition kernel is a
+    single lexsort + reduceat + one pc.binary_join over capped
+    list-slices — no per-term Python loop, and raw text never
+    shuffles."""
+    from ..relational import empty_dataset, hash_exchange_map
+
+    def prep(t: pa.Table) -> pa.Table:
+        tf = _term_freqs(t, doc_col=doc_col, text_col=text_col)
+        term = tf["term"]
+        if isinstance(term, pa.ChunkedArray):
+            term = term.combine_chunks()
+        return tf.append_column(
+            "term_key", pa.array(_hash63_batch(term).astype(np.int64)))
+
+    rows = docs.map_batches(prep, batch_format="pyarrow")
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if "__part" in tbl.column_names:
+            tbl = tbl.drop_columns(["__part"])
+        n = len(tbl)
+        if n == 0:
+            return _INVIDX_SCHEMA.empty_table()
+        term = tbl["term"]
+        if isinstance(term, pa.ChunkedArray):
+            term = term.combine_chunks()
+        denc = term.dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = tbl[doc_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = tbl["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((doc, codes))
+        cs, ds_, tfs = codes[order], doc[order], tf[order]
+        starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+        ends = np.r_[starts[1:], n]
+        lens = ends - starts
+        n_occ = np.add.reduceat(tfs, starts)
+        # cap each posting list at the max_postings SMALLEST doc ids
+        rank = np.arange(n) - np.repeat(starts, lens)
+        keep = rank < max_postings
+        capped = np.minimum(lens, max_postings)
+        offsets = np.r_[0, np.cumsum(capped)].astype(np.int32)
+        doc_str = pc.cast(pa.array(ds_[keep]), pa.string())
+        la = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), doc_str)
+        return pa.Table.from_pydict(
+            {"term": denc.dictionary.take(pa.array(cs[starts])),
+             "df": pa.array(lens.astype(np.int64)),
+             "n_occ": pa.array(n_occ.astype(np.int64)),
+             "postings": pc.binary_join(la, ",")},
+            schema=_INVIDX_SCHEMA)
+
+    out = hash_exchange_map(rows, "term_key", num_partitions, kernel)
+    if out is None:
+        return empty_dataset(_INVIDX_SCHEMA)
+    return out

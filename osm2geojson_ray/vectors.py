@@ -105,22 +105,10 @@ def grouped_centroid(ds, group_col: str, vec_col: str, *, scale: int = 10000,
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
-def quantize_embeddings(ds, id_col: str, vec_col: str, *, levels: int = 127):
-    """Symmetric int8 scalar quantization of an embedding column — the
-    4x ANN-index compression step: code = floor(x * levels / absmax_d)
-    per dimension, clamped to [-levels, levels].
-
-    Two passes, both shuffle-free: (1) per-batch per-dimension |x| max
-    partials -> one tiny reduce for the global per-dim scale (ray.put
-    broadcast); (2) one map_batches emits codes.  floor (not round) so
-    the gate never hits a rounding-tie: numpy and SQL floor() agree on
-    every representable double, whereas round() diverges half-even vs
-    half-away.  The quantization expression is (x * levels) / absmax in
-    BOTH engines — identical IEEE double op order, so codes are
-    bit-reproducible in a DuckDB twin.  Output long (id, dim, code):
-    the gate-friendly shape; a production sink would keep codes as a
-    fixed_size_list<int8> column.
-    """
+def _absmax_scale_ref(ds, vec_col: str):
+    """Per-dimension global |x| max of an embedding column as a
+    broadcast ``ray.put`` ref: per-batch partials (shuffle-free), one
+    tiny remote reduce."""
     import ray as _ray
 
     def absmax_partial(tbl: pa.Table) -> pa.Table:
@@ -150,27 +138,132 @@ def quantize_embeddings(ds, id_col: str, vec_col: str, *, levels: int = 127):
             if meta.num_rows is None or meta.num_rows > 0:
                 refs.append(block_ref)
     if not refs:  # empty input: no scales needed, codes pass is a no-op
-        scale_ref = _ray.put(np.zeros(0, dtype=np.float64))
-    else:
-        scale_ref = _ray.put(_ray.get(_reduce.remote(*refs)))
+        return _ray.put(np.zeros(0, dtype=np.float64))
+    return _ray.put(_ray.get(_reduce.remote(*refs)))
+
+
+def _quantize_matrix(M: np.ndarray, amax: np.ndarray, levels: int) -> np.ndarray:
+    """floor((M * levels) / amax) clamped — the exact IEEE double op
+    order the DuckDB twin runs, so codes are bit-reproducible."""
+    safe = np.where(amax == 0.0, 1.0, amax)
+    codes = np.floor((M * float(levels)) / safe[None, :])
+    np.clip(codes, -levels, levels, out=codes)
+    return codes.astype(np.int64)
+
+
+def quantize_embeddings(ds, id_col: str, vec_col: str, *, levels: int = 127):
+    """Symmetric int8 scalar quantization of an embedding column — the
+    4x ANN-index compression step: code = floor(x * levels / absmax_d)
+    per dimension, clamped to [-levels, levels].
+
+    Two passes, both shuffle-free: (1) per-batch per-dimension |x| max
+    partials -> one tiny reduce for the global per-dim scale (ray.put
+    broadcast); (2) one map_batches emits codes.  floor (not round) so
+    the gate never hits a rounding-tie: numpy and SQL floor() agree on
+    every representable double, whereas round() diverges half-even vs
+    half-away.  The quantization expression is (x * levels) / absmax in
+    BOTH engines — identical IEEE double op order, so codes are
+    bit-reproducible in a DuckDB twin.  Output long (id, dim, code):
+    the gate-friendly shape; a production sink would keep codes as a
+    fixed_size_list<int8> column.
+    """
+    import ray as _ray
+
+    scale_ref = _absmax_scale_ref(ds, vec_col)
 
     def quantize(tbl: pa.Table) -> pa.Table:
         amax = _ray.get(scale_ref)
         M = vec_matrix(tbl[vec_col])
         ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         n, ndim = M.shape if M.size else (0, 0)
-        safe = np.where(amax == 0.0, 1.0, amax)
-        codes = np.floor((M * float(levels)) / safe[None, :])
-        np.clip(codes, -levels, levels, out=codes)
+        codes = _quantize_matrix(M, amax, levels)
         return pa.table(
             {
                 "vec_id": pa.array(np.repeat(ids, ndim)),
                 "dim": pa.array(np.tile(np.arange(ndim, dtype=np.int64), n)),
-                "code": pa.array(codes.ravel().astype(np.int64)),
+                "code": pa.array(codes.ravel()),
             }
         )
 
     return ds.map_batches(quantize, batch_format="pyarrow")
+
+
+def int8_dot_topk(ds, id_col: str, vec_col: str, *, k: int = 10,
+                  num_queries: int = 4, levels: int = 127,
+                  num_partitions: int = 16):
+    """Quantized exact-re-rank ANN: top-``k`` neighbors per query by
+    the EXACT integer dot product of int8 quantization codes — the
+    compressed-index scoring pass of a production vector search (codes
+    are 4x smaller than float32; int64 accumulation of int8 products is
+    overflow-free to 2^46 dims and bit-deterministic, so the gate needs
+    no float tolerance).
+
+    Queries = the ``num_queries`` smallest-id vectors (deterministic).
+    Scale shape: one shuffle-free absmax pass -> broadcast per-dim
+    scale; query codes broadcast once via ``ray.put``; each batch
+    quantizes itself and matmuls against the (Q, d) query matrix —
+    raw vectors never shuffle; per-batch partial top-k means at most
+    Q x k rows leave any block, finished by ``grouped_topk``.  Ties
+    break on vec_id ascending; the query itself is excluded.  Output
+    (query_id, vec_id, dot)."""
+    import ray as _ray
+
+    from .relational import grouped_topk
+
+    scale_ref = _absmax_scale_ref(ds, vec_col)
+
+    # deterministic query set: the num_queries smallest ids.  Per-batch
+    # candidate prune keeps only each block's smallest ids, so the
+    # driver sees #blocks x Q rows (same pattern as the kmeans init).
+    def head_ids(tbl: pa.Table) -> pa.Table:
+        ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            return tbl
+        keep = np.argsort(ids, kind="stable")[:num_queries]
+        return tbl.take(pa.array(np.sort(keep)))
+
+    cand = ds.map_batches(head_ids, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(id_col).head(num_queries)
+    q_ids = cand[id_col].to_numpy().astype(np.int64)
+    qM = np.stack([np.asarray(v, dtype=np.float64) for v in cand[vec_col]]) \
+        if len(cand) else np.empty((0, 0))
+    amax = _ray.get(scale_ref)
+    q_codes = _quantize_matrix(qM, amax, levels) if qM.size else \
+        np.empty((0, 0), np.int64)
+    bundle_ref = _ray.put((q_ids, q_codes))
+
+    out_schema = pa.schema([("query_id", pa.int64()), ("vec_id", pa.int64()),
+                            ("dot", pa.int64())])
+
+    def score(tbl: pa.Table) -> pa.Table:
+        q_ids_, q_codes_ = _ray.get(bundle_ref)
+        if len(q_ids_) == 0 or len(tbl) == 0:
+            return out_schema.empty_table()
+        amax_ = _ray.get(scale_ref)
+        M = vec_matrix(tbl[vec_col])
+        ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = _quantize_matrix(M, amax_, levels)
+        dots = codes @ q_codes_.T  # (n, Q) exact int64
+        qs, vs, dd = [], [], []
+        for qi, qid in enumerate(q_ids_):
+            col = dots[:, qi]
+            mask = ids != qid
+            cid, cdot = ids[mask], col[mask]
+            if len(cid) > k:
+                # partial top-k with (dot desc, id asc) tiebreak
+                sel = np.lexsort((cid, -cdot))[:k]
+                cid, cdot = cid[sel], cdot[sel]
+            qs.append(np.full(len(cid), qid, np.int64))
+            vs.append(cid)
+            dd.append(cdot)
+        return pa.Table.from_pydict(
+            {"query_id": np.concatenate(qs), "vec_id": np.concatenate(vs),
+             "dot": np.concatenate(dd)}, schema=out_schema)
+
+    partials = ds.map_batches(score, batch_format="pyarrow")
+    return grouped_topk(partials, "query_id",
+                        [("dot", True), ("vec_id", False)], k=k,
+                        num_partitions=num_partitions)
 
 
 def kmeans(ds, id_col: str, vec_col: str, *, k: int = 8, max_iters: int = 20,

@@ -900,3 +900,26 @@ def test_editdist1_pairs_exact_and_capped(ray_session):
     full = editdist1_pairs(ds2, min_len=2).to_pandas()
     assert len(full) == len(many) * (len(many) - 1) // 2  # all dist-1
     assert len(capped) < len(full)
+
+
+def test_inverted_index_postings_and_cap(ray_session):
+    """df/n_occ exact, postings ascending and capped, empty terms
+    dropped, partition-count independent."""
+    import pyarrow as pa
+
+    import ray
+    from osm2geojson_ray.text.analysis import inverted_index
+
+    docs = pa.table({
+        "doc_id": pa.array([3, 1, 2, 4], pa.int64()),
+        "text": pa.array(["b a a", "a  c", "c b\ta", "   "], pa.string()),
+    })
+    for nparts in (1, 3):
+        out = (inverted_index(
+            ray.data.from_arrow(docs).repartition(nparts), max_postings=2)
+            .to_pandas().sort_values("term").reset_index(drop=True))
+        assert out["term"].tolist() == ["a", "b", "c"]
+        assert out["df"].tolist() == [3, 2, 2]
+        assert out["n_occ"].tolist() == [4, 2, 2]
+        # cap=2: term 'a' appears in docs 1,2,3 -> keep 1,2
+        assert out["postings"].tolist() == ["1,2", "2,3", "1,2"]

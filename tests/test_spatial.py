@@ -721,3 +721,43 @@ def test_convex_hull_candidate_cap_raises(ray_session):
     # and succeeds with an adequate cap
     out = convex_hull(ds, max_candidates=1000).to_pandas()
     assert len(out) > 100
+
+
+def test_int8_dot_topk_matches_bruteforce(ray_session):
+    """Exact integer re-rank equals a scalar recompute of the same
+    quantization + dot products, across partition counts, self
+    excluded, ties on vec_id ascending."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+    from osm2geojson_ray.vectors import int8_dot_topk
+
+    rng = np.random.default_rng(5)
+    n, d = 60, 8
+    M = rng.normal(size=(n, d))
+    ids = np.arange(100, 100 + n, dtype=np.int64)
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array(list(M), pa.list_(pa.float64()))})
+
+    amax = np.abs(M).max(axis=0)
+    codes = np.clip(np.floor(M * 127.0 / np.where(amax == 0, 1, amax)),
+                    -127, 127).astype(np.int64)
+
+    def brute(k=5, nq=3):
+        out = set()
+        for qi in range(nq):
+            dots = codes @ codes[qi]
+            cand = [(int(dots[j]), int(ids[j])) for j in range(n) if j != qi]
+            cand.sort(key=lambda p: (-p[0], p[1]))
+            for dot, vid in cand[:k]:
+                out.add((int(ids[qi]), vid, dot))
+        return out
+
+    want = brute()
+    for nparts in (1, 4):
+        got = int8_dot_topk(
+            ray.data.from_arrow(t).repartition(nparts),
+            "vec_id", "embedding", k=5, num_queries=3).to_pandas()
+        assert set(map(tuple, got[["query_id", "vec_id", "dot"]]
+                       .itertuples(index=False))) == want
