@@ -4585,6 +4585,118 @@ FROM e GROUP BY 1, 2
 """
 
 
+def q42_value_mad(sf_dir: str):
+    """Grouped median absolute deviation of event values in cents
+    (relational.grouped_mad) — robust outlier scale per event type:
+    two exact histogram-quantile passes (percentile_disc rule), raw
+    rows never shuffle, the #groups median table broadcasts between
+    them."""
+    from .relational import grouped_mad
+
+    ev = _pq(sf_dir, "events", ["event_type", "value"]).map_batches(
+        lambda t: pa.table({
+            "event_type": t["event_type"].combine_chunks(),
+            "vc": pa.array(np.round(
+                t["value"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)),
+        }),
+        batch_format="pyarrow",
+    )
+    out = grouped_mad(ev, "event_type", "vc")
+    return out.map_batches(
+        lambda t: t.rename_columns(["event_type", "med_cents", "mad_cents",
+                                    "n"]),
+        batch_format="pyarrow",
+    )
+
+
+Q42_SQL = """
+WITH e AS (SELECT event_type,
+                  CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+m AS (SELECT event_type,
+             CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY vc) AS BIGINT)
+               AS med_cents
+      FROM e GROUP BY 1)
+SELECT e.event_type, m.med_cents,
+       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(e.vc - m.med_cents))
+            AS BIGINT) AS mad_cents,
+       CAST(count(*) AS BIGINT) AS n
+FROM e JOIN m USING (event_type) GROUP BY 1, 2
+"""
+
+
+def q43_fk_orphans(sf_dir: str):
+    """Cross-table referential-integrity / coverage audit — the
+    data-quality scan a 100-TB lake runs after ingesting a window: one
+    left_anti hash join per FK edge (membership test per partition, no
+    row duplication), counting dimension rows the 1995 fact window did
+    NOT cover (non-zero by construction) plus two strict FK checks
+    (zero on healthy data).  One (check, n) row each."""
+    from .relational import hash_join
+
+    def count_anti(left, right, on_l, on_r, check):
+        from .relational import dataset_from_table
+
+        l2 = left.map_batches(
+            lambda t, c=on_l: pa.table({"k": t[c].combine_chunks()
+                                        .cast(pa.int64())}),
+            batch_format="pyarrow")
+        r2 = right.map_batches(
+            lambda t, c=on_r: pa.table({"k": t[c].combine_chunks()
+                                        .cast(pa.int64())}),
+            batch_format="pyarrow")
+        n = hash_join(
+            l2, r2, on="k",
+            l_schema=pa.schema([("k", pa.int64())]),
+            r_schema=pa.schema([("k", pa.int64())]),
+            how="left_anti",
+        ).count()
+        return dataset_from_table(pa.table(
+            {"check": pa.array([check], pa.string()),
+             "n_orphans": pa.array([n], pa.int64())}))
+
+    def year_filter(ds, ts_col, year):
+        def f(t: pa.Table, c=ts_col, y=year) -> pa.Table:
+            yy = pc.year(t[c])
+            return t.filter(pc.equal(yy, y))
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    cust = _pq(sf_dir, "customer", ["c_custkey"])
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    part = _pq(sf_dir, "part", ["p_partkey"])
+    li = _pq(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_shipdate"])
+    supp = _pq(sf_dir, "supplier", ["s_suppkey"])
+    li95 = year_filter(li, "l_shipdate", 1995)
+
+    # the 1995 ingest window: which dimension rows does it NOT cover?
+    out = count_anti(cust, year_filter(orders, "o_orderdate", 1995),
+                     "c_custkey", "o_custkey", "customers_without_1995_order")
+    for args in [(part, li95, "p_partkey", "l_partkey",
+                  "parts_not_shipped_1995"),
+                 (supp, li, "s_suppkey", "l_suppkey", "suppliers_never_used"),
+                 (orders, cust, "o_custkey", "c_custkey",
+                  "orders_missing_customer")]:
+        out = out.union(count_anti(*args))
+    return out
+
+
+Q43_SQL = """
+SELECT 'customers_without_1995_order' AS check, CAST(count(*) AS BIGINT) AS n_orphans
+FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 1995)
+UNION ALL
+SELECT 'parts_not_shipped_1995', CAST(count(*) AS BIGINT)
+FROM part p WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+  WHERE l.l_partkey = p.p_partkey AND year(l.l_shipdate) = 1995)
+UNION ALL
+SELECT 'suppliers_never_used', CAST(count(*) AS BIGINT)
+FROM supplier s WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)
+UNION ALL
+SELECT 'orders_missing_customer', CAST(count(*) AS BIGINT)
+FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+"""
+
+
 def e_int8_dot_topk(sf_dir: str):
     """Quantized exact-re-rank ANN (vectors.int8_dot_topk): top-10
     neighbors for the 4 smallest-id query vectors by the EXACT integer
@@ -4889,6 +5001,8 @@ QUERIES = {
     "g_pagerank": g_pagerank,
     "t_inverted_index": t_inverted_index,
     "e_int8_dot_topk": e_int8_dot_topk,
+    "q42_value_mad": q42_value_mad,
+    "q43_fk_orphans": q43_fk_orphans,
 }
 
 ORACLE_SQL = {
@@ -4994,4 +5108,6 @@ ORACLE_SQL = {
     "g_pagerank": G_PAGERANK_SQL,
     "t_inverted_index": T_INVIDX_SQL,
     "e_int8_dot_topk": E_INT8_DOT_SQL,
+    "q42_value_mad": Q42_SQL,
+    "q43_fk_orphans": Q43_SQL,
 }

@@ -2424,3 +2424,36 @@ def pagerank(edges, src_col: str = "src", dst_col: str = "dst", *,
              "rank_ppm": t["r"].combine_chunks().cast(pa.int64())}),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------- mad
+def grouped_mad(ds, group_key: str, value_col: str):
+    """Median absolute deviation per group — the robust-statistics
+    outlier scale estimate — EXACT for integer-ish values via two
+    histogram-quantile passes (grouped_quantiles, percentile_disc
+    rule): (1) per-group median; (2) broadcast the tiny (#groups)
+    median table and take the median of |x - med|.  Raw rows never
+    shuffle in either pass (per-block (group, value) -> count
+    partials); the two full scans are inherent to exact MAD.  Output
+    (group, med, mad, n)."""
+    import pandas as pd
+    import ray as _ray
+
+    med_df = grouped_quantiles(ds, group_key, value_col,
+                               {"med": 0.5}).to_pandas()
+    med_ref = _ray.put(dict(zip(med_df[group_key], med_df["med"])))
+
+    def dev(df: "pd.DataFrame") -> "pd.DataFrame":
+        lookup = _ray.get(med_ref)
+        m = df[group_key].map(lookup)
+        return pd.DataFrame({
+            group_key: df[group_key],
+            "__dev": (df[value_col] - m).abs().astype("int64"),
+        })
+
+    dev_ds = ds.select_columns([group_key, value_col]).map_batches(
+        dev, batch_format="pandas")
+    mad_df = grouped_quantiles(dev_ds, group_key, "__dev",
+                               {"mad": 0.5}, n_col="n").to_pandas()
+    out = med_df.merge(mad_df, on=group_key)  # #groups rows: tiny
+    return dataset_from_table(pa.Table.from_pandas(out, preserve_index=False))

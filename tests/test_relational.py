@@ -1358,3 +1358,33 @@ def test_pagerank_integer_vs_bruteforce(ray_session):
                    "src", "dst").to_pandas()
     assert dict(zip(got["vertex"], got["rank_ppm"])) == \
         brute(u.tolist(), v.tolist())
+
+
+def test_grouped_mad_matches_bruteforce(ray_session):
+    """Exact MAD per group equals a scalar percentile_disc recompute
+    (rank = max(ceil(0.5*N), 1)) on random integer data, any
+    partitioning."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+    from osm2geojson_ray.relational import grouped_mad
+
+    def disc_median(vals):
+        vals = sorted(vals)
+        return vals[max(math.ceil(0.5 * len(vals)), 1) - 1]
+
+    rng = np.random.default_rng(23)
+    g = rng.integers(0, 4, 500).astype(np.int64)
+    v = rng.integers(-50, 200, 500).astype(np.int64)
+    t = pa.table({"g": g, "v": v})
+    out = (grouped_mad(ray.data.from_arrow(t).repartition(5), "g", "v")
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    for _, row in out.iterrows():
+        vals = v[g == row["g"]].tolist()
+        med = disc_median(vals)
+        assert row["med"] == med
+        assert row["mad"] == disc_median([abs(x - med) for x in vals])
+        assert row["n"] == len(vals)
