@@ -4585,6 +4585,40 @@ FROM e GROUP BY 1, 2
 """
 
 
+def g_two_hop(sf_dir: str):
+    """Per-vertex distinct <=2-hop reach (relational.two_hop_counts)
+    over the same deterministic 64-vertex part-key graph as
+    g_triangles: symmetrized dedup once, one middle-vertex self-join,
+    pair-routed distinct, combiner-push-down count."""
+    from .relational import two_hop_counts
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        k = t["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_pydict(
+            {"u": k * 2654435761 % 8000000 // 125000,
+             "v": k * 40503 % 8000000 // 125000},
+            schema=pa.schema([("u", pa.int64()), ("v", pa.int64())]),
+        )
+
+    edges = _pq(sf_dir, "part", ["p_partkey"]).map_batches(
+        to_edges, batch_format="pyarrow")
+    return two_hop_counts(edges, "u", "v")
+
+
+G_TWO_HOP_SQL = """
+WITH raw AS (SELECT CAST(p_partkey AS BIGINT) AS k FROM part),
+e0 AS (SELECT k * 2654435761 % 8000000 // 125000 AS u,
+             k * 40503 % 8000000 // 125000 AS v FROM raw),
+sym AS (SELECT u AS a, v AS b FROM e0 WHERE u <> v
+        UNION SELECT v, u FROM e0 WHERE u <> v),
+two AS (SELECT l.a AS a, r.b AS w FROM sym l JOIN sym r ON l.b = r.a
+        WHERE l.a <> r.b),
+reach AS (SELECT DISTINCT a, w
+          FROM (SELECT a, b AS w FROM sym UNION ALL SELECT a, w FROM two))
+SELECT a AS vertex, CAST(count(*) AS BIGINT) AS n_reach FROM reach GROUP BY 1
+"""
+
+
 def q42_value_mad(sf_dir: str):
     """Grouped median absolute deviation of event values in cents
     (relational.grouped_mad) — robust outlier scale per event type:
@@ -5003,6 +5037,7 @@ QUERIES = {
     "e_int8_dot_topk": e_int8_dot_topk,
     "q42_value_mad": q42_value_mad,
     "q43_fk_orphans": q43_fk_orphans,
+    "g_two_hop": g_two_hop,
 }
 
 ORACLE_SQL = {
@@ -5110,4 +5145,5 @@ ORACLE_SQL = {
     "e_int8_dot_topk": E_INT8_DOT_SQL,
     "q42_value_mad": Q42_SQL,
     "q43_fk_orphans": Q43_SQL,
+    "g_two_hop": G_TWO_HOP_SQL,
 }

@@ -2457,3 +2457,81 @@ def grouped_mad(ds, group_key: str, value_col: str):
                                {"mad": 0.5}, n_col="n").to_pandas()
     out = med_df.merge(mad_df, on=group_key)  # #groups rows: tiny
     return dataset_from_table(pa.Table.from_pandas(out, preserve_index=False))
+
+
+# ---------------------------------------------------------------- two-hop
+def two_hop_counts(edges, u_col: str = "u", v_col: str = "v", *,
+                   num_partitions: int = 16):
+    """Per-vertex count of distinct vertices within <= 2 undirected
+    hops (self excluded) — the friends-of-friends / neighborhood-reach
+    statistic: symmetrize + dedup edges once, ONE self-join on the
+    middle vertex builds the 2-hop candidate pairs, a pair-key routed
+    distinct collapses them with the 1-hop pairs, and a
+    combiner-push-down count finishes.
+
+    Scale note: the candidate stream is O(sum deg^2) by the problem's
+    definition — the exact variant.  At web scale either pre-cap hub
+    adjacency or swap the distinct+count tail for per-vertex HLL
+    registers (hll_count_distinct) to bound the exchange; both sides
+    of the gate must then apply the same cap/sketch.  Returns
+    (vertex, n_reach)."""
+    from .text.dedup import _pair_route_key
+
+    sym_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                            ("pair_key", pa.int64())])
+
+    def sym(t: pa.Table) -> pa.Table:
+        u = t[u_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        v = t[v_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        a = np.concatenate([u, v])
+        b = np.concatenate([v, u])
+        return pa.Table.from_pydict(
+            {"a": a, "b": b, "pair_key": _pair_route_key(a, b)},
+            schema=sym_schema)
+
+    sym_e = distinct_on(
+        edges.map_batches(sym, batch_format="pyarrow"),
+        "pair_key", num_partitions=num_partitions, subset=["a", "b"],
+    ).select_columns(["a", "b"]).materialize()
+
+    # 2-hop candidates: (a -> m -> w); key the join on the middle vertex
+    left = sym_e.map_batches(
+        lambda t: pa.table({"m": t["b"].combine_chunks().cast(pa.int64()),
+                            "a": t["a"].combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow")
+    right = sym_e.map_batches(
+        lambda t: pa.table({"m": t["a"].combine_chunks().cast(pa.int64()),
+                            "w": t["b"].combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow")
+    hops2 = hash_join(
+        left, right, on="m",
+        l_schema=pa.schema([("m", pa.int64()), ("a", pa.int64())]),
+        r_schema=pa.schema([("m", pa.int64()), ("w", pa.int64())]),
+        how="inner", num_partitions=num_partitions,
+    ).map_batches(
+        lambda t: pa.table({"a": t["a"].combine_chunks().cast(pa.int64()),
+                            "w": t["w"].combine_chunks().cast(pa.int64())})
+        .filter(pc.invert(pc.equal(t["a"], t["w"]))),
+        batch_format="pyarrow",
+    )
+    one_hop = sym_e.map_batches(
+        lambda t: t.rename_columns(["a", "w"]), batch_format="pyarrow")
+
+    def keyed(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        w = t["w"].to_numpy(zero_copy_only=False)
+        return t.append_column("pair_key", pa.array(_pair_route_key(a, w)))
+
+    reach = distinct_on(
+        hops2.union(one_hop).map_batches(keyed, batch_format="pyarrow"),
+        "pair_key", num_partitions=num_partitions, subset=["a", "w"],
+    )
+    return partial_grouped_agg(
+        reach.map_batches(
+            lambda t: pa.table({"vertex": t["a"].combine_chunks()
+                                .cast(pa.int64())}),
+            batch_format="pyarrow"),
+        ["vertex"], {"n_reach": (None, "count")},
+    )

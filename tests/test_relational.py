@@ -1388,3 +1388,48 @@ def test_grouped_mad_matches_bruteforce(ray_session):
         assert row["med"] == med
         assert row["mad"] == disc_median([abs(x - med) for x in vals])
         assert row["n"] == len(vals)
+
+
+def test_two_hop_counts_vs_bruteforce(ray_session):
+    """Random multigraphs vs BFS-2 brute force; star graph: the hub
+    reaches all leaves in 1 hop, each leaf reaches hub + all other
+    leaves in 2."""
+    import numpy as np
+    import pyarrow as pa
+
+    from osm2geojson_ray.relational import dataset_from_table, two_hop_counts
+
+    def brute(u, v):
+        adj = {}
+        for a, b in zip(u, v):
+            if a != b:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+        out = {}
+        for x in adj:
+            reach = set(adj[x])
+            for m in adj[x]:
+                reach |= adj[m]
+            reach.discard(x)
+            out[x] = len(reach)
+        return out
+
+    rng = np.random.default_rng(29)
+    for _ in range(3):
+        m = int(rng.integers(20, 150))
+        nv = int(rng.integers(5, 25))
+        u = rng.integers(0, nv, m).astype(np.int64)
+        v = rng.integers(0, nv, m).astype(np.int64)
+        got = two_hop_counts(
+            dataset_from_table(pa.table({"u": u, "v": v})), "u", "v"
+        ).to_pandas()
+        assert dict(zip(got["vertex"], got["n_reach"])) == \
+            brute(u.tolist(), v.tolist())
+
+    hub_u = np.zeros(20, np.int64)
+    hub_v = np.arange(1, 21, dtype=np.int64)
+    got = two_hop_counts(
+        dataset_from_table(pa.table({"u": hub_u, "v": hub_v})), "u", "v"
+    ).to_pandas()
+    d = dict(zip(got["vertex"], got["n_reach"]))
+    assert d[0] == 20 and all(d[i] == 20 for i in range(1, 21))
