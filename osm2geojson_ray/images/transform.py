@@ -338,3 +338,24 @@ def sample_frames(ds, *, every_k: int = 2, concurrency: int = 2):
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+def image_pyramid(ds, levels, *, concurrency: int = 2,
+                  batch_size: Optional[int] = None):
+    """Multi-resolution thumbnail pyramid — the chained actor-pool
+    resize every multimodal lake materializes (training thumbnails,
+    preview tiles): each level resizes the PREVIOUS level's output, so
+    per-level cost shrinks with the image area and the full-resolution
+    bytes are read exactly once.
+
+    Each level is materialized before feeding the next (at scale:
+    write each level to its own partitioned parquet sink instead — the
+    pyramid is a fan-out of sinks, not a single stream).  Returns a
+    list of (level_index, (w, h), Dataset)."""
+    out = []
+    cur = ds
+    for li, size in enumerate(levels):
+        cur = resize_images(cur, size=size, concurrency=concurrency,
+                            batch_size=batch_size).materialize()
+        out.append((li, size, cur))
+    return out

@@ -2563,6 +2563,63 @@ FROM range(0, 2000)
 """
 
 
+def m_image_pyramid(sf_dir: str):
+    """Thumbnail pyramid over the synthetic corpus
+    (images/transform.image_pyramid): three chained actor-pool resize
+    levels (12x8 -> 6x4 -> 3x2), each consuming the previous level so
+    full-res bytes are read once.  Gate columns are derivable per
+    level (dims, count, container row bytes) but ``dims_ok``/``n_images``
+    are measured from the ACTUAL level output — TRUE/2000 only if the
+    chain really produced every thumbnail; pixel content is pinned by
+    the scalar nearest-neighbor pytest."""
+    from .images.synth import synth_image_table
+    from .images.transform import image_pyramid
+    from .relational import dataset_from_table
+
+    ds = synth_image_table(2000, partition_rows=500)
+    levels = image_pyramid(ds, [(12, 8), (6, 4), (3, 2)])
+
+    rows = {"level": [], "w": [], "h": [], "n_images": [],
+            "row_bytes": [], "dims_ok": []}
+    for li, (w, h), lvl in levels:
+        def check(t: pa.Table, w=w, h=h) -> pa.Table:
+            blob = t["bytes"].combine_chunks()
+            ln = pc.binary_length(blob).to_numpy(zero_copy_only=False)
+            ok = bool((ln == 8 + w * h * 3).all()
+                      and (t["w"].to_numpy(zero_copy_only=False) == w).all()
+                      and (t["h"].to_numpy(zero_copy_only=False) == h).all())
+            return pa.table({"n": pa.array([len(t)], pa.int64()),
+                             "ok": pa.array([ok], pa.bool_())})
+        agg = lvl.map_batches(check, batch_format="pyarrow").to_pandas()
+        rows["level"].append(li)
+        rows["w"].append(w)
+        rows["h"].append(h)
+        rows["n_images"].append(int(agg["n"].sum()))
+        rows["row_bytes"].append(8 + w * h * 3)
+        rows["dims_ok"].append(bool(agg["ok"].all()))
+    return dataset_from_table(pa.table({
+        "level": pa.array(rows["level"], pa.int64()),
+        "w": pa.array(rows["w"], pa.int64()),
+        "h": pa.array(rows["h"], pa.int64()),
+        "n_images": pa.array(rows["n_images"], pa.int64()),
+        "row_bytes": pa.array(rows["row_bytes"], pa.int64()),
+        "dims_ok": pa.array(rows["dims_ok"], pa.bool_()),
+    }))
+
+
+M_PYRAMID_SQL = """
+SELECT CAST(range AS BIGINT) AS level,
+       CAST(CASE range WHEN 0 THEN 12 WHEN 1 THEN 6 ELSE 3 END AS BIGINT) AS w,
+       CAST(CASE range WHEN 0 THEN 8 WHEN 1 THEN 4 ELSE 2 END AS BIGINT) AS h,
+       CAST(2000 AS BIGINT) AS n_images,
+       CAST(8 + (CASE range WHEN 0 THEN 12 WHEN 1 THEN 6 ELSE 3 END)
+              * (CASE range WHEN 0 THEN 8 WHEN 1 THEN 4 ELSE 2 END) * 3
+            AS BIGINT) AS row_bytes,
+       TRUE AS dims_ok
+FROM range(0, 3)
+"""
+
+
 def t_dup_clusters(sf_dir: str):
     """Near-dup CLUSTERS, not just pairs: exact Jaccard pair edges ->
     distributed connected components (min-label propagation over one
@@ -4585,6 +4642,91 @@ FROM e GROUP BY 1, 2
 """
 
 
+def q44_max_event_gap(sf_dir: str):
+    """Longest silence per user — max inter-event gap in microseconds
+    (monitoring / churn-signal window op): one hash exchange
+    (partitioned_window lag over (ts, event_id)), a vectorized gap
+    map with a -1 sentinel for first events (no nulls in the gate),
+    and a combiner-push-down max+count."""
+    from .relational import partial_grouped_agg, partitioned_window
+
+    ev = _pq(sf_dir, "events", ["user_id", "ts", "event_id"]).map_batches(
+        lambda t: pa.table({
+            "user_id": t["user_id"].combine_chunks().cast(pa.int64()),
+            "ts_us": t["ts"].combine_chunks().cast(pa.timestamp("us"))
+            .cast(pa.int64()),
+            "event_id": t["event_id"].combine_chunks().cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    w = partitioned_window(
+        ev, "user_id", [("ts_us", False), ("event_id", False)],
+        {"prev_us": ("ts_us", "lag")},
+    )
+
+    def gap(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"].combine_chunks().cast(pa.int64()),
+            "gap": pc.fill_null(
+                pc.subtract(t["ts_us"], t["prev_us"]), -1).combine_chunks()
+            .cast(pa.int64()),
+        })
+
+    return partial_grouped_agg(
+        w.map_batches(gap, batch_format="pyarrow"),
+        ["user_id"],
+        {"max_gap_us": ("gap", "max"), "n_events": (None, "count")},
+    )
+
+
+Q44_SQL = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+g AS (SELECT user_id,
+             COALESCE(ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                                               ORDER BY ts_us, event_id),
+                      -1) AS gap
+      FROM e)
+SELECT user_id, max(gap) AS max_gap_us, CAST(count(*) AS BIGINT) AS n_events
+FROM g GROUP BY 1
+"""
+
+
+def q45_cume_new_users(sf_dir: str):
+    """Cumulative distinct users by day — the audience-growth curve:
+    per-user first-seen day as a combiner-push-down grouped MIN (string
+    days sort chronologically), per-day new-user counts, and ONE
+    running sum over the #days-row result (driver-side, metrics-scale
+    by construction — the distinct-user set itself never leaves the
+    cluster)."""
+    from .relational import dataset_from_table, partial_grouped_agg
+
+    ev = _pq(sf_dir, "events", ["user_id", "ts"]).map_batches(
+        lambda t: pa.table({
+            "user_id": t["user_id"].combine_chunks().cast(pa.int64()),
+            "day": pc.strftime(t["ts"], format="%Y-%m-%d"),
+        }),
+        batch_format="pyarrow",
+    )
+    first = partial_grouped_agg(ev, ["user_id"], {"day": ("day", "min")})
+    per_day = partial_grouped_agg(
+        first.select_columns(["day"]), ["day"], {"n_new": (None, "count")}
+    ).to_pandas().sort_values("day").reset_index(drop=True)
+    per_day["cume_users"] = per_day["n_new"].cumsum().astype("int64")
+    return dataset_from_table(
+        pa.Table.from_pandas(per_day, preserve_index=False))
+
+
+Q45_SQL = """
+WITH f AS (SELECT user_id, min(strftime(ts, '%Y-%m-%d')) AS day
+           FROM events GROUP BY 1),
+c AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new FROM f GROUP BY 1)
+SELECT day, n_new,
+       CAST(sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cume_users
+FROM c
+"""
+
+
 def g_two_hop(sf_dir: str):
     """Per-vertex distinct <=2-hop reach (relational.two_hop_counts)
     over the same deterministic 64-vertex part-key graph as
@@ -5038,6 +5180,9 @@ QUERIES = {
     "q42_value_mad": q42_value_mad,
     "q43_fk_orphans": q43_fk_orphans,
     "g_two_hop": g_two_hop,
+    "q44_max_event_gap": q44_max_event_gap,
+    "q45_cume_new_users": q45_cume_new_users,
+    "m_image_pyramid": m_image_pyramid,
 }
 
 ORACLE_SQL = {
@@ -5146,4 +5291,7 @@ ORACLE_SQL = {
     "q42_value_mad": Q42_SQL,
     "q43_fk_orphans": Q43_SQL,
     "g_two_hop": G_TWO_HOP_SQL,
+    "q44_max_event_gap": Q44_SQL,
+    "q45_cume_new_users": Q45_SQL,
+    "m_image_pyramid": M_PYRAMID_SQL,
 }

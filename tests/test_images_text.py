@@ -923,3 +923,42 @@ def test_inverted_index_postings_and_cap(ray_session):
         assert out["n_occ"].tolist() == [4, 2, 2]
         # cap=2: term 'a' appears in docs 1,2,3 -> keep 1,2
         assert out["postings"].tolist() == ["1,2", "2,3", "1,2"]
+
+
+def test_image_pyramid_pixels_scalar_parity(ray_session):
+    """Each pyramid level's decoded pixels equal a scalar
+    nearest-neighbor resize of the PREVIOUS level's decoded pixels
+    (with the lossy re-quantization for rgb5 rows) — the chained
+    actor-pool path introduces nothing beyond the per-level kernel."""
+    import numpy as np
+
+    from osm2geojson_ray.images.codec import decode_image
+    from osm2geojson_ray.images.synth import synth_image_table
+    from osm2geojson_ray.images.transform import image_pyramid
+
+    ds = synth_image_table(40, partition_rows=10)
+    levels = image_pyramid(ds, [(12, 8), (6, 4)])
+
+    def collect(d):
+        df = d.to_pandas().set_index("image_id")
+        return df
+
+    base = collect(ds.materialize())
+    prev = {iid: decode_image(b) for iid, b in base["bytes"].items()}
+    fmts = base["fmt"].to_dict()
+
+    for li, (w, h), lvl in levels:
+        cur = collect(lvl)
+        assert len(cur) == 40
+        for iid, row in cur.iterrows():
+            px = decode_image(row["bytes"])
+            src = prev[iid]
+            sh, sw = src.shape[0], src.shape[1]
+            ys = (np.arange(h) * sh // h).astype(np.int64)
+            xs = (np.arange(w) * sw // w).astype(np.int64)
+            want = src[ys][:, xs]
+            if fmts[iid] != "rgb8":
+                want = np.clip((want.astype(np.int16) + 4) // 8 * 8,
+                               0, 255).astype(np.uint8)
+            assert np.array_equal(px, want), iid
+            prev[iid] = px
