@@ -3826,6 +3826,104 @@ FROM li GROUP BY 1
 """
 
 
+def q46_brand_price_slope(sf_dir: str):
+    """Grouped least-squares slope of retail price (cents) vs part
+    size as an EXACT integer rational: one combiner-push-down pass of
+    the moment partials, then slope_num = nΣxy − ΣxΣy and slope_den =
+    nΣx² − (Σx)² per brand — the regression analog of q35's corr
+    gate; no float division anywhere."""
+    from .relational import partial_grouped_agg
+
+    part = _pq(sf_dir, "part", ["p_brand", "p_size", "p_retailprice"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        x = t["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = np.round(
+            t["p_retailprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table({
+            "p_brand": t["p_brand"].combine_chunks(),
+            "x": pa.array(x), "y": pa.array(y),
+            "xx": pa.array(x * x), "xy": pa.array(x * y),
+        })
+
+    agg = partial_grouped_agg(
+        part.map_batches(derive, batch_format="pyarrow"),
+        ["p_brand"],
+        {"n": (None, "count"), "sum_x": ("x", "sum"), "sum_y": ("y", "sum"),
+         "sum_xx": ("xx", "sum"), "sum_xy": ("xy", "sum")},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        sx = t["sum_x"].to_numpy(zero_copy_only=False)
+        sy = t["sum_y"].to_numpy(zero_copy_only=False)
+        sxx = t["sum_xx"].to_numpy(zero_copy_only=False)
+        sxy = t["sum_xy"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "p_brand": t["p_brand"].combine_chunks(),
+            "n": pa.array(n.astype(np.int64)),
+            "slope_num": pa.array(n * sxy - sx * sy),
+            "slope_den": pa.array(n * sxx - sx * sx),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+Q46_SQL = """
+WITH p AS (SELECT p_brand, CAST(p_size AS BIGINT) AS x,
+                  CAST(round(p_retailprice * 100) AS BIGINT) AS y
+           FROM part)
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS slope_num,
+       CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS slope_den
+FROM p GROUP BY 1
+"""
+
+
+def q47_user_event_entropy(sf_dir: str):
+    """Per-user event-type entropy as EXACT integer evidence: each
+    (user, type) count contributes round(c·ln(c)·10⁶) — rounded PER
+    TERM so the grouped sum is an order-free integer (a raw float Σ
+    would be addition-order-dependent and unhashable); entropy is the
+    driver-side rational H = ln(n) − Σ/(n·10⁶) of (n_events,
+    sum_clnc_1e6), same exactness argument as q35's corr partials."""
+    from .relational import partial_grouped_agg
+
+    ev = _pq(sf_dir, "events", ["user_id", "event_type"])
+    cnt = partial_grouped_agg(
+        ev, ["user_id", "event_type"], {"c": (None, "count")})
+
+    def term(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "user_id": t["user_id"].combine_chunks().cast(pa.int64()),
+            "c": t["c"].combine_chunks().cast(pa.int64()),
+            "clnc": pa.array(np.round(c * np.log(c) * 1e6).astype(np.int64)),
+        })
+
+    return partial_grouped_agg(
+        cnt.map_batches(term, batch_format="pyarrow"),
+        ["user_id"],
+        {"n_events": ("c", "sum"), "n_types": (None, "count"),
+         "sum_clnc_1e6": ("clnc", "sum")},
+    )
+
+
+Q47_SQL = """
+WITH c AS (SELECT user_id, event_type, count(*) AS c
+           FROM events GROUP BY 1, 2),
+t AS (SELECT user_id, c,
+             CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS clnc
+      FROM c)
+SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(clnc) AS BIGINT) AS sum_clnc_1e6
+FROM t GROUP BY 1
+"""
+
+
 def q36_retention_cohorts(sf_dir: str):
     """Cohort retention matrix: users bucketed by their FIRST active
     month, counted per (cohort_month, month_offset) — the product
@@ -5183,6 +5281,8 @@ QUERIES = {
     "q44_max_event_gap": q44_max_event_gap,
     "q45_cume_new_users": q45_cume_new_users,
     "m_image_pyramid": m_image_pyramid,
+    "q46_brand_price_slope": q46_brand_price_slope,
+    "q47_user_event_entropy": q47_user_event_entropy,
 }
 
 ORACLE_SQL = {
@@ -5294,4 +5394,6 @@ ORACLE_SQL = {
     "q44_max_event_gap": Q44_SQL,
     "q45_cume_new_users": Q45_SQL,
     "m_image_pyramid": M_PYRAMID_SQL,
+    "q46_brand_price_slope": Q46_SQL,
+    "q47_user_event_entropy": Q47_SQL,
 }
