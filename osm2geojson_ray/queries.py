@@ -3826,6 +3826,138 @@ FROM li GROUP BY 1
 """
 
 
+def q48_event_trigrams(sf_dir: str):
+    """Top-20 length-3 event-type sequences across all users — the
+    behavioral n-gram miner: ONE hash exchange on user_id, a
+    per-partition lexsort + double shift builds every within-user
+    trigram vectorized (all of a user's rows are co-located, so no
+    window machinery is needed), per-partition np.unique pre-counts,
+    one tiny grouped sum, and the shuffle-free relational.topk with
+    full lexicographic tiebreak."""
+    from .relational import hash_exchange_map, partial_grouped_agg, topk
+
+    ev = _pq(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+
+    tri_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+                            ("c", pa.string()), ("n", pa.int64())])
+
+    def trigrams(t: pa.Table) -> pa.Table:
+        if "__part" in t.column_names:
+            t = t.drop_columns(["__part"])
+        if len(t) == 0:
+            return tri_schema.empty_table()
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].combine_chunks().cast(pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        et = t["event_type"].combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, ts, u))
+        us, cs = u[order], codes[order]
+        n = len(us)
+        if n < 3:
+            return tri_schema.empty_table()
+        # trigram rows: positions i where i, i+1, i+2 share a user
+        same = (us[:-2] == us[1:-1]) & (us[1:-1] == us[2:])
+        a, b, c = cs[:-2][same], cs[1:-1][same], cs[2:][same]
+        if len(a) == 0:
+            return tri_schema.empty_table()
+        v = len(et.dictionary)
+        packed = (a * v + b) * v + c
+        uniq, cnt = np.unique(packed, return_counts=True)
+        dic = et.dictionary
+        return pa.Table.from_pydict(
+            {"a": dic.take(pa.array(uniq // (v * v))),
+             "b": dic.take(pa.array(uniq // v % v)),
+             "c": dic.take(pa.array(uniq % v)),
+             "n": cnt.astype(np.int64)},
+            schema=tri_schema)
+
+    parts = hash_exchange_map(ev, "user_id", 16, trigrams)
+    total = partial_grouped_agg(parts, ["a", "b", "c"], {"n": ("n", "sum")})
+    return topk(total, [("n", True), ("a", False), ("b", False),
+                        ("c", False)], k=20)
+
+
+Q48_SQL = """
+WITH w AS (
+  SELECT event_type AS a,
+         lead(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS b,
+         lead(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS c
+  FROM events),
+g AS (SELECT a, b, c, CAST(count(*) AS BIGINT) AS n FROM w
+      WHERE b IS NOT NULL AND c IS NOT NULL GROUP BY 1, 2, 3)
+SELECT a, b, c, n FROM g ORDER BY n DESC, a, b, c LIMIT 20
+"""
+
+
+def q49_copurchase_pairs(sf_dir: str):
+    """Market-basket mining: top-25 part pairs co-occurring in the
+    same order — ONE hash exchange of slim (orderkey, partkey) rows,
+    per-partition vectorized triu pair enumeration per order (the
+    capped-LSH standard: an order's item list is bounded by the
+    schema, so no cap needed here), np.unique pre-count, tiny grouped
+    sum, shuffle-free topk."""
+    from .relational import hash_exchange_map, partial_grouped_agg, topk
+
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    pair_schema = pa.schema([("part_a", pa.int64()), ("part_b", pa.int64()),
+                             ("n", pa.int64())])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        if "__part" in t.column_names:
+            t = t.drop_columns(["__part"])
+        if len(t) == 0:
+            return pair_schema.empty_table()
+        o = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        p = t["l_partkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, o))
+        os_, ps = o[order], p[order]
+        # dedup repeated parts within an order (same part on two lines)
+        keep = np.r_[True, (os_[1:] != os_[:-1]) | (ps[1:] != ps[:-1])]
+        os_, ps = os_[keep], ps[keep]
+        starts = np.flatnonzero(np.r_[True, os_[1:] != os_[:-1]])
+        ends = np.r_[starts[1:], len(os_)]
+        a_out, b_out = [], []
+        for s, e in zip(starts, ends):
+            g = e - s
+            if g < 2:
+                continue
+            ii, jj = np.triu_indices(int(g), k=1)
+            a_out.append(ps[s + ii])
+            b_out.append(ps[s + jj])
+        if not a_out:
+            return pair_schema.empty_table()
+        a = np.concatenate(a_out)
+        b = np.concatenate(b_out)
+        packed = a * 2_000_000 + b  # partkeys < 2e6 at every test sf
+        uniq, cnt = np.unique(packed, return_counts=True)
+        return pa.Table.from_pydict(
+            {"part_a": uniq // 2_000_000, "part_b": uniq % 2_000_000,
+             "n": cnt.astype(np.int64)},
+            schema=pair_schema)
+
+    parts = hash_exchange_map(li, "l_orderkey", 16, pairs)
+    total = partial_grouped_agg(parts, ["part_a", "part_b"],
+                                {"n": ("n", "sum")})
+    return topk(total, [("n", True), ("part_a", False), ("part_b", False)],
+                k=25)
+
+
+Q49_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS n
+      FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2)
+SELECT part_a, part_b, n FROM p ORDER BY n DESC, part_a, part_b LIMIT 25
+"""
+
+
 def q46_brand_price_slope(sf_dir: str):
     """Grouped least-squares slope of retail price (cents) vs part
     size as an EXACT integer rational: one combiner-push-down pass of
@@ -5283,6 +5415,8 @@ QUERIES = {
     "m_image_pyramid": m_image_pyramid,
     "q46_brand_price_slope": q46_brand_price_slope,
     "q47_user_event_entropy": q47_user_event_entropy,
+    "q48_event_trigrams": q48_event_trigrams,
+    "q49_copurchase_pairs": q49_copurchase_pairs,
 }
 
 ORACLE_SQL = {
@@ -5396,4 +5530,6 @@ ORACLE_SQL = {
     "m_image_pyramid": M_PYRAMID_SQL,
     "q46_brand_price_slope": Q46_SQL,
     "q47_user_event_entropy": Q47_SQL,
+    "q48_event_trigrams": Q48_SQL,
+    "q49_copurchase_pairs": Q49_SQL,
 }
