@@ -3826,6 +3826,58 @@ FROM li GROUP BY 1
 """
 
 
+def q50_daily_user_bitmap(sf_dir: str):
+    """Per-day active-user BITMAP index — the roaring-bitmap shape of
+    audience analytics: each event sets bit (user_id % 64) of word
+    (user_id // 64) for its day; per-batch OR partials combine through
+    the new ``or`` kind of partial_grouped_agg (associative, raw
+    events never shuffle) and the gate compares exact word values plus
+    the popcount-derived distinct-user count per day against bit_or in
+    SQL."""
+    from .relational import partial_grouped_agg
+
+    ev = _pq(sf_dir, "events", ["user_id", "ts"]).map_batches(
+        lambda t: pa.table({
+            "day": pc.strftime(t["ts"], format="%Y-%m-%d"),
+            "word_idx": pa.array(
+                t["user_id"].to_numpy(zero_copy_only=False) // 62),
+            "word": pa.array(
+                np.int64(1) << (t["user_id"].to_numpy(zero_copy_only=False)
+                                % 62).astype(np.int64)),
+        }),
+        batch_format="pyarrow",
+    )
+    agg = partial_grouped_agg(ev, ["day", "word_idx"],
+                              {"word": ("word", "or")})
+
+    def finish(t: pa.Table) -> pa.Table:
+        w = t["word"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pop = np.zeros(len(w), np.int64)
+        v = w.copy()
+        while v.any():
+            pop += (v & np.uint64(1)).astype(np.int64)
+            v >>= np.uint64(1)
+        return pa.table({
+            "day": t["day"].combine_chunks(),
+            "word_idx": t["word_idx"].combine_chunks().cast(pa.int64()),
+            "word": t["word"].combine_chunks().cast(pa.int64()),
+            "n_users": pa.array(pop),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+Q50_SQL = """
+WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                  user_id // 62 AS word_idx,
+                  CAST(1 AS BIGINT) << CAST(user_id % 62 AS INT) AS bit
+           FROM events)
+SELECT day, word_idx, CAST(bit_or(bit) AS BIGINT) AS word,
+       CAST(bit_count(bit_or(bit)) AS BIGINT) AS n_users
+FROM e GROUP BY 1, 2
+"""
+
+
 def q48_event_trigrams(sf_dir: str):
     """Top-20 length-3 event-type sequences across all users — the
     behavioral n-gram miner: ONE hash exchange on user_id, a
@@ -5417,6 +5469,7 @@ QUERIES = {
     "q47_user_event_entropy": q47_user_event_entropy,
     "q48_event_trigrams": q48_event_trigrams,
     "q49_copurchase_pairs": q49_copurchase_pairs,
+    "q50_daily_user_bitmap": q50_daily_user_bitmap,
 }
 
 ORACLE_SQL = {
@@ -5532,4 +5585,5 @@ ORACLE_SQL = {
     "q47_user_event_entropy": Q47_SQL,
     "q48_event_trigrams": Q48_SQL,
     "q49_copurchase_pairs": Q49_SQL,
+    "q50_daily_user_bitmap": Q50_SQL,
 }

@@ -528,9 +528,11 @@ def partial_grouped_agg(ds, keys: List[str], aggs: Dict[str, Tuple[str, str]]):
     #groups x #blocks tiny partial rows reach the final (small) groupby
     — raw rows never shuffle.  ``aggs``: {out_col: (in_col, "sum") |
     (None, "count") | (in_col, "max") | (in_col, "min") |
-    (in_col, "xor")} — count partials combine by sum, max by max, min
-    by min, xor by xor (all associative; xor is SQL ``bit_xor``, an
-    order-independent integer fingerprint aggregate).  The scale
+    (in_col, "xor") | (in_col, "or")} — count partials combine by sum,
+    max by max, min by min, xor by xor, or by or (all associative;
+    xor is SQL ``bit_xor``, an order-independent integer fingerprint
+    aggregate; or is SQL ``bit_or``, the bitmap-index set-union
+    aggregate).  The scale
     pattern for low-cardinality keys; for high-cardinality keys use
     hash_exchange_map instead (the xor partial additionally pays one
     per-group reduce call, bounded by that same cardinality)."""
@@ -538,6 +540,9 @@ def partial_grouped_agg(ds, keys: List[str], aggs: Dict[str, Tuple[str, str]]):
 
     def _xor_reduce(s):
         return np.bitwise_xor.reduce(s.to_numpy())
+
+    def _or_reduce(s):
+        return np.bitwise_or.reduce(s.to_numpy())
 
     def partial(df):
         # dropna=False: null group keys must aggregate like any other
@@ -553,6 +558,8 @@ def partial_grouped_agg(ds, keys: List[str], aggs: Dict[str, Tuple[str, str]]):
                 out[out_col] = g[in_col].min()
             elif how == "xor":
                 out[out_col] = g[in_col].agg(_xor_reduce)
+            elif how == "or":
+                out[out_col] = g[in_col].agg(_or_reduce)
             else:
                 out[out_col] = g.size()
         return pd.DataFrame(out).reset_index()
@@ -584,6 +591,8 @@ def partial_grouped_agg(ds, keys: List[str], aggs: Dict[str, Tuple[str, str]]):
                 return g[c].min()
             if how == "xor":
                 return g[c].agg(lambda s: np.bitwise_xor.reduce(s.to_numpy()))
+            if how == "or":
+                return g[c].agg(lambda s: np.bitwise_or.reduce(s.to_numpy()))
             return g[c].sum()
 
         out = {c: _combine(c) for c in aggs}

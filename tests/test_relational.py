@@ -1433,3 +1433,25 @@ def test_two_hop_counts_vs_bruteforce(ray_session):
     ).to_pandas()
     d = dict(zip(got["vertex"], got["n_reach"]))
     assert d[0] == 20 and all(d[i] == 20 for i in range(1, 21))
+
+
+def test_partial_grouped_agg_or_cross_block(ray_session):
+    """The 'or' kind must union bits across blocks (associative
+    combine through the partial AND final stages)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+    from osm2geojson_ray.relational import partial_grouped_agg
+
+    rng = np.random.default_rng(31)
+    g = rng.integers(0, 3, 300).astype(np.int64)
+    bits = np.int64(1) << rng.integers(0, 62, 300).astype(np.int64)
+    t = pa.table({"g": g, "w": bits})
+    for nblocks in (1, 7):
+        out = (partial_grouped_agg(
+            ray.data.from_arrow(t).repartition(nblocks),
+            ["g"], {"w": ("w", "or")})
+            .to_pandas().sort_values("g").reset_index(drop=True))
+        for i in range(3):
+            assert out.loc[i, "w"] == np.bitwise_or.reduce(bits[g == i])
