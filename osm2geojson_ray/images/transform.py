@@ -359,3 +359,68 @@ def image_pyramid(ds, levels, *, concurrency: int = 2,
                             batch_size=batch_size).materialize()
         out.append((li, size, cur))
     return out
+
+
+_MOSAIC_SCHEMA = pa.schema([
+    ("cell_id", pa.int64()), ("n_used", pa.int64()),
+    ("bytes", pa.binary()), ("w", pa.int64()), ("h", pa.int64()),
+])
+
+
+def tile_mosaic(ds, *, cell_col: str = "cell_id", id_col: str = "image_idx",
+                grid: int = 4, num_partitions: int = 16):
+    """Contact sheet per map tile — the visual-inspection artifact a
+    curation pipeline renders per region: up to grid² images per cell
+    (smallest ids, deterministic), pasted row-major onto one canvas;
+    unused slots stay black.  Input rows carry (cell, id, bytes) with
+    UNIFORM self-contained containers.
+
+    Scale shape: callers pre-cap per cell with grouped_topk so only
+    <= grid² thumbnail rows per tile ever shuffle (thumbnails, not
+    full-res); ONE hash exchange on the cell co-locates each sheet;
+    the kernel decodes the partition's rows as one zero-copy
+    (n, h, w, 3) view and pastes per tile — a per-TILE loop over
+    <= grid² whole-image slice copies, never per-pixel/per-row
+    Python.  Returns (cell_id, n_used, bytes, w, h)."""
+    from ..relational import empty_dataset, hash_exchange_map
+    from .codec import batch_pixel_view, encode_image
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if "__part" in tbl.column_names:
+            tbl = tbl.drop_columns(["__part"])
+        n = len(tbl)
+        if n == 0:
+            return _MOSAIC_SCHEMA.empty_table()
+        view = batch_pixel_view(tbl["bytes"])
+        if view is None:
+            raise ValueError("tile_mosaic requires uniform-size "
+                             "self-contained image containers")
+        px, w, h = view
+        cells = tbl[cell_col].to_numpy(zero_copy_only=False)
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, cells))
+        cells_s, px_s = cells[order], px[order]
+        starts = np.flatnonzero(np.r_[True, cells_s[1:] != cells_s[:-1]])
+        ends = np.r_[starts[1:], n]
+        out_cells, out_n, out_bytes = [], [], []
+        for s, e in zip(starts, ends):
+            take = min(int(e - s), grid * grid)
+            canvas = np.zeros((h * grid, w * grid, 3), np.uint8)
+            for pos in range(take):
+                r, c = divmod(pos, grid)
+                canvas[r * h:(r + 1) * h, c * w:(c + 1) * w] = px_s[s + pos]
+            out_cells.append(int(cells_s[s]))
+            out_n.append(take)
+            out_bytes.append(encode_image(canvas, "rgb8"))
+        return pa.Table.from_pydict(
+            {"cell_id": pa.array(out_cells, pa.int64()),
+             "n_used": pa.array(out_n, pa.int64()),
+             "bytes": pa.array(out_bytes, pa.binary()),
+             "w": pa.array([w * grid] * len(out_cells), pa.int64()),
+             "h": pa.array([h * grid] * len(out_cells), pa.int64())},
+            schema=_MOSAIC_SCHEMA)
+
+    out = hash_exchange_map(ds, cell_col, num_partitions, kernel)
+    if out is None:
+        return empty_dataset(_MOSAIC_SCHEMA)
+    return out

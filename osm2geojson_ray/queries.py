@@ -2620,6 +2620,63 @@ FROM range(0, 3)
 """
 
 
+def m_tile_mosaic(sf_dir: str):
+    """Per-tile contact sheet (images/transform.tile_mosaic): the 2000
+    synthetic images get part_images'-formula positions from their
+    index, a level-6 cell assignment, a grouped_topk cap at the 16
+    smallest ids per tile (so only capped THUMBNAILS shuffle), and one
+    cell exchange assembles each 4x4 96x64 mosaic.  The gate checks
+    (cell_id, n_used, w, h) against the SQL cell formula with
+    least(count, 16); mosaic pixels are pinned by the scalar-assembly
+    pytest."""
+    from .images.synth import synth_image_table
+    from .images.transform import tile_mosaic
+    from .relational import grouped_topk
+    from .spatial.cells import cell_id
+
+    ds = synth_image_table(2000, partition_rows=500)
+
+    def assign(t: pa.Table) -> pa.Table:
+        idx = (
+            pc.cast(pc.utf8_slice_codeunits(t["image_id"], 4), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        lon = (idx * 2654435761 % 8000000) / 1e6 - 2.0
+        lat = (idx * 40503 % 8000000) / 1e6 - 2.0
+        return pa.Table.from_pydict(
+            {"cell_id": cell_id(lon, lat, 6),
+             "image_idx": pa.array(idx),
+             "bytes": t["bytes"].combine_chunks()},
+            schema=pa.schema([("cell_id", pa.int64()),
+                              ("image_idx", pa.int64()),
+                              ("bytes", pa.binary())]),
+        )
+
+    cells = ds.map_batches(assign, batch_format="pyarrow")
+    capped = grouped_topk(cells, "cell_id", [("image_idx", False)], k=16)
+    return tile_mosaic(capped).select_columns(
+        ["cell_id", "n_used", "w", "h"])
+
+
+M_MOSAIC_SQL = """
+WITH img AS (
+  SELECT range AS idx,
+         (range * 2654435761 % 8000000) / 1e6 - 2 AS lon,
+         (range * 40503 % 8000000) / 1e6 - 2 AS lat
+  FROM range(0, 2000)),
+c AS (SELECT idx,
+             6 * 288230376151711744
+             + CAST(floor((lon + 180) / 360 * 64) AS BIGINT) * 536870912
+             + CAST(floor((lat + 90) / 180 * 64) AS BIGINT) AS cell_id
+      FROM img)
+SELECT cell_id,
+       CAST(least(count(*), 16) AS BIGINT) AS n_used,
+       CAST(96 AS BIGINT) AS w,
+       CAST(64 AS BIGINT) AS h
+FROM c GROUP BY 1
+"""
+
+
 def t_dup_clusters(sf_dir: str):
     """Near-dup CLUSTERS, not just pairs: exact Jaccard pair edges ->
     distributed connected components (min-label propagation over one
@@ -5470,6 +5527,7 @@ QUERIES = {
     "q48_event_trigrams": q48_event_trigrams,
     "q49_copurchase_pairs": q49_copurchase_pairs,
     "q50_daily_user_bitmap": q50_daily_user_bitmap,
+    "m_tile_mosaic": m_tile_mosaic,
 }
 
 ORACLE_SQL = {
@@ -5586,4 +5644,5 @@ ORACLE_SQL = {
     "q48_event_trigrams": Q48_SQL,
     "q49_copurchase_pairs": Q49_SQL,
     "q50_daily_user_bitmap": Q50_SQL,
+    "m_tile_mosaic": M_MOSAIC_SQL,
 }

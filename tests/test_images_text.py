@@ -962,3 +962,40 @@ def test_image_pyramid_pixels_scalar_parity(ray_session):
                                0, 255).astype(np.uint8)
             assert np.array_equal(px, want), iid
             prev[iid] = px
+
+
+def test_tile_mosaic_pixels_scalar_assembly(ray_session):
+    """Mosaic pixels equal a scalar paste of the cell's <= grid^2
+    smallest-id thumbnails row-major onto a black canvas; unused
+    slots stay black; partition-count independent."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+    from osm2geojson_ray.images.codec import decode_image, encode_image
+    from osm2geojson_ray.images.transform import tile_mosaic
+
+    rng = np.random.default_rng(37)
+    n, w, h = 23, 6, 4
+    pix = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+    cells = rng.integers(0, 3, n).astype(np.int64)
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({
+        "cell_id": pa.array(cells),
+        "image_idx": pa.array(ids),
+        "bytes": pa.array([encode_image(p, "rgb8") for p in pix],
+                          pa.binary()),
+    })
+    for nparts in (1, 4):
+        out = (tile_mosaic(ray.data.from_arrow(t).repartition(nparts),
+                           grid=2)
+               .to_pandas().set_index("cell_id").sort_index())
+        for cell in np.unique(cells):
+            members = ids[cells == cell][:4]
+            canvas = np.zeros((h * 2, w * 2, 3), np.uint8)
+            for pos, mid in enumerate(members):
+                r, c = divmod(pos, 2)
+                canvas[r * h:(r + 1) * h, c * w:(c + 1) * w] = pix[mid]
+            row = out.loc[int(cell)]
+            assert row["n_used"] == len(members)
+            assert np.array_equal(decode_image(row["bytes"]), canvas)
