@@ -320,6 +320,67 @@ FROM smfin GROUP BY 1
 """
 
 
+def q51_sliding_hll_users(sf_dir: str):
+    """3-day sliding-window distinct-user sketches — the register
+    max-merge that replaces a raw re-scan per window at scale:
+    per-day HLL registers (relational.grouped_hll_registers,
+    bit-identical to q18's sketch), then ONE window merge over the
+    tiny #days x registers table (collected driver-side — it is
+    sketch-, not data-, sized by construction).  Gate: exact
+    (day, register_idx, register) per window; the estimate is a
+    deterministic function of these gated integers."""
+    from .relational import dataset_from_table, grouped_hll_registers
+
+    ev = _pq(sf_dir, "events", ["user_id", "ts"]).map_batches(
+        lambda t: pa.table({
+            "day": pc.strftime(t["ts"], format="%Y-%m-%d"),
+            "user_id": t["user_id"].combine_chunks().cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    daily = grouped_hll_registers(ev, "day", "user_id", p=12).to_pandas()
+
+    import datetime as _dt
+
+    import pandas as pd
+
+    days = sorted(daily["day"].unique())
+    by_day = {d: g for d, g in daily.groupby("day")}
+    out = []
+    for d in days:
+        dd = _dt.date.fromisoformat(d)
+        frames = [by_day[x] for x in
+                  (str(dd - _dt.timedelta(days=k)) for k in range(3))
+                  if x in by_day]
+        merged = (pd.concat(frames)
+                  .groupby("register_idx", as_index=False)["register"].max())
+        merged.insert(0, "day", d)
+        out.append(merged)
+    res = pd.concat(out, ignore_index=True)
+    res["register_idx"] = res["register_idx"].astype("int64")
+    res["register"] = res["register"].astype("int64")
+    return dataset_from_table(pa.Table.from_pandas(res, preserve_index=False))
+
+
+Q51_SQL = f"""
+WITH du AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, user_id
+            FROM events),
+{_splitmix_over("user_id", "(SELECT DISTINCT user_id FROM events)")},
+r AS (SELECT du.day, CAST(h64 % 4096 AS BIGINT) AS register_idx,
+             max(CASE WHEN h64 // 4096 = 0 THEN 53
+                      ELSE 52 - CAST(floor(log2(CAST(h64 // 4096 AS DOUBLE)))
+                                     AS BIGINT)
+                 END) AS register
+      FROM du JOIN smfin ON smfin.k = du.user_id GROUP BY 1, 2),
+days AS (SELECT DISTINCT day FROM r)
+SELECT d.day, r.register_idx, max(r.register) AS register
+FROM days d JOIN r
+  ON CAST(r.day AS DATE) BETWEEN CAST(d.day AS DATE) - INTERVAL 2 DAY
+                             AND CAST(d.day AS DATE)
+GROUP BY 1, 2
+"""
+
+
 def q7_asof_prev_event(sf_dir: str):
     """Backward as-of SELF-join: each event enriched with the same
     user's most recent STRICTLY-earlier event (temporal.asof_join —
@@ -5528,6 +5589,7 @@ QUERIES = {
     "q49_copurchase_pairs": q49_copurchase_pairs,
     "q50_daily_user_bitmap": q50_daily_user_bitmap,
     "m_tile_mosaic": m_tile_mosaic,
+    "q51_sliding_hll_users": q51_sliding_hll_users,
 }
 
 ORACLE_SQL = {
@@ -5645,4 +5707,5 @@ ORACLE_SQL = {
     "q49_copurchase_pairs": Q49_SQL,
     "q50_daily_user_bitmap": Q50_SQL,
     "m_tile_mosaic": M_MOSAIC_SQL,
+    "q51_sliding_hll_users": Q51_SQL,
 }

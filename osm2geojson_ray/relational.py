@@ -1093,6 +1093,68 @@ def hll_registers(ds, key_col: str, *, p: int = 12):
     )
 
 
+def grouped_hll_registers(ds, group_col: str, key_col: str, *, p: int = 12):
+    """Per-group HyperLogLog registers — the mergeable distinct sketch
+    keyed by a group column (e.g. one sketch per DAY): per batch the
+    (group, register_idx) -> max(rho) partial collapses via one packed
+    argsort+maximum.reduceat (no per-row Python), partials merge by
+    grouped MAX.  The output is #groups x <= 2^p tiny integer rows —
+    the shape that makes SLIDING-window distinct counts a register
+    max-merge over the window's groups instead of a re-scan of raw
+    rows.  Register values are bit-identical to hll_registers (same
+    splitmix64 route/rho), so a SQL twin recomputes them exactly."""
+    m = 1 << p
+    width = 64 - p
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from .images.synth import splitmix64
+
+        keys = (
+            pc.fill_null(tbl[key_col], 0)
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+        grp = tbl[group_col]
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        if len(keys) == 0:
+            return pa.table(
+                {group_col: grp.slice(0, 0),
+                 "register_idx": pa.array([], pa.int64()),
+                 "register": pa.array([], pa.int64())}
+            )
+        h = splitmix64(keys)
+        idx = (h & np.uint64(m - 1)).astype(np.int64)
+        w = (h >> np.uint64(p)).astype(np.uint64)
+        rho = np.where(
+            w == 0,
+            np.int64(width + 1),
+            (width - np.floor(np.log2(np.maximum(w, 1))).astype(np.int64)),
+        ).astype(np.int64)
+        genc = grp.dictionary_encode()
+        gcodes = genc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        packed = gcodes * m + idx
+        order = np.argsort(packed, kind="stable")
+        pk_s, rho_s = packed[order], rho[order]
+        starts = np.flatnonzero(np.r_[True, pk_s[1:] != pk_s[:-1]])
+        regs = np.maximum.reduceat(rho_s, starts)
+        return pa.table(
+            {group_col: genc.dictionary.take(pa.array(pk_s[starts] // m)),
+             "register_idx": pa.array(pk_s[starts] % m),
+             "register": pa.array(regs)}
+        )
+
+    return partial_grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [group_col, "register_idx"],
+        {"register": ("register", "max")},
+    )
+
+
 def hll_estimate(registers: pa.Table, *, p: int = 12) -> float:
     """Standard HLL cardinality estimate from (register_idx, register)
     rows (absent rows = zero registers): bias-corrected raw estimate

@@ -1455,3 +1455,47 @@ def test_partial_grouped_agg_or_cross_block(ray_session):
             .to_pandas().sort_values("g").reset_index(drop=True))
         for i in range(3):
             assert out.loc[i, "w"] == np.bitwise_or.reduce(bits[g == i])
+
+
+def test_grouped_hll_registers_match_global(ray_session):
+    """Per-group registers restricted to one group equal the global
+    sketch over that group's keys (bit-identical splitmix route/rho),
+    across partitionings; window max-merge of two days equals the
+    sketch of their union."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+    from osm2geojson_ray.relational import grouped_hll_registers, hll_registers
+
+    rng = np.random.default_rng(41)
+    g = np.where(rng.random(400) < 0.5, "d1", "d2")
+    k = rng.integers(0, 10**9, 400).astype(np.int64)
+    t = pa.table({"day": pa.array(g), "user_id": pa.array(k)})
+
+    base = None
+    for nparts in (1, 5):
+        got = (grouped_hll_registers(
+            ray.data.from_arrow(t).repartition(nparts), "day", "user_id")
+            .to_pandas().sort_values(["day", "register_idx"])
+            .reset_index(drop=True))
+        if base is None:
+            base = got
+        else:
+            assert got.equals(base)
+
+    for day in ("d1", "d2"):
+        sub = pa.table({"user_id": pa.array(k[g == day])})
+        want = (hll_registers(ray.data.from_arrow(sub), "user_id")
+                .to_pandas().sort_values("register_idx")
+                .reset_index(drop=True))
+        have = (base[base["day"] == day][["register_idx", "register"]]
+                .reset_index(drop=True))
+        assert have.equals(want)
+
+    # merge property: max over the two days' registers == union sketch
+    merged = (base.groupby("register_idx", as_index=False)["register"].max())
+    union = (hll_registers(ray.data.from_arrow(
+        pa.table({"user_id": pa.array(k)})), "user_id")
+        .to_pandas().sort_values("register_idx").reset_index(drop=True))
+    assert merged.sort_values("register_idx").reset_index(drop=True).equals(union)
