@@ -3996,6 +3996,54 @@ FROM e GROUP BY 1, 2
 """
 
 
+def q52_props_extract(sf_dir: str):
+    """Semi-structured property extraction — the JSON-ish payload
+    field every event log carries: one Arrow RE2 `extract_regex` pass
+    pulls k out of ``props`` (RE2 on both engines, so extraction is
+    byte-identical), then a combiner-push-down sum/min/max/count per
+    event type plus an n_bad miss counter (0 on healthy data but the
+    gate checks it)."""
+    from .relational import partial_grouped_agg
+
+    ev = _pq(sf_dir, "events", ["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        col = t["props"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        m = pc.extract_regex(col, r'"k": (?P<v>\d+)')
+        v = pc.struct_field(m, "v")
+        ok = pc.is_valid(v)
+        k = pc.fill_null(pc.cast(v, pa.int64()), 0)
+        return pa.table({
+            "event_type": t["event_type"].combine_chunks(),
+            "k": k,
+            "bad": pc.cast(pc.invert(ok), pa.int64()),
+        })
+
+    return partial_grouped_agg(
+        ev.map_batches(extract, batch_format="pyarrow"),
+        ["event_type"],
+        {"n": (None, "count"), "sum_k": ("k", "sum"),
+         "min_k": ("k", "min"), "max_k": ("k", "max"),
+         "n_bad": ("bad", "sum")},
+    )
+
+
+Q52_SQL = r"""
+WITH e AS (
+  SELECT event_type,
+         TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS v
+  FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(COALESCE(v, 0)) AS BIGINT) AS sum_k,
+       CAST(min(COALESCE(v, 0)) AS BIGINT) AS min_k,
+       CAST(max(COALESCE(v, 0)) AS BIGINT) AS max_k,
+       CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+FROM e GROUP BY 1
+"""
+
+
 def q48_event_trigrams(sf_dir: str):
     """Top-20 length-3 event-type sequences across all users — the
     behavioral n-gram miner: ONE hash exchange on user_id, a
@@ -5590,6 +5638,7 @@ QUERIES = {
     "q50_daily_user_bitmap": q50_daily_user_bitmap,
     "m_tile_mosaic": m_tile_mosaic,
     "q51_sliding_hll_users": q51_sliding_hll_users,
+    "q52_props_extract": q52_props_extract,
 }
 
 ORACLE_SQL = {
@@ -5708,4 +5757,5 @@ ORACLE_SQL = {
     "q50_daily_user_bitmap": Q50_SQL,
     "m_tile_mosaic": M_MOSAIC_SQL,
     "q51_sliding_hll_users": Q51_SQL,
+    "q52_props_extract": Q52_SQL,
 }

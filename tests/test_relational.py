@@ -1499,3 +1499,25 @@ def test_grouped_hll_registers_match_global(ray_session):
         pa.table({"user_id": pa.array(k)})), "user_id")
         .to_pandas().sort_values("register_idx").reset_index(drop=True))
     assert merged.sort_values("register_idx").reset_index(drop=True).equals(union)
+
+
+def test_props_extract_counts_malformed(ray_session, tmp_path):
+    """q52 semantics on planted props: well-formed rows sum their k,
+    malformed / missing-key rows count as n_bad and contribute 0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osm2geojson_ray.queries import q52_props_extract
+
+    t = pa.table({
+        "event_type": pa.array(["a", "a", "a", "b"], pa.string()),
+        "props": pa.array(['{"k": 7}', 'garbage', '{"j": 5}', '{"k": 11}'],
+                          pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = (q52_props_extract(str(tmp_path)).to_pandas()
+           .sort_values("event_type").reset_index(drop=True))
+    assert out.loc[0, ["n", "sum_k", "min_k", "max_k", "n_bad"]].tolist() == \
+        [3, 7, 0, 7, 2]
+    assert out.loc[1, ["n", "sum_k", "min_k", "max_k", "n_bad"]].tolist() == \
+        [1, 11, 11, 11, 0]
