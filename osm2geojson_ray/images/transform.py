@@ -424,3 +424,87 @@ def tile_mosaic(ds, *, cell_col: str = "cell_id", id_col: str = "image_idx",
     if out is None:
         return empty_dataset(_MOSAIC_SCHEMA)
     return out
+
+
+class AugmentImages:
+    """Deterministic training-time augmentation: optional horizontal
+    flip + center crop to (crop_w, crop_h), whole-batch vectorized on
+    the zero-copy (n, h, w, 3) view (flip is a negative-stride view,
+    crop a slice — pixels copy exactly once into the output buffer).
+    ``flip`` selects rows by parity of a splitmix of image index when
+    "hash" (the reproducible per-sample coin every aug pipeline needs),
+    always/never otherwise.  Lossless re-encode (augmentation must not
+    re-quantize)."""
+
+    def __init__(self, crop: Tuple[int, int], flip: str = "hash"):
+        self.cw, self.ch = crop
+        assert flip in ("hash", "always", "never")
+        self.flip = flip
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from .codec import batch_pixel_view
+        from .synth import splitmix64
+
+        n = len(batch)
+        out_schema = pa.schema([
+            ("image_id", pa.string()), ("bytes", pa.binary()),
+            ("w", pa.int32()), ("h", pa.int32()),
+            ("flipped", pa.bool_()),
+        ])
+        if n == 0:
+            return out_schema.empty_table()
+        view = batch_pixel_view(batch["bytes"])
+        if view is None:
+            raise ValueError("AugmentImages requires uniform-size "
+                             "self-contained containers")
+        px, w, h = view
+        if self.cw > w or self.ch > h:
+            raise ValueError(f"crop {(self.cw, self.ch)} larger than "
+                             f"source {(w, h)}")
+        x0 = (w - self.cw) // 2
+        y0 = (h - self.ch) // 2
+        crop = px[:, y0:y0 + self.ch, x0:x0 + self.cw]
+        if self.flip == "always":
+            flipped = np.ones(n, bool)
+        elif self.flip == "never":
+            flipped = np.zeros(n, bool)
+        else:
+            idx = (
+                pc.cast(pc.utf8_slice_codeunits(batch["image_id"], 4),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+            )
+            flipped = (splitmix64(idx.astype(np.uint64))
+                       & np.uint64(1)).astype(bool)
+        row_len = 8 + self.cw * self.ch * 3
+        buf = np.empty((n, row_len), dtype=np.uint8)
+        buf[:, :8] = np.frombuffer(
+            b"R8" + struct.pack("<HHBB", self.cw, self.ch, 0, 0),
+            dtype=np.uint8)
+        out_px = buf[:, 8:].reshape(n, self.ch, self.cw, 3)
+        out_px[:] = crop
+        if flipped.any():
+            out_px[flipped] = crop[flipped][:, :, ::-1]
+        offsets = np.arange(n + 1, dtype=np.int32) * row_len
+        blob = pa.Array.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(offsets), pa.py_buffer(buf.reshape(-1))])
+        return pa.Table.from_arrays(
+            [batch["image_id"], blob,
+             pa.array(np.full(n, self.cw, np.int32)),
+             pa.array(np.full(n, self.ch, np.int32)),
+             pa.array(flipped)],
+            schema=out_schema)
+
+
+def augment_images(ds, *, crop: Tuple[int, int], flip: str = "hash",
+                   concurrency: int = 2,
+                   batch_size: Optional[int] = None):
+    return ds.map_batches(
+        AugmentImages,
+        fn_constructor_kwargs={"crop": crop, "flip": flip},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

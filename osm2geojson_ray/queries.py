@@ -2681,6 +2681,44 @@ FROM range(0, 3)
 """
 
 
+def m_image_augment(sf_dir: str):
+    """Deterministic augmentation stage
+    (images/transform.AugmentImages): center crop 24x16 -> 16x12 plus
+    a splitmix-parity horizontal flip — the reproducible per-sample
+    coin a training pipeline needs; whole-batch negative-stride
+    flip + slice crop on the zero-copy view.  Gate: (image_idx, dims,
+    flipped) with the flip coin recomputed by the SQL splitmix CTE;
+    pixel content pinned by the flip/crop scalar pytest."""
+    from .images.synth import synth_image_table
+    from .images.transform import augment_images
+
+    ds = synth_image_table(2000, partition_rows=500)
+    out = augment_images(ds, crop=(16, 12), flip="hash")
+
+    def summarize(t: pa.Table) -> pa.Table:
+        idx = (
+            pc.cast(pc.utf8_slice_codeunits(t["image_id"], 4), pa.int64())
+        )
+        return pa.table({
+            "image_idx": idx,
+            "w": t["w"].combine_chunks().cast(pa.int64()),
+            "h": t["h"].combine_chunks().cast(pa.int64()),
+            "flipped": t["flipped"].combine_chunks(),
+        })
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
+M_AUGMENT_SQL = f"""
+WITH {_splitmix_over("range", "range(0, 2000)")}
+SELECT k AS image_idx,
+       CAST(16 AS BIGINT) AS w,
+       CAST(12 AS BIGINT) AS h,
+       (h64 % 2 = 1) AS flipped
+FROM smfin
+"""
+
+
 def m_tile_mosaic(sf_dir: str):
     """Per-tile contact sheet (images/transform.tile_mosaic): the 2000
     synthetic images get part_images'-formula positions from their
@@ -3993,6 +4031,41 @@ WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
 SELECT day, word_idx, CAST(bit_or(bit) AS BIGINT) AS word,
        CAST(bit_count(bit_or(bit)) AS BIGINT) AS n_users
 FROM e GROUP BY 1, 2
+"""
+
+
+def q53_unpivot_events(sf_dir: str):
+    """UNPIVOT / melt — the wide→long reshape inverse of q16's PIVOT:
+    the pivoted per-day count table melts back to (day, event_type, n)
+    rows in one stateless map (each wide row emits #types long rows
+    via column concat — no shuffle at all; the pivot's tiny combiner
+    output is the only exchanged data), dropping zero-count cells the
+    way UNPIVOT drops NULLs."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = q16_pivot_events_daily(sf_dir)
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = len(t)
+        day = t["day"].combine_chunks()
+        days, ets, ns = [], [], []
+        for et in types:
+            days.append(day)
+            ets.append(pa.array([et] * n, pa.string()))
+            ns.append(t["n_" + et].combine_chunks().cast(pa.int64()))
+        out = pa.table({
+            "day": pa.concat_arrays(days),
+            "event_type": pa.concat_arrays(ets),
+            "n": pa.concat_arrays(ns),
+        })
+        return out.filter(pc.greater(out["n"], 0))
+
+    return wide.map_batches(melt, batch_format="pyarrow")
+
+
+Q53_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
 """
 
 
@@ -5639,6 +5712,8 @@ QUERIES = {
     "m_tile_mosaic": m_tile_mosaic,
     "q51_sliding_hll_users": q51_sliding_hll_users,
     "q52_props_extract": q52_props_extract,
+    "m_image_augment": m_image_augment,
+    "q53_unpivot_events": q53_unpivot_events,
 }
 
 ORACLE_SQL = {
@@ -5758,4 +5833,6 @@ ORACLE_SQL = {
     "m_tile_mosaic": M_MOSAIC_SQL,
     "q51_sliding_hll_users": Q51_SQL,
     "q52_props_extract": Q52_SQL,
+    "m_image_augment": M_AUGMENT_SQL,
+    "q53_unpivot_events": Q53_SQL,
 }

@@ -999,3 +999,43 @@ def test_tile_mosaic_pixels_scalar_assembly(ray_session):
             row = out.loc[int(cell)]
             assert row["n_used"] == len(members)
             assert np.array_equal(decode_image(row["bytes"]), canvas)
+
+
+def test_augment_images_flip_crop_scalar(ray_session):
+    """Augment pixels equal the scalar center crop (+ flip for
+    hash-odd rows); flip=always twice restores the crop; oversized
+    crop raises."""
+    import numpy as np
+    import pytest as _pytest
+
+    from osm2geojson_ray.images.codec import decode_image
+    from osm2geojson_ray.images.synth import splitmix64, synth_image_table
+    from osm2geojson_ray.images.transform import augment_images
+
+    ds = synth_image_table(30, partition_rows=10)
+    base = ds.to_pandas().set_index("image_id")
+    out = augment_images(ds, crop=(16, 12), flip="hash").to_pandas() \
+        .set_index("image_id")
+    for iid, row in out.iterrows():
+        src = decode_image(base.loc[iid, "bytes"])
+        h, w = src.shape[0], src.shape[1]
+        want = src[(h - 12) // 2:(h - 12) // 2 + 12,
+                   (w - 16) // 2:(w - 16) // 2 + 16]
+        idx = np.uint64(int(iid[4:]))
+        if splitmix64(np.array([idx]))[0] & np.uint64(1):
+            want = want[:, ::-1]
+            assert bool(row["flipped"])
+        else:
+            assert not bool(row["flipped"])
+        assert np.array_equal(decode_image(row["bytes"]), want)
+
+    once = augment_images(ds, crop=(16, 12), flip="always")
+    twice = augment_images(once, crop=(16, 12), flip="always").to_pandas() \
+        .set_index("image_id")
+    plain = augment_images(ds, crop=(16, 12), flip="never").to_pandas() \
+        .set_index("image_id")
+    for iid in plain.index:
+        assert twice.loc[iid, "bytes"] == plain.loc[iid, "bytes"]
+
+    with _pytest.raises(Exception):
+        augment_images(ds, crop=(99, 99)).to_pandas()
