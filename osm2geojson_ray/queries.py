@@ -1119,6 +1119,59 @@ FROM documents
 """
 
 
+def t_token_percentile(sf_dir: str):
+    """Global rank WITHOUT a sort: every document's exact
+    count-below-or-equal over the whole corpus (the percentile /
+    calibration signal quality filters need), via a combiner-push-down
+    value histogram reduced to ONE broadcast cdf — each batch then
+    ranks itself with np.searchsorted.  A Dataset.sort would be an
+    all-to-all shuffle; the histogram is #distinct-values-sized
+    regardless of row count.  Gate: (doc_id, n_tokens, n_le) vs the
+    SQL window count."""
+    import ray as _ray
+
+    from .relational import partial_grouped_agg
+    from .text.analysis import analyze_documents
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    toks = analyze_documents(docs, concurrency=2).select_columns(
+        ["doc_id", "n_tokens"]).materialize()
+
+    hist = partial_grouped_agg(
+        toks.select_columns(["n_tokens"]), ["n_tokens"],
+        {"c": (None, "count")}).to_pandas().sort_values("n_tokens")
+    vals = hist["n_tokens"].to_numpy()
+    cdf = hist["c"].to_numpy().cumsum()
+    cdf_ref = _ray.put((vals, cdf))
+
+    def rank(t: pa.Table) -> pa.Table:
+        v, c = _ray.get(cdf_ref)
+        x = t["n_tokens"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(v, x, side="right")
+        n_le = np.where(pos > 0, c[np.maximum(pos - 1, 0)], 0).astype(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"].combine_chunks().cast(pa.int64()),
+            "n_tokens": t["n_tokens"].combine_chunks().cast(pa.int64()),
+            "n_le": pa.array(n_le),
+        })
+
+    return toks.map_batches(rank, batch_format="pyarrow")
+
+
+T_TOKEN_PCT_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+  FROM documents)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(count(*) OVER (ORDER BY n_tokens
+                           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_le
+FROM t
+"""
+
+
 def t_quality_stats(sf_dir: str):
     from .text.analysis import analyze_documents
 
@@ -5714,6 +5767,7 @@ QUERIES = {
     "q52_props_extract": q52_props_extract,
     "m_image_augment": m_image_augment,
     "q53_unpivot_events": q53_unpivot_events,
+    "t_token_percentile": t_token_percentile,
 }
 
 ORACLE_SQL = {
@@ -5835,4 +5889,5 @@ ORACLE_SQL = {
     "q52_props_extract": Q52_SQL,
     "m_image_augment": M_AUGMENT_SQL,
     "q53_unpivot_events": Q53_SQL,
+    "t_token_percentile": T_TOKEN_PCT_SQL,
 }
