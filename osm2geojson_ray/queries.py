@@ -1493,8 +1493,7 @@ def t_simhash(sf_dir: str):
 # table is ASCII, so codepoints == utf-8 bytes), mask to 63 bits, then
 # majority-vote every bit weighted by word multiplicity.  2^64 wraparound
 # stays inside HUGEINT because h < 2^64 and the FNV prime is ~2^40.
-T_SIMHASH_SQL = r"""
-WITH RECURSIVE tokens AS (
+_SIMHASH_CTE = r"""tokens AS (
   SELECT doc_id, lower(u.w) AS w
   FROM documents, UNNEST(regexp_extract_all(text, '\S+')) AS u(w)
 ),
@@ -1527,9 +1526,28 @@ sigs AS (
                        THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER) ELSE 0 END) AS BIGINT)
            AS simhash
   FROM bits GROUP BY doc_id
-)
-SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
-FROM documents d LEFT JOIN sigs s ON d.doc_id = s.doc_id
+),
+allsigs AS (
+  SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+  FROM documents d LEFT JOIN sigs s ON d.doc_id = s.doc_id
+)"""
+
+T_SIMHASH_SQL = f"""
+WITH RECURSIVE {_SIMHASH_CTE}
+SELECT doc_id, simhash FROM allsigs
+"""
+
+# banding completeness: 3 differing bits can spoil at most 3 of the 4
+# 16-bit bands, so every Hamming<=3 pair shares at least one exact band
+# — the engine's LSH candidate set is a SUPERSET of the oracle's
+# cross-join answer and the exact verify trims it to equality
+T_SIMHASH_PAIRS_SQL = f"""
+WITH RECURSIVE {_SIMHASH_CTE}
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS distance
+FROM allsigs a JOIN allsigs b
+  ON a.doc_id < b.doc_id
+ AND bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
@@ -5644,6 +5662,323 @@ JOIN e e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
 
 
 
+# ------------------------------------------------- round-5f operator wave
+def t_simhash_pairs(sf_dir: str):
+    """SimHash NEAR-duplicate pairs at Hamming distance <= 3 — the
+    classic web-dedup detector (Manku et al. 2007): banded LSH over the
+    64-bit signatures (4 x 16-bit bands; 3 differing bits can spoil at
+    most 3 bands, so every qualifying pair shares >= 1 exact band —
+    candidate generation is COMPLETE, not probabilistic, at this
+    radius) plus an exact Hamming verify.  Signatures ride the
+    exchange as slim (band_key, id, hash) rows; document text never
+    shuffles.  The SQL twin recomputes the signatures (recursive-CTE
+    FNV, the t_simhash technique) and cross-joins with bit_count."""
+    from .spatial.knn import phash_band_pairs
+    from .text.dedup import simhash_signatures
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    sigs = simhash_signatures(docs).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["doc_id"], t["simhash"]], names=["item_id", "phash"]),
+        batch_format="pyarrow",
+    )
+    return phash_band_pairs(sigs, max_distance=3)
+
+
+def q54_order_outliers(sf_dir: str):
+    """Grouped IQR outlier fences (robust anomaly screen): per order
+    priority, q1/q3 of the integer cents via the exact histogram-merge
+    quantiles, then one streaming pass counts rows outside
+    [q1 - 1.5*IQR, q3 + 1.5*IQR].  The x2 scaling keeps the half-IQR
+    fence in integers, so both engines compare identical int64s.  The
+    fence table is #groups rows (broadcast in the flag closure); raw
+    order rows never shuffle — their outlier flags combine
+    combiner-style."""
+    from .relational import (dataset_from_table, grouped_quantiles,
+                             partial_grouped_agg)
+
+    orders = _pq(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = np.round(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table({"o_orderpriority": t["o_orderpriority"].combine_chunks(),
+                         "cents": pa.array(cents)})
+
+    cents = orders.map_batches(to_cents, batch_format="pyarrow").materialize()
+    q = grouped_quantiles(
+        cents, "o_orderpriority", "cents", {"q1": 0.25, "q3": 0.75},
+        n_col="n_orders",
+    ).to_pandas()  # #groups rows (5): tiny by construction
+    keys = pa.array(q["o_orderpriority"].tolist())
+    q1 = q["q1"].to_numpy().astype(np.int64)
+    q3 = q["q3"].to_numpy().astype(np.int64)
+    lo2 = 2 * q1 - 3 * (q3 - q1)
+    hi2 = 2 * q3 + 3 * (q3 - q1)
+
+    def flag(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t["o_orderpriority"], value_set=keys).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        out = (2 * c < lo2[idx]) | (2 * c > hi2[idx])
+        return pa.table({"o_orderpriority": t["o_orderpriority"].combine_chunks(),
+                         "outlier": pa.array(out.astype(np.int64))})
+
+    counts = partial_grouped_agg(
+        cents.map_batches(flag, batch_format="pyarrow"),
+        ["o_orderpriority"], {"n_outliers": ("outlier", "sum")},
+    ).to_pandas()
+    out = q.merge(counts, on="o_orderpriority")
+    return dataset_from_table(pa.Table.from_pandas(out, preserve_index=False))
+
+
+Q54_SQL = """
+WITH o AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+q AS (
+  SELECT o_orderpriority,
+         quantile_disc(cents, 0.25) AS q1,
+         quantile_disc(cents, 0.75) AS q3,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM o GROUP BY 1)
+SELECT q.o_orderpriority, q.q1, q.q3, q.n_orders,
+       CAST(sum(CASE WHEN 2 * o.cents < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                       OR 2 * o.cents > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM o JOIN q USING (o_orderpriority)
+GROUP BY 1, 2, 3, 4
+"""
+
+
+def q55_user_status_periods(sf_dir: str):
+    """SCD2 history build from the event log: collapse each user's
+    ordered event stream into validity periods — one row per maximal
+    run of consecutive equal event types, with first/last event time
+    and run length (temporal.status_periods: one hash exchange on
+    user_id, vectorized dictionary-encode + run-break pass per
+    partition)."""
+    from .temporal import status_periods
+
+    ev = _pq(sf_dir, "events", ["user_id", "ts", "event_type", "event_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"].combine_chunks(),
+            "t_us": t["ts"].combine_chunks().cast(pa.int64()),
+            "event_type": t["event_type"].combine_chunks(),
+            "event_id": t["event_id"].combine_chunks(),
+        })
+
+    out = status_periods(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        by="user_id", on="t_us", status_col="event_type",
+        order_col="event_id",
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            ["user_id", "status", "start_us", "end_us", "n_events"]),
+        batch_format="pyarrow",
+    )
+
+
+Q55_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t, event_type, event_id FROM events),
+m AS (
+  SELECT user_id, t, event_id, event_type,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+i AS (
+  SELECT user_id, t, event_type,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+                        ROWS UNBOUNDED PRECEDING) AS isl
+  FROM m)
+SELECT user_id, min(event_type) AS status,
+       CAST(min(t) AS BIGINT) AS start_us,
+       CAST(max(t) AS BIGINT) AS end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM i GROUP BY user_id, isl
+"""
+
+
+_KCORE_DIV = 7812  # ~1025-vertex organic graph: non-trivial peel at every sf
+_KCORE_K = 4
+# planted 10-clique on vertices 5000-5009 (disjoint from the organic
+# range [0, 1024]) plus a pendant path 5009-5010-5011-5012: the clique
+# guarantees a non-empty 4-core at every sf (the sf0.001 organic graph
+# is too sparse to keep one) and the path exercises the peel
+_KCORE_PLANTED = ([(5000 + i, 5000 + j) for i in range(10)
+                   for j in range(i + 1, 10)]
+                  + [(5009, 5010), (5010, 5011), (5011, 5012)])
+
+
+def q56_part_graph_kcore(sf_dir: str):
+    """Maximal 4-core of the part-derived graph plus a planted clique
+    (relational.kcore): iterative distributed peel — per-round degree
+    combiner + two slim semi joins — with a strictly-decreasing
+    edge-count stop.  The SQL twin unrolls 12 peel rounds (measured
+    depth: 8 at sf0.01, <=2 elsewhere; extra rounds are fixed-point
+    no-ops), so the gate is exact on (vertex, in-core degree)."""
+    import ray as _ray
+
+    from .relational import kcore
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        k = t["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_pydict(
+            {"a": k * 2654435761 % 8000000 // _KCORE_DIV,
+             "b": k * 40503 % 8000000 // _KCORE_DIV},
+            schema=pa.schema([("a", pa.int64()), ("b", pa.int64())]),
+        )
+
+    planted = _ray.data.from_arrow(pa.Table.from_pydict(
+        {"a": np.array([e[0] for e in _KCORE_PLANTED], np.int64),
+         "b": np.array([e[1] for e in _KCORE_PLANTED], np.int64)},
+        schema=pa.schema([("a", pa.int64()), ("b", pa.int64())]),
+    ))
+    edges = _pq(sf_dir, "part", ["p_partkey"]).map_batches(
+        to_edges, batch_format="pyarrow").union(planted)
+    return kcore(edges, _KCORE_K, a_col="a", b_col="b")
+
+
+def _kcore_sql(k: int, div: int, rounds: int) -> str:
+    # every s{i} is referenced twice per round: without MATERIALIZED,
+    # CTE inlining doubles the plan per round (2^rounds base scans -->
+    # "too many open files")
+    values = ", ".join(f"({a}, {b})" for a, b in _KCORE_PLANTED)
+    parts = [f"""raw AS (SELECT CAST(p_partkey AS BIGINT) AS pk FROM part),
+e0 AS (SELECT pk * 2654435761 % 8000000 // {div} AS u,
+              pk * 40503 % 8000000 // {div} AS v FROM raw
+       UNION ALL
+       SELECT CAST(u AS BIGINT), CAST(v AS BIGINT)
+       FROM (VALUES {values}) AS planted(u, v)),
+e AS MATERIALIZED (SELECT DISTINCT least(u, v) AS lo, greatest(u, v) AS hi
+      FROM e0 WHERE u != v),
+s0 AS MATERIALIZED (SELECT lo AS vertex FROM e UNION SELECT hi FROM e)"""]
+    for i in range(rounds):
+        parts.append(
+            f"""ke{i} AS MATERIALIZED (SELECT e.lo, e.hi FROM e
+  JOIN s{i} a ON a.vertex = e.lo JOIN s{i} b ON b.vertex = e.hi),
+d{i} AS MATERIALIZED (SELECT vertex, CAST(count(*) AS BIGINT) AS degree
+         FROM (SELECT lo AS vertex FROM ke{i}
+               UNION ALL SELECT hi FROM ke{i})
+         GROUP BY 1),
+s{i + 1} AS MATERIALIZED (SELECT vertex FROM d{i} WHERE degree >= {k})"""
+        )
+    last = rounds - 1
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT vertex, degree FROM d{last} WHERE degree >= {k}")
+
+
+Q56_SQL = _kcore_sql(_KCORE_K, _KCORE_DIV, 12)
+
+
+def t_gopher_filter(sf_dir: str):
+    """Composed Gopher-style quality filter (Rae et al. 2021 family):
+    per document, keep/drop plus the FIRST failing rule as the audit
+    reason — too_short (< 20 tokens), too_long (> 90), low_alpha
+    (alpha ratio < 0.815) — all integer comparisons on the analyzer's
+    columns, one stateless vectorized pass, no shuffle.  The reason
+    precedence makes drop accounting disjoint (sum of reason counts ==
+    total drops), which is what a curation dashboard actually needs."""
+    from .text.analysis import analyze_documents
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    feats = analyze_documents(docs, concurrency=2).select_columns(
+        ["doc_id", "n_tokens", "alpha_ratio"])
+
+    def rules(t: pa.Table) -> pa.Table:
+        nt = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ppm = np.floor(
+            t["alpha_ratio"].to_numpy(zero_copy_only=False) * 1_000_000
+        ).astype(np.int64)
+        reason = np.select(
+            [nt < 20, nt > 90, ppm < 815000],
+            ["too_short", "too_long", "low_alpha"], default="keep")
+        return pa.table({
+            "doc_id": t["doc_id"].combine_chunks().cast(pa.int64()),
+            "n_tokens": pa.array(nt),
+            "alpha_ratio_ppm": pa.array(ppm),
+            "keep": pa.array((reason == "keep").astype(np.int64)),
+            "reason": pa.array(reason.tolist(), pa.string()),
+        })
+
+    return feats.map_batches(rules, batch_format="pyarrow")
+
+
+T_GOPHER_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         CAST(floor(CASE WHEN length(text) = 0 THEN 0.0
+              ELSE length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+                   / length(text) END * 1000000) AS BIGINT) AS ppm
+  FROM documents)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, ppm AS alpha_ratio_ppm,
+       CAST(CASE WHEN n_tokens < 20 OR n_tokens > 90 OR ppm < 815000
+                 THEN 0 ELSE 1 END AS BIGINT) AS keep,
+       CASE WHEN n_tokens < 20 THEN 'too_short'
+            WHEN n_tokens > 90 THEN 'too_long'
+            WHEN ppm < 815000 THEN 'low_alpha'
+            ELSE 'keep' END AS reason
+FROM t
+"""
+
+
+def _lcg64_sql(expr: str) -> str:
+    """Signed-BIGINT view of the 64-bit LCG mix of ``expr`` (the
+    _PART_IMG_SQL phash arithmetic, parameterized)."""
+    u = (f"(CAST({expr} AS HUGEINT) * 6364136223846793005 "
+         f"+ 1442695040888963407) % 18446744073709551616")
+    return (f"CAST({u} - CASE WHEN {u} >= 9223372036854775808 "
+            f"THEN 18446744073709551616 ELSE 0 END AS BIGINT)")
+
+
+def m_phash_near_pairs(sf_dir: str):
+    """pHash near-duplicate pairs at Hamming <= 3 over a derived image
+    hash with PLANTED quad structure (the same low-bit-perturbation a
+    re-encoded thumbnail produces): base hash = LCG mix of the quad
+    anchor, low 2 bits = the member index, so within-quad pairs sit at
+    Hamming 1-2 and cross-quad pairs at ~32.  Banded LSH (4 x 16 bits,
+    complete at radius <= 3) + exact verify — the engine's pair set
+    equals the oracle's full O(n^2) bit_count cross join.  Key cap
+    4096 bounds the oracle join at every sf."""
+    from .spatial.knn import phash_band_pairs
+
+    def quad_phash(t: pa.Table) -> pa.Table:
+        k = t["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = k[k < 4096]
+        base = (k - k % 4).astype(np.uint64)
+        ph = (base * np.uint64(6364136223846793005)
+              + np.uint64(1442695040888963407)) ^ (k % 4).astype(np.uint64)
+        return pa.Table.from_pydict(
+            {"item_id": k, "phash": ph.astype(np.int64)},
+            schema=pa.schema([("item_id", pa.int64()), ("phash", pa.int64())]),
+        )
+
+    items = _pq(sf_dir, "part", ["p_partkey"]).map_batches(
+        quad_phash, batch_format="pyarrow")
+    return phash_band_pairs(items, max_distance=3)
+
+
+M_PHASH_PAIRS_SQL = f"""
+WITH img AS (
+  SELECT CAST(p_partkey AS BIGINT) AS image_id,
+         xor({_lcg64_sql("p_partkey - p_partkey % 4")},
+             CAST(p_partkey % 4 AS BIGINT)) AS ph
+  FROM part WHERE p_partkey < 4096)
+SELECT a.image_id AS a_id, b.image_id AS b_id,
+       CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS distance
+FROM img a JOIN img b
+  ON a.image_id < b.image_id AND bit_count(xor(a.ph, b.ph)) <= 3
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_segment_revenue": q2_segment_revenue,
@@ -5768,6 +6103,12 @@ QUERIES = {
     "m_image_augment": m_image_augment,
     "q53_unpivot_events": q53_unpivot_events,
     "t_token_percentile": t_token_percentile,
+    "t_simhash_pairs": t_simhash_pairs,
+    "q54_order_outliers": q54_order_outliers,
+    "q55_user_status_periods": q55_user_status_periods,
+    "q56_part_graph_kcore": q56_part_graph_kcore,
+    "t_gopher_filter": t_gopher_filter,
+    "m_phash_near_pairs": m_phash_near_pairs,
 }
 
 ORACLE_SQL = {
@@ -5890,4 +6231,10 @@ ORACLE_SQL = {
     "m_image_augment": M_AUGMENT_SQL,
     "q53_unpivot_events": Q53_SQL,
     "t_token_percentile": T_TOKEN_PCT_SQL,
+    "t_simhash_pairs": T_SIMHASH_PAIRS_SQL,
+    "q54_order_outliers": Q54_SQL,
+    "q55_user_status_periods": Q55_SQL,
+    "q56_part_graph_kcore": Q56_SQL,
+    "t_gopher_filter": T_GOPHER_SQL,
+    "m_phash_near_pairs": M_PHASH_PAIRS_SQL,
 }

@@ -2606,3 +2606,103 @@ def two_hop_counts(edges, u_col: str = "u", v_col: str = "v", *,
             batch_format="pyarrow"),
         ["vertex"], {"n_reach": (None, "count")},
     )
+
+
+# ---------------------------------------------------------------- k-core
+_KCORE_EDGE_SCHEMA = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+_KCORE_VERT_SCHEMA = pa.schema([("vertex", pa.int64()), ("degree", pa.int64())])
+
+
+def kcore(edges, k: int, *, a_col: str = "a", b_col: str = "b",
+          num_partitions: int = 16, max_iters: int = 64):
+    """Maximal k-core of an undirected int64 edge list: the unique
+    largest vertex set where every member keeps degree >= k inside the
+    set — the standard graph-density filter (drop low-engagement
+    vertices and everything that only looked dense because of them).
+
+    Distributed peel (the iterative-algorithm shape shared with
+    connected_components / pagerank): symmetrize + pair-dedup the edge
+    list ONCE; each round is one combiner-push-down degree count over
+    the surviving directed edges plus two slim left-semi hash joins
+    that drop edges touching a removed endpoint (directed rows stay
+    symmetric because both endpoint filters run on the same survivor
+    set).  Surviving-edge count is strictly decreasing, so the loop
+    stops the first round nothing drops; rounds = peel depth (bounded
+    by max degree / k), raising loudly on a max_iters overrun rather
+    than returning a non-core.  Parallel edges collapse (simple-graph
+    degrees); self-loops are dropped.
+
+    Returns (vertex, degree): the k-core members with their degree
+    INSIDE the core (>= k by construction; empty Dataset when no core
+    survives)."""
+    from .text.dedup import _pair_route_key
+
+    if k < 1:
+        raise ValueError("kcore: k must be >= 1")
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t[a_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        b = t[b_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        m = a != b
+        a, b = a[m], b[m]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.Table.from_pydict(
+            {"src": lo, "dst": hi, "pair_key": _pair_route_key(lo, hi)},
+            schema=pa.schema([("src", pa.int64()), ("dst", pa.int64()),
+                              ("pair_key", pa.int64())]),
+        )
+
+    simple = distinct_on(
+        edges.map_batches(canon, batch_format="pyarrow"),
+        "pair_key", num_partitions=num_partitions, subset=["src", "dst"],
+    ).select_columns(["src", "dst"])
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {"src": np.concatenate([s, d]), "dst": np.concatenate([d, s])},
+            schema=_KCORE_EDGE_SCHEMA,
+        )
+
+    directed = simple.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    prev_edges = directed.count()
+    if prev_edges == 0:
+        return empty_dataset(_KCORE_VERT_SCHEMA)
+
+    def swap(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"src": t["dst"], "dst": t["src"]}, schema=_KCORE_EDGE_SCHEMA)
+
+    for _ in range(max_iters):
+        deg = partial_grouped_agg(directed, ["src"],
+                                  {"degree": (None, "count")})
+        survivors = deg.filter(expr=f"degree >= {k}").materialize()
+        keys = survivors.select_columns(["src"])
+        key_schema = pa.schema([("src", pa.int64())])
+        kept = hash_join(
+            directed, keys, on="src",
+            l_schema=_KCORE_EDGE_SCHEMA, r_schema=key_schema,
+            how="left_semi", num_partitions=num_partitions,
+        )
+        kept = hash_join(
+            kept.map_batches(swap, batch_format="pyarrow"), keys, on="src",
+            l_schema=_KCORE_EDGE_SCHEMA, r_schema=key_schema,
+            how="left_semi", num_partitions=num_partitions,
+        ).map_batches(swap, batch_format="pyarrow")
+        directed = kept.materialize()
+        cur_edges = directed.count()
+        if cur_edges == prev_edges:
+            return survivors.map_batches(
+                lambda t: pa.Table.from_pydict(
+                    {"vertex": t["src"], "degree": t["degree"]},
+                    schema=_KCORE_VERT_SCHEMA),
+                batch_format="pyarrow",
+            )
+        if cur_edges == 0:
+            return empty_dataset(_KCORE_VERT_SCHEMA)
+        prev_edges = cur_edges
+    raise RuntimeError(
+        f"kcore did not converge in {max_iters} peel rounds; "
+        "raise max_iters (rounds bounded by max_degree / k)"
+    )

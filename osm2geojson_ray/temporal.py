@@ -807,3 +807,69 @@ def interval_coverage(ds, *, by: str, start_col: str, end_col: str,
     if out is None:
         return empty_dataset(out_schema)
     return out
+
+
+def status_periods(ds, *, by: str, on: str, status_col: str,
+                   order_col: str, num_partitions: int = 16):
+    """SCD2-style period build (gaps-and-islands run collapse): fold a
+    per-group ordered event stream into validity periods — one row per
+    maximal run of consecutive equal ``status_col`` values, with the
+    run's first/last ``on`` and its event count.  This is the
+    change-data step that turns an event log into a slowly-changing
+    dimension history (status effective from start_on until the next
+    period's start).
+
+    Distributed shape: ONE hash exchange on ``by`` (slim 4-column
+    rows), then each partition is a single vectorized pass — lexsort
+    by (by, on, order_col), dictionary-encode the status strings to
+    int codes, run breaks where the group or code changes, and
+    per-run extents/counts via flatnonzero + diff.  No per-row or
+    per-group Python.  ``order_col`` must make the sort total within a
+    group (ties on ``on`` broken by it) or period boundaries would
+    depend on partitioning.
+
+    Output: (by, status, start_on, end_on, n_events), end_on = the
+    run's LAST event time (closed interval; the successor period's
+    start_on is the open end for SCD2 semantics).
+
+    Skew note: one group lands in one partition (the asof_join
+    caveat); band the ``on`` axis upstream for a pathological hot
+    group."""
+    out_schema = pa.schema([
+        (by, pa.int64()), ("status", pa.string()),
+        ("start_on", pa.int64()), ("end_on", pa.int64()),
+        ("n_events", pa.int64()),
+    ])
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if "__part" in tbl.column_names:
+            tbl = tbl.drop_columns(["__part"])
+        n = len(tbl)
+        if n == 0:
+            return out_schema.empty_table()
+        g = tbl[by].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        o = tbl[on].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        o2 = tbl[order_col].to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False)
+        order = np.lexsort((o2, o, g))
+        g, o = g[order], o[order]
+        st = tbl[status_col].combine_chunks().take(pa.array(order))
+        dic = st.dictionary_encode()
+        codes = np.asarray(dic.indices)
+        brk = np.empty(n, dtype=bool)
+        brk[0] = True
+        brk[1:] = (g[1:] != g[:-1]) | (codes[1:] != codes[:-1])
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], n] - 1
+        return pa.Table.from_pydict(
+            {by: g[starts], "status": st.take(pa.array(starts)),
+             "start_on": o[starts], "end_on": o[ends],
+             "n_events": np.diff(np.r_[starts, n]).astype(np.int64)},
+            schema=out_schema,
+        )
+
+    slim = ds.select_columns([by, on, status_col, order_col])
+    out = hash_exchange_map(slim, by, num_partitions, kernel)
+    if out is None:
+        return empty_dataset(out_schema)
+    return out

@@ -1521,3 +1521,54 @@ def test_props_extract_counts_malformed(ray_session, tmp_path):
         [3, 7, 0, 7, 2]
     assert out.loc[1, ["n", "sum_k", "min_k", "max_k", "n_bad"]].tolist() == \
         [1, 11, 11, 11, 0]
+
+
+def test_kcore_vs_bruteforce(ray_session):
+    """Random undirected multigraphs (self-loops and parallel edges
+    included) against a scalar peel; the result is the unique maximal
+    k-core so iteration order can't matter."""
+    import numpy as np
+    import pyarrow as pa
+
+    from osm2geojson_ray.relational import dataset_from_table, kcore
+
+    def brute(u, v, k):
+        es = {(min(a, b), max(a, b)) for a, b in zip(u, v) if a != b}
+        verts = {x for e in es for x in e}
+        while True:
+            deg = {}
+            for a, b in es:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            keep = {x for x in verts if deg.get(x, 0) >= k}
+            if keep == verts:
+                return {x: deg[x] for x in verts} if verts else {}
+            verts = keep
+            es = {(a, b) for a, b in es if a in verts and b in verts}
+
+    rng = np.random.default_rng(23)
+    for trial in range(4):
+        m = int(rng.integers(20, 300))
+        nv = int(rng.integers(6, 30))
+        u = rng.integers(0, nv, m).astype(np.int64)
+        v = rng.integers(0, nv, m).astype(np.int64)
+        k = int(rng.integers(2, 5))
+        got = kcore(dataset_from_table(pa.table({"a": u, "b": v})), k,
+                    a_col="a", b_col="b").to_pandas()
+        assert dict(zip(got["vertex"], got["degree"])) == \
+            brute(u.tolist(), v.tolist(), k), (trial, k)
+
+    # planted: 5-clique keeps exactly itself at k=3; pendant path peels
+    edges = ([(i, j) for i in range(5) for j in range(i + 1, 5)]
+             + [(4, 10), (10, 11), (11, 12)])
+    ds = dataset_from_table(pa.table(
+        {"a": np.array([e[0] for e in edges], np.int64),
+         "b": np.array([e[1] for e in edges], np.int64)}))
+    got = kcore(ds, 3, a_col="a", b_col="b").to_pandas()
+    assert dict(zip(got["vertex"], got["degree"])) == {i: 4 for i in range(5)}
+    # no 5-core anywhere -> empty result
+    assert kcore(ds, 5, a_col="a", b_col="b").count() == 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        kcore(ds, 0, a_col="a", b_col="b")

@@ -556,3 +556,52 @@ def test_interval_coverage_validates_and_overflows(ray_session):
         interval_coverage(ray.data.from_arrow(wide), by="u",
                           start_col="s", end_col="e",
                           num_partitions=1).materialize()
+
+
+def test_status_periods_vs_bruteforce(ray_session):
+    """Random per-group status streams (duplicate timestamps broken by
+    order_col) against a scalar run-collapse; partition count must not
+    change a row."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from osm2geojson_ray.temporal import status_periods
+
+    rng = np.random.default_rng(31)
+    n = 400
+    g = rng.integers(0, 12, n).astype(np.int64)
+    ts = rng.integers(0, 40, n).astype(np.int64)  # many ties
+    st = np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+    eid = np.arange(n, dtype=np.int64)
+    rng.shuffle(eid)  # order_col independent of row order
+
+    def brute():
+        rows = sorted(zip(g, ts, eid, st), key=lambda r: (r[0], r[1], r[2]))
+        out = []
+        for gg, tt, _, ss in rows:
+            if out and out[-1][0] == gg and out[-1][1] == ss:
+                out[-1][3] = tt
+                out[-1][4] += 1
+            else:
+                out.append([gg, ss, tt, tt, 1])
+        return sorted(tuple(r) for r in out)
+
+    expect = brute()
+    tbl = pa.table({"u": g, "t": ts, "st": st, "eid": eid})
+    for parts in (1, 3, 16):
+        got = status_periods(
+            ray.data.from_arrow(tbl).repartition(4), by="u", on="t",
+            status_col="st", order_col="eid", num_partitions=parts,
+        ).to_pandas()
+        rows = sorted(
+            tuple(r) for r in got[
+                ["u", "status", "start_on", "end_on", "n_events"]
+            ].itertuples(index=False))
+        assert rows == expect, parts
+
+    # empty input keeps the schema
+    empty = status_periods(
+        ray.data.from_arrow(tbl.slice(0, 0)), by="u", on="t",
+        status_col="st", order_col="eid")
+    assert empty.count() == 0
