@@ -5979,6 +5979,185 @@ FROM img a JOIN img b
 """
 
 
+def t_substring_dup(sf_dir: str):
+    """Exact duplicated-substring signal at window width 32 chars
+    (text/dedup.char_window_dup): per doc, distinct windows + windows
+    shared verbatim with another doc + ppm — the copy-paste detector
+    token shingles miss.  Windows come zero-copy off the Arrow string
+    buffer (sliding_window_view + vectorized FNV); only slim distinct
+    (window_hash, doc_id) rows ride the gram exchange.  The SQL twin
+    enumerates the same windows with substr over generate_series."""
+    from .text.dedup import char_window_dup
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    out = char_window_dup(docs, window=32)
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            ["doc_id", "n_windows", "n_shared", "shared_ppm"]),
+        batch_format="pyarrow",
+    )
+
+
+T_SUBSTR_DUP_SQL = """
+WITH w AS (
+  SELECT doc_id, substr(text, CAST(g AS INTEGER), 32) AS win
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - 31)) AS g
+        FROM documents)
+),
+dw AS (SELECT DISTINCT doc_id, win FROM w),
+gc AS (SELECT win, count(*) AS nd FROM dw GROUP BY 1),
+per AS (
+  SELECT dw.doc_id,
+         CAST(count(*) AS BIGINT) AS n_windows,
+         CAST(count(*) FILTER (WHERE gc.nd >= 2) AS BIGINT) AS n_shared
+  FROM dw JOIN gc USING (win) GROUP BY 1)
+SELECT doc_id, n_windows, n_shared,
+       n_shared * 1000000 // n_windows AS shared_ppm
+FROM per
+"""
+
+
+def t_norm_dedup(sf_dir: str):
+    """Canonicalized (fuzzy-exact) dedup: lowercase, strip
+    non-alphanumerics, collapse whitespace — the normalization pass
+    that catches trivially-reformatted duplicates exact_dedup misses —
+    then keeper (min doc_id) + duplicate count per distinct normalized
+    text.  Arrow and DuckDB both run RE2, so the normalized strings
+    are byte-identical on both sides (the t_redact precedent); only
+    slim (doc_id, content_hash) rows ride the exchange."""
+    from .relational import hash_exchange_map
+    from .text.dedup import _content_hash_col
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        s = pc.utf8_lower(pc.fill_null(t["text"], ""))
+        s = pc.replace_substring_regex(s, r"[^a-z0-9\s]", "")
+        s = pc.replace_substring_regex(s, r"\s+", " ")
+        s = pc.utf8_trim_whitespace(s)
+        slim = pa.table({"doc_id": t["doc_id"].combine_chunks().cast(pa.int64()),
+                         "norm": s})
+        return _content_hash_col(slim, "norm").select(["doc_id", "content_hash"])
+
+    hashed = docs.map_batches(norm, batch_format="pyarrow")
+
+    def agg(df):
+        import pandas as pd
+
+        g = df.groupby("content_hash", sort=False)
+        return pd.DataFrame(
+            {"doc_id": g["doc_id"].min(), "n_dups": g.size()}
+        ).reset_index(drop=True)
+
+    return hash_exchange_map(hashed, "content_hash", 16, agg, fn_format="pandas")
+
+
+T_NORM_DEDUP_SQL = r"""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                             '\s+', ' ', 'g')) AS norm
+  FROM documents)
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM n GROUP BY norm
+"""
+
+
+_PACK_BUDGET = 700  # tokens per source (~half of each sf's per-source mass)
+
+
+def t_token_budget_pack(sf_dir: str):
+    """Data-mixture packing: deterministically select documents per
+    source, in doc_id order, until each source's token budget is spent
+    — the 'fill the mixture to N tokens per domain' step of training-
+    data assembly.  One hash exchange on the source key, one segmented
+    cumsum (relational.partitioned_window), a stateless filter; raw
+    text never shuffles (only analyzer counts)."""
+    from .relational import partitioned_window
+    from .text.analysis import analyze_documents
+    from .text.dedup import _content_hash_col
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text", "source"])
+    feats = analyze_documents(docs, concurrency=2).select_columns(
+        ["doc_id", "source", "n_tokens"])
+    keyed = feats.map_batches(
+        lambda t: _content_hash_col(t, "source"), batch_format="pyarrow")
+    win = partitioned_window(
+        keyed, "content_hash", [("doc_id", False)],
+        {"cum_tokens": ("n_tokens", "cumsum")},
+    )
+    return win.filter(expr=f"cum_tokens <= {_PACK_BUDGET}").select_columns(
+        ["doc_id", "source", "n_tokens", "cum_tokens"])
+
+
+T_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+  FROM documents),
+w AS (
+  SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_tokens
+  FROM t)
+SELECT doc_id, source, n_tokens, cum_tokens
+FROM w WHERE cum_tokens <= {_PACK_BUDGET}
+"""
+
+
+_PRICE_BANDS = [  # (band, lo_cents inclusive, hi_cents exclusive)
+    ("band_0", 0, 5_000_000),
+    ("band_1", 5_000_000, 15_000_000),
+    ("band_2", 15_000_000, 25_000_000),
+    ("band_3", 25_000_000, 35_000_000),
+    ("band_4", 35_000_000, 45_000_000),
+    ("band_5", 45_000_000, 10**18),
+]
+
+
+def q57_price_band_join(sf_dir: str):
+    """Broadcast RANGE-lookup join (the dimension-band non-equi join):
+    each order routed to its price band by one np.searchsorted against
+    the broadcast band edges — no shuffle for the join itself (the
+    small side rides the task closure), per-band rollup via the
+    combiner push-down.  The SQL twin is the literal non-equi JOIN ON
+    cents >= lo AND cents < hi."""
+    from .relational import partial_grouped_agg
+
+    edges = np.array([b[1] for b in _PRICE_BANDS], np.int64)
+    names = np.array([b[0] for b in _PRICE_BANDS])
+
+    def assign(t: pa.Table) -> pa.Table:
+        cents = np.round(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        idx = np.searchsorted(edges, cents, side="right") - 1
+        return pa.table({"band": pa.array(names[idx].tolist(), pa.string()),
+                         "cents": pa.array(cents)})
+
+    orders = _pq(sf_dir, "orders", ["o_totalprice"])
+    return partial_grouped_agg(
+        orders.map_batches(assign, batch_format="pyarrow"),
+        ["band"], {"n_orders": (None, "count"), "sum_cents": ("cents", "sum")},
+    )
+
+
+Q57_SQL = f"""
+WITH bands(band, lo, hi) AS (VALUES
+  {", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _PRICE_BANDS)}),
+o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+SELECT b.band,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(o.cents) AS BIGINT) AS sum_cents
+FROM o JOIN bands b ON o.cents >= b.lo AND o.cents < b.hi
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_segment_revenue": q2_segment_revenue,
@@ -6109,6 +6288,10 @@ QUERIES = {
     "q56_part_graph_kcore": q56_part_graph_kcore,
     "t_gopher_filter": t_gopher_filter,
     "m_phash_near_pairs": m_phash_near_pairs,
+    "t_substring_dup": t_substring_dup,
+    "t_norm_dedup": t_norm_dedup,
+    "t_token_budget_pack": t_token_budget_pack,
+    "q57_price_band_join": q57_price_band_join,
 }
 
 ORACLE_SQL = {
@@ -6237,4 +6420,8 @@ ORACLE_SQL = {
     "q56_part_graph_kcore": Q56_SQL,
     "t_gopher_filter": T_GOPHER_SQL,
     "m_phash_near_pairs": M_PHASH_PAIRS_SQL,
+    "t_substring_dup": T_SUBSTR_DUP_SQL,
+    "t_norm_dedup": T_NORM_DEDUP_SQL,
+    "t_token_budget_pack": T_PACK_SQL,
+    "q57_price_band_join": Q57_SQL,
 }

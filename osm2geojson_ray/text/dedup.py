@@ -543,6 +543,17 @@ def ngram_contamination(
         )
 
     inverted = grams_ds.map_batches(invert, batch_format="pyarrow")
+    return _shared_gram_signal(inverted, num_partitions)
+
+
+def _shared_gram_signal(inverted, num_partitions: int):
+    """Shared tail of the contamination-style signals: from slim
+    (gram:int64, doc_id:int64) rows — DISTINCT per doc — compute each
+    doc's gram count, the count shared with >= 1 other doc, and the
+    ppm ratio.  One hash exchange on the gram; per-gram document
+    counts are partition-local facts (a gram's row count IS its
+    distinct-document count because grams are unique within a doc)."""
+    from ..relational import hash_exchange_map, partial_grouped_agg
 
     def per_partition(tbl: pa.Table) -> pa.Table:
         gh = tbl["gram"].to_numpy(zero_copy_only=False)
@@ -946,3 +957,78 @@ def editdist1_pairs(
             {"term_a": a[ok], "term_b": b[ok]}, schema=_EDIT1_PAIR_SCHEMA)
 
     return distinct.map_batches(verify, batch_format="pyarrow")
+
+
+def char_window_dup(docs, *, text_col: str = "text", id_col: str = "doc_id",
+                    window: int = 32, concurrency: int = 2,
+                    num_partitions: int = 16):
+    """Exact duplicated-SUBSTRING signal at fixed width (the practical
+    Lee et al. 2022 "dedup exact substrings" detector, window-grained):
+    per document, how many of its DISTINCT ``window``-char substrings
+    occur verbatim in at least one OTHER document, plus the ppm ratio.
+    Catches copy-paste duplication that token-level shingles miss
+    (boilerplate headers, quoted passages) and is the signal exact
+    substring dedup thresholds on.
+
+    Scale shape: windows are enumerated ZERO-COPY from the Arrow string
+    value buffer (one sliding_window_view + a take at per-doc start
+    positions — no per-row Python, no substring materialization),
+    FNV-1a-hashed column-wise in ``window`` vectorized steps, and
+    deduped per doc with one lexsort; only slim DISTINCT
+    (gram:int64, doc_id) rows ride the gram-keyed exchange shared with
+    ngram_contamination (_shared_gram_signal).  Documents shorter than
+    ``window`` emit no row (they have no windows), matching the SQL
+    twin.  Input must be ASCII (byte==char, so the byte windows equal
+    the oracle's substr windows) — non-ASCII raises loudly.
+
+    Output: (doc_id, n_windows, n_shared, shared_ppm)."""
+    fnv_off = np.uint64(14695981039346656037)
+    fnv_prime = np.uint64(1099511628211)
+    mask63 = np.uint64((1 << 63) - 1)
+    out_schema = pa.schema([("gram", pa.int64()), ("doc_id", pa.int64())])
+
+    def windows_batch(batch: pa.Table) -> pa.Table:
+        col = pc.fill_null(batch[text_col], "").combine_chunks()
+        if isinstance(col, pa.ChunkedArray):
+            col = (col.chunk(0) if col.num_chunks == 1
+                   else pa.concat_arrays(col.chunks))
+        n = len(col)
+        if n == 0:
+            return out_schema.empty_table()
+        nbytes = pc.binary_length(col).to_numpy(zero_copy_only=False)
+        nchars = pc.utf8_length(col).to_numpy(zero_copy_only=False)
+        if (nbytes != nchars).any():
+            raise ValueError(
+                "char_window_dup requires ASCII text (byte windows must "
+                "equal the oracle's character windows)")
+        offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+            col.offset: col.offset + n + 1].astype(np.int64)
+        buf = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        lens = offs[1:] - offs[:-1]
+        n_win = np.maximum(lens - window + 1, 0)
+        total = int(n_win.sum())
+        if total == 0 or len(buf) < window:
+            return out_schema.empty_table()
+        parent = np.repeat(np.arange(n, dtype=np.int64), n_win)
+        run0 = np.concatenate(([0], np.cumsum(n_win)))[:-1]
+        starts = (np.repeat(offs[:-1], n_win)
+                  + np.arange(total, dtype=np.int64) - np.repeat(run0, n_win))
+        sw = np.lib.stride_tricks.sliding_window_view(buf, window)
+        wins = sw[starts]
+        h = np.full(total, fnv_off, dtype=np.uint64)
+        for j in range(window):
+            h = (h ^ wins[:, j].astype(np.uint64)) * fnv_prime
+        gram = (h & mask63).astype(np.int64)
+        # DISTINCT (doc, window) pairs: one lexsort, keep run firsts
+        order = np.lexsort((gram, parent))
+        ps, gs = parent[order], gram[order]
+        keep = np.empty(total, dtype=bool)
+        keep[0] = True
+        keep[1:] = (ps[1:] != ps[:-1]) | (gs[1:] != gs[:-1])
+        ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {"gram": gs[keep], "doc_id": ids[ps[keep]]}, schema=out_schema)
+
+    inverted = docs.map_batches(windows_batch, batch_format="pyarrow",
+                                concurrency=concurrency)
+    return _shared_gram_signal(inverted, num_partitions)

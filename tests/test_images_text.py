@@ -1039,3 +1039,55 @@ def test_augment_images_flip_crop_scalar(ray_session):
 
     with _pytest.raises(Exception):
         augment_images(ds, crop=(99, 99)).to_pandas()
+
+
+def test_char_window_dup_matches_bruteforce(ray_session):
+    """Window enumeration + shared counts vs a scalar set-based oracle;
+    short/empty docs emit no row; non-ASCII raises loudly."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray
+
+    from osm2geojson_ray.text.dedup import char_window_dup
+
+    W = 12
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "dogs and cats living together in peace",
+        "xx the quick brown fox jumps over the lazy dog yy",
+        "the quick brown fox jumps over the lazy dog",  # exact dup
+        "tiny",
+        "",
+    ]
+    ids = np.arange(100, 100 + len(texts), dtype=np.int64)
+
+    def brute():
+        wins = {i: {t[j:j + W] for j in range(max(len(t) - W + 1, 0))}
+                for i, t in zip(ids.tolist(), texts)}
+        from collections import Counter
+        # distinct docs per window (wins values are sets)
+        cnt = Counter()
+        for s in wins.values():
+            for w in s:
+                cnt[w] += 1
+        out = {}
+        for i, s in wins.items():
+            if not s:
+                continue
+            sh = sum(1 for w in s if cnt[w] >= 2)
+            out[i] = (len(s), sh, sh * 1_000_000 // len(s))
+        return out
+
+    ds = ray.data.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    for parts in (1, 4):
+        got = char_window_dup(ds.repartition(3), window=W,
+                              num_partitions=parts).to_pandas()
+        gd = {r.doc_id: (r.n_grams, r.n_shared, r.shared_ppm)
+              for r in got.itertuples()}
+        assert gd == brute(), parts
+
+    bad = ray.data.from_arrow(pa.table(
+        {"doc_id": np.array([1], np.int64), "text": ["café " * 10]}))
+    with _pytest.raises(Exception, match="ASCII"):
+        char_window_dup(bad, window=W).to_pandas()
