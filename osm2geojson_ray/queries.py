@@ -6158,6 +6158,124 @@ GROUP BY 1
 """
 
 
+def q58_bitmap_retention(sf_dir: str):
+    """Day-over-day retention via BITMAP algebra: build each day's
+    active-user bitmap (62-bit words, bit_or combiner — the q50
+    index), join day d's words with day d+1's on a packed
+    (day, word_idx) key, and popcount the AND — set intersection as
+    pure integer ops, never materializing user lists.  The oracle
+    recomputes retention from plain DISTINCT set logic, gating that
+    the bitmap math equals set semantics.  Day pairs with zero
+    returning users emit no row on either side (inner join)."""
+    from .relational import hash_join, partial_grouped_agg
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        day = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000
+        return pa.table({
+            "day_i": pa.array(day.astype(np.int64)),
+            "word_idx": pa.array((u // 62).astype(np.int64)),
+            "word": pa.array((np.int64(1) << (u % 62).astype(np.int64))),
+        })
+
+    ev = _pq(sf_dir, "events", ["user_id", "ts"]).map_batches(
+        prep, batch_format="pyarrow")
+    bm = partial_grouped_agg(ev, ["day_i", "word_idx"],
+                             {"word": ("word", "or")}).materialize()
+
+    def as_next(t: pa.Table) -> pa.Table:
+        d = t["day_i"].to_numpy(zero_copy_only=False)
+        wi = t["word_idx"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {"jk": (d + 1) * 4096 + wi, "day_next": d + 1,
+             "word_a": t["word"].combine_chunks()},
+            schema=pa.schema([("jk", pa.int64()), ("day_next", pa.int64()),
+                              ("word_a", pa.int64())]),
+        )
+
+    def as_self(t: pa.Table) -> pa.Table:
+        d = t["day_i"].to_numpy(zero_copy_only=False)
+        wi = t["word_idx"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {"jk": d * 4096 + wi, "word_b": t["word"].combine_chunks()},
+            schema=pa.schema([("jk", pa.int64()), ("word_b", pa.int64())]),
+        )
+
+    j = hash_join(
+        bm.map_batches(as_next, batch_format="pyarrow"),
+        bm.map_batches(as_self, batch_format="pyarrow"),
+        on="jk",
+        l_schema=pa.schema([("jk", pa.int64()), ("day_next", pa.int64()),
+                            ("word_a", pa.int64())]),
+        r_schema=pa.schema([("jk", pa.int64()), ("word_b", pa.int64())]),
+    )
+
+    def pop_and(t: pa.Table) -> pa.Table:
+        v = (t["word_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+             & t["word_b"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        pop = np.zeros(len(v), np.int64)
+        while v.any():
+            pop += (v & np.uint64(1)).astype(np.int64)
+            v >>= np.uint64(1)
+        return pa.table({"day_i": t["day_next"].combine_chunks(),
+                         "n_ret": pa.array(pop)})
+
+    out = partial_grouped_agg(
+        j.map_batches(pop_and, batch_format="pyarrow"),
+        ["day_i"], {"n_returning": ("n_ret", "sum")},
+    )
+    return out.filter(expr="n_returning > 0")
+
+
+Q58_SQL = """
+WITH du AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day_i, user_id FROM events)
+SELECT CAST(b.day_i AS BIGINT) AS day_i,
+       CAST(count(*) AS BIGINT) AS n_returning
+FROM du a JOIN du b ON b.user_id = a.user_id AND b.day_i = a.day_i + 1
+GROUP BY 1
+"""
+
+
+_BBOX_CELL = 500_000  # micro-degrees per grid cell (16x16 over the 8M range)
+
+
+def g_cell_bbox_agg(sf_dir: str):
+    """Per-cell bounding-box metadata (the pruning index a clustered
+    spatial layout stores per tile): min/max integer coordinates and
+    point count per grid cell, one combiner push-down pass over the
+    integer point table — min/max/count partials, raw points never
+    shuffle."""
+    from .relational import partial_grouped_agg
+
+    def assign(t: pa.Table) -> pa.Table:
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        cell = (x // _BBOX_CELL) * 16 + y // _BBOX_CELL
+        return pa.table({"cell": pa.array(cell.astype(np.int64)),
+                         "x": t["x"].combine_chunks(),
+                         "y": t["y"].combine_chunks()})
+
+    pts = part_points_int(sf_dir).map_batches(assign, batch_format="pyarrow")
+    return partial_grouped_agg(
+        pts, ["cell"],
+        {"n_points": (None, "count"),
+         "min_x": ("x", "min"), "max_x": ("x", "max"),
+         "min_y": ("y", "min"), "max_y": ("y", "max")},
+    )
+
+
+G_BBOX_SQL = f"""
+WITH pts AS ({_PART_PTS_SQL})
+SELECT (x // {_BBOX_CELL}) * 16 + y // {_BBOX_CELL} AS cell,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+       CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
+FROM pts GROUP BY 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_segment_revenue": q2_segment_revenue,
@@ -6292,6 +6410,8 @@ QUERIES = {
     "t_norm_dedup": t_norm_dedup,
     "t_token_budget_pack": t_token_budget_pack,
     "q57_price_band_join": q57_price_band_join,
+    "q58_bitmap_retention": q58_bitmap_retention,
+    "g_cell_bbox_agg": g_cell_bbox_agg,
 }
 
 ORACLE_SQL = {
@@ -6424,4 +6544,6 @@ ORACLE_SQL = {
     "t_norm_dedup": T_NORM_DEDUP_SQL,
     "t_token_budget_pack": T_PACK_SQL,
     "q57_price_band_join": Q57_SQL,
+    "q58_bitmap_retention": Q58_SQL,
+    "g_cell_bbox_agg": G_BBOX_SQL,
 }
