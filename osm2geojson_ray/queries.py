@@ -6276,6 +6276,155 @@ FROM pts GROUP BY 1
 """
 
 
+_GRID_START_US = 1_704_067_200_000_000  # 2024-01-01T00:00Z
+_GRID_END_US = 1_706_745_600_000_000    # 2024-02-01T00:00Z
+_GRID_STEP_US = 21_600_000_000          # 6 h -> 124 slots
+
+
+def q59_grid_resample_ffill(sf_dir: str):
+    """Time-grid RESAMPLE + forward-fill (the gap-filling /
+    downsampling step of feature pipelines): materialize a fixed 6-hour
+    slot grid per user and attach each slot's most recent at-or-before
+    event via the distributed as-of join — slots with no prior event
+    fill -1.  The event side first collapses to one row per
+    (user, ts) (max event_id) so as-of tie-break is well-defined on
+    both sides; the grid is generated IN the map stage from the
+    distinct-user stream (no driver-side cross join).  SQL twin:
+    CROSS JOIN grid + DuckDB ASOF LEFT JOIN."""
+    from .relational import distinct_on, partial_grouped_agg
+    from .temporal import asof_join
+
+    ev = _pq(sf_dir, "events", ["user_id", "ts", "event_id"]).map_batches(
+        lambda t: pa.table({
+            "user_id": t["user_id"].combine_chunks(),
+            "t_us": t["ts"].combine_chunks().cast(pa.int64()),
+            "event_id": t["event_id"].combine_chunks(),
+        }),
+        batch_format="pyarrow",
+    )
+    # one row per (user, ts): deterministic as-of regardless of ties;
+    # the event time is renamed to the grid's 'on' column (asof_join
+    # requires a shared on-column name)
+    ev1 = partial_grouped_agg(ev, ["user_id", "t_us"],
+                              {"event_id": ("event_id", "max")}).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["user_id"], t["t_us"], t["event_id"]],
+            names=["user_id", "slot_us", "event_id"]),
+        batch_format="pyarrow",
+    )
+
+    slots = np.arange(_GRID_START_US, _GRID_END_US, _GRID_STEP_US,
+                      dtype=np.int64)
+
+    def expand(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_pydict(
+            {"user_id": np.repeat(u, len(slots)),
+             "slot_us": np.tile(slots, len(u))},
+            schema=pa.schema([("user_id", pa.int64()),
+                              ("slot_us", pa.int64())]),
+        )
+
+    grid = distinct_on(ev.select_columns(["user_id"]), "user_id").map_batches(
+        expand, batch_format="pyarrow")
+
+    out = asof_join(
+        grid, ev1, by="user_id", on="slot_us",
+        l_schema=pa.schema([("user_id", pa.int64()), ("slot_us", pa.int64())]),
+        r_schema=pa.schema([("user_id", pa.int64()), ("slot_us", pa.int64()),
+                            ("event_id", pa.int64())]),
+        strict=False,
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"].combine_chunks(),
+            "slot_us": t["slot_us"].combine_chunks(),
+            "last_event_id": pc.fill_null(t["event_id_r"], -1),
+        })
+
+    return out.map_batches(fill, batch_format="pyarrow")
+
+
+Q59_SQL = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t, max(event_id) AS event_id
+  FROM events GROUP BY 1, 2),
+grid AS (
+  SELECT u.user_id, s.slot_us
+  FROM (SELECT DISTINCT user_id FROM events) u
+  CROSS JOIN (SELECT range AS slot_us
+              FROM range({_GRID_START_US}, {_GRID_END_US},
+                         {_GRID_STEP_US})) s)
+SELECT g.user_id, g.slot_us,
+       CAST(COALESCE(e.event_id, -1) AS BIGINT) AS last_event_id
+FROM grid g ASOF LEFT JOIN e
+  ON g.user_id = e.user_id AND g.slot_us >= e.t
+"""
+
+
+_CHUNK_TOKENS = 512
+
+
+def t_seq_pack(sf_dir: str):
+    """Sequence-packing MANIFEST: assign every document a training
+    chunk id and byte offset by packing each source's docs, in doc_id
+    order, into {chunk}-token sequences — chunk_id = tokens-before //
+    cap, offset = tokens-before % cap (documents straddle chunk
+    boundaries exactly as a contiguous token stream would).  One
+    segmented cumsum per source (relational.partitioned_window), no
+    text shuffle; the wide->long manifest is what a 100-TB pretokenize
+    job writes next to its shards."""
+    from .relational import partitioned_window
+    from .text.analysis import analyze_documents
+    from .text.dedup import _content_hash_col
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text", "source"])
+    feats = analyze_documents(docs, concurrency=2).select_columns(
+        ["doc_id", "source", "n_tokens"])
+    keyed = feats.map_batches(
+        lambda t: _content_hash_col(t, "source"), batch_format="pyarrow")
+    win = partitioned_window(
+        keyed, "content_hash", [("doc_id", False)],
+        {"cum_tokens": ("n_tokens", "cumsum")},
+    )
+
+    def manifest(t: pa.Table) -> pa.Table:
+        cum = t["cum_tokens"].to_numpy(zero_copy_only=False)
+        nt = t["n_tokens"].to_numpy(zero_copy_only=False)
+        before = cum - nt
+        return pa.table({
+            "doc_id": t["doc_id"].combine_chunks().cast(pa.int64()),
+            "source": t["source"].combine_chunks(),
+            "n_tokens": t["n_tokens"].combine_chunks().cast(pa.int64()),
+            "chunk_id": pa.array(before // _CHUNK_TOKENS),
+            "chunk_offset": pa.array(before % _CHUNK_TOKENS),
+        })
+
+    return win.map_batches(manifest, batch_format="pyarrow")
+
+
+T_SEQ_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+  FROM documents),
+w AS (
+  SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+                                           ORDER BY doc_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING), 0) AS BIGINT)
+           AS before
+  FROM t)
+SELECT doc_id, source, n_tokens,
+       before // {_CHUNK_TOKENS} AS chunk_id,
+       before % {_CHUNK_TOKENS} AS chunk_offset
+FROM w
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_segment_revenue": q2_segment_revenue,
@@ -6412,6 +6561,8 @@ QUERIES = {
     "q57_price_band_join": q57_price_band_join,
     "q58_bitmap_retention": q58_bitmap_retention,
     "g_cell_bbox_agg": g_cell_bbox_agg,
+    "q59_grid_resample_ffill": q59_grid_resample_ffill,
+    "t_seq_pack": t_seq_pack,
 }
 
 ORACLE_SQL = {
@@ -6546,4 +6697,6 @@ ORACLE_SQL = {
     "q57_price_band_join": Q57_SQL,
     "q58_bitmap_retention": Q58_SQL,
     "g_cell_bbox_agg": G_BBOX_SQL,
+    "q59_grid_resample_ffill": Q59_SQL,
+    "t_seq_pack": T_SEQ_PACK_SQL,
 }
