@@ -6404,6 +6404,55 @@ def t_seq_pack(sf_dir: str):
     return win.map_batches(manifest, batch_format="pyarrow")
 
 
+_DBSCAN_G = 1 << 14
+
+
+def g_grid_cluster(sf_dir: str):
+    """Grid-density spatial clustering (DBSCAN with eps = one cell,
+    min_pts = 1): snap the image points to a 16384^2 grid, cluster the
+    OCCUPIED cells by 8-neighbor adjacency with the distributed
+    connected-components engine, report per-cluster cell and point
+    counts (spatial/cluster.grid_density_clusters).  The point table
+    never shuffles — only the bounded occupied-cell set does.  SQL
+    twin: the same neighbor equi-join (8 direction offsets) plus the
+    recursive-CTE min-label propagation used by t_dup_clusters."""
+    from .spatial.cluster import grid_density_clusters
+
+    return grid_density_clusters(
+        part_images(sf_dir).select_columns(["lon", "lat"]), level=14
+    )
+
+
+G_GRID_CLUSTER_SQL = f"""
+WITH RECURSIVE img AS ({_PART_IMG_SQL}),
+pts AS (
+  SELECT CAST(floor((lon + 180) / 360 * {_DBSCAN_G}) AS BIGINT) * {_DBSCAN_G}
+       + CAST(floor((lat + 90) / 180 * {_DBSCAN_G}) AS BIGINT) AS cell
+  FROM img),
+cells AS (SELECT cell, count(*) AS n_points FROM pts GROUP BY 1),
+und AS (
+  SELECT a.cell AS u, b.cell AS v
+  FROM cells a
+  CROSS JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1))
+       d(dx, dy)
+  JOIN cells b
+    ON b.cell = (a.cell // {_DBSCAN_G} + d.dx) * {_DBSCAN_G}
+              + (a.cell % {_DBSCAN_G} + d.dy)
+  WHERE a.cell // {_DBSCAN_G} + d.dx BETWEEN 0 AND {_DBSCAN_G - 1}
+    AND a.cell % {_DBSCAN_G} + d.dy BETWEEN 0 AND {_DBSCAN_G - 1}),
+reach(u, lbl) AS (
+  SELECT cell, cell FROM cells
+  UNION
+  SELECT und.u, reach.lbl FROM und JOIN reach ON und.v = reach.u),
+labels AS (SELECT u AS cell, min(lbl) AS cluster_id FROM reach GROUP BY 1)
+SELECT l.cluster_id,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(c.n_points) AS BIGINT) AS n_points
+FROM labels l JOIN cells c USING (cell)
+GROUP BY 1
+"""
+
+
 T_SEQ_PACK_SQL = f"""
 WITH t AS (
   SELECT doc_id, source,
@@ -6563,6 +6612,7 @@ QUERIES = {
     "g_cell_bbox_agg": g_cell_bbox_agg,
     "q59_grid_resample_ffill": q59_grid_resample_ffill,
     "t_seq_pack": t_seq_pack,
+    "g_grid_cluster": g_grid_cluster,
 }
 
 ORACLE_SQL = {
@@ -6699,4 +6749,5 @@ ORACLE_SQL = {
     "g_cell_bbox_agg": G_BBOX_SQL,
     "q59_grid_resample_ffill": Q59_SQL,
     "t_seq_pack": T_SEQ_PACK_SQL,
+    "g_grid_cluster": G_GRID_CLUSTER_SQL,
 }

@@ -761,3 +761,67 @@ def test_int8_dot_topk_matches_bruteforce(ray_session):
             "vec_id", "embedding", k=5, num_queries=3).to_pandas()
         assert set(map(tuple, got[["query_id", "vec_id", "dot"]]
                        .itertuples(index=False))) == want
+
+
+def test_grid_density_clusters_planted(ray_session):
+    """Planted-geometry oracle: an L-shaped blob of touching cells plus
+    two isolated singletons and a diagonal-contact pair; clusters,
+    cell counts and point counts recovered exactly, independent of
+    partition count, including the multi-point-per-cell case."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+    from osm2geojson_ray.spatial.cluster import grid_density_clusters
+
+    level, g = 14, 1 << 14
+
+    def center(gx, gy):
+        # lon/lat at the cell center so floor() snaps back to (gx, gy)
+        return ((gx + 0.5) / g * 360.0 - 180.0,
+                (gy + 0.5) / g * 180.0 - 90.0)
+
+    # L-blob: (100,100),(101,100),(102,100),(102,101); pair touching
+    # only diagonally: (200,200),(201,201); singletons at (300,300)
+    # and (400,50).  (100,100) holds THREE points.
+    cells = [(100, 100)] * 3 + [(101, 100), (102, 100), (102, 101),
+                                (200, 200), (201, 201),
+                                (300, 300), (400, 50)]
+    lon, lat = zip(*(center(x, y) for x, y in cells))
+    t = pa.table({"lon": pa.array(lon, pa.float64()),
+                  "lat": pa.array(lat, pa.float64())})
+
+    def key(gx, gy):
+        return gx * g + gy
+
+    want = {
+        key(100, 100): (4, 6),   # L-blob: 4 cells, 6 points
+        key(200, 200): (2, 2),   # diagonal contact merges (8-adjacency)
+        key(300, 300): (1, 1),
+        key(400, 50): (1, 1),
+    }
+    for nparts in (1, 5):
+        got = grid_density_clusters(
+            ray.data.from_arrow(t).repartition(nparts), level=level
+        ).to_pandas()
+        have = {int(r.cluster_id): (int(r.n_cells), int(r.n_points))
+                for r in got.itertuples(index=False)}
+        assert have == want
+
+
+def test_grid_density_clusters_no_edges(ray_session):
+    """All-singleton input (no adjacent occupied cells) takes the
+    edge-free fast path and still labels every cell."""
+    import pyarrow as pa
+
+    import ray
+    from osm2geojson_ray.spatial.cluster import grid_density_clusters
+
+    g = 1 << 14
+    lon = [(x + 0.5) / g * 360.0 - 180.0 for x in (10, 500, 900)]
+    lat = [(y + 0.5) / g * 180.0 - 90.0 for y in (10, 500, 900)]
+    t = pa.table({"lon": pa.array(lon, pa.float64()),
+                  "lat": pa.array(lat, pa.float64())})
+    got = grid_density_clusters(ray.data.from_arrow(t), level=14).to_pandas()
+    assert len(got) == 3
+    assert set(got.n_cells) == {1} and set(got.n_points) == {1}
