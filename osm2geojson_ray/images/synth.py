@@ -208,10 +208,17 @@ def synth_image_table(
     size: Tuple[int, int] = (24, 16),
     lossy_every: int = 4,
     partition_rows: Optional[int] = None,
+    size_ladder: Optional[list] = None,
 ):
     """Ray Dataset of n synthetic images, generated IN PARALLEL: a tiny
     index-range dataset fans out to ``map_batches`` workers that each
-    synthesize their own partition (no driver-side materialization)."""
+    synthesize their own partition (no driver-side materialization).
+
+    ``size_ladder``: optional list of (w, h) — partition p uses
+    ``size_ladder[p % len(size_ladder)]``, a pure function of the
+    partition's start index, so the variable-resolution corpus stays
+    deterministic and shard-resumable (and each partition is still
+    uniform-size, keeping the same-size fast paths)."""
     import ray.data
 
     partition_rows = partition_rows or max(1, min(n, 4096))
@@ -223,9 +230,16 @@ def synth_image_table(
         override_num_blocks=len(starts),
     )
 
+    def part_size(start: int) -> Tuple[int, int]:
+        if size_ladder is None:
+            return size
+        return size_ladder[(start // partition_rows) % len(size_ladder)]
+
     def gen(batch):
         tables = [
-            synth_image_batch(int(s), int(c), size=size, lossy_every=lossy_every)
+            synth_image_batch(
+                int(s), int(c), size=part_size(int(s)), lossy_every=lossy_every
+            )
             for s, c in zip(batch["start"], batch["count"])
         ]
         return pa.concat_tables(tables)

@@ -6404,6 +6404,75 @@ def t_seq_pack(sf_dir: str):
     return win.map_batches(manifest, batch_format="pyarrow")
 
 
+# size ladder cycled per 250-image partition; standard aspect buckets
+# (bucket 4 = 9:16 is deliberately unmatched by any ladder size — the
+# assignment must PICK, not pattern-match)
+_ASPECT_LADDER = [(24, 16), (16, 24), (20, 20), (32, 12)]
+_ASPECT_BUCKETS = [(1, 1), (4, 3), (3, 4), (16, 9), (9, 16)]
+# lcm of bucket-ratio denominators: scaling |w*bh - bw*h| / bh by
+# 144/bh makes the nearest-ratio comparison pure int64
+_ASPECT_SCALE = [144 // bh for _, bh in _ASPECT_BUCKETS]
+
+
+def m_aspect_bucket(sf_dir: str):
+    """Aspect-ratio BUCKETING manifest — the batching prerequisite of
+    any variable-resolution image trainer (SDXL-style buckets): each
+    image goes to the fixed bucket whose w:h ratio is nearest its own,
+    ties to the smaller bucket id, compared in EXACT integer
+    arithmetic (|w*bh - bw*h| scaled by lcm/bh — no float ratios, so
+    no tie ambiguity).  Input is the variable-size synthetic corpus
+    (size ladder cycled per partition); one shuffle-free map + one
+    combiner-pushdown rollup.  The oracle never reads the table: it
+    recomputes each partition's (w, h) from the image index — a
+    cross-representation gate that the Ray path synthesized and
+    bucketed exactly what the generator encodes."""
+    from .images.synth import synth_image_table
+    from .relational import partial_grouped_agg
+
+    ds = synth_image_table(2000, partition_rows=250, size_ladder=_ASPECT_LADDER)
+    bw = np.array([b[0] for b in _ASPECT_BUCKETS], dtype=np.int64)
+    bh = np.array([b[1] for b in _ASPECT_BUCKETS], dtype=np.int64)
+    sc = np.array(_ASPECT_SCALE, dtype=np.int64)
+
+    def assign(t: pa.Table) -> pa.Table:
+        idx = pc.cast(pc.utf8_slice_codeunits(t["image_id"], 4), pa.int64())
+        w = t["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = t["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        score = np.abs(w[:, None] * bh[None, :] - bw[None, :] * h[:, None]) * sc
+        # np.argmin returns the FIRST minimum -> smallest bucket id on ties
+        bid = np.argmin(score, axis=1).astype(np.int64)
+        return pa.table({"bucket_id": pa.array(bid), "image_idx": idx})
+
+    return partial_grouped_agg(
+        ds.map_batches(assign, batch_format="pyarrow"),
+        ["bucket_id"],
+        {"n_images": (None, "count"), "sum_idx": ("image_idx", "sum")},
+    )
+
+
+M_ASPECT_BUCKET_SQL = """
+WITH imgsz AS (
+  SELECT range AS i,
+         CASE (range // 250) % 4 WHEN 0 THEN 24 WHEN 1 THEN 16
+                                 WHEN 2 THEN 20 ELSE 32 END AS w,
+         CASE (range // 250) % 4 WHEN 0 THEN 16 WHEN 1 THEN 24
+                                 WHEN 2 THEN 20 ELSE 12 END AS h
+  FROM range(0, 2000)),
+scored AS (
+  SELECT i, b.bid,
+         row_number() OVER (
+           PARTITION BY i
+           ORDER BY abs(w * b.bh - b.bw * h) * b.sc, b.bid) AS rn
+  FROM imgsz CROSS JOIN (VALUES (0, 1, 1, 144), (1, 4, 3, 48),
+                                (2, 3, 4, 36), (3, 16, 9, 16),
+                                (4, 9, 16, 9)) b(bid, bw, bh, sc))
+SELECT CAST(bid AS BIGINT) AS bucket_id,
+       count(*) AS n_images,
+       CAST(sum(i) AS BIGINT) AS sum_idx
+FROM scored WHERE rn = 1 GROUP BY 1
+"""
+
+
 _DBSCAN_G = 1 << 14
 
 
@@ -6613,6 +6682,7 @@ QUERIES = {
     "q59_grid_resample_ffill": q59_grid_resample_ffill,
     "t_seq_pack": t_seq_pack,
     "g_grid_cluster": g_grid_cluster,
+    "m_aspect_bucket": m_aspect_bucket,
 }
 
 ORACLE_SQL = {
@@ -6750,4 +6820,5 @@ ORACLE_SQL = {
     "q59_grid_resample_ffill": Q59_SQL,
     "t_seq_pack": T_SEQ_PACK_SQL,
     "g_grid_cluster": G_GRID_CLUSTER_SQL,
+    "m_aspect_bucket": M_ASPECT_BUCKET_SQL,
 }

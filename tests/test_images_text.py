@@ -1091,3 +1091,51 @@ def test_char_window_dup_matches_bruteforce(ray_session):
         {"doc_id": np.array([1], np.int64), "text": ["café " * 10]}))
     with _pytest.raises(Exception, match="ASCII"):
         char_window_dup(bad, window=W).to_pandas()
+
+
+def test_synth_size_ladder_deterministic(ray_session):
+    """size_ladder assigns each partition its ladder size as a pure
+    function of the start index; regenerating any single partition
+    reproduces identical rows (shard resumability)."""
+    import pyarrow as pa
+
+    from osm2geojson_ray.images.synth import synth_image_batch, synth_image_table
+
+    ladder = [(24, 16), (16, 24), (20, 20), (32, 12)]
+    tbl = (
+        synth_image_table(40, partition_rows=10, size_ladder=ladder)
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    for p in range(4):
+        part = tbl.iloc[p * 10:(p + 1) * 10]
+        w, h = ladder[p % 4]
+        assert set(part.w) == {w} and set(part.h) == {h}
+        regen = synth_image_batch(p * 10, 10, size=(w, h)).to_pandas()
+        assert part.reset_index(drop=True).equals(regen)
+
+
+def test_aspect_bucket_assignment_exact():
+    """The integer nearest-ratio rule maps each ladder size to the
+    mathematically nearest bucket (checked against exact fractions),
+    ties to the smaller bucket id."""
+    from fractions import Fraction
+
+    import numpy as np
+
+    from osm2geojson_ray.queries import (
+        _ASPECT_BUCKETS,
+        _ASPECT_LADDER,
+        _ASPECT_SCALE,
+    )
+
+    bw = np.array([b[0] for b in _ASPECT_BUCKETS])
+    bh = np.array([b[1] for b in _ASPECT_BUCKETS])
+    sc = np.array(_ASPECT_SCALE)
+    for w, h in _ASPECT_LADDER + [(9, 16), (21, 9), (10, 10)]:
+        score = np.abs(w * bh - bw * h) * sc
+        got = int(np.argmin(score))
+        exact = [abs(Fraction(w, h) - Fraction(a, b)) for a, b in _ASPECT_BUCKETS]
+        want = exact.index(min(exact))
+        assert got == want, (w, h, got, want)
