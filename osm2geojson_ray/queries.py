@@ -6404,6 +6404,49 @@ def t_seq_pack(sf_dir: str):
     return win.map_batches(manifest, batch_format="pyarrow")
 
 
+def e_rp_bits(sf_dir: str):
+    """Cosine-LSH bit signatures for every embedding
+    (vectors.rp_lsh_signatures): 16 pseudo-random ±1 hyperplanes from
+    splitmix64 parity, dotted against the int8 quantization codes —
+    all-integer arithmetic, so the DuckDB twin replays the exact bits
+    (codes CTE = the already-oracled e_quantize_codes expression; the
+    hyperplane signs come from the HUGEINT splitmix chain)."""
+    from .vectors import rp_lsh_signatures
+
+    emb = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return rp_lsh_signatures(emb, "vec_id", "embedding", num_bits=16)
+
+
+E_RP_BITS_SQL = f"""
+WITH flat AS (
+  SELECT vec_id,
+         CAST(ord - 1 AS BIGINT) AS dim,
+         CAST(val AS DOUBLE) AS x
+  FROM (SELECT vec_id, unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) AS ord FROM embeddings)),
+s AS (SELECT dim, max(abs(x)) AS amax FROM flat GROUP BY 1),
+codes AS (
+  SELECT f.vec_id, f.dim,
+         CAST(greatest(-127, least(127,
+              floor((f.x * 127) / (CASE WHEN s.amax = 0 THEN 1.0 ELSE s.amax END))))
+              AS BIGINT) AS code
+  FROM flat f JOIN s USING (dim)),
+jd AS (SELECT r.range AS j, d.dim
+       FROM range(0, 16) r CROSS JOIN (SELECT DISTINCT dim FROM codes) d),
+{_splitmix_over("j * 1024 + dim", "jd")},
+signs AS (SELECT k // 1024 AS j, k % 1024 AS dim,
+                 CASE WHEN h64 % 2 = 0 THEN 1 ELSE -1 END AS sgn
+          FROM smfin),
+dots AS (SELECT c.vec_id, g.j, sum(c.code * g.sgn) AS dot
+         FROM codes c JOIN signs g USING (dim) GROUP BY 1, 2)
+SELECT vec_id,
+       CAST(sum(CASE WHEN dot >= 0
+                     THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+                     ELSE 0 END) AS BIGINT) AS sig
+FROM dots GROUP BY 1
+"""
+
+
 # size ladder cycled per 250-image partition; standard aspect buckets
 # (bucket 4 = 9:16 is deliberately unmatched by any ladder size — the
 # assignment must PICK, not pattern-match)
@@ -6683,6 +6726,7 @@ QUERIES = {
     "t_seq_pack": t_seq_pack,
     "g_grid_cluster": g_grid_cluster,
     "m_aspect_bucket": m_aspect_bucket,
+    "e_rp_bits": e_rp_bits,
 }
 
 ORACLE_SQL = {
@@ -6821,4 +6865,5 @@ ORACLE_SQL = {
     "t_seq_pack": T_SEQ_PACK_SQL,
     "g_grid_cluster": G_GRID_CLUSTER_SQL,
     "m_aspect_bucket": M_ASPECT_BUCKET_SQL,
+    "e_rp_bits": E_RP_BITS_SQL,
 }

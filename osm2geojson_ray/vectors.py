@@ -371,3 +371,51 @@ def kmeans(ds, id_col: str, vec_col: str, *, k: int = 8, max_iters: int = 20,
         })
 
     return ds.map_batches(assign_fn, batch_format="pyarrow"), centroids, n_iters
+
+
+def rp_lsh_signatures(ds, id_col: str, vec_col: str, *, num_bits: int = 16,
+                      levels: int = 127, key_stride: int = 1024):
+    """Sign-random-projection LSH signatures (SimHash over embeddings):
+    bit j of a vector's signature is the sign of its dot product with
+    the j-th pseudo-random ±1 hyperplane — the classic cosine-LSH
+    bucketing key (vectors sharing many bits are angularly close).
+
+    Exactness shape: the projection runs over the int8 quantization
+    codes (one shuffle-free absmax pass -> broadcast scale), and the
+    hyperplanes are ±1 vectors derived from splitmix64(j*stride + dim)
+    parity — so every dot product is bit-deterministic int64 arithmetic
+    a DuckDB twin replays exactly (no float accumulation order issues).
+    Scale shape: signatures are computed per batch with one (n,D)x(D,B)
+    integer matmul; raw vectors never shuffle; the (B,D) sign matrix is
+    regenerated in-worker (16x64 ints — cheaper than a broadcast).
+    Output: (vec_id, sig) with sig = sum(bit_j << j), dot==0 -> bit 1.
+    """
+    import ray as _ray
+
+    from .images.synth import splitmix64
+
+    if num_bits > 62:
+        raise ValueError("num_bits must fit a signed int64 signature")
+    scale_ref = _absmax_scale_ref(ds, vec_col)
+    weights = (np.int64(1) << np.arange(num_bits, dtype=np.int64))
+
+    def sig_fn(tbl: pa.Table) -> pa.Table:
+        amax = _ray.get(scale_ref)
+        M = vec_matrix(tbl[vec_col])
+        ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if M.size == 0:
+            return pa.table({"vec_id": pa.array(ids),
+                             "sig": pa.array(np.zeros(len(ids), np.int64))})
+        codes = _quantize_matrix(M, amax, levels)
+        d = codes.shape[1]
+        if d >= key_stride:
+            raise ValueError("key_stride must exceed the embedding dim")
+        keys = (np.arange(num_bits, dtype=np.uint64)[:, None] * np.uint64(key_stride)
+                + np.arange(d, dtype=np.uint64)[None, :])
+        signs = np.where((splitmix64(keys.ravel()) & np.uint64(1)) == 0, 1, -1) \
+            .astype(np.int64).reshape(num_bits, d)
+        dots = codes @ signs.T
+        sig = ((dots >= 0).astype(np.int64) * weights[None, :]).sum(axis=1)
+        return pa.table({"vec_id": pa.array(ids), "sig": pa.array(sig)})
+
+    return ds.map_batches(sig_fn, batch_format="pyarrow")

