@@ -6404,6 +6404,92 @@ def t_seq_pack(sf_dir: str):
     return win.map_batches(manifest, batch_format="pyarrow")
 
 
+def _sql_ntile(r: np.ndarray, n: int, k: int) -> np.ndarray:
+    """SQL NTILE(k) from 1-based global rank r over n rows: the first
+    n % k tiles hold ceil(n/k) rows, the rest floor(n/k) — vectorized
+    and exactly DuckDB's distribution."""
+    big, nbig, small = n // k + 1, n % k, n // k
+    if small == 0:
+        return r.astype(np.int64)
+    return np.where(
+        r <= nbig * big,
+        (r - 1) // big + 1,
+        nbig + (r - nbig * big - 1) // small + 1,
+    ).astype(np.int64)
+
+
+def q60_decile_lift(sf_dir: str):
+    """Global NTILE(10) lift table over customer revenue WITHOUT a
+    global sort: the combiner-pushdown revenue rollup feeds (1) a
+    value histogram reduced to one broadcast cdf (global count-below
+    per distinct revenue — the t_token_percentile trick; the broadcast
+    is #distinct-values-sized, not #rows-sized) and (2) one
+    partitioned_window row_number over each revenue TIE GROUP (custkey
+    ascending) — global_rank = cdf_below + tie_rank exactly, then the
+    SQL NTILE distribution formula (first n%10 tiles take the extra
+    row) assigns deciles and a rollup emits per-decile customer count
+    and revenue.  Deterministic: (cents, custkey) is a total order."""
+    import ray as _ray
+
+    from .relational import partial_grouped_agg, partitioned_window
+
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0))),
+                        pa.int64())
+        return pa.table({"o_custkey": t["o_custkey"].combine_chunks(),
+                         "cents": cents})
+
+    rev = partial_grouped_agg(
+        orders.map_batches(to_cents, batch_format="pyarrow"),
+        ["o_custkey"], {"cents": ("cents", "sum")},
+    ).materialize()
+
+    hist = partial_grouped_agg(
+        rev.select_columns(["cents"]), ["cents"], {"c": (None, "count")}
+    ).to_pandas().sort_values("cents")
+    vals = hist["cents"].to_numpy()
+    below = np.concatenate([[0], hist["c"].to_numpy().cumsum()])
+    n_total = int(below[-1])
+    cdf_ref = _ray.put((vals, below))
+
+    ranked = partitioned_window(
+        rev, "cents", [("o_custkey", False)],
+        {"tie_rank": (None, "row_number")},
+    )
+
+    def decile_of(t: pa.Table) -> pa.Table:
+        v, b = _ray.get(cdf_ref)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        tie = t["tie_rank"].to_numpy(zero_copy_only=False)
+        r = b[np.searchsorted(v, cents)] + tie  # 1-based global rank
+        return pa.table({
+            "decile": pa.array(_sql_ntile(r, n_total, 10)),
+            "cents": t["cents"].combine_chunks().cast(pa.int64()),
+        })
+
+    return partial_grouped_agg(
+        ranked.map_batches(decile_of, batch_format="pyarrow"),
+        ["decile"],
+        {"n_customers": (None, "count"), "sum_cents": ("cents", "sum")},
+    )
+
+
+Q60_SQL = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+t AS (SELECT cents, ntile(10) OVER (ORDER BY cents, o_custkey) AS decile
+      FROM rev)
+SELECT CAST(decile AS BIGINT) AS decile,
+       count(*) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM t GROUP BY 1
+"""
+
+
 def e_rp_bits(sf_dir: str):
     """Cosine-LSH bit signatures for every embedding
     (vectors.rp_lsh_signatures): 16 pseudo-random ±1 hyperplanes from
@@ -6727,6 +6813,7 @@ QUERIES = {
     "g_grid_cluster": g_grid_cluster,
     "m_aspect_bucket": m_aspect_bucket,
     "e_rp_bits": e_rp_bits,
+    "q60_decile_lift": q60_decile_lift,
 }
 
 ORACLE_SQL = {
@@ -6866,4 +6953,5 @@ ORACLE_SQL = {
     "g_grid_cluster": G_GRID_CLUSTER_SQL,
     "m_aspect_bucket": M_ASPECT_BUCKET_SQL,
     "e_rp_bits": E_RP_BITS_SQL,
+    "q60_decile_lift": Q60_SQL,
 }

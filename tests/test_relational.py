@@ -1572,3 +1572,24 @@ def test_kcore_vs_bruteforce(ray_session):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         kcore(ds, 0, a_col="a", b_col="b")
+
+
+def test_sql_ntile_formula_matches_duckdb():
+    """The closed-form NTILE used by q60 equals DuckDB's ntile(k) for
+    every (n, k) shape class: n % k == 0, n % k != 0, n < k, n == 1."""
+    import duckdb
+    import numpy as np
+
+    from osm2geojson_ray.queries import _sql_ntile
+
+    con = duckdb.connect()
+    for n, k in [(100, 10), (103, 10), (7, 10), (1, 10), (25, 4), (9, 3)]:
+        want = [
+            r[0]
+            for r in con.execute(
+                f"SELECT ntile({k}) OVER (ORDER BY range) "
+                f"FROM range(0, {n}) ORDER BY range"
+            ).fetchall()
+        ]
+        got = _sql_ntile(np.arange(1, n + 1, dtype=np.int64), n, k)
+        assert got.tolist() == want, (n, k)
