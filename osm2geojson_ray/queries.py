@@ -6418,6 +6418,69 @@ def _sql_ntile(r: np.ndarray, n: int, k: int) -> np.ndarray:
     ).astype(np.int64)
 
 
+_HILBERT_LEVEL = 12
+
+
+def g_hilbert_keys(sf_dir: str):
+    """Hilbert-curve layout keys for every image point
+    (spatial/cells.hilbert_key, level 12 / 4096-grid): the
+    space-filling sort key with strictly better locality than Z-order
+    — consecutive keys are ALWAYS grid-adjacent, so a range scan of a
+    Hilbert-clustered shard never takes Morton jumps.  Pure integer
+    bit-walk; the oracle unrolls the same 12 flip-rotate steps as
+    MATERIALIZED CTEs (plain CTEs inline the step chain into an
+    exponential expression tree — the banked kcore lesson)."""
+    from .spatial.cells import hilbert_key
+
+    def encode(t: pa.Table) -> pa.Table:
+        hk = hilbert_key(
+            t["lon"].to_numpy(zero_copy_only=False),
+            t["lat"].to_numpy(zero_copy_only=False),
+            _HILBERT_LEVEL,
+        )
+        return pa.Table.from_pydict(
+            {"image_id": t["image_id"], "hkey": pa.array(hk)},
+            schema=pa.schema([("image_id", pa.int64()), ("hkey", pa.int64())]),
+        )
+
+    return part_images(sf_dir).map_batches(encode, batch_format="pyarrow")
+
+
+def _hilbert_sql(level: int) -> str:
+    g = 1 << level
+    parts = [f"""
+h0 AS MATERIALIZED (
+  SELECT image_id,
+         CAST(floor((lon + 180) / 360 * {g}) AS BIGINT) AS x,
+         CAST(floor((lat + 90) / 180 * {g}) AS BIGINT) AS y,
+         CAST(0 AS BIGINT) AS d
+  FROM img)"""]
+    for i, shift in enumerate(range(level - 1, -1, -1), start=1):
+        s = 1 << shift
+        parts.append(f"""
+h{i} AS MATERIALIZED (
+  SELECT image_id, nx AS x, ny AS y, nd AS d FROM (
+    SELECT image_id,
+           d + {s * s} * (CASE WHEN x // {s} % 2 = 0 AND y // {s} % 2 = 0 THEN 0
+                               WHEN x // {s} % 2 = 0 THEN 1
+                               WHEN y // {s} % 2 = 0 THEN 3
+                               ELSE 2 END) AS nd,
+           CASE WHEN y // {s} % 2 = 1 THEN x
+                WHEN x // {s} % 2 = 1 THEN {g} - 1 - y
+                ELSE y END AS nx,
+           CASE WHEN y // {s} % 2 = 1 THEN y
+                WHEN x // {s} % 2 = 1 THEN {g} - 1 - x
+                ELSE x END AS ny
+    FROM h{i - 1}))""")
+    return ",".join(parts) + f"\nSELECT image_id, d AS hkey FROM h{level}"
+
+
+G_HILBERT_SQL = f"""
+WITH img AS ({_PART_IMG_SQL}),
+{_hilbert_sql(_HILBERT_LEVEL)}
+"""
+
+
 def q60_decile_lift(sf_dir: str):
     """Global NTILE(10) lift table over customer revenue WITHOUT a
     global sort: the combiner-pushdown revenue rollup feeds (1) a
@@ -6814,6 +6877,7 @@ QUERIES = {
     "m_aspect_bucket": m_aspect_bucket,
     "e_rp_bits": e_rp_bits,
     "q60_decile_lift": q60_decile_lift,
+    "g_hilbert_keys": g_hilbert_keys,
 }
 
 ORACLE_SQL = {
@@ -6954,4 +7018,5 @@ ORACLE_SQL = {
     "m_aspect_bucket": M_ASPECT_BUCKET_SQL,
     "e_rp_bits": E_RP_BITS_SQL,
     "q60_decile_lift": Q60_SQL,
+    "g_hilbert_keys": G_HILBERT_SQL,
 }

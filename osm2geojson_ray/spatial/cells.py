@@ -500,3 +500,36 @@ def zorder_key(lon, lat, level: int):
         raise ValueError("zorder_key supports levels 0..16")
     x, y = _grid_xy(np.atleast_1d(lon), np.atleast_1d(lat), level)
     return _spread_bits16(x) | (_spread_bits16(y) << np.int64(1))
+
+
+def hilbert_key(lon, lat, level: int):
+    """Vectorized point -> Hilbert-curve index at ``level`` (<= 16):
+    the space-filling sort key with strictly better locality than
+    Z-order (consecutive keys are ALWAYS grid-adjacent — no Morton
+    jumps), the layout key of choice for range-scanned spatial shards.
+
+    Classic xy2d bit walk (public-domain algorithm): per bit plane s,
+    quadrant digit (3*rx) XOR ry accumulates s*s steps, then the
+    subgrid is flip-rotated.  Pure integer arithmetic on the same
+    floor grid as ``cell_id`` so an (unrolled, MATERIALIZED-CTE) SQL
+    twin replays every step exactly."""
+    if level < 0 or level > 16:
+        raise ValueError("hilbert_key supports levels 0..16")
+    x, y = _grid_xy(np.atleast_1d(lon), np.atleast_1d(lat), level)
+    n = np.int64(1 << level)
+    d = np.zeros_like(x)
+    s = n >> np.int64(1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate/flip the quadrant so the sub-curve orients correctly;
+        # the flip reflects in the FULL grid (n-1-x), keeping coords in
+        # [0, n) — so the SQL twin's // and % never see negatives
+        flip = (ry == 0) & (rx == 1)
+        x_f = np.where(flip, n - 1 - x, x)
+        y_f = np.where(flip, n - 1 - y, y)
+        swap = ry == 0
+        x, y = np.where(swap, y_f, x_f), np.where(swap, x_f, y_f)
+        s >>= 1
+    return d

@@ -872,3 +872,32 @@ def test_rp_lsh_signatures_scalar_oracle(ray_session):
         have = dict(zip(got.vec_id.astype(int), got.sig.astype(int)))
         assert have == want
     assert want[3] == want[7]
+
+
+def test_hilbert_key_canonical_and_continuous():
+    """hilbert_key equals the canonical 4x4 table, and at level 6 the
+    d-sorted grid walk is CONTINUOUS (every consecutive pair of keys
+    is grid-adjacent — the property Z-order lacks) and bijective."""
+    import numpy as np
+
+    from osm2geojson_ray.spatial.cells import hilbert_key
+
+    table = {(0, 0): 0, (1, 0): 1, (1, 1): 2, (0, 1): 3,
+             (0, 2): 4, (0, 3): 5, (1, 3): 6, (1, 2): 7,
+             (2, 2): 8, (2, 3): 9, (3, 3): 10, (3, 2): 11,
+             (3, 1): 12, (2, 1): 13, (2, 0): 14, (3, 0): 15}
+    xs = np.array([p[0] for p in table])
+    ys = np.array([p[1] for p in table])
+    got = hilbert_key((xs + 0.5) / 4 * 360 - 180,
+                      (ys + 0.5) / 4 * 180 - 90, 2)
+    assert got.tolist() == list(table.values())
+
+    n = 64
+    gx, gy = np.meshgrid(np.arange(n), np.arange(n))
+    d = hilbert_key((gx.ravel() + 0.5) / n * 360 - 180,
+                    (gy.ravel() + 0.5) / n * 180 - 90, 6)
+    o = np.argsort(d)
+    steps = np.abs(np.diff(gx.ravel()[o])) + np.abs(np.diff(gy.ravel()[o]))
+    assert (steps == 1).all()
+    assert d.min() == 0 and d.max() == n * n - 1
+    assert len(np.unique(d)) == n * n
