@@ -6418,6 +6418,64 @@ def _sql_ntile(r: np.ndarray, n: int, k: int) -> np.ndarray:
     ).astype(np.int64)
 
 
+def q61_user_drawdown(sf_dir: str):
+    """Per-user running-peak DRAWDOWN (the time-series risk metric:
+    high-water-mark minus current value, maximized over the history):
+    one hash exchange on user_id, a segmented vectorized cummax over
+    (ts, event_id) order (the new partitioned_window "cummax" kind),
+    then a combiner-pushdown per-user rollup of max(hwm - value) and
+    the peak itself.  Integer cents end to end."""
+    from .relational import partial_grouped_agg, partitioned_window
+
+    ev = _pq(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"].combine_chunks(),
+            "event_id": t["event_id"].combine_chunks(),
+            "t_us": t["ts"].combine_chunks().cast(pa.int64()),
+            "vc": pc.cast(pc.round(pc.multiply(t["value"], pa.scalar(100.0))),
+                          pa.int64()),
+        })
+
+    win = partitioned_window(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        "user_id",
+        [("t_us", False), ("event_id", False)],
+        {"hwm": ("vc", "cummax")},
+    )
+
+    def drawdown(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"].combine_chunks(),
+            "dd": pc.subtract(t["hwm"], t["vc"]),
+            "hwm": t["hwm"].combine_chunks(),
+        })
+
+    return partial_grouped_agg(
+        win.map_batches(drawdown, batch_format="pyarrow"),
+        ["user_id"],
+        {"max_drawdown_cents": ("dd", "max"), "peak_cents": ("hwm", "max")},
+    )
+
+
+Q61_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events),
+w AS (
+  SELECT user_id, vc,
+         max(vc) OVER (PARTITION BY user_id ORDER BY t, event_id
+                       ROWS UNBOUNDED PRECEDING) AS hwm
+  FROM e)
+SELECT user_id,
+       CAST(max(hwm - vc) AS BIGINT) AS max_drawdown_cents,
+       CAST(max(hwm) AS BIGINT) AS peak_cents
+FROM w GROUP BY 1
+"""
+
+
 _HILBERT_LEVEL = 12
 
 
@@ -6878,6 +6936,7 @@ QUERIES = {
     "e_rp_bits": e_rp_bits,
     "q60_decile_lift": q60_decile_lift,
     "g_hilbert_keys": g_hilbert_keys,
+    "q61_user_drawdown": q61_user_drawdown,
 }
 
 ORACLE_SQL = {
@@ -7019,4 +7078,5 @@ ORACLE_SQL = {
     "e_rp_bits": E_RP_BITS_SQL,
     "q60_decile_lift": Q60_SQL,
     "g_hilbert_keys": G_HILBERT_SQL,
+    "q61_user_drawdown": Q61_SQL,
 }

@@ -1219,6 +1219,10 @@ def partitioned_window(
                       CURRENT ROW) — a cumsum difference against the
                       frame start (clamped to the partition start), so
                       the sliding frame costs O(n) not O(nK)
+      - "cummax":     running max of an int64 column (SQL MAX(x) OVER
+                      (... ROWS UNBOUNDED PRECEDING) — the
+                      high-water-mark / watermark primitive)
+      - "cummin":     running min, symmetric
       - "rank_den":   the PERCENT_RANK denominator (size-1) as an
                       int64 — emit next to "rank" and gate the exact
                       rational (rank-1)/(size-1) as two integers
@@ -1345,6 +1349,18 @@ def partitioned_window(
                 lo = np.maximum(idx - k, group_start)
                 base = np.where(lo > 0, cs[lo - 1], 0)
                 out = out.append_column(out_col, pa.array(cs - base))
+            elif kind in ("cummax", "cummin"):
+                # segmented running extreme (the high-water-mark /
+                # drawdown primitive): contiguous group ids + the
+                # C-implemented pandas groupby scan — no Python loop
+                import pandas as pd
+
+                v = out[in_col].to_numpy(zero_copy_only=False).astype(np.int64)
+                gid = np.cumsum(starts_mask) - 1
+                grouped = pd.Series(v).groupby(gid)
+                vals = (grouped.cummax() if kind == "cummax"
+                        else grouped.cummin()).to_numpy()
+                out = out.append_column(out_col, pa.array(vals.astype(np.int64)))
             elif kind == "rank_den":
                 s = np.flatnonzero(starts_mask)
                 sizes = np.diff(np.r_[s, n])

@@ -1593,3 +1593,37 @@ def test_sql_ntile_formula_matches_duckdb():
         ]
         got = _sql_ntile(np.arange(1, n + 1, dtype=np.int64), n, k)
         assert got.tolist() == want, (n, k)
+
+
+def test_partitioned_window_cummax_cummin(ray_session):
+    """cummax/cummin equal pandas groupby scans on shuffled input with
+    multi-group boundaries and negative values, across partition
+    counts."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray
+    from osm2geojson_ray.relational import partitioned_window
+
+    rng = np.random.default_rng(3)
+    n = 400
+    df = pd.DataFrame({
+        "k": rng.integers(0, 7, n),
+        "o": rng.permutation(n),
+        "v": rng.integers(-1000, 1000, n),
+    })
+    want = df.sort_values(["k", "o"]).groupby("k")["v"]
+    want_max = want.cummax().to_numpy()
+    want_min = want.cummin().to_numpy()
+    idx = df.sort_values(["k", "o"]).index
+
+    for nparts in (1, 4):
+        got = partitioned_window(
+            ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(nparts),
+            "k", [("o", False)],
+            {"hwm": ("v", "cummax"), "lwm": ("v", "cummin")},
+        ).to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+        assert got["hwm"].to_numpy().tolist() == want_max.tolist()
+        assert got["lwm"].to_numpy().tolist() == want_min.tolist()
+        assert got["v"].to_numpy().tolist() == df.loc[idx, "v"].tolist()
