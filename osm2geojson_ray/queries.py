@@ -6418,6 +6418,75 @@ def _sql_ntile(r: np.ndarray, n: int, k: int) -> np.ndarray:
     ).astype(np.int64)
 
 
+_SEG_SUBGRID = 4096 * 256  # level-12 cells x 256 subcells
+
+
+def g_seg_cells(sf_dir: str):
+    """Vector-to-tile assignment by segment RASTERIZATION
+    (spatial/cells.segment_cells_dda): each synthetic segment (endpoint
+    A = image point k, endpoint B = image point k+7) is walked with 257
+    exact integer-midpoint DDA samples over the level-12 grid, and the
+    per-segment distinct-cell count plus cell-key range comes out of
+    one row-wise sort — the which-tiles-does-this-way-touch step of a
+    tile re-render scheduler.  No shuffle at all: a segment's samples
+    never leave its batch.  The SQL twin replays the same integer
+    interpolation via unnest(generate_series(...)) (the banked list
+    form) + DISTINCT."""
+    from .spatial.cells import segment_cells_dda
+
+    def raster(t: pa.Table) -> pa.Table:
+        k = t["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+        def subcoords(kk):
+            lon = (kk * 2654435761 % 8000000) / 1e6 - 2.0
+            lat = (kk * 40503 % 8000000) / 1e6 - 2.0
+            sx = np.floor((lon + 180.0) / 360.0 * _SEG_SUBGRID).astype(np.int64)
+            sy = np.floor((lat + 90.0) / 180.0 * (_SEG_SUBGRID // 2)).astype(np.int64)
+            return sx, sy
+
+        sx0, sy0 = subcoords(k)
+        sx1, sy1 = subcoords(k + 7)
+        n_cells, min_cell, max_cell = segment_cells_dda(
+            sx0, sy0, sx1, sy1, steps=256, sub=256, grid=4096
+        )
+        return pa.Table.from_pydict(
+            {"seg_id": k, "n_cells": n_cells,
+             "min_cell": min_cell, "max_cell": max_cell},
+            schema=pa.schema([("seg_id", pa.int64()), ("n_cells", pa.int64()),
+                              ("min_cell", pa.int64()), ("max_cell", pa.int64())]),
+        )
+
+    return _pq(sf_dir, "part", ["p_partkey"]).map_batches(
+        raster, batch_format="pyarrow")
+
+
+G_SEG_CELLS_SQL = f"""
+WITH seg AS (
+  SELECT p_partkey AS seg_id,
+         CAST(floor(((p_partkey * 2654435761 % 8000000) / 1e6 - 2 + 180)
+                    / 360 * {_SEG_SUBGRID}) AS BIGINT) AS sx0,
+         CAST(floor(((p_partkey * 40503 % 8000000) / 1e6 - 2 + 90)
+                    / 180 * {_SEG_SUBGRID // 2}) AS BIGINT) AS sy0,
+         CAST(floor((((p_partkey + 7) * 2654435761 % 8000000) / 1e6 - 2 + 180)
+                    / 360 * {_SEG_SUBGRID}) AS BIGINT) AS sx1,
+         CAST(floor((((p_partkey + 7) * 40503 % 8000000) / 1e6 - 2 + 90)
+                    / 180 * {_SEG_SUBGRID // 2}) AS BIGINT) AS sy1
+  FROM part),
+samp AS (
+  SELECT seg_id,
+         (sx0 * (256 - t) + sx1 * t) // 256 AS px,
+         (sy0 * (256 - t) + sy1 * t) // 256 AS py
+  FROM seg CROSS JOIN (SELECT unnest(generate_series(0, 256)) AS t)),
+cells AS (SELECT DISTINCT seg_id, (px // 256) * 4096 + (py // 256) AS cell
+          FROM samp)
+SELECT seg_id,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(min(cell) AS BIGINT) AS min_cell,
+       CAST(max(cell) AS BIGINT) AS max_cell
+FROM cells GROUP BY 1
+"""
+
+
 def q61_user_drawdown(sf_dir: str):
     """Per-user running-peak DRAWDOWN (the time-series risk metric:
     high-water-mark minus current value, maximized over the history):
@@ -6937,6 +7006,7 @@ QUERIES = {
     "q60_decile_lift": q60_decile_lift,
     "g_hilbert_keys": g_hilbert_keys,
     "q61_user_drawdown": q61_user_drawdown,
+    "g_seg_cells": g_seg_cells,
 }
 
 ORACLE_SQL = {
@@ -7079,4 +7149,5 @@ ORACLE_SQL = {
     "q60_decile_lift": Q60_SQL,
     "g_hilbert_keys": G_HILBERT_SQL,
     "q61_user_drawdown": Q61_SQL,
+    "g_seg_cells": G_SEG_CELLS_SQL,
 }

@@ -533,3 +533,40 @@ def hilbert_key(lon, lat, level: int):
         x, y = np.where(swap, y_f, x_f), np.where(swap, x_f, y_f)
         s >>= 1
     return d
+
+
+def segment_cells_dda(sx0, sy0, sx1, sy1, *, steps: int = 256,
+                      sub: int = 256, grid: int = 4096):
+    """Vectorized DDA rasterization summary of line segments onto the
+    ``grid``^2 cell raster — the vector-to-tile assignment step of a
+    tiling engine (which tiles must re-render when a way changes).
+
+    Endpoints are SUBCELL-scaled integers (coord * grid * sub), and the
+    walk samples ``steps+1`` points per segment with exact integer
+    midpoint interpolation px = (sx0*(K-t) + sx1*t) // K — floor-div on
+    both engines, no float accumulation, so a SQL twin replays every
+    sample bit-for-bit.  Sampling is exact full-supercover when the
+    per-step movement stays under one cell (sub subcells); callers
+    size ``steps`` to their expected maximum segment extent.
+
+    Returns (n_cells, min_cell, max_cell): distinct-visited-cell count
+    and the flat cell-key range per segment — all (n,) int64, computed
+    with one row-wise sort (no Python loop)."""
+    sx0 = np.asarray(sx0, dtype=np.int64)[:, None]
+    sy0 = np.asarray(sy0, dtype=np.int64)[:, None]
+    sx1 = np.asarray(sx1, dtype=np.int64)[:, None]
+    sy1 = np.asarray(sy1, dtype=np.int64)[:, None]
+    k = np.int64(steps)
+    t = np.arange(steps + 1, dtype=np.int64)[None, :]
+    px = (sx0 * (k - t) + sx1 * t) // k
+    py = (sy0 * (k - t) + sy1 * t) // k
+    cells = (px // sub) * np.int64(grid) + (py // sub)
+    cells.sort(axis=1)
+    fresh = np.empty(cells.shape, dtype=bool)
+    fresh[:, 0] = True
+    fresh[:, 1:] = cells[:, 1:] != cells[:, :-1]
+    return (
+        fresh.sum(axis=1).astype(np.int64),
+        cells[:, 0].copy(),
+        cells[:, -1].copy(),
+    )
