@@ -6418,6 +6418,75 @@ def _sql_ntile(r: np.ndarray, n: int, k: int) -> np.ndarray:
     ).astype(np.int64)
 
 
+_CONC_IV_US = 300_000_000  # each event holds a resource for 5 minutes
+_DAY_US = 86_400_000_000
+
+
+def q62_max_concurrency(sf_dir: str):
+    """Sweep-line MAX CONCURRENCY per day (the peak-load / capacity
+    metric): every event opens a half-open 5-minute interval; each
+    interval emits a +1 at its start and a -1 at its (day-clipped) end,
+    one hash exchange on the day co-locates the sweep, a segmented
+    cumsum over (time, delta) order walks it (delta ascending puts -1
+    first at ties — an interval ending exactly at t is no longer
+    active when one starts at t), and a per-day max rollup finishes.
+    Raw events ship exactly two slim delta rows each."""
+    from .relational import partial_grouped_agg, partitioned_window
+
+    ev = _pq(sf_dir, "events", ["ts"])
+
+    def deltas(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]") \
+            .astype(np.int64)
+        day = ts // _DAY_US
+        end = np.minimum(ts + _CONC_IV_US, (day + 1) * _DAY_US)
+        return pa.Table.from_pydict(
+            {
+                "day": np.concatenate([day, day]),
+                "x": np.concatenate([ts, end]),
+                "delta": np.concatenate([
+                    np.ones(len(ts), dtype=np.int64),
+                    -np.ones(len(ts), dtype=np.int64),
+                ]),
+            },
+            schema=pa.schema([("day", pa.int64()), ("x", pa.int64()),
+                              ("delta", pa.int64())]),
+        )
+
+    win = partitioned_window(
+        ev.map_batches(deltas, batch_format="pyarrow"),
+        "day",
+        [("x", False), ("delta", False)],
+        {"conc": ("delta", "cumsum")},
+    )
+    return partial_grouped_agg(
+        win.select_columns(["day", "conc"]),
+        ["day"],
+        {"max_concurrent": ("conc", "max")},
+    )
+
+
+Q62_SQL = f"""
+WITH iv AS (
+  SELECT epoch_us(ts) AS t,
+         epoch_us(ts) // {_DAY_US} AS day
+  FROM events),
+deltas AS (
+  SELECT day, t AS x, 1 AS delta FROM iv
+  UNION ALL
+  SELECT day, least(t + {_CONC_IV_US}, (day + 1) * {_DAY_US}) AS x, -1 AS delta
+  FROM iv),
+w AS (
+  SELECT day,
+         sum(delta) OVER (PARTITION BY day ORDER BY x, delta
+                          ROWS UNBOUNDED PRECEDING) AS conc
+  FROM deltas)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(max(conc) AS BIGINT) AS max_concurrent
+FROM w GROUP BY 1
+"""
+
+
 _SEG_SUBGRID = 4096 * 256  # level-12 cells x 256 subcells
 
 
@@ -6792,6 +6861,88 @@ FROM scored WHERE rn = 1 GROUP BY 1
 """
 
 
+_TRAIN_BATCH = 32
+
+
+def m_train_manifest(sf_dir: str):
+    """Training-BATCH manifest over the aspect-bucketed corpus (the
+    loader-side artifact an SDXL-style trainer consumes): within each
+    aspect bucket, images in id order pack into fixed-size batches of
+    {batch} — one partitioned_window row_number per bucket, batch_id =
+    (rn-1)//{batch}, then a per-(bucket, batch) rollup of count and id
+    range.  Composes the oracled bucket assignment with the oracled
+    window machinery; the SQL twin is the bucket CTE + row_number."""
+    from .images.synth import synth_image_table
+    from .relational import partial_grouped_agg, partitioned_window
+
+    ds = synth_image_table(2000, partition_rows=250, size_ladder=_ASPECT_LADDER)
+    bw = np.array([b[0] for b in _ASPECT_BUCKETS], dtype=np.int64)
+    bh = np.array([b[1] for b in _ASPECT_BUCKETS], dtype=np.int64)
+    sc = np.array(_ASPECT_SCALE, dtype=np.int64)
+
+    def assign(t: pa.Table) -> pa.Table:
+        idx = pc.cast(pc.utf8_slice_codeunits(t["image_id"], 4), pa.int64())
+        w = t["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = t["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        score = np.abs(w[:, None] * bh[None, :] - bw[None, :] * h[:, None]) * sc
+        bid = np.argmin(score, axis=1).astype(np.int64)
+        return pa.table({"bucket_id": pa.array(bid), "image_idx": idx})
+
+    win = partitioned_window(
+        ds.map_batches(assign, batch_format="pyarrow"),
+        "bucket_id",
+        [("image_idx", False)],
+        {"rn": (None, "row_number")},
+    )
+
+    def to_batches(t: pa.Table) -> pa.Table:
+        rn = t["rn"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket_id": t["bucket_id"].combine_chunks(),
+            "batch_id": pa.array((rn - 1) // _TRAIN_BATCH),
+            "image_idx": t["image_idx"].combine_chunks(),
+        })
+
+    return partial_grouped_agg(
+        win.map_batches(to_batches, batch_format="pyarrow"),
+        ["bucket_id", "batch_id"],
+        {"n_images": (None, "count"),
+         "min_idx": ("image_idx", "min"),
+         "max_idx": ("image_idx", "max")},
+    )
+
+
+M_TRAIN_MANIFEST_SQL = f"""
+WITH imgsz AS (
+  SELECT range AS i,
+         CASE (range // 250) % 4 WHEN 0 THEN 24 WHEN 1 THEN 16
+                                 WHEN 2 THEN 20 ELSE 32 END AS w,
+         CASE (range // 250) % 4 WHEN 0 THEN 16 WHEN 1 THEN 24
+                                 WHEN 2 THEN 20 ELSE 12 END AS h
+  FROM range(0, 2000)),
+scored AS (
+  SELECT i, b.bid,
+         row_number() OVER (
+           PARTITION BY i
+           ORDER BY abs(w * b.bh - b.bw * h) * b.sc, b.bid) AS rn
+  FROM imgsz CROSS JOIN (VALUES (0, 1, 1, 144), (1, 4, 3, 48),
+                                (2, 3, 4, 36), (3, 16, 9, 16),
+                                (4, 9, 16, 9)) b(bid, bw, bh, sc)),
+bucketed AS (SELECT i, bid FROM scored WHERE rn = 1),
+packed AS (
+  SELECT bid, i,
+         (row_number() OVER (PARTITION BY bid ORDER BY i) - 1)
+           // {_TRAIN_BATCH} AS batch_id
+  FROM bucketed)
+SELECT CAST(bid AS BIGINT) AS bucket_id,
+       CAST(batch_id AS BIGINT) AS batch_id,
+       count(*) AS n_images,
+       CAST(min(i) AS BIGINT) AS min_idx,
+       CAST(max(i) AS BIGINT) AS max_idx
+FROM packed GROUP BY 1, 2
+"""
+
+
 _DBSCAN_G = 1 << 14
 
 
@@ -6811,10 +6962,12 @@ def g_grid_cluster(sf_dir: str):
     )
 
 
-G_GRID_CLUSTER_SQL = f"""
-WITH RECURSIVE img AS ({_PART_IMG_SQL}),
+# shared grid-cc oracle plumbing: point cells -> occupied counts ->
+# 8-neighbor equi-join edges -> recursive min-label propagation
+_GRID_CC_CTES = f"""
 pts AS (
-  SELECT CAST(floor((lon + 180) / 360 * {_DBSCAN_G}) AS BIGINT) * {_DBSCAN_G}
+  SELECT image_id,
+         CAST(floor((lon + 180) / 360 * {_DBSCAN_G}) AS BIGINT) * {_DBSCAN_G}
        + CAST(floor((lat + 90) / 180 * {_DBSCAN_G}) AS BIGINT) AS cell
   FROM img),
 cells AS (SELECT cell, count(*) AS n_points FROM pts GROUP BY 1),
@@ -6833,10 +6986,42 @@ reach(u, lbl) AS (
   UNION
   SELECT und.u, reach.lbl FROM und JOIN reach ON und.v = reach.u),
 labels AS (SELECT u AS cell, min(lbl) AS cluster_id FROM reach GROUP BY 1)
+"""
+
+G_GRID_CLUSTER_SQL = f"""
+WITH RECURSIVE img AS ({_PART_IMG_SQL}),
+{_GRID_CC_CTES}
 SELECT l.cluster_id,
        CAST(count(*) AS BIGINT) AS n_cells,
        CAST(sum(c.n_points) AS BIGINT) AS n_points
 FROM labels l JOIN cells c USING (cell)
+GROUP BY 1
+"""
+
+
+def g_spatial_dedup(sf_dir: str):
+    """Composed GEO-DEDUP curation pass (spatial/cluster.spatial_dedup)
+    — collapse bursts of near-identical capture locations to one
+    representative image: grid-cell cluster labels + one hash join
+    routing each image id to its cluster + per-cluster (min id, count)
+    rollup.  Image payloads never shuffle — only slim (id, cell) rows
+    ride the join.  SQL twin: the grid-cc recursive CTE joined back to
+    the per-point cell table."""
+    from .spatial.cluster import spatial_dedup
+
+    return spatial_dedup(
+        part_images(sf_dir).select_columns(["image_id", "lon", "lat"]),
+        id_col="image_id", level=14,
+    )
+
+
+G_SPATIAL_DEDUP_SQL = f"""
+WITH RECURSIVE img AS ({_PART_IMG_SQL}),
+{_GRID_CC_CTES}
+SELECT l.cluster_id,
+       CAST(min(p.image_id) AS BIGINT) AS keeper_id,
+       count(*) AS n_images
+FROM pts p JOIN labels l USING (cell)
 GROUP BY 1
 """
 
@@ -7007,6 +7192,9 @@ QUERIES = {
     "g_hilbert_keys": g_hilbert_keys,
     "q61_user_drawdown": q61_user_drawdown,
     "g_seg_cells": g_seg_cells,
+    "q62_max_concurrency": q62_max_concurrency,
+    "g_spatial_dedup": g_spatial_dedup,
+    "m_train_manifest": m_train_manifest,
 }
 
 ORACLE_SQL = {
@@ -7150,4 +7338,7 @@ ORACLE_SQL = {
     "g_hilbert_keys": G_HILBERT_SQL,
     "q61_user_drawdown": Q61_SQL,
     "g_seg_cells": G_SEG_CELLS_SQL,
+    "q62_max_concurrency": Q62_SQL,
+    "g_spatial_dedup": G_SPATIAL_DEDUP_SQL,
+    "m_train_manifest": M_TRAIN_MANIFEST_SQL,
 }

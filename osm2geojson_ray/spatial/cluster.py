@@ -19,7 +19,10 @@ Stages (all reusing already-oracled primitives):
   4. relational.connected_components -> (cell, label)
   5. left-outer join labels back onto occupied cells; singleton cells
      (no neighbor) label themselves
-  6. per-cluster rollup: n_cells, n_points
+
+``grid_cell_labels`` returns the per-cell label table (the join side
+spatial dedup needs); ``grid_density_clusters`` rolls it up to
+per-cluster cell/point counts.
 
 The flat ``gx * G + gy`` key (no level tag, unlike cells.cell_id) keeps
 the DuckDB twin's neighbor arithmetic to one ``// G`` / ``% G`` pair.
@@ -33,6 +36,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _EDGE_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
 
@@ -41,7 +45,17 @@ _EDGE_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
 _FWD = ((1, -1), (1, 0), (1, 1), (0, 1))
 
 
-def grid_density_clusters(
+def flat_cell_key(lon: np.ndarray, lat: np.ndarray, level: int) -> np.ndarray:
+    """Point -> flat grid key gx * 2^level + gy (int64, clipped)."""
+    g = 1 << level
+    gx = np.floor((lon + 180.0) / 360.0 * g).astype(np.int64)
+    gy = np.floor((lat + 90.0) / 180.0 * g).astype(np.int64)
+    np.clip(gx, 0, g - 1, out=gx)
+    np.clip(gy, 0, g - 1, out=gy)
+    return gx * g + gy
+
+
+def grid_cell_labels(
     points,
     *,
     lon_col: str = "lon",
@@ -49,29 +63,24 @@ def grid_density_clusters(
     level: int = 14,
     num_partitions: int = 16,
 ):
-    """Cluster points by occupied-grid-cell 8-adjacency.
+    """Label every OCCUPIED grid cell with its 8-adjacency component.
 
-    Returns a Dataset (cluster_id, n_cells, n_points) with cluster_id =
-    the smallest flat cell key in the component.
+    Returns a Dataset (cell, n_points, cluster_id) with cluster_id =
+    the smallest flat cell key in the component (cells with no occupied
+    neighbor label themselves).
     """
-    from ..relational import (
-        connected_components,
-        grouped_count,
-        hash_join,
-        partial_grouped_agg,
-    )
+    from ..relational import connected_components, grouped_count, hash_join
 
     g = 1 << level
 
     def to_cells(t: pa.Table) -> pa.Table:
-        lon = t[lon_col].to_numpy(zero_copy_only=False)
-        lat = t[lat_col].to_numpy(zero_copy_only=False)
-        gx = np.floor((lon + 180.0) / 360.0 * g).astype(np.int64)
-        gy = np.floor((lat + 90.0) / 180.0 * g).astype(np.int64)
-        np.clip(gx, 0, g - 1, out=gx)
-        np.clip(gy, 0, g - 1, out=gy)
+        cells = flat_cell_key(
+            t[lon_col].to_numpy(zero_copy_only=False),
+            t[lat_col].to_numpy(zero_copy_only=False),
+            level,
+        )
         return pa.Table.from_pydict(
-            {"cell": gx * g + gy}, schema=pa.schema([("cell", pa.int64())])
+            {"cell": cells}, schema=pa.schema([("cell", pa.int64())])
         )
 
     cells = grouped_count(
@@ -118,9 +127,9 @@ def grid_density_clusters(
         def singleton(t: pa.Table) -> pa.Table:
             return pa.table(
                 {
-                    "cluster_id": t["cell"].combine_chunks(),
-                    "n_cells": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                    "cell": t["cell"].combine_chunks(),
                     "n_points": t["n_points"].combine_chunks().cast(pa.int64()),
+                    "cluster_id": t["cell"].combine_chunks(),
                 }
             )
 
@@ -146,20 +155,95 @@ def grid_density_clusters(
         num_partitions=num_partitions,
     )
 
-    import pyarrow.compute as pc
-
-    def finalize_arrow(t: pa.Table) -> pa.Table:
-        lab = pc.coalesce(t["label"], t["cell"]).cast(pa.int64())
+    def finalize(t: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "cluster_id": lab,
+                "cell": t["cell"].combine_chunks().cast(pa.int64()),
                 "n_points": t["n_points"].combine_chunks().cast(pa.int64()),
+                "cluster_id": pc.coalesce(t["label"], t["cell"]).cast(pa.int64()),
             }
         )
 
-    rolled = joined.map_batches(finalize_arrow, batch_format="pyarrow")
+    return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+def grid_density_clusters(
+    points,
+    *,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    level: int = 14,
+    num_partitions: int = 16,
+):
+    """Cluster points by occupied-grid-cell 8-adjacency.
+
+    Returns a Dataset (cluster_id, n_cells, n_points) with cluster_id =
+    the smallest flat cell key in the component.
+    """
+    from ..relational import partial_grouped_agg
+
+    labels = grid_cell_labels(
+        points,
+        lon_col=lon_col,
+        lat_col=lat_col,
+        level=level,
+        num_partitions=num_partitions,
+    )
     return partial_grouped_agg(
-        rolled,
+        labels,
         ["cluster_id"],
         {"n_cells": (None, "count"), "n_points": ("n_points", "sum")},
+    )
+
+
+def spatial_dedup(
+    points,
+    *,
+    id_col: str = "image_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    level: int = 14,
+    num_partitions: int = 16,
+):
+    """Keep ONE point per spatial cluster (the geo-dedup curation pass:
+    collapse bursts of near-identical capture locations to a single
+    representative): grid_cell_labels + one hash join routing each
+    point's id to its cell's cluster label + a per-cluster (min id,
+    count) rollup.  Point payloads never shuffle — only slim
+    (id, cell) rows ride the join.
+
+    Returns (cluster_id, keeper_id, n_images).
+    """
+    from ..relational import hash_join, partial_grouped_agg
+
+    def to_rows(t: pa.Table) -> pa.Table:
+        cells = flat_cell_key(
+            t[lon_col].to_numpy(zero_copy_only=False),
+            t[lat_col].to_numpy(zero_copy_only=False),
+            level,
+        )
+        return pa.Table.from_pydict(
+            {"pid": t[id_col].to_numpy(zero_copy_only=False).astype(np.int64),
+             "cell": cells},
+            schema=pa.schema([("pid", pa.int64()), ("cell", pa.int64())]),
+        )
+
+    labels = grid_cell_labels(
+        points, lon_col=lon_col, lat_col=lat_col, level=level,
+        num_partitions=num_partitions,
+    ).select_columns(["cell", "cluster_id"])
+
+    routed = hash_join(
+        points.map_batches(to_rows, batch_format="pyarrow"),
+        labels,
+        on="cell",
+        l_schema=pa.schema([("cell", pa.int64()), ("pid", pa.int64())]),
+        r_schema=pa.schema([("cell", pa.int64()), ("cluster_id", pa.int64())]),
+        how="inner",
+        num_partitions=num_partitions,
+    )
+    return partial_grouped_agg(
+        routed,
+        ["cluster_id"],
+        {"keeper_id": ("pid", "min"), "n_images": (None, "count")},
     )
