@@ -6861,6 +6861,76 @@ FROM scored WHERE rn = 1 GROUP BY 1
 """
 
 
+_WINNOW_W = 4
+
+
+def t_winnow_fps(sf_dir: str):
+    """Winnowing fingerprint sets (MOSS local similarity,
+    text/analysis.winnowing_fingerprints): distinct window-minima of
+    word-trigram FNV hashes — any shared run of window+gram-1 words
+    between two documents is GUARANTEED to produce a shared
+    fingerprint, the property the single global-min fingerprint lacks.
+    Batch-local and shuffle-free; the gate pins the per-doc distinct
+    set via count, min and order-free xor against the recursive-FNV
+    SQL twin."""
+    from .text.analysis import winnowing_fingerprints
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return winnowing_fingerprints(docs, gram=3, window=_WINNOW_W)
+
+
+T_WINNOW_SQL = rf"""
+WITH RECURSIVE words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws
+  FROM documents
+),
+tri AS (
+  SELECT w.doc_id, i, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+  FROM words w, UNNEST(generate_series(1, len(ws) - 2)) AS u(i)
+  WHERE len(ws) >= 3
+),
+short AS (
+  SELECT doc_id, array_to_string(ws, ' ') AS g FROM words WHERE len(ws) < 3
+),
+gs AS (
+  SELECT DISTINCT g FROM (SELECT g FROM tri UNION ALL SELECT g FROM short)
+),
+fnv AS (
+  SELECT g, 1 AS pos, CAST(14695981039346656037 AS HUGEINT) AS h FROM gs
+  UNION ALL
+  SELECT g, pos + 1,
+         (xor(h, CAST(ord(substr(g, pos, 1)) AS HUGEINT)) * 1099511628211)
+           % 18446744073709551616
+  FROM fnv WHERE pos <= length(g)
+),
+gh AS (
+  SELECT g, CAST(h % 9223372036854775808 AS BIGINT) AS h63
+  FROM fnv WHERE pos = length(g) + 1
+),
+hpos AS (SELECT t.doc_id, t.i, gh.h63 FROM tri t JOIN gh USING (g)),
+wm AS (
+  SELECT doc_id, i,
+         min(h63) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN {_WINNOW_W - 1} PRECEDING
+                        AND CURRENT ROW) AS m,
+         count(*) OVER (PARTITION BY doc_id) AS ng
+  FROM hpos),
+fps AS (
+  SELECT DISTINCT doc_id, m FROM wm
+  WHERE ng >= {_WINNOW_W} AND i >= {_WINNOW_W}
+  UNION
+  SELECT doc_id, min(h63) AS m FROM hpos
+  GROUP BY doc_id HAVING count(*) < {_WINNOW_W}
+  UNION
+  SELECT s.doc_id, gh.h63 AS m FROM short s JOIN gh USING (g))
+SELECT doc_id,
+       count(*) AS n_fps,
+       CAST(min(m) AS BIGINT) AS min_fp,
+       CAST(bit_xor(m) AS BIGINT) AS xor_fp
+FROM fps GROUP BY 1
+"""
+
+
 _TRAIN_BATCH = 32
 
 
@@ -7195,6 +7265,7 @@ QUERIES = {
     "q62_max_concurrency": q62_max_concurrency,
     "g_spatial_dedup": g_spatial_dedup,
     "m_train_manifest": m_train_manifest,
+    "t_winnow_fps": t_winnow_fps,
 }
 
 ORACLE_SQL = {
@@ -7341,4 +7412,5 @@ ORACLE_SQL = {
     "q62_max_concurrency": Q62_SQL,
     "g_spatial_dedup": G_SPATIAL_DEDUP_SQL,
     "m_train_manifest": M_TRAIN_MANIFEST_SQL,
+    "t_winnow_fps": T_WINNOW_SQL,
 }

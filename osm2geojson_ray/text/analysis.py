@@ -803,3 +803,93 @@ def inverted_index(
     if out is None:
         return empty_dataset(_INVIDX_SCHEMA)
     return out
+
+
+def winnowing_fingerprints(docs, *, doc_col: str = "doc_id",
+                           text_col: str = "text", gram: int = 3,
+                           window: int = 4):
+    """Winnowing fingerprints (the MOSS local-similarity algorithm,
+    simplified to the distinct-window-min set): hash every word
+    ``gram``-gram, slide a ``window`` over the gram-hash sequence, and
+    keep the DISTINCT window minima — a position-robust fingerprint set
+    guaranteeing any shared run of ``window+gram-1`` words produces a
+    shared fingerprint, unlike the single global min.
+
+    Fully batch-local (a document's grams never leave its batch) and
+    vectorized: one sliding_window_view min over the flattened gram
+    hashes, validity = window start and end share a parent doc;
+    documents with fewer than ``window`` grams contribute their global
+    gram min; documents shorter than ``gram`` tokens hash their joined
+    text (the t_fingerprint short rule).  Output per doc:
+    (doc_id, n_fps, min_fp, xor_fp) with xor over the distinct set —
+    order-free integer evidence a SQL twin reproduces exactly."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = pc.fill_null(col, "")
+        n = len(col)
+        tokens = pc.split_pattern_regex(pc.utf8_lower(col), r"\s+")
+        flat = pc.list_flatten(tokens)
+        parent = pc.list_parent_indices(tokens).to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(nonempty))
+        parent = parent[nonempty]
+        n_tokens = np.bincount(parent, minlength=n).astype(np.int64)
+
+        total = len(flat)
+        if total >= gram:
+            starts = np.flatnonzero(parent[: total - gram + 1] == parent[gram - 1:])
+        else:
+            starts = np.empty(0, dtype=np.int64)
+        fd_parts, fv_parts = [], []
+        if len(starts):
+            parts = [flat.take(pa.array(starts + k, pa.int64())) for k in range(gram)]
+            gram_hash = _hash63_batch(pc.binary_join_element_wise(*parts, " "))
+            gram_doc = parent[starts]
+            ng = np.bincount(gram_doc, minlength=n)
+            if len(gram_hash) >= window:
+                sw = np.lib.stride_tricks.sliding_window_view(gram_hash, window)
+                valid = gram_doc[: len(sw)] == gram_doc[window - 1:]
+                fd_parts.append(gram_doc[: len(sw)][valid])
+                fv_parts.append(sw.min(axis=1)[valid])
+            few = (ng >= 1) & (ng < window)
+            if few.any():
+                order_docs, first_idx = np.unique(gram_doc, return_index=True)
+                mins = np.minimum.reduceat(gram_hash, first_idx)
+                sel = few[order_docs]
+                fd_parts.append(order_docs[sel])
+                fv_parts.append(mins[sel])
+        short = np.flatnonzero(n_tokens < gram)
+        if len(short):
+            sel = np.flatnonzero(np.isin(parent, short))
+            toks = flat.take(pa.array(sel, pa.int64()))
+            offs = np.concatenate(([0], np.cumsum(n_tokens[short]))).astype(np.int32)
+            joined = pc.binary_join(
+                pa.ListArray.from_arrays(pa.array(offs, pa.int32()), toks), " "
+            )
+            fd_parts.append(short)
+            fv_parts.append(_hash63_batch(joined))
+
+        fd = np.concatenate(fd_parts) if fd_parts else np.empty(0, np.int64)
+        fv = np.concatenate(fv_parts) if fv_parts else np.empty(0, np.int64)
+        order = np.lexsort((fv, fd))
+        fd, fv = fd[order], fv[order]
+        keep = np.ones(len(fd), dtype=bool)
+        keep[1:] = (fd[1:] != fd[:-1]) | (fv[1:] != fv[:-1])
+        fd, fv = fd[keep], fv[keep]
+        udocs, first = np.unique(fd, return_index=True)
+        n_fps = np.diff(np.r_[first, len(fd)]).astype(np.int64)
+        min_fp = np.minimum.reduceat(fv, first) if len(fv) else fv
+        xor_fp = np.bitwise_xor.reduceat(fv, first) if len(fv) else fv
+        ids = batch[doc_col].combine_chunks().cast(pa.int64()) \
+            .take(pa.array(udocs, pa.int64()))
+        return pa.table({
+            "doc_id": ids,
+            "n_fps": pa.array(n_fps),
+            "min_fp": pa.array(min_fp.astype(np.int64)),
+            "xor_fp": pa.array(xor_fp.astype(np.int64)),
+        })
+
+    return docs.map_batches(fn, batch_format="pyarrow")

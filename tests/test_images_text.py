@@ -1139,3 +1139,49 @@ def test_aspect_bucket_assignment_exact():
         exact = [abs(Fraction(w, h) - Fraction(a, b)) for a, b in _ASPECT_BUCKETS]
         want = exact.index(min(exact))
         assert got == want, (w, h, got, want)
+
+
+def test_winnowing_fingerprints_properties(ray_session):
+    """Scalar per-doc recompute matches; the winnowing GUARANTEE holds
+    (two docs sharing a run of window+gram-1 = 6 words share at least
+    one fingerprint); short-doc and few-gram fallbacks covered;
+    partition-count independent."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+    from osm2geojson_ray.text.analysis import _hash63, winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 words
+    texts = [
+        "one two three " + shared + " four five",
+        shared + " completely different tail here now",
+        "tiny doc",                       # < 3 tokens: joined-text hash
+        "just four little words",         # 2 grams < window: global min
+        "",                               # empty
+    ]
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+
+    def scalar_fps(text, gram=3, window=4):
+        toks = text.lower().split()
+        if len(toks) < gram:
+            return {_hash63(" ".join(toks))}
+        hs = [_hash63(" ".join(toks[i:i + gram]))
+              for i in range(len(toks) - gram + 1)]
+        if len(hs) < window:
+            return {min(hs)}
+        return {min(hs[i:i + window]) for i in range(len(hs) - window + 1)}
+
+    for nparts in (1, 3):
+        got = winnowing_fingerprints(
+            ray.data.from_arrow(t).repartition(nparts)).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        for i, text in enumerate(texts):
+            want = scalar_fps(text)
+            assert int(got.n_fps[i]) == len(want)
+            assert int(got.min_fp[i]) == min(want)
+            assert int(got.xor_fp[i]) == int(np.bitwise_xor.reduce(
+                np.array(sorted(want), dtype=np.int64)))
+    # guarantee: docs 0 and 1 share >= 1 fingerprint
+    assert scalar_fps(texts[0]) & scalar_fps(texts[1])
