@@ -6861,6 +6861,60 @@ FROM scored WHERE rn = 1 GROUP BY 1
 """
 
 
+def t_containment_pairs(sf_dir: str):
+    """Exact n-gram CONTAINMENT near-dup pairs
+    (text/dedup.containment_pairs): fires when the smaller gram set is
+    >= 90% inside the larger — the subset-duplication (quoting /
+    embedding) case Jaccard misses.  Candidates from the shared
+    gram-inverted index (complete), pair-routed exact verify, integer
+    rational gate (inter_sz, min_sz) — no float comparisons anywhere."""
+    from .text.dedup import containment_pairs
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return containment_pairs(docs, threshold_num=9, threshold_den=10)
+
+
+T_CONTAIN_SQL = r"""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents WHERE trim(text) <> ''
+),
+toks AS (
+  SELECT doc_id, lower(ws[i]) AS w, i
+  FROM words, UNNEST(generate_series(1, len(ws))) AS u(i)
+),
+nw AS (SELECT doc_id, len(ws) AS n FROM words),
+tri AS (
+  SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+),
+short AS (
+  SELECT t.doc_id, string_agg(t.w, ' ' ORDER BY t.i) AS g
+  FROM toks t JOIN nw ON nw.doc_id = t.doc_id
+  WHERE nw.n < 3
+  GROUP BY t.doc_id
+),
+grams AS (
+  SELECT DISTINCT doc_id, g FROM tri
+  UNION
+  SELECT DISTINCT doc_id, g FROM short
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT g1.doc_id AS a_id, g2.doc_id AS b_id, count(*) AS i
+  FROM grams g1 JOIN grams g2 ON g1.g = g2.g AND g1.doc_id < g2.doc_id
+  GROUP BY g1.doc_id, g2.doc_id
+)
+SELECT a_id, b_id,
+       CAST(i AS BIGINT) AS inter_sz,
+       CAST(least(sa.sz, sb.sz) AS BIGINT) AS min_sz
+FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+WHERE i * 10 >= 9 * least(sa.sz, sb.sz)
+"""
+
+
 _WINNOW_W = 4
 
 
@@ -7266,6 +7320,7 @@ QUERIES = {
     "g_spatial_dedup": g_spatial_dedup,
     "m_train_manifest": m_train_manifest,
     "t_winnow_fps": t_winnow_fps,
+    "t_containment_pairs": t_containment_pairs,
 }
 
 ORACLE_SQL = {
@@ -7413,4 +7468,5 @@ ORACLE_SQL = {
     "g_spatial_dedup": G_SPATIAL_DEDUP_SQL,
     "m_train_manifest": M_TRAIN_MANIFEST_SQL,
     "t_winnow_fps": T_WINNOW_SQL,
+    "t_containment_pairs": T_CONTAIN_SQL,
 }

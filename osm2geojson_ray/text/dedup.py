@@ -1032,3 +1032,137 @@ def char_window_dup(docs, *, text_col: str = "text", id_col: str = "doc_id",
     inverted = docs.map_batches(windows_batch, batch_format="pyarrow",
                                 concurrency=concurrency)
     return _shared_gram_signal(inverted, num_partitions)
+
+
+CONTAIN_SCHEMA = pa.schema(
+    [("a_id", pa.int64()), ("b_id", pa.int64()),
+     ("inter_sz", pa.int64()), ("min_sz", pa.int64())]
+)
+
+
+def containment_pairs(
+    docs,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold_num: int = 9,
+    threshold_den: int = 10,
+    concurrency: int = 2,
+    num_partitions: int = 16,
+    hot_gram_cap: int = 0,
+):
+    """EXACT n-gram CONTAINMENT pairs — the asymmetric cousin of
+    jaccard_pairs that catches SUBSET duplication (one document quoting
+    or embedding another): a pair fires when the smaller gram set is
+    mostly inside the larger, |A∩B| / min(|A|,|B|) >= num/den.  A long
+    doc containing a short doc verbatim has low Jaccard but containment
+    1.0 — the case C4/RealNews-style pipelines dedup separately.
+
+    Same scale shape as jaccard_pairs (one gram-inverted-index exchange
+    for candidates — complete, since containment > 0 implies a shared
+    gram — then a pair-routed exact verify); the threshold is an exact
+    integer rational and the output carries (inter_sz, min_sz) so the
+    gate never compares floats."""
+    from ..relational import empty_dataset, hash_exchange_map, hash_join
+
+    grams_ds = grams_dataset(docs, text_col=text_col, id_col=id_col,
+                             shingle_k=shingle_k, concurrency=concurrency)
+
+    def invert(batch: pa.Table) -> pa.Table:
+        col = batch["grams"].combine_chunks()
+        return pa.Table.from_arrays(
+            [col.flatten(),
+             pc.take(batch["doc_id"].combine_chunks(),
+                     pc.list_parent_indices(col))],
+            schema=pa.schema([("gram", pa.int64()), ("doc_id_", pa.int64())]),
+        )
+
+    inverted = grams_ds.map_batches(invert, batch_format="pyarrow")
+
+    def partition_pairs(tbl: pa.Table) -> pa.Table:
+        return _enumerate_bucket_pairs(
+            tbl["gram"].to_numpy(zero_copy_only=False),
+            tbl["doc_id_"].to_numpy(zero_copy_only=False),
+            cap=hot_gram_cap,
+            what="gram posting",
+        )
+
+    cands = hash_exchange_map(inverted, "gram", num_partitions, partition_pairs)
+    if cands is None:
+        return empty_dataset(CONTAIN_SCHEMA)
+    cands = _distinct_pairs_ids(cands, num_partitions)
+
+    def explode_sides(t: pa.Table) -> pa.Table:
+        a = t["a_id"].to_numpy(zero_copy_only=False)
+        b = t["b_id"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {"doc_id": np.concatenate([a, b]),
+             "a_id": np.concatenate([a, a]),
+             "b_id": np.concatenate([b, b])},
+            schema=pa.schema([("doc_id", pa.int64()), ("a_id", pa.int64()),
+                              ("b_id", pa.int64())]),
+        )
+
+    joined = hash_join(
+        cands.map_batches(explode_sides, batch_format="pyarrow"),
+        grams_ds,
+        on="doc_id",
+        l_schema=pa.schema([("doc_id", pa.int64()), ("a_id", pa.int64()),
+                            ("b_id", pa.int64())]),
+        r_schema=pa.schema([("doc_id", pa.int64()),
+                            ("grams", pa.list_(pa.int64()))]),
+        how="inner",
+        num_partitions=num_partitions,
+    )
+
+    def add_pair_key(t: pa.Table) -> pa.Table:
+        a = t["a_id"].to_numpy(zero_copy_only=False)
+        b = t["b_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("pair_key", pa.array(_pair_route_key(a, b)))
+
+    keyed = joined.map_batches(add_pair_key, batch_format="pyarrow")
+
+    def verify(tbl: pa.Table) -> pa.Table:
+        a = tbl["a_id"].to_numpy(zero_copy_only=False)
+        b = tbl["b_id"].to_numpy(zero_copy_only=False)
+        dids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        col = tbl["grams"].combine_chunks()
+        lens = pc.fill_null(pc.list_value_length(col), 0) \
+            .to_numpy(zero_copy_only=False)
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        # group on the REAL id pair (lexsort), never the routing hash
+        order = np.lexsort((b, a))
+        out = {"a_id": [], "b_id": [], "inter_sz": [], "min_sz": []}
+        i, n = 0, len(a)
+        while i < n:
+            j = i
+            while j < n and a[order[j]] == a[order[i]] and b[order[j]] == b[order[i]]:
+                j += 1
+            rows = order[i:j]
+            ga = gb = None
+            for r in rows:
+                g = flat[offs[r]: offs[r + 1]]
+                if dids[r] == a[r]:
+                    ga = g
+                else:
+                    gb = g
+            if ga is not None and gb is not None:
+                inter = len(np.intersect1d(ga, gb, assume_unique=True))
+                mn = min(len(ga), len(gb))
+                if mn and inter * threshold_den >= threshold_num * mn:
+                    out["a_id"].append(int(a[rows[0]]))
+                    out["b_id"].append(int(b[rows[0]]))
+                    out["inter_sz"].append(inter)
+                    out["min_sz"].append(mn)
+            i = j
+        return pa.Table.from_pydict(out, schema=CONTAIN_SCHEMA)
+
+    verified = hash_exchange_map(keyed, "pair_key", num_partitions, verify)
+    if verified is None:
+        return empty_dataset(CONTAIN_SCHEMA)
+    return verified.map_batches(
+        lambda t: t.select(["a_id", "b_id", "inter_sz", "min_sz"]),
+        batch_format="pyarrow",
+    )

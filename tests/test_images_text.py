@@ -1185,3 +1185,35 @@ def test_winnowing_fingerprints_properties(ray_session):
                 np.array(sorted(want), dtype=np.int64)))
     # guarantee: docs 0 and 1 share >= 1 fingerprint
     assert scalar_fps(texts[0]) & scalar_fps(texts[1])
+
+
+def test_containment_pairs_subset_duplication(ray_session):
+    """The asymmetric case containment exists for: a long document
+    embedding a short one verbatim fires containment 1.0 while its
+    Jaccard is far below the dedup threshold; unrelated docs never
+    pair; partition-count independent."""
+    import pyarrow as pa
+
+    import ray
+    from osm2geojson_ray.text.dedup import containment_pairs, jaccard_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    texts = [
+        quote,                             # 0: the short source
+        filler + " " + quote,              # 1: long doc quoting it
+        "completely unrelated words here never matching anything at all",
+    ]
+    t = pa.table({"doc_id": pa.array(range(3), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+
+    for nparts in (1, 3):
+        ds = ray.data.from_arrow(t).repartition(nparts)
+        got = containment_pairs(ds, threshold_num=9, threshold_den=10) \
+            .to_pandas()
+        pairs = set(map(tuple, got[["a_id", "b_id"]].itertuples(index=False)))
+        assert pairs == {(0, 1)}
+        row = got.iloc[0]
+        assert row.inter_sz == row.min_sz  # fully contained
+        jac = jaccard_pairs(ds, jaccard_threshold=0.8).to_pandas()
+        assert len(jac) == 0  # Jaccard misses exactly this case
