@@ -6861,6 +6861,56 @@ FROM scored WHERE rn = 1 GROUP BY 1
 """
 
 
+def e_pq_codes(sf_dir: str):
+    """Product-quantization code assignment (vectors.pq_assign): 8
+    subspaces x 16 centroids over the int8 quantization codes, exact
+    integer squared-distance argmin (ties to the smaller centroid id),
+    deterministic sample codebook (the 16 smallest-id vectors) so the
+    DuckDB twin recomputes the whole index-build — codes CTE + codebook
+    join + ranked distances."""
+    from .vectors import pq_assign
+
+    emb = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return pq_assign(emb, "vec_id", "embedding",
+                     num_subspaces=8, num_centroids=16)
+
+
+E_PQ_SQL = """
+WITH flat AS (
+  SELECT vec_id,
+         CAST(ord - 1 AS BIGINT) AS dim,
+         CAST(val AS DOUBLE) AS x
+  FROM (SELECT vec_id, unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) AS ord FROM embeddings)),
+s AS (SELECT dim, max(abs(x)) AS amax FROM flat GROUP BY 1),
+codes AS (
+  SELECT f.vec_id, f.dim,
+         CAST(greatest(-127, least(127,
+              floor((f.x * 127) / (CASE WHEN s.amax = 0 THEN 1.0 ELSE s.amax END))))
+              AS BIGINT) AS code
+  FROM flat f JOIN s USING (dim)),
+cb_ids AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+  FROM (SELECT DISTINCT vec_id FROM codes ORDER BY vec_id LIMIT 16)),
+cb AS (SELECT i.cid, c.dim, c.code AS cbcode
+       FROM cb_ids i JOIN codes c USING (vec_id)),
+dist AS (
+  SELECT c.vec_id, c.dim // 8 AS subspace, b.cid,
+         sum((c.code - b.cbcode) * (c.code - b.cbcode)) AS d2
+  FROM codes c JOIN cb b ON b.dim = c.dim
+  GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT vec_id, subspace, cid,
+         row_number() OVER (PARTITION BY vec_id, subspace
+                            ORDER BY d2, cid) AS rn
+  FROM dist)
+SELECT vec_id,
+       CAST(subspace AS BIGINT) AS subspace,
+       CAST(cid AS BIGINT) AS code_id
+FROM ranked WHERE rn = 1
+"""
+
+
 def t_containment_pairs(sf_dir: str):
     """Exact n-gram CONTAINMENT near-dup pairs
     (text/dedup.containment_pairs): fires when the smaller gram set is
@@ -7321,6 +7371,7 @@ QUERIES = {
     "m_train_manifest": m_train_manifest,
     "t_winnow_fps": t_winnow_fps,
     "t_containment_pairs": t_containment_pairs,
+    "e_pq_codes": e_pq_codes,
 }
 
 ORACLE_SQL = {
@@ -7469,4 +7520,5 @@ ORACLE_SQL = {
     "m_train_manifest": M_TRAIN_MANIFEST_SQL,
     "t_winnow_fps": T_WINNOW_SQL,
     "t_containment_pairs": T_CONTAIN_SQL,
+    "e_pq_codes": E_PQ_SQL,
 }

@@ -419,3 +419,73 @@ def rp_lsh_signatures(ds, id_col: str, vec_col: str, *, num_bits: int = 16,
         return pa.table({"vec_id": pa.array(ids), "sig": pa.array(sig)})
 
     return ds.map_batches(sig_fn, batch_format="pyarrow")
+
+
+def pq_assign(ds, id_col: str, vec_col: str, *, num_subspaces: int = 8,
+              num_centroids: int = 16, levels: int = 127):
+    """Product-quantization CODE ASSIGNMENT — the index-build step of a
+    PQ/IVF-PQ vector store: the embedding splits into ``num_subspaces``
+    contiguous subvectors and each maps to its nearest codebook entry,
+    compressing a D-dim float vector to num_subspaces small ints.
+
+    Deterministic-codebook variant (exactness over training): the
+    codebook for subspace m is the int8 quantization codes of the
+    ``num_centroids`` smallest-id vectors' m-th subvector — a
+    data-derived, SQL-recomputable choice (production would kmeans each
+    subspace; the assignment kernel below is identical either way).
+    Distances are exact int64 sums of squared int8 code differences, so
+    assignments are bit-deterministic; ties break to the smaller
+    centroid id.
+
+    Scale shape: one shuffle-free absmax pass -> broadcast per-dim
+    scale; the (num_centroids, D) codebook rides one ray.put; each
+    batch quantizes itself and computes an (n, C) distance matrix per
+    subspace via vectorized broadcasting — raw vectors never shuffle.
+    Output long (vec_id, subspace, code_id)."""
+    import ray as _ray
+
+    scale_ref = _absmax_scale_ref(ds, vec_col)
+
+    # deterministic codebook source: the num_centroids smallest ids
+    # (per-batch prune keeps the driver pull to #blocks x C rows)
+    def head_ids(tbl: pa.Table) -> pa.Table:
+        ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            return tbl
+        keep = np.argsort(ids, kind="stable")[:num_centroids]
+        return tbl.take(pa.array(np.sort(keep)))
+
+    cand = ds.map_batches(head_ids, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(id_col).head(num_centroids)
+    amax = _ray.get(scale_ref)
+    cbM = np.stack([np.asarray(v, dtype=np.float64) for v in cand[vec_col]]) \
+        if len(cand) else np.empty((0, 0))
+    codebook = _quantize_matrix(cbM, amax, levels) if cbM.size else cbM
+    cb_ref = _ray.put(codebook)
+
+    def assign(tbl: pa.Table) -> pa.Table:
+        cb = _ray.get(cb_ref)
+        M = vec_matrix(tbl[vec_col])
+        ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if M.size == 0 or cb.size == 0:
+            empty = np.empty(0, np.int64)
+            return pa.table({"vec_id": pa.array(empty),
+                             "subspace": pa.array(empty),
+                             "code_id": pa.array(empty)})
+        codes = _quantize_matrix(M, _ray.get(scale_ref), levels)
+        n, d = codes.shape
+        sub = d // num_subspaces
+        out_codes = np.empty((n, num_subspaces), dtype=np.int64)
+        for m in range(num_subspaces):
+            sl = slice(m * sub, (m + 1) * sub)
+            diff = codes[:, None, sl] - cb[None, :, sl]  # (n, C, sub)
+            dist = np.einsum("ncs,ncs->nc", diff, diff)
+            out_codes[:, m] = np.argmin(dist, axis=1)  # first min = low id
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, num_subspaces)),
+            "subspace": pa.array(
+                np.tile(np.arange(num_subspaces, dtype=np.int64), n)),
+            "code_id": pa.array(out_codes.ravel()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")

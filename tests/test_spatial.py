@@ -935,3 +935,46 @@ def test_segment_cells_dda_scalar_oracle():
     # axis-aligned run: every x cell 0..300 at y cell 0 (stride > one
     # cell here, so the sampled set is every ~1.17th cell — just pin
     # exact equality with the scalar oracle, done above)
+
+
+def test_pq_assign_scalar_oracle(ray_session):
+    """PQ assignments equal a scalar recompute (quantize -> per-subspace
+    squared distance to each sample-codebook entry -> argmin, ties to
+    the smaller centroid id); codebook members assign to themselves at
+    distance zero; partition-count independent."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+    from osm2geojson_ray.vectors import pq_assign
+
+    rng = np.random.default_rng(9)
+    n, d, nsub, ncent = 60, 16, 4, 8
+    M = rng.normal(size=(n, d))
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array(list(M), pa.list_(pa.float64()))})
+
+    amax = np.abs(M).max(axis=0)
+    codes = np.clip(np.floor(M * 127.0 / np.where(amax == 0, 1, amax)),
+                    -127, 127).astype(np.int64)
+    cb = codes[:ncent]
+    sub = d // nsub
+    want = {}
+    for i in range(n):
+        for m in range(nsub):
+            sl = slice(m * sub, (m + 1) * sub)
+            d2 = ((codes[i, sl][None, :] - cb[:, sl]) ** 2).sum(axis=1)
+            want[(int(ids[i]), m)] = int(np.argmin(d2))
+
+    for nparts in (1, 4):
+        got = pq_assign(
+            ray.data.from_arrow(t).repartition(nparts),
+            "vec_id", "embedding", num_subspaces=nsub,
+            num_centroids=ncent).to_pandas()
+        have = {(int(r.vec_id), int(r.subspace)): int(r.code_id)
+                for r in got.itertuples(index=False)}
+        assert have == want
+    for c in range(ncent):
+        for m in range(nsub):
+            assert want[(c, m)] == c  # codebook rows self-assign
