@@ -6418,6 +6418,75 @@ def _sql_ntile(r: np.ndarray, n: int, k: int) -> np.ndarray:
     ).astype(np.int64)
 
 
+_DEBOUNCE_US = 86_400_000_000  # 24 h
+
+
+def q63_event_debounce(sf_dir: str):
+    """Streaming DEBOUNCE / throttle (the event-cleaning rule: keep an
+    event only if the user's previous same-type event is more than 24 h
+    older): one hash exchange on user_id, lag(ts) and lag(event_type)
+    over (event_type, ts, event_id) order so same-type events are
+    consecutive, keep = type-run start OR gap > threshold; per-user
+    rollup of total vs kept.  One exchange, no per-type re-shuffle."""
+    from .relational import partial_grouped_agg, partitioned_window
+
+    ev = _pq(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"].combine_chunks(),
+            "event_type": t["event_type"].combine_chunks(),
+            "t_us": t["ts"].combine_chunks().cast(pa.int64()),
+            "event_id": t["event_id"].combine_chunks(),
+        })
+
+    win = partitioned_window(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        "user_id",
+        [("event_type", False), ("t_us", False), ("event_id", False)],
+        {"prev_t": ("t_us", "lag"), "prev_type": ("event_type", "lag")},
+    )
+
+    def keep_flags(t: pa.Table) -> pa.Table:
+        new_run = pc.or_kleene(
+            pc.is_null(t["prev_type"]),
+            pc.not_equal(t["event_type"], t["prev_type"]),
+        )
+        gap_ok = pc.greater(
+            pc.subtract(t["t_us"], pc.fill_null(t["prev_t"], 0)),
+            pa.scalar(_DEBOUNCE_US),
+        )
+        kept = pc.cast(pc.or_kleene(new_run, gap_ok), pa.int64())
+        return pa.table({
+            "user_id": t["user_id"].combine_chunks(),
+            "kept": kept,
+        })
+
+    return partial_grouped_agg(
+        win.map_batches(keep_flags, batch_format="pyarrow"),
+        ["user_id"],
+        {"n_events": (None, "count"), "n_kept": ("kept", "sum")},
+    )
+
+
+Q63_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t, event_id FROM events),
+w AS (
+  SELECT user_id, event_type, t,
+         lag(t) OVER (PARTITION BY user_id
+                      ORDER BY event_type, t, event_id) AS pt,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY event_type, t, event_id) AS ptype
+  FROM e)
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(count(*) FILTER (WHERE ptype IS NULL OR ptype <> event_type
+                                OR t - pt > {_DEBOUNCE_US}) AS BIGINT) AS n_kept
+FROM w GROUP BY 1
+"""
+
+
 _CONC_IV_US = 300_000_000  # each event holds a resource for 5 minutes
 _DAY_US = 86_400_000_000
 
@@ -7372,6 +7441,7 @@ QUERIES = {
     "t_winnow_fps": t_winnow_fps,
     "t_containment_pairs": t_containment_pairs,
     "e_pq_codes": e_pq_codes,
+    "q63_event_debounce": q63_event_debounce,
 }
 
 ORACLE_SQL = {
@@ -7521,4 +7591,5 @@ ORACLE_SQL = {
     "t_winnow_fps": T_WINNOW_SQL,
     "t_containment_pairs": T_CONTAIN_SQL,
     "e_pq_codes": E_PQ_SQL,
+    "q63_event_debounce": Q63_SQL,
 }
