@@ -7290,6 +7290,293 @@ FROM w
 """
 
 
+_SESS_GAP_US = 1_800_000_000  # 30-min inactivity gap == session hold time
+_SESS_BAND_US = 3_600_000_000  # 1-h ownership bands for the overlap join
+
+
+def q64_session_overlap_pairs(sf_dir: str):
+    """INTERVAL x INTERVAL overlap self-join (the who-was-online-
+    together shape): sessionize the event log per user (30-min
+    inactivity gap, half-open [first_ts, last_ts + 30 min) hold), band
+    the time axis into 1-h buckets, replicate each session onto every
+    band it touches, and enumerate overlapping cross-user session
+    pairs inside ONE band only — the band containing
+    max(start_a, start_b) — so every pair is counted exactly once with
+    no distinct exchange.  Per-band work is a start-sorted sweep:
+    searchsorted upper bounds + one vectorized triangular expansion
+    (no per-pair Python).  Band width is the density/skew knob — at
+    10^12-event scale shrink it until per-band session counts bound
+    worker heaps.  Three hash exchanges total (user_id -> band ->
+    u_lo), raw events never ride the pair stream."""
+    from .relational import hash_exchange_map
+
+    ds = _pq(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def sessions(df):
+        import pandas as pd
+
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        t = df["ts"].astype("datetime64[us]").astype("int64")
+        new = df["user_id"].ne(df["user_id"].shift()) | (
+            t - t.shift() > _SESS_GAP_US
+        )
+        grp = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy().astype("int64"),
+                "sid": new.cumsum().to_numpy(),
+                "t": t.to_numpy(),
+            }
+        )
+        iv = grp.groupby(["user_id", "sid"], sort=False)["t"].agg(["min", "max"])
+        iv = iv.reset_index()
+        return pd.DataFrame(
+            {
+                "user_id": iv["user_id"],
+                "s": iv["min"],
+                "e": iv["max"] + _SESS_GAP_US,
+            }
+        )
+
+    sess = hash_exchange_map(ds, "user_id", 16, sessions, fn_format="pandas")
+
+    band_schema = pa.schema(
+        [("band", pa.int64()), ("u", pa.int64()), ("s", pa.int64()),
+         ("e", pa.int64())]
+    )
+
+    def bands(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False)
+        e = t["e"].to_numpy(zero_copy_only=False)
+        u = t["u" if "u" in t.column_names else "user_id"].to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        b0 = s // _SESS_BAND_US
+        reps = ((e - 1) // _SESS_BAND_US - b0 + 1).astype(np.int64)
+        tot = int(reps.sum())
+        step = np.arange(tot, dtype=np.int64) - np.repeat(
+            np.cumsum(reps) - reps, reps
+        )
+        return pa.Table.from_pydict(
+            {
+                "band": np.repeat(b0, reps) + step,
+                "u": np.repeat(u, reps),
+                "s": np.repeat(s, reps),
+                "e": np.repeat(e, reps),
+            },
+            schema=band_schema,
+        )
+
+    banded = sess.map_batches(bands, batch_format="pyarrow")
+
+    pair_schema = pa.schema(
+        [("u_lo", pa.int64()), ("u_hi", pa.int64()), ("cnt", pa.int64())]
+    )
+
+    def pair_bands(t: pa.Table) -> pa.Table:
+        band = t["band"].to_numpy(zero_copy_only=False)
+        s = t["s"].to_numpy(zero_copy_only=False)
+        e = t["e"].to_numpy(zero_copy_only=False)
+        u = t["u"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((u, s, band))
+        band, s, e, u = band[order], s[order], e[order], u[order]
+        cut = np.flatnonzero(np.r_[True, band[1:] != band[:-1], True])
+        lo_parts, hi_parts = [], []
+        for k in range(len(cut) - 1):
+            a, b = int(cut[k]), int(cut[k + 1])
+            ss, ee, uu = s[a:b], e[a:b], u[a:b]
+            m = b - a
+            # j > i overlap i  <=>  s_j < e_i  (s sorted, e_j > s_j >= s_i)
+            hi = np.searchsorted(ss, ee, side="left")
+            # ownership: count the pair only where max(s_i, s_j) = s_j
+            # falls in THIS band -> j restricted to the in-band suffix
+            jstart = int(np.searchsorted(ss, band[a] * _SESS_BAND_US,
+                                         side="left"))
+            start = np.maximum(np.arange(m) + 1, jstart)
+            cnt = np.maximum(hi - start, 0)
+            tot = int(cnt.sum())
+            if tot == 0:
+                continue
+            ii = np.repeat(np.arange(m), cnt)
+            jj = np.repeat(start, cnt) + (
+                np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            )
+            ua, ub = uu[ii], uu[jj]
+            keep = ua != ub
+            ua, ub = ua[keep], ub[keep]
+            lo_parts.append(np.minimum(ua, ub))
+            hi_parts.append(np.maximum(ua, ub))
+        if not lo_parts:
+            return pa.Table.from_pydict(
+                {"u_lo": np.empty(0, np.int64), "u_hi": np.empty(0, np.int64),
+                 "cnt": np.empty(0, np.int64)},
+                schema=pair_schema,
+            )
+        lo = np.concatenate(lo_parts)
+        hic = np.concatenate(hi_parts)
+        # partition-local pre-count: user ids are < 2^31, pack the pair
+        packed = (lo << np.int64(32)) | hic
+        uniq, counts = np.unique(packed, return_counts=True)
+        return pa.Table.from_pydict(
+            {
+                "u_lo": (uniq >> np.int64(32)),
+                "u_hi": uniq & np.int64(0xFFFFFFFF),
+                "cnt": counts.astype(np.int64),
+            },
+            schema=pair_schema,
+        )
+
+    pairs = hash_exchange_map(banded, "band", 16, pair_bands)
+
+    def pair_count(df):
+        g = df.groupby(["u_lo", "u_hi"], sort=False)["cnt"].sum()
+        out = g.reset_index()
+        out.columns = ["u_lo", "u_hi", "n_overlaps"]
+        return out
+
+    return hash_exchange_map(pairs, "u_lo", 16, pair_count, fn_format="pandas")
+
+
+Q64_SQL = f"""
+WITH g AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_SESS_GAP_US}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, t,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY t
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+), iv AS (
+  SELECT user_id, sid, min(t) AS st, max(t) + {_SESS_GAP_US} AS en
+  FROM s GROUP BY 1, 2
+)
+SELECT CAST(a.user_id AS BIGINT) AS u_lo,
+       CAST(b.user_id AS BIGINT) AS u_hi,
+       CAST(count(*) AS BIGINT) AS n_overlaps
+FROM iv a JOIN iv b
+  ON a.user_id < b.user_id AND a.st < b.en AND b.st < a.en
+GROUP BY 1, 2
+"""
+
+
+_PROFILE_COLS = ["o_orderstatus", "o_orderpriority", "o_custkey"]
+
+
+def q65_column_profile(sf_dir: str):
+    """One-pass COLUMN PROFILER (the Deequ / Great-Expectations
+    data-quality shape): a fixed column set is melted to slim
+    (col, val) string rows with batch-local pre-counting (np.unique
+    per column per batch — the exchange carries distinct values, not
+    rows), exact per-column distinct counts come from ONE value-hash
+    exchange (same-value rows co-locate regardless of source column),
+    and a combiner-pushdown rollup finishes with n_rows / n_distinct /
+    min / max per column.  Values are profiled in canonical string
+    form (CAST AS VARCHAR on the oracle side) so heterogeneous column
+    types share one slim exchange — the scale path for a 10^2-column
+    profile over 10^12 rows."""
+    from .relational import hash_exchange_map, partial_grouped_agg
+
+    ords = _pq(sf_dir, "orders", _PROFILE_COLS)
+
+    def melt_counts(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        frames = []
+        for c in _PROFILE_COLS:
+            v = pc.cast(t[c], pa.string())
+            vals, counts = np.unique(
+                v.to_numpy(zero_copy_only=False), return_counts=True
+            )
+            frames.append(
+                pd.DataFrame(
+                    {"col": c, "val": vals, "cnt": counts.astype("int64")}
+                )
+            )
+        return pa.Table.from_pandas(
+            pd.concat(frames, ignore_index=True), preserve_index=False
+        )
+
+    pre = ords.map_batches(melt_counts, batch_format="pyarrow")
+
+    def profile_part(df):
+        import pandas as pd
+
+        g = df.groupby(["col", "val"], sort=False)["cnt"].sum().reset_index()
+        gg = g.groupby("col", sort=False)
+        return pd.DataFrame(
+            {
+                "n_rows": gg["cnt"].sum(),
+                "n_distinct": gg.size(),
+                "val_min": gg["val"].min(),
+                "val_max": gg["val"].max(),
+            }
+        ).reset_index()
+
+    parts = hash_exchange_map(pre, "val", 16, profile_part, fn_format="pandas")
+    return partial_grouped_agg(
+        parts,
+        ["col"],
+        {
+            "n_rows": ("n_rows", "sum"),
+            "n_distinct": ("n_distinct", "sum"),
+            "val_min": ("val_min", "min"),
+            "val_max": ("val_max", "max"),
+        },
+    )
+
+
+Q65_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS col, CAST(count(*) AS BIGINT) AS n_rows,"
+    f" CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,"
+    f" min(CAST({c} AS VARCHAR)) AS val_min,"
+    f" max(CAST({c} AS VARCHAR)) AS val_max FROM orders"
+    for c in _PROFILE_COLS
+)
+
+
+def q66_benford_audit(sf_dir: str):
+    """BENFORD first-significant-digit audit (the fraud / synthetic-
+    data smoke test a data-quality pass runs over every money column):
+    integer cents (half-away rounding, the house float->int
+    convention), first digit via the decimal string — no float log10,
+    whose boundary error at exact powers of ten would misbin — then a
+    combiner-pushdown (status, digit) count.  Fully batch-local until
+    the tiny rollup."""
+    from .relational import partial_grouped_agg
+
+    ords = _pq(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+
+    def digits(t: pa.Table) -> pa.Table:
+        p = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        cents = (np.sign(p) * np.floor(np.abs(p) * 100 + 0.5)).astype(np.int64)
+        d = pc.utf8_slice_codeunits(
+            pc.cast(pa.array(cents), pa.string()), 0, 1
+        )
+        return pa.table(
+            {
+                "o_orderstatus": t["o_orderstatus"].combine_chunks(),
+                "digit": pc.cast(d, pa.int64()),
+            }
+        )
+
+    return partial_grouped_agg(
+        ords.map_batches(digits, batch_format="pyarrow"),
+        ["o_orderstatus", "digit"],
+        {"n_orders": (None, "count")},
+    )
+
+
+Q66_SQL = """
+SELECT o_orderstatus,
+       CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+                   1, 1) AS BIGINT) AS digit,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_segment_revenue": q2_segment_revenue,
@@ -7442,6 +7729,9 @@ QUERIES = {
     "t_containment_pairs": t_containment_pairs,
     "e_pq_codes": e_pq_codes,
     "q63_event_debounce": q63_event_debounce,
+    "q64_session_overlap_pairs": q64_session_overlap_pairs,
+    "q65_column_profile": q65_column_profile,
+    "q66_benford_audit": q66_benford_audit,
 }
 
 ORACLE_SQL = {
@@ -7592,4 +7882,7 @@ ORACLE_SQL = {
     "t_containment_pairs": T_CONTAIN_SQL,
     "e_pq_codes": E_PQ_SQL,
     "q63_event_debounce": Q63_SQL,
+    "q64_session_overlap_pairs": Q64_SQL,
+    "q65_column_profile": Q65_SQL,
+    "q66_benford_audit": Q66_SQL,
 }
