@@ -72,15 +72,26 @@ def _pixels_for(idx: int, w: int, h: int) -> np.ndarray:
 
 def _pixels_batch(idx: np.ndarray, w: int, h: int, out: Optional[np.ndarray] = None) -> np.ndarray:
     """Vectorized _pixels_for over an index array -> (n, h, w, 3) uint8
-    (bit-identical to the per-image version: same float64 expressions).
+    (bit-identical to the per-image version: same float64 expressions)."""
+    base = splitmix64(np.asarray(idx, dtype=np.uint64))
+    return _pixels_batch_phase(base % np.uint64(1000), w, h, out=out)
+
+
+def _pixels_batch_phase(
+    phase_milli: np.ndarray, w: int, h: int, out: Optional[np.ndarray] = None
+) -> np.ndarray:
+    """Pixel batch from EXPLICIT integer phases in [0, 1000) — the
+    generator core shared by index-keyed synthesis and reference
+    regeneration from caption-parsed fields (cross-modal alignment).
+    Bit-identical to the original fused form: the phase float is the
+    same (base % 1000) -> float64 / 1000 expression.
 
     The gradients are separable — r varies only with x, g only with y,
     b only with the anti-diagonal x+y — so only n*(w + h + w+h-1)
     transcendentals are evaluated (≈14× fewer than the dense form) and
     broadcast/gathered into the dense pixel block."""
-    n = len(idx)
-    base = splitmix64(idx.astype(np.uint64))
-    phase = (base % np.uint64(1000)).astype(np.float64) / 1000.0  # (n,)
+    n = len(phase_milli)
+    phase = np.asarray(phase_milli).astype(np.float64) / 1000.0  # (n,)
     p = phase[:, None]
     xs = np.arange(w, dtype=np.float64)
     ys = np.arange(h, dtype=np.float64)

@@ -7577,6 +7577,67 @@ FROM orders GROUP BY 1, 2
 """
 
 
+def m_align_check(sf_dir: str):
+    """Cross-modal ALIGNMENT filter (the deterministic CLIP-score
+    stand-in): a corruption harness mispairs every 97th caption
+    (phase + 500 mod 1000 — collision-free at every phase, pinned by
+    test), then the actor-pool alignment stage
+    (images/transform.AlignCaptionPixels) parses each caption,
+    re-renders reference pixels FROM THE CAPTION ALONE, decodes the
+    actual payload and compares exactly (lossy rows through the
+    quantization LUT).  The oracle never reads a caption or a pixel:
+    it recomputes the phase numerically (splitmix64 HUGEINT CTE) and
+    knows exactly which rows the harness mispaired — ``aligned`` is
+    TRUE iff both the string path and the pixel path ran correctly."""
+    from .images.synth import synth_image_table
+    from .images.transform import align_captions
+
+    ds = synth_image_table(2000, partition_rows=500)
+
+    def corrupt(t: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(
+            t["caption"],
+            r"^synthetic scene (?P<scene>\d+) phase (?P<phase>\d+)$",
+        )
+        scene = pc.struct_field(ext, "scene")
+        phase = pc.cast(pc.struct_field(ext, "phase"), pa.int64())
+        scene_i = pc.cast(scene, pa.int64()).to_numpy(zero_copy_only=False)
+        phase_i = phase.to_numpy(zero_copy_only=False)
+        bad_np = (scene_i % 97) == 0
+        new_phase = np.where(bad_np, (phase_i + 500) % 1000, phase_i)
+        n = len(t)
+        pre = pa.array(np.repeat("synthetic scene", n), pa.string())
+        mid = pa.array(np.repeat("phase", n), pa.string())
+        rebuilt = pc.binary_join_element_wise(
+            pre,
+            pc.cast(scene, pa.string()),
+            mid,
+            pc.cast(pa.array(new_phase), pa.string()),
+            " ",
+        )
+        cap = pc.if_else(pa.array(bad_np), rebuilt, t["caption"])
+        return pa.table(
+            {
+                "image_id": t["image_id"].combine_chunks(),
+                "bytes": t["bytes"].combine_chunks(),
+                "fmt": t["fmt"].combine_chunks(),
+                "caption": cap,
+            }
+        )
+
+    return align_captions(ds.map_batches(corrupt, batch_format="pyarrow"))
+
+
+M_ALIGN_SQL = f"""
+WITH {_SPLITMIX_PHASE_CTE}
+SELECT i AS image_idx,
+       CAST(CASE WHEN i % 97 = 0 THEN (h64 % 1000 + 500) % 1000
+                 ELSE h64 % 1000 END AS BIGINT) AS caption_phase,
+       (i % 97 <> 0) AS aligned
+FROM fin
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_segment_revenue": q2_segment_revenue,
@@ -7732,6 +7793,7 @@ QUERIES = {
     "q64_session_overlap_pairs": q64_session_overlap_pairs,
     "q65_column_profile": q65_column_profile,
     "q66_benford_audit": q66_benford_audit,
+    "m_align_check": m_align_check,
 }
 
 ORACLE_SQL = {
@@ -7885,4 +7947,5 @@ ORACLE_SQL = {
     "q64_session_overlap_pairs": Q64_SQL,
     "q65_column_profile": Q65_SQL,
     "q66_benford_audit": Q66_SQL,
+    "m_align_check": M_ALIGN_SQL,
 }

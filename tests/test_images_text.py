@@ -1217,3 +1217,60 @@ def test_containment_pairs_subset_duplication(ray_session):
         assert row.inter_sz == row.min_sz  # fully contained
         jac = jaccard_pairs(ds, jaccard_threshold=0.8).to_pandas()
         assert len(jac) == 0  # Jaccard misses exactly this case
+
+
+def test_align_corruption_collision_free():
+    """The m_align_check harness invariant: a +500/1000 phase offset
+    changes the rendered pixels at EVERY phase, on both codecs — so
+    aligned=False is exactly the mispaired set, never a quantization
+    accident.  Also pins _pixels_batch_phase == _pixels_batch on the
+    index-keyed path (the refactor that split them)."""
+    import numpy as np
+
+    from osm2geojson_ray.images.synth import (
+        _LOSSY_LUT, _pixels_batch, _pixels_batch_phase, splitmix64,
+    )
+
+    ph = np.arange(1000, dtype=np.uint64)
+    a = _pixels_batch_phase(ph, 24, 16)
+    b = _pixels_batch_phase((ph + 500) % 1000, 24, 16)
+    flat_a, flat_b = a.reshape(1000, -1), b.reshape(1000, -1)
+    assert not (flat_a == flat_b).all(axis=1).any()
+    la, lb = _LOSSY_LUT[flat_a], _LOSSY_LUT[flat_b]
+    assert not (la == lb).all(axis=1).any()
+    # the quantized gap stays wide: no phase is one flipped byte away
+    assert int((la != lb).sum(axis=1).min()) > 500
+
+    idx = np.arange(64, dtype=np.uint64) * 31 + 7
+    via_idx = _pixels_batch(idx, 24, 16)
+    via_phase = _pixels_batch_phase(splitmix64(idx) % np.uint64(1000), 24, 16)
+    assert (via_idx == via_phase).all()
+
+
+def test_align_captions_detects_mispairs(ray_session):
+    """End-to-end alignment stage: pristine pairs align, a swapped
+    caption (phase from a DIFFERENT image) does not; lossy rows align
+    through the quantization LUT."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+    from osm2geojson_ray.images.synth import synth_image_batch
+    from osm2geojson_ray.images.transform import align_captions
+
+    t = synth_image_batch(0, 64)
+    # swap captions of rows 3 and 17 (different phases by construction)
+    cap = t["caption"].to_pylist()
+    assert cap[3] != cap[17]
+    cap[3], cap[17] = cap[17], cap[3]
+    t = t.set_column(t.schema.get_field_index("caption"),
+                     "caption", pa.array(cap, pa.string()))
+    out = align_captions(ray.data.from_arrow(t)).to_pandas() \
+        .sort_values("image_idx").reset_index(drop=True)
+    assert len(out) == 64
+    misaligned = set(out.loc[~out["aligned"], "image_idx"])
+    assert misaligned == {3, 17}
+    # lossy rows (idx % 4 == 0) among the aligned set really passed
+    # through the LUT comparison path
+    assert bool(out.loc[(out.image_idx % 4 == 0)
+                        & ~out.image_idx.isin([3, 17]), "aligned"].all())
