@@ -7577,6 +7577,143 @@ FROM orders GROUP BY 1, 2
 """
 
 
+def q67_winsorized_totals(sf_dir: str):
+    """WINSORIZATION (robust-preprocessing transform, not just outlier
+    DETECTION like q54's IQR fences): per-priority P5/P95 bounds come
+    off the distributed exact histogram quantiles
+    (relational.grouped_quantiles), the
+    5-row bounds table is broadcast into the clip stage (never a
+    shuffle join), and a combiner-pushdown rollup reports the clipped
+    integer-cents sum plus how many rows each tail clipped.  Bounds
+    are DISCRETE order statistics (quantile_disc parity), so the whole
+    pipeline stays integer — no float accumulation or rounding
+    boundary anywhere."""
+    from .relational import grouped_quantiles, partial_grouped_agg
+
+    ords = _pq(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    cents_schema = pa.schema(
+        [("o_orderpriority", pa.string()), ("cents", pa.int64())]
+    )
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        p = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        cents = (np.sign(p) * np.floor(np.abs(p) * 100 + 0.5)).astype(np.int64)
+        return pa.Table.from_pydict(
+            {"o_orderpriority": t["o_orderpriority"].combine_chunks(),
+             "cents": cents},
+            schema=cents_schema,
+        )
+
+    cents = ords.map_batches(to_cents, batch_format="pyarrow")
+    # DISCRETE (quantile_disc) bounds: exact order statistics, so the
+    # whole pipeline stays integer — interpolated bounds would hang a
+    # half-cent rounding boundary on two engines' last-ulp float
+    # expression order
+    bounds = grouped_quantiles(
+        cents, "o_orderpriority", "cents", {"p05": 0.05, "p95": 0.95},
+    ).to_pandas()  # 5 rows: the broadcast-small-side pattern
+
+    lo_by = dict(zip(bounds["o_orderpriority"], bounds["p05"].astype("int64")))
+    hi_by = dict(zip(bounds["o_orderpriority"], bounds["p95"].astype("int64")))
+
+    def clip(t: pa.Table) -> pa.Table:
+        pri = t["o_orderpriority"].to_numpy(zero_copy_only=False)
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        # 5 priorities: two tiny dict-lookup gathers via pandas map
+        import pandas as pd
+
+        lo = pd.Series(pri).map(lo_by).to_numpy(dtype=np.int64)
+        hi = pd.Series(pri).map(hi_by).to_numpy(dtype=np.int64)
+        clipped = np.minimum(np.maximum(c, lo), hi)
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"].combine_chunks(),
+                "w_cents": clipped,
+                "clip_lo": (c < lo).astype(np.int64),
+                "clip_hi": (c > hi).astype(np.int64),
+            }
+        )
+
+    return partial_grouped_agg(
+        cents.map_batches(clip, batch_format="pyarrow"),
+        ["o_orderpriority"],
+        {
+            "winsorized_cents": ("w_cents", "sum"),
+            "n_clipped_lo": ("clip_lo", "sum"),
+            "n_clipped_hi": ("clip_hi", "sum"),
+            "n_orders": (None, "count"),
+        },
+    )
+
+
+Q67_SQL = """
+WITH c AS (
+  SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+b AS (
+  SELECT o_orderpriority,
+         CAST(quantile_disc(cents, 0.05) AS BIGINT) AS lo,
+         CAST(quantile_disc(cents, 0.95) AS BIGINT) AS hi
+  FROM c GROUP BY 1)
+SELECT c.o_orderpriority,
+       CAST(sum(least(greatest(cents, lo), hi)) AS BIGINT) AS winsorized_cents,
+       CAST(count(*) FILTER (WHERE cents < lo) AS BIGINT) AS n_clipped_lo,
+       CAST(count(*) FILTER (WHERE cents > hi) AS BIGINT) AS n_clipped_hi,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM c JOIN b USING (o_orderpriority) GROUP BY 1
+"""
+
+
+def q68_key_skew_audit(sf_dir: str):
+    """Pre-shuffle KEY-SKEW audit with the engine's REAL partitioner
+    (the diagnostic a planner runs before committing to an exchange
+    key): route the event log through the same hash exchange every
+    join/groupby here uses, and report per partition its row count,
+    distinct-key count, and hottest single key's row count — the
+    numbers that decide whether the key needs salting.  The oracle
+    recomputes the int-key routing rule (key % P) in SQL, so the gate
+    pins that the exchange places every row where the plan says it
+    does."""
+    from .relational import hash_exchange_map
+
+    ev = _pq(sf_dir, "events", ["user_id"])
+
+    def audit(df):
+        import pandas as pd
+
+        if not len(df):
+            return pd.DataFrame(
+                {"part": pd.Series([], dtype="int64"),
+                 "n_rows": pd.Series([], dtype="int64"),
+                 "n_keys": pd.Series([], dtype="int64"),
+                 "max_key_rows": pd.Series([], dtype="int64")}
+            )
+        c = df.groupby("user_id", sort=False).size()
+        return pd.DataFrame(
+            {
+                "part": [int(df["__part"].iloc[0])],
+                "n_rows": [int(c.sum())],
+                "n_keys": [int(len(c))],
+                "max_key_rows": [int(c.max())],
+            }
+        )
+
+    return hash_exchange_map(ev, "user_id", 16, audit, fn_format="pandas")
+
+
+Q68_SQL = """
+WITH k AS (
+  SELECT user_id % 16 AS part, user_id, count(*) AS c
+  FROM events GROUP BY 1, 2)
+SELECT CAST(part AS BIGINT) AS part,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(c) AS BIGINT) AS max_key_rows
+FROM k GROUP BY 1
+"""
+
+
 def m_align_check(sf_dir: str):
     """Cross-modal ALIGNMENT filter (the deterministic CLIP-score
     stand-in): a corruption harness mispairs every 97th caption
@@ -7794,6 +7931,8 @@ QUERIES = {
     "q65_column_profile": q65_column_profile,
     "q66_benford_audit": q66_benford_audit,
     "m_align_check": m_align_check,
+    "q67_winsorized_totals": q67_winsorized_totals,
+    "q68_key_skew_audit": q68_key_skew_audit,
 }
 
 ORACLE_SQL = {
@@ -7948,4 +8087,6 @@ ORACLE_SQL = {
     "q65_column_profile": Q65_SQL,
     "q66_benford_audit": Q66_SQL,
     "m_align_check": M_ALIGN_SQL,
+    "q67_winsorized_totals": Q67_SQL,
+    "q68_key_skew_audit": Q68_SQL,
 }
