@@ -7775,6 +7775,105 @@ FROM fin
 """
 
 
+def m_pixel_hist(sf_dir: str):
+    """Per-channel PIXEL-VALUE HISTOGRAM over decoded bytes (the
+    dataset-statistics pass a vision pipeline runs before choosing
+    normalization constants): decode every payload zero-copy, bincount
+    each channel's values into 16 buckets split by codec, combiner-
+    pushdown rollup.  The oracle rebuilds the histogram FROM THE
+    GENERATOR FORMULA — DuckDB's libm sin/cos reproduce numpy's
+    float64 pixel expressions bit-for-bit on this host (verified over
+    every (phase, coordinate) profile value), the separable gradients
+    make it 1000x24 + 1000x16 + 1000x39 profile rows instead of 2.3M
+    pixels, and the lossy rows replay the encoder's quantization rule
+    in integer SQL.  A pixel-level cross-representation gate: green
+    only if decode, the codec split, and the channel layout are all
+    exactly right."""
+    from .images.codec import batch_pixel_view
+    from .images.synth import synth_image_table
+    from .relational import partial_grouped_agg
+
+    ds = synth_image_table(2000, partition_rows=500)
+
+    hist_schema = pa.schema(
+        [("channel", pa.string()), ("lossy", pa.bool_()),
+         ("bucket", pa.int64()), ("n_px", pa.int64())]
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        view = batch_pixel_view(t["bytes"])
+        px, w, h = view
+        lossy = pc.equal(t["fmt"], "rgb5").to_numpy(zero_copy_only=False)
+        chans, lossies, buckets, counts = [], [], [], []
+        for mask_val, mask in ((True, lossy), (False, ~lossy)):
+            if not mask.any():
+                continue
+            sub = px[mask]
+            for ci, cname in enumerate("rgb"):
+                cnt = np.bincount(
+                    (sub[..., ci] >> 4).ravel(), minlength=16
+                ).astype(np.int64)
+                chans.append(np.repeat(cname, 16))
+                lossies.append(np.full(16, mask_val, dtype=bool))
+                buckets.append(np.arange(16, dtype=np.int64))
+                counts.append(cnt)
+        return pa.Table.from_pydict(
+            {
+                "channel": np.concatenate(chans),
+                "lossy": np.concatenate(lossies),
+                "bucket": np.concatenate(buckets),
+                "n_px": np.concatenate(counts),
+            },
+            schema=hist_schema,
+        )
+
+    out = partial_grouped_agg(
+        ds.map_batches(hist, batch_format="pyarrow"),
+        ["channel", "lossy", "bucket"],
+        {"n_px": ("n_px", "sum")},
+    )
+    # drop empty buckets on both sides: the oracle only emits buckets
+    # that occur
+    return out.filter(expr="n_px > 0")
+
+
+M_PIXEL_HIST_SQL = f"""
+WITH {_SPLITMIX_PHASE_CTE},
+ph AS (SELECT i, CAST(h64 % 1000 AS BIGINT) AS pm, (i % 4 = 0) AS lossy
+       FROM fin),
+xs AS (SELECT range AS x FROM range(0, 24)),
+ys AS (SELECT range AS y FROM range(0, 16)),
+dd AS (SELECT range AS d FROM range(0, 39)),
+u AS (
+  SELECT 'r' AS channel, lossy,
+         CAST(floor(127.5 * (1 + sin(2 * pi() * (x / 24.0 + pm / 1000.0))))
+              AS BIGINT) AS v,
+         16 AS cnt
+  FROM ph, xs
+  UNION ALL
+  SELECT 'g', lossy,
+         CAST(floor(127.5 * (1 + cos(2 * pi() * (y / 16.0 + (pm / 1000.0) * 2))))
+              AS BIGINT),
+         24
+  FROM ph, ys
+  UNION ALL
+  SELECT 'b', lossy,
+         CAST(floor(127.5 * (1 + sin(2 * pi() * (d / 40.0 + (pm / 1000.0) * 3))))
+              AS BIGINT),
+         LEAST(23, d) - GREATEST(0, d - 15) + 1
+  FROM ph, dd
+),
+q AS (
+  SELECT channel, lossy,
+         CASE WHEN lossy THEN LEAST((v + 4) // 8 * 8, 255) ELSE v END AS v2,
+         cnt
+  FROM u
+)
+SELECT channel, lossy, v2 // 16 AS bucket, CAST(sum(cnt) AS BIGINT) AS n_px
+FROM q GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_segment_revenue": q2_segment_revenue,
@@ -7933,6 +8032,7 @@ QUERIES = {
     "m_align_check": m_align_check,
     "q67_winsorized_totals": q67_winsorized_totals,
     "q68_key_skew_audit": q68_key_skew_audit,
+    "m_pixel_hist": m_pixel_hist,
 }
 
 ORACLE_SQL = {
@@ -8089,4 +8189,5 @@ ORACLE_SQL = {
     "m_align_check": M_ALIGN_SQL,
     "q67_winsorized_totals": Q67_SQL,
     "q68_key_skew_audit": Q68_SQL,
+    "m_pixel_hist": M_PIXEL_HIST_SQL,
 }
