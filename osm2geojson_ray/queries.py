@@ -7775,6 +7775,80 @@ FROM fin
 """
 
 
+_WM_LATENESS_US = 3_600_000_000  # 1-h allowed lateness
+_WM_SHARD_STRIDE = 1 << 40  # arrival = shard-by-shard backfill replay
+
+
+def q69_watermark_late(sf_dir: str):
+    """STREAMING WATERMARK / late-data accounting (the correctness
+    budget every event-time window needs): arrival order models a
+    sharded backfill replayed shard-by-shard
+    (arrival = (event_id % 1000) * 2^40 + event_id — injective,
+    massively event-time out-of-order), the watermark is the running
+    MAX event-time over all strictly-earlier arrivals — a GLOBAL
+    exclusive prefix scan (relational.ordered_prefix_scan), which no
+    per-key window can express — and an event is late iff it lands
+    more than 1 h behind it (t + L < wm, kept integer so the identity
+    seed needs no special case).  Per-user rollup of total vs late."""
+    from .relational import ordered_prefix_scan, partial_grouped_agg
+
+    ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    slim_schema = pa.schema(
+        [("arrival", pa.int64()), ("user_id", pa.int64()),
+         ("t_us", pa.int64())]
+    )
+
+    def slim(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "arrival": (eid % 1000) * _WM_SHARD_STRIDE + eid,
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "t_us": t["ts"].combine_chunks().cast(pa.int64())
+                .to_numpy(zero_copy_only=False),
+            },
+            schema=slim_schema,
+        )
+
+    scanned = ordered_prefix_scan(
+        ev.map_batches(slim, batch_format="pyarrow"),
+        "arrival", "t_us", combine="max", out_col="wm",
+    )
+
+    def flags(t: pa.Table) -> pa.Table:
+        wm = t["wm"].to_numpy(zero_copy_only=False)
+        tt = t["t_us"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t["user_id"].combine_chunks(),
+                "late": (tt + _WM_LATENESS_US < wm).astype(np.int64),
+            }
+        )
+
+    return partial_grouped_agg(
+        scanned.map_batches(flags, batch_format="pyarrow"),
+        ["user_id"],
+        {"n_events": (None, "count"), "n_late": ("late", "sum")},
+    )
+
+
+Q69_SQL = f"""
+WITH w AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         max(epoch_us(ts)) OVER (
+             ORDER BY (event_id % 1000) * {_WM_SHARD_STRIDE} + event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM events)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (WHERE t + {_WM_LATENESS_US} < wm) AS BIGINT)
+         AS n_late
+FROM w GROUP BY 1
+"""
+
+
 def m_pixel_hist(sf_dir: str):
     """Per-channel PIXEL-VALUE HISTOGRAM over decoded bytes (the
     dataset-statistics pass a vision pipeline runs before choosing
@@ -8033,6 +8107,7 @@ QUERIES = {
     "q67_winsorized_totals": q67_winsorized_totals,
     "q68_key_skew_audit": q68_key_skew_audit,
     "m_pixel_hist": m_pixel_hist,
+    "q69_watermark_late": q69_watermark_late,
 }
 
 ORACLE_SQL = {
@@ -8190,4 +8265,5 @@ ORACLE_SQL = {
     "q67_winsorized_totals": Q67_SQL,
     "q68_key_skew_audit": Q68_SQL,
     "m_pixel_hist": M_PIXEL_HIST_SQL,
+    "q69_watermark_late": Q69_SQL,
 }

@@ -2722,3 +2722,100 @@ def kcore(edges, k: int, *, a_col: str = "a", b_col: str = "b",
         f"kcore did not converge in {max_iters} peel rounds; "
         "raise max_iters (rounds bounded by max_degree / k)"
     )
+
+
+# --------------------------------------------------- ordered prefix scan
+def ordered_prefix_scan(ds, order_col: str, value_col: str, *,
+                        combine: str = "max", num_bands: int = 64,
+                        out_col: str = "scan", num_partitions: int = 16):
+    """Global EXCLUSIVE PREFIX SCAN over a total order — the
+    streaming-watermark / running-balance primitive no per-key window
+    can express (partitioned_window scans WITHIN a key; this scans
+    across the whole dataset in ``order_col`` order).
+
+    Classic two-phase distributed scan: band the (dense, nonnegative
+    integer) order axis into contiguous ranges, (1) one combiner-
+    pushdown pass reduces each band to its partial (max or sum), the
+    driver folds the <= num_bands partials into per-band EXCLUSIVE
+    seeds (a tiny broadcast, never a shuffle), then (2) one band hash
+    exchange sorts each band locally and runs the seeded cumulative
+    combine shifted by one row.  Every row's ``out_col`` equals the
+    combine over ALL strictly-earlier rows globally; the first row
+    gets the identity (int64 min for max — callers treat it as "no
+    watermark yet" — and 0 for sum).
+
+    Cost: two slim passes + one exchange, O(num_bands) driver state.
+    At 10^12 rows raise num_bands so a band fits a worker; the seed
+    fold stays trivial."""
+    if combine not in ("max", "sum"):
+        raise ValueError(f"unsupported combine {combine!r}")
+
+    # keyless max of the order axis: one tiny map+reduce over block refs
+    import ray as _ray
+
+    @_ray.remote
+    def _blk_max(t):
+        col = t[order_col] if not isinstance(t, pa.Table) else t[order_col]
+        arr = col.to_numpy(zero_copy_only=False)
+        return int(arr.max()) if len(arr) else -1
+
+    refs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for block_ref, meta in bundle.blocks:
+            if meta.num_rows is None or meta.num_rows > 0:
+                refs.append(_blk_max.remote(block_ref))
+    max_order = max(_ray.get(refs)) if refs else -1
+    if max_order < 0:
+        return ds
+    band_width = max_order // num_bands + 1
+
+    band_col = "__band"
+
+    def with_band(t: pa.Table) -> pa.Table:
+        o = t[order_col].to_numpy(zero_copy_only=False)
+        return t.append_column(band_col, pa.array(o // band_width))
+
+    banded = ds.map_batches(with_band, batch_format="pyarrow")
+
+    partials = partial_grouped_agg(
+        banded.select_columns([band_col, value_col]),
+        [band_col],
+        {"part": (value_col, combine)},
+    ).to_pandas().sort_values(band_col)  # <= num_bands rows: driver fold
+    ident = np.int64(np.iinfo(np.int64).min) if combine == "max" else np.int64(0)
+    acc = (np.maximum.accumulate if combine == "max" else np.add.accumulate)(
+        partials["part"].to_numpy().astype(np.int64)
+    )
+    seeds = dict(zip(
+        partials[band_col].to_numpy(),
+        np.r_[ident, acc[:-1]],  # EXCLUSIVE: band k seeds from bands < k
+    ))
+
+    def scan_band(t: pa.Table) -> pa.Table:
+        if not len(t):
+            return t.drop_columns([band_col, "__part"])
+        # a partition holds every band with band % P == part id: sort by
+        # (band, order), segment by band, seed EACH segment separately
+        b = t[band_col].to_numpy(zero_copy_only=False)
+        o = t[order_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((o, b))
+        t = t.take(pa.array(order))
+        b, o = b[order], o[order]
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = np.empty(len(v), dtype=np.int64)
+        cut = np.flatnonzero(np.r_[True, b[1:] != b[:-1], True])
+        for k in range(len(cut) - 1):
+            lo, hi = int(cut[k]), int(cut[k + 1])
+            seed = seeds[int(b[lo])]
+            vs = v[lo:hi]
+            if combine == "max":
+                run = np.maximum.accumulate(vs)
+                out[lo:hi] = np.maximum(np.r_[ident, run[:-1]], seed)
+            else:
+                run = np.add.accumulate(vs)
+                out[lo:hi] = np.r_[np.int64(0), run[:-1]] + seed
+        return t.drop_columns([band_col, "__part"]).append_column(
+            out_col, pa.array(out)
+        )
+
+    return hash_exchange_map(banded, band_col, num_partitions, scan_band)

@@ -1627,3 +1627,39 @@ def test_partitioned_window_cummax_cummin(ray_session):
         assert got["hwm"].to_numpy().tolist() == want_max.tolist()
         assert got["lwm"].to_numpy().tolist() == want_min.tolist()
         assert got["v"].to_numpy().tolist() == df.loc[idx, "v"].tolist()
+
+
+def test_ordered_prefix_scan_matches_numpy(ray_session):
+    """Global exclusive prefix scan (max and sum) equals the single-
+    process numpy scan in total order, independent of partition count
+    and of the order the rows arrive in."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+    from osm2geojson_ray.relational import ordered_prefix_scan
+
+    rng = np.random.RandomState(7)
+    n = 5000
+    order = rng.permutation(n).astype(np.int64)  # dense, shuffled
+    vals = rng.randint(-1000, 1000, size=n).astype(np.int64)
+    t = pa.table({"o": order, "v": vals})
+
+    srt = np.argsort(order)
+    v_sorted = vals[srt]
+    want_max = np.empty(n, dtype=np.int64)
+    want_max[srt] = np.r_[np.int64(np.iinfo(np.int64).min),
+                          np.maximum.accumulate(v_sorted)[:-1]]
+    want_sum = np.empty(n, dtype=np.int64)
+    want_sum[srt] = np.r_[np.int64(0), np.add.accumulate(v_sorted)[:-1]]
+
+    for nparts in (1, 7):
+        ds = ray.data.from_arrow(t).repartition(nparts)
+        for combine, want in (("max", want_max), ("sum", want_sum)):
+            got = ordered_prefix_scan(
+                ds, "o", "v", combine=combine, num_bands=9, out_col="scan"
+            ).to_pandas().sort_values("o")
+            np.testing.assert_array_equal(
+                got["scan"].to_numpy(), want[srt],
+                err_msg=f"{combine} nparts={nparts}",
+            )
