@@ -7775,6 +7775,89 @@ FROM fin
 """
 
 
+def q70_click_attribution(sf_dir: str):
+    """Last-touch ATTRIBUTION (the marketing-analytics join): every
+    purchase is attributed to the same user's most recent prior-or-
+    simultaneous click via the distributed backward as-of join, then
+    revenue rolls up by the CLICK's hour-of-day (never the click's row
+    identity, so equal-timestamp click ties cannot make the two
+    engines diverge).  Unattributed purchases (no prior click) land in
+    the -1 bucket.  One user exchange + a 25-row combiner rollup."""
+    from .relational import partial_grouped_agg
+    from .temporal import asof_join
+
+    l_schema = pa.schema(
+        [("user_id", pa.int64()), ("ts", pa.timestamp("us")),
+         ("cents", pa.int64())]
+    )
+    r_schema = pa.schema(
+        [("user_id", pa.int64()), ("ts", pa.timestamp("us"))]
+    )
+
+    def purchases(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "user_id": t["user_id"].combine_chunks().cast(pa.int64()),
+                "ts": t["ts"].combine_chunks(),
+                "cents": (np.sign(v) * np.floor(np.abs(v) * 100 + 0.5))
+                .astype(np.int64),
+            },
+            schema=l_schema,
+        )
+
+    ev_p = _pq(sf_dir, "events", ["user_id", "ts", "value", "event_type"]) \
+        .filter(expr="event_type == 'purchase'") \
+        .map_batches(purchases, batch_format="pyarrow")
+    ev_c = _pq(sf_dir, "events", ["user_id", "ts", "event_type"]) \
+        .filter(expr="event_type == 'click'") \
+        .map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"user_id": t["user_id"].combine_chunks().cast(pa.int64()),
+                 "ts": t["ts"].combine_chunks()},
+                schema=r_schema),
+            batch_format="pyarrow",
+        )
+
+    out = asof_join(
+        ev_p, ev_c, by="user_id", on="ts",
+        l_schema=l_schema, r_schema=r_schema,
+        strict=False, r_suffix="_c", num_partitions=16,
+    )
+
+    def bucket(t: pa.Table) -> pa.Table:
+        cts = t["ts_c"].combine_chunks().cast(pa.int64())
+        us = cts.to_numpy(zero_copy_only=False)  # float64 w/ NaN for null
+        valid = ~np.isnan(us)
+        hour_np = np.full(len(t), -1, dtype=np.int64)
+        hour_np[valid] = (us[valid].astype(np.int64) // 3_600_000_000) % 24
+        return pa.table(
+            {"click_hour": hour_np,
+             "cents": t["cents"].combine_chunks()}
+        )
+
+    return partial_grouped_agg(
+        out.map_batches(bucket, batch_format="pyarrow"),
+        ["click_hour"],
+        {"n_purchases": (None, "count"), "attributed_cents": ("cents", "sum")},
+    )
+
+
+Q70_SQL = """
+WITH p AS (
+  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click')
+SELECT COALESCE(CAST((epoch_us(c.ts) // 3600000000) % 24 AS BIGINT), -1)
+         AS click_hour,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(p.cents) AS BIGINT) AS attributed_cents
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+GROUP BY 1
+"""
+
+
 _WM_LATENESS_US = 3_600_000_000  # 1-h allowed lateness
 _WM_SHARD_STRIDE = 1 << 40  # arrival = shard-by-shard backfill replay
 
@@ -8108,6 +8191,7 @@ QUERIES = {
     "q68_key_skew_audit": q68_key_skew_audit,
     "m_pixel_hist": m_pixel_hist,
     "q69_watermark_late": q69_watermark_late,
+    "q70_click_attribution": q70_click_attribution,
 }
 
 ORACLE_SQL = {
@@ -8266,4 +8350,5 @@ ORACLE_SQL = {
     "q68_key_skew_audit": Q68_SQL,
     "m_pixel_hist": M_PIXEL_HIST_SQL,
     "q69_watermark_late": Q69_SQL,
+    "q70_click_attribution": Q70_SQL,
 }
