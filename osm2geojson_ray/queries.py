@@ -8031,6 +8031,189 @@ FROM q GROUP BY 1, 2, 3
 """
 
 
+_SHAPER_T_US = 4 * 3_600_000_000  # one event per 4 h service rate
+
+
+def q71_traffic_shaper(sf_dir: str):
+    """Leaky-bucket TRAFFIC SHAPER (GCRA) delay accounting — the
+    streaming rate-limit primitive: each user's events are serviced at
+    one per T; departure obeys the recurrence D_i = max(t_i, D_{i-1})
+    + T, whose closed form is a running max, D_i = (i+1)*T +
+    max_{j<=i}(t_j - j*T) — so the per-key scan is ONE cummax over the
+    user-ordered log (no sequential loop), and the queueing delay
+    d_i = D_i - T - t_i = i*T + cummax(t_j - j*T) - t_i is exact
+    integer microseconds.  One user exchange computes row numbers,
+    the cummax, the delays AND the per-user rollup (events / delayed /
+    total / max delay) in a single vectorized pass."""
+    from .relational import _with_part, hash_exchange_map
+
+    ds = _pq(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def shape(df):
+        import pandas as pd
+
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        t = df["ts"].astype("datetime64[us]").astype("int64")
+        j = df.groupby("user_id", sort=False).cumcount()
+        base = t - j * _SHAPER_T_US
+        run = base.groupby(df["user_id"], sort=False).cummax()
+        delay = j * _SHAPER_T_US + run - t
+        g = pd.DataFrame(
+            {"user_id": df["user_id"], "delay": delay}
+        ).groupby("user_id", sort=False)["delay"]
+        out = pd.DataFrame(
+            {
+                "n_events": g.size(),
+                "n_delayed": g.apply(lambda s: int((s > 0).sum())),
+                "sum_delay_us": g.sum(),
+                "max_delay_us": g.max(),
+            }
+        ).reset_index()
+        for c in ("n_events", "n_delayed", "sum_delay_us", "max_delay_us"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    out = hash_exchange_map(ds, "user_id", 16, shape, fn_format="pandas")
+    if out is None:
+        return (
+            _with_part(ds, "user_id", 16)
+            .groupby("__part")
+            .map_groups(shape, batch_format="pandas")
+        )
+    return out.drop_columns(["__part"]) if "__part" in out.schema().names else out
+
+
+Q71_SQL = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) - 1 AS BIGINT) AS j
+  FROM events),
+d AS (
+  SELECT user_id,
+         j * {_SHAPER_T_US}
+           + max(t - j * {_SHAPER_T_US})
+               OVER (PARTITION BY user_id ORDER BY j)
+           - t AS delay
+  FROM e)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN delay > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_delayed,
+       CAST(sum(delay) AS BIGINT) AS sum_delay_us,
+       CAST(max(delay) AS BIGINT) AS max_delay_us
+FROM d GROUP BY user_id
+"""
+
+
+_BOM_LEVELS = 7  # ancestors via //10^k; covers p_partkey < 10^7
+
+
+def q72_bom_rollup(sf_dir: str):
+    """HIERARCHY (BOM-style) subtree rollup — aggregate every node of
+    an implicit tree over its whole subtree in ONE pass: parent(p) =
+    p // 10 defines a fixed-depth part taxonomy, each row explodes
+    batch-locally into its <=7 (ancestor, cents) contributions
+    (vectorized level loop, no recursion, no iteration rounds — the
+    recursive-CTE shape collapses because ancestor chains are
+    computable per row), then one combiner-pushdown grouped sum
+    finishes.  Raw rows never shuffle; the exchange carries only the
+    slim ancestor stream."""
+    from .relational import partial_grouped_agg
+
+    ds = _pq(sf_dir, "part", ["p_partkey", "p_retailprice"])
+
+    explode_schema = pa.schema([("node", pa.int64()), ("cents", pa.int64())])
+
+    def explode(t: pa.Table) -> pa.Table:
+        p = t["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["p_retailprice"].to_numpy(zero_copy_only=False)
+        cents = (np.sign(v) * np.floor(np.abs(v) * 100 + 0.5)).astype(np.int64)
+        if len(p) and p.max() >= 10 ** _BOM_LEVELS:
+            raise ValueError("p_partkey exceeds the 7-level taxonomy")
+        nodes, vals = [], []
+        div = 1
+        for _ in range(_BOM_LEVELS):
+            nd = p // div
+            m = nd > 0
+            nodes.append(nd[m])
+            vals.append(cents[m])
+            div *= 10
+        return pa.Table.from_pydict(
+            {"node": np.concatenate(nodes), "cents": np.concatenate(vals)},
+            schema=explode_schema,
+        )
+
+    return partial_grouped_agg(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["node"],
+        {"n_parts": (None, "count"), "subtree_cents": ("cents", "sum")},
+    )
+
+
+Q72_SQL = """
+WITH base AS (
+  SELECT p_partkey AS p,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+  FROM part),
+anc AS (
+  SELECT p // d.div AS node, cents
+  FROM base, (VALUES (1), (10), (100), (1000), (10000), (100000),
+              (1000000)) AS d(div)
+  WHERE p // d.div > 0)
+SELECT node, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(cents) AS BIGINT) AS subtree_cents
+FROM anc GROUP BY node
+"""
+
+
+def q73_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS with non-hierarchical sets — the general
+    multi-aggregation SQL surface beyond ROLLUP/CUBE: per-flag,
+    per-status, the cross, and the grand total, all stacked inside the
+    SAME one-pass partial (relational.rollup_agg grouping_sets=...), so
+    four grouping levels cost one scan and one slim exchange."""
+    from .relational import rollup_agg
+
+    ds = _pq(
+        sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_extendedprice"]
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"].combine_chunks(),
+                "l_linestatus": t["l_linestatus"].combine_chunks(),
+                "cents": (np.sign(v) * np.floor(np.abs(v) * 100 + 0.5))
+                .astype(np.int64),
+            }
+        )
+
+    return rollup_agg(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        {"sum_cents": ("cents", "sum"), "n_rows": (None, "count")},
+        grouping_sets=[
+            ["l_returnflag"],
+            ["l_linestatus"],
+            ["l_returnflag", "l_linestatus"],
+            [],
+        ],
+    )
+
+
+Q73_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                        (l_returnflag, l_linestatus), ())
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_segment_revenue": q2_segment_revenue,
@@ -8192,6 +8375,9 @@ QUERIES = {
     "m_pixel_hist": m_pixel_hist,
     "q69_watermark_late": q69_watermark_late,
     "q70_click_attribution": q70_click_attribution,
+    "q71_traffic_shaper": q71_traffic_shaper,
+    "q72_bom_rollup": q72_bom_rollup,
+    "q73_grouping_sets": q73_grouping_sets,
 }
 
 ORACLE_SQL = {
@@ -8351,4 +8537,7 @@ ORACLE_SQL = {
     "m_pixel_hist": M_PIXEL_HIST_SQL,
     "q69_watermark_late": Q69_SQL,
     "q70_click_attribution": Q70_SQL,
+    "q71_traffic_shaper": Q71_SQL,
+    "q72_bom_rollup": Q72_SQL,
+    "q73_grouping_sets": Q73_SQL,
 }
