@@ -8214,6 +8214,196 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
 """
 
 
+def t_rarity_score(sf_dir: str):
+    """Integer unigram RARITY scoring — the perplexity-style quality
+    signal of an LLM-data pipeline without a single float: each term's
+    information weight is 64 - bit_length(df) (an exact integer ~
+    64 - log2(df), identical in numpy via frexp and in SQL via
+    length(bin(df))), a document scores sum(tf * weight), and hapax
+    terms (df = 1) are counted separately as the OOV-risk signal.
+    Shape: tokenize once to slim (doc, term, tf) rows, combiner
+    push-down df, pack the (vocab, df) arrays by a REMOTE reduce (the
+    tfidf broadcast path — never driver pandas), one vectorized
+    index_in + weight pass, one doc-keyed rollup.  Above ~10^6 terms
+    swap the broadcast for tfidf_topk's salted term-join exchange."""
+    import functools
+
+    import ray as _ray
+
+    from .relational import partial_grouped_agg
+    from .text.analysis import _term_freqs
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+    term_rows = docs.map_batches(
+        functools.partial(_term_freqs, doc_col="doc_id", text_col="text"),
+        batch_format="pyarrow",
+    ).materialize()
+    df = partial_grouped_agg(
+        term_rows.select_columns(["term"]), ["term"], {"df": (None, "count")}
+    )
+
+    @_ray.remote
+    def _df_pack(*blocks):
+        t = pa.concat_tables(blocks, promote_options="default")
+        return (
+            t["term"].combine_chunks(),
+            pc.fill_null(t["df"], 0).cast(pa.int64())
+            .combine_chunks().to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+        )
+
+    block_refs = [
+        block_ref
+        for bundle in df.iter_internal_ref_bundles()
+        for block_ref, _meta in bundle.blocks
+    ]
+    ref = _df_pack.remote(*block_refs)
+
+    def score(t: pa.Table) -> pa.Table:
+        from .worker_state import cache_key_for_ref, get_or_build
+
+        vocab, dfv = get_or_build(
+            ("rarity_df", cache_key_for_ref(ref)), lambda: _ray.get(ref)
+        )
+        codes = (
+            pc.index_in(t["term"], value_set=vocab)
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        d = dfv[codes]
+        # bit_length via frexp: d = m * 2^e with 0.5 <= m < 1, so e is
+        # exactly bit_length(d) for every int64 below 2^53
+        _, e = np.frexp(d.astype(np.float64))
+        w = 64 - e.astype(np.int64)
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks(),
+                "tot": pa.array(tf),
+                "sc": pa.array(tf * w),
+                "hapax": pa.array((d == 1).astype(np.int64)),
+            }
+        )
+
+    scored = term_rows.map_batches(score, batch_format="pyarrow")
+    return partial_grouped_agg(
+        scored,
+        ["doc_id"],
+        {
+            "total_tokens": ("tot", "sum"),
+            "rarity_score": ("sc", "sum"),
+            "n_hapax_terms": ("hapax", "sum"),
+        },
+    )
+
+
+T_RARITY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term <> '' GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+SELECT tf.doc_id,
+       CAST(sum(tf.tf) AS BIGINT) AS total_tokens,
+       CAST(sum(tf.tf * (64 - length(bin(df.df)))) AS BIGINT)
+         AS rarity_score,
+       CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hapax_terms
+FROM tf JOIN df USING (term) GROUP BY tf.doc_id
+"""
+
+
+_MRL_DIMS = 16  # truncated-retrieval prefix (of the 64-dim embeddings)
+
+
+def e_mrl_recall(sf_dir: str):
+    """Matryoshka / truncated-embedding RECALL audit — the evaluation
+    pass behind every "can we serve the 16-dim prefix?" decision: the
+    exact int8-dot top-10 for each query at FULL dimension vs at the
+    16-dim prefix (vectors.int8_dot_topk dims=16 — same per-dim
+    absmax scale, so truncated codes equal the full run's leading
+    codes), then the per-query overlap |topk_full ∩ topk_prefix|.
+    Both lists ride the broadcast-queries / partial-top-k shape; the
+    overlap is one packed-key hash join + a 4-row rollup."""
+    from .relational import hash_join, partial_grouped_agg
+    from .vectors import int8_dot_topk
+
+    emb = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    full = int8_dot_topk(emb, "vec_id", "embedding", k=10, num_queries=4)
+    pref = int8_dot_topk(
+        emb, "vec_id", "embedding", k=10, num_queries=4, dims=_MRL_DIMS
+    )
+
+    pair_schema = pa.schema([("pair", pa.int64()), ("query_id", pa.int64())])
+
+    def pack(t: pa.Table) -> pa.Table:
+        q = t["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(v) and (v.min() < 0 or v.max() >= (1 << 31)):
+            raise ValueError("vec_id out of packable range")
+        return pa.Table.from_pydict(
+            {"pair": (q << 31) | v, "query_id": q}, schema=pair_schema
+        )
+
+    fp = full.map_batches(pack, batch_format="pyarrow")
+    pp = pref.map_batches(pack, batch_format="pyarrow").select_columns(["pair"])
+    common = hash_join(
+        fp, pp, on="pair",
+        l_schema=pair_schema, r_schema=pa.schema([("pair", pa.int64())]),
+        num_partitions=4,
+    )
+    return partial_grouped_agg(
+        common.select_columns(["query_id"]),
+        ["query_id"],
+        {"n_common": (None, "count")},
+    )
+
+
+E_MRL_SQL = f"""
+WITH flat AS (
+  SELECT vec_id,
+         CAST(ord - 1 AS BIGINT) AS dim,
+         CAST(val AS DOUBLE) AS x
+  FROM (SELECT vec_id, unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) AS ord FROM embeddings)),
+s AS (SELECT dim, max(abs(x)) AS amax FROM flat GROUP BY 1),
+codes AS (
+  SELECT f.vec_id, f.dim,
+         CAST(greatest(-127, least(127,
+              floor((f.x * 127) / (CASE WHEN s.amax = 0 THEN 1.0 ELSE s.amax END))))
+              AS BIGINT) AS code
+  FROM flat f JOIN s USING (dim)),
+q AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4),
+dots_full AS (
+  SELECT qc.vec_id AS query_id, c.vec_id AS vec_id,
+         CAST(sum(qc.code * c.code) AS BIGINT) AS dot
+  FROM codes qc JOIN codes c USING (dim)
+  WHERE qc.vec_id IN (SELECT vec_id FROM q) AND c.vec_id <> qc.vec_id
+  GROUP BY 1, 2),
+dots_pref AS (
+  SELECT qc.vec_id AS query_id, c.vec_id AS vec_id,
+         CAST(sum(qc.code * c.code) AS BIGINT) AS dot
+  FROM codes qc JOIN codes c USING (dim)
+  WHERE qc.vec_id IN (SELECT vec_id FROM q) AND c.vec_id <> qc.vec_id
+        AND dim < {_MRL_DIMS}
+  GROUP BY 1, 2),
+rf AS (SELECT query_id, vec_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY dot DESC, vec_id) AS rn
+       FROM dots_full),
+rp AS (SELECT query_id, vec_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY dot DESC, vec_id) AS rn
+       FROM dots_pref)
+SELECT rf.query_id, CAST(count(*) AS BIGINT) AS n_common
+FROM rf JOIN rp ON rf.query_id = rp.query_id AND rf.vec_id = rp.vec_id
+WHERE rf.rn <= 10 AND rp.rn <= 10
+GROUP BY rf.query_id
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_segment_revenue": q2_segment_revenue,
@@ -8378,6 +8568,8 @@ QUERIES = {
     "q71_traffic_shaper": q71_traffic_shaper,
     "q72_bom_rollup": q72_bom_rollup,
     "q73_grouping_sets": q73_grouping_sets,
+    "t_rarity_score": t_rarity_score,
+    "e_mrl_recall": e_mrl_recall,
 }
 
 ORACLE_SQL = {
@@ -8540,4 +8732,6 @@ ORACLE_SQL = {
     "q71_traffic_shaper": Q71_SQL,
     "q72_bom_rollup": Q72_SQL,
     "q73_grouping_sets": Q73_SQL,
+    "t_rarity_score": T_RARITY_SQL,
+    "e_mrl_recall": E_MRL_SQL,
 }

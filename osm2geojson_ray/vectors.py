@@ -190,7 +190,7 @@ def quantize_embeddings(ds, id_col: str, vec_col: str, *, levels: int = 127):
 
 def int8_dot_topk(ds, id_col: str, vec_col: str, *, k: int = 10,
                   num_queries: int = 4, levels: int = 127,
-                  num_partitions: int = 16):
+                  num_partitions: int = 16, dims: "Optional[int]" = None):
     """Quantized exact-re-rank ANN: top-``k`` neighbors per query by
     the EXACT integer dot product of int8 quantization codes — the
     compressed-index scoring pass of a production vector search (codes
@@ -205,7 +205,13 @@ def int8_dot_topk(ds, id_col: str, vec_col: str, *, k: int = 10,
     raw vectors never shuffle; per-batch partial top-k means at most
     Q x k rows leave any block, finished by ``grouped_topk``.  Ties
     break on vec_id ascending; the query itself is excluded.  Output
-    (query_id, vec_id, dot)."""
+    (query_id, vec_id, dot).
+
+    ``dims``: score on only the FIRST ``dims`` components (Matryoshka /
+    truncated-embedding retrieval) — vectors and queries are sliced
+    before quantization; the per-dim absmax scale of a kept dim is
+    unchanged by the slice, so truncated codes equal the full run's
+    leading codes."""
     import ray as _ray
 
     from .relational import grouped_topk
@@ -228,6 +234,9 @@ def int8_dot_topk(ds, id_col: str, vec_col: str, *, k: int = 10,
     qM = np.stack([np.asarray(v, dtype=np.float64) for v in cand[vec_col]]) \
         if len(cand) else np.empty((0, 0))
     amax = _ray.get(scale_ref)
+    if dims is not None:
+        qM = qM[:, :dims] if qM.size else qM
+        amax = amax[:dims]
     q_codes = _quantize_matrix(qM, amax, levels) if qM.size else \
         np.empty((0, 0), np.int64)
     bundle_ref = _ray.put((q_ids, q_codes))
@@ -242,6 +251,9 @@ def int8_dot_topk(ds, id_col: str, vec_col: str, *, k: int = 10,
         amax_ = _ray.get(scale_ref)
         M = vec_matrix(tbl[vec_col])
         ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if dims is not None:
+            M = M[:, :dims]
+            amax_ = amax_[:dims]
         codes = _quantize_matrix(M, amax_, levels)
         dots = codes @ q_codes_.T  # (n, Q) exact int64
         qs, vs, dd = [], [], []
