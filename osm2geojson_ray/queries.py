@@ -8058,15 +8058,19 @@ def q71_traffic_shaper(sf_dir: str):
         base = t - j * _SHAPER_T_US
         run = base.groupby(df["user_id"], sort=False).cummax()
         delay = j * _SHAPER_T_US + run - t
-        g = pd.DataFrame(
-            {"user_id": df["user_id"], "delay": delay}
-        ).groupby("user_id", sort=False)["delay"]
+        agg = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(),
+                "delay": delay.to_numpy(),
+                "delayed": (delay > 0).to_numpy().astype("int64"),
+            }
+        ).groupby("user_id", sort=False)
         out = pd.DataFrame(
             {
-                "n_events": g.size(),
-                "n_delayed": g.apply(lambda s: int((s > 0).sum())),
-                "sum_delay_us": g.sum(),
-                "max_delay_us": g.max(),
+                "n_events": agg["delay"].size(),
+                "n_delayed": agg["delayed"].sum(),
+                "sum_delay_us": agg["delay"].sum(),
+                "max_delay_us": agg["delay"].max(),
             }
         ).reset_index()
         for c in ("n_events", "n_delayed", "sum_delay_us", "max_delay_us"):
