@@ -8408,6 +8408,78 @@ GROUP BY rf.query_id
 """
 
 
+def g_heading_octants(sf_dir: str):
+    """Trig-free segment HEADING histogram — the bearing-distribution
+    pass of a road-network audit without atan2: 45-degree compass
+    sectors have their boundaries exactly on dx/dy sign changes and
+    |dx| vs |dy| comparisons, so the octant of every synthetic way
+    segment (deterministic LCG-jitter deltas, positive dividends so
+    numpy's floored %% equals SQL's truncated %%) is a pure integer
+    decision chain — bit-identical in numpy (np.select) and SQL (the
+    same CASE ladder), no float angle anywhere.  Rollup: segments and
+    total squared length per octant (degenerate zero-length segments
+    land in octant -1).  Fully batch-local + one 9-row exchange."""
+    from .relational import partial_grouped_agg
+
+    def octants(t: pa.Table) -> pa.Table:
+        k = t["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # segment delta = deterministic LCG jitter (endpoint B = A +
+        # (dx, dy) in subgrid units) — spans all 8 headings uniformly
+        dx = (k * 48271 % 2001) - 1000
+        dy = (k * 69621 % 2001) - 1000
+        octant = np.select(
+            [
+                (dx == 0) & (dy == 0),
+                (dy >= 0) & (dx > 0) & (dx > dy),
+                (dx > 0) & (dy > 0) & (dy >= dx),
+                (dx <= 0) & (dy > 0) & (dy > -dx),
+                (dx < 0) & (dy > 0) & (-dx >= dy),
+                (dx < 0) & (dy <= 0) & (-dx > -dy),
+                (dx < 0) & (dy < 0) & (-dy >= -dx),
+                (dx >= 0) & (dy < 0) & (-dy > dx),
+            ],
+            [-1, 0, 1, 2, 3, 4, 5, 6],
+            default=7,
+        ).astype(np.int64)
+        return pa.Table.from_pydict(
+            {"octant": octant, "sq_len": dx * dx + dy * dy},
+            schema=pa.schema([("octant", pa.int64()), ("sq_len", pa.int64())]),
+        )
+
+    return partial_grouped_agg(
+        _pq(sf_dir, "part", ["p_partkey"]).map_batches(
+            octants, batch_format="pyarrow"
+        ),
+        ["octant"],
+        {"n_segs": (None, "count"), "sum_sq_len": ("sq_len", "sum")},
+    )
+
+
+G_HEADING_SQL = """
+WITH d AS (
+  SELECT p_partkey * 48271 % 2001 - 1000 AS dx,
+         p_partkey * 69621 % 2001 - 1000 AS dy
+  FROM part),
+o AS (
+  SELECT CASE
+           WHEN dx = 0 AND dy = 0 THEN -1
+           WHEN dy >= 0 AND dx > 0 AND dx > dy THEN 0
+           WHEN dx > 0 AND dy > 0 AND dy >= dx THEN 1
+           WHEN dx <= 0 AND dy > 0 AND dy > -dx THEN 2
+           WHEN dx < 0 AND dy > 0 AND -dx >= dy THEN 3
+           WHEN dx < 0 AND dy <= 0 AND -dx > -dy THEN 4
+           WHEN dx < 0 AND dy < 0 AND -dy >= -dx THEN 5
+           WHEN dx >= 0 AND dy < 0 AND -dy > dx THEN 6
+           ELSE 7
+         END AS octant,
+         dx * dx + dy * dy AS sq_len
+  FROM d)
+SELECT octant, CAST(count(*) AS BIGINT) AS n_segs,
+       CAST(sum(sq_len) AS BIGINT) AS sum_sq_len
+FROM o GROUP BY octant
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_segment_revenue": q2_segment_revenue,
@@ -8574,6 +8646,7 @@ QUERIES = {
     "q73_grouping_sets": q73_grouping_sets,
     "t_rarity_score": t_rarity_score,
     "e_mrl_recall": e_mrl_recall,
+    "g_heading_octants": g_heading_octants,
 }
 
 ORACLE_SQL = {
@@ -8738,4 +8811,5 @@ ORACLE_SQL = {
     "q73_grouping_sets": Q73_SQL,
     "t_rarity_score": T_RARITY_SQL,
     "e_mrl_recall": E_MRL_SQL,
+    "g_heading_octants": G_HEADING_SQL,
 }
