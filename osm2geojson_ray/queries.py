@@ -8480,6 +8480,105 @@ FROM o GROUP BY octant
 """
 
 
+_LERP_STEP_US = 12 * 3_600_000_000  # 12-h resample grid
+
+
+def q74_linear_interp(sf_dir: str):
+    """Time-grid resample by EXACT-RATIONAL linear interpolation — the
+    sensor/price upsampling pass with no float drift: each user's
+    value series (per-(user, ts) deduped on min event_id) is sampled
+    at every 12-h epoch-aligned grid time g inside each consecutive
+    pair [t0, t1), emitting the lerp as the exact integer pair
+    (num = v0*(t1-g) + v1*(g-t0), den = t1-t0) so the gate compares
+    rationals, not doubles.  One user exchange; grid expansion is a
+    vectorized repeat/arange inside the partition kernel (the engine's
+    segment-expansion idiom), raw rows never re-shuffle."""
+    from .relational import _with_part, hash_exchange_map
+
+    ds = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("g_us", pa.int64()),
+         ("num_cents_us", pa.int64()), ("den_us", pa.int64())]
+    )
+
+    def interp(tbl: pa.Table) -> pa.Table:
+        if "__part" in tbl.column_names:
+            tbl = tbl.drop_columns(["__part"])
+        n = len(tbl)
+        if n == 0:
+            return out_schema.empty_table()
+        u = tbl["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = tbl["ts"].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vv = tbl["value"].to_numpy(zero_copy_only=False)
+        cents = (np.sign(vv) * np.floor(np.abs(vv) * 100 + 0.5)).astype(np.int64)
+        order = np.lexsort((eid, t, u))
+        u, t, cents = u[order], t[order], cents[order]
+        # dedupe (user, ts) keeping the smallest event_id's value
+        keep = np.ones(len(u), dtype=bool)
+        keep[1:] = (u[1:] != u[:-1]) | (t[1:] != t[:-1])
+        u, t, cents = u[keep], t[keep], cents[keep]
+        if len(u) < 2:
+            return out_schema.empty_table()
+        pair = u[1:] == u[:-1]
+        t0, t1 = t[:-1][pair], t[1:][pair]
+        v0, v1 = cents[:-1][pair], cents[1:][pair]
+        pu = u[:-1][pair]
+        S = _LERP_STEP_US
+        k0 = -(-t0 // S)  # ceil(t0 / S): first grid index >= t0
+        k1 = -(-t1 // S)  # grid indices in [k0, k1) stay < t1
+        cnt = np.maximum(k1 - k0, 0)
+        total = int(cnt.sum())
+        if total == 0:
+            return out_schema.empty_table()
+        rep = np.repeat(np.arange(len(cnt)), cnt)
+        offs = np.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt
+        )
+        g = (k0[rep] + offs) * S
+        num = v0[rep] * (t1[rep] - g) + v1[rep] * (g - t0[rep])
+        return pa.Table.from_pydict(
+            {"user_id": pu[rep], "g_us": g, "num_cents_us": num,
+             "den_us": (t1 - t0)[rep]},
+            schema=out_schema,
+        )
+
+    out = hash_exchange_map(ds, "user_id", 16, interp)
+    if out is None:
+        return (
+            _with_part(ds, "user_id", 16)
+            .groupby("__part")
+            .map_groups(interp, batch_format="pyarrow")
+        )
+    return out
+
+
+Q74_SQL = f"""
+WITH e0 AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id)
+           AS rn
+  FROM events),
+e AS (SELECT user_id, t, cents FROM e0 WHERE rn = 1),
+p AS (SELECT user_id, t AS t0, cents AS v0,
+             lead(t) OVER (PARTITION BY user_id ORDER BY t) AS t1,
+             lead(cents) OVER (PARTITION BY user_id ORDER BY t) AS v1
+      FROM e),
+g AS (SELECT user_id, t0, v0, t1, v1,
+             unnest(generate_series((t0 + {_LERP_STEP_US} - 1)
+                                      // {_LERP_STEP_US} * {_LERP_STEP_US},
+                                    t1 - 1, {_LERP_STEP_US})) AS g
+      FROM p WHERE t1 IS NOT NULL)
+SELECT user_id, g AS g_us,
+       v0 * (t1 - g) + v1 * (g - t0) AS num_cents_us,
+       t1 - t0 AS den_us
+FROM g
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_segment_revenue": q2_segment_revenue,
@@ -8647,6 +8746,7 @@ QUERIES = {
     "t_rarity_score": t_rarity_score,
     "e_mrl_recall": e_mrl_recall,
     "g_heading_octants": g_heading_octants,
+    "q74_linear_interp": q74_linear_interp,
 }
 
 ORACLE_SQL = {
@@ -8812,4 +8912,5 @@ ORACLE_SQL = {
     "t_rarity_score": T_RARITY_SQL,
     "e_mrl_recall": E_MRL_SQL,
     "g_heading_octants": G_HEADING_SQL,
+    "q74_linear_interp": Q74_SQL,
 }
