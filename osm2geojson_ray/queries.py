@@ -8579,6 +8579,75 @@ FROM g
 """
 
 
+_PATTERN_THRESHOLD = 20000
+
+
+def m_pattern_detect(sf_dir: str):
+    """Fixed-pattern MATCHED FILTER over decoded pixels — the
+    watermark / test-card detection pass of an image-curation
+    pipeline: every payload is decoded zero-copy and its R channel is
+    dotted (exact int64) against a ±1 step template over the full
+    2-D plane; an image is flagged when |response| >= 20000.  The
+    engine computes the honest dense 2-D correlation; the SQL oracle
+    exploits the generator's separability (R varies only with x) to
+    recompute every response from 24 profile values per phase, with
+    the lossy rows replaying the encoder's quantization rule — a
+    cross-representation gate on decode, channel layout AND the
+    integer filter arithmetic.  Fully batch-local + a 4-row rollup."""
+    from .images.codec import batch_pixel_view
+    from .images.synth import synth_image_table
+    from .relational import partial_grouped_agg
+
+    ds = synth_image_table(2000, partition_rows=500)
+
+    out_schema = pa.schema(
+        [("lossy", pa.bool_()), ("detected", pa.bool_()),
+         ("n_images", pa.int64()), ("sum_score", pa.int64())]
+    )
+
+    def correlate(t: pa.Table) -> pa.Table:
+        px, w, h = batch_pixel_view(t["bytes"])
+        f = np.where(np.arange(w) < w // 2, 1, -1).astype(np.int64)
+        r = px[..., 0].astype(np.int64)  # (n, h, w)
+        score = (r * f[None, None, :]).sum(axis=(1, 2))
+        lossy = pc.equal(t["fmt"], "rgb5").to_numpy(zero_copy_only=False)
+        detected = np.abs(score) >= _PATTERN_THRESHOLD
+        return pa.Table.from_pydict(
+            {"lossy": lossy, "detected": detected,
+             "n_images": np.ones(len(t), np.int64), "sum_score": score},
+            schema=out_schema,
+        )
+
+    return partial_grouped_agg(
+        ds.map_batches(correlate, batch_format="pyarrow"),
+        ["lossy", "detected"],
+        {"n_images": ("n_images", "sum"), "sum_score": ("sum_score", "sum")},
+    )
+
+
+M_PATTERN_SQL = f"""
+WITH {_SPLITMIX_PHASE_CTE},
+ph AS (SELECT i, CAST(h64 % 1000 AS BIGINT) AS pm, (i % 4 = 0) AS lossy
+       FROM fin),
+xs AS (SELECT range AS x FROM range(0, 24)),
+v AS (
+  SELECT i, lossy, x,
+         CAST(floor(127.5 * (1 + sin(2 * pi() * (x / 24.0 + pm / 1000.0))))
+              AS BIGINT) AS v
+  FROM ph, xs),
+q AS (SELECT i, lossy, x,
+             CASE WHEN lossy THEN LEAST((v + 4) // 8 * 8, 255) ELSE v END AS v2
+      FROM v),
+s AS (SELECT i, lossy,
+             16 * sum(v2 * CASE WHEN x < 12 THEN 1 ELSE -1 END) AS score
+      FROM q GROUP BY i, lossy)
+SELECT lossy, (abs(score) >= {_PATTERN_THRESHOLD}) AS detected,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(sum(score) AS BIGINT) AS sum_score
+FROM s GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_segment_revenue": q2_segment_revenue,
@@ -8747,6 +8816,7 @@ QUERIES = {
     "e_mrl_recall": e_mrl_recall,
     "g_heading_octants": g_heading_octants,
     "q74_linear_interp": q74_linear_interp,
+    "m_pattern_detect": m_pattern_detect,
 }
 
 ORACLE_SQL = {
@@ -8913,4 +8983,5 @@ ORACLE_SQL = {
     "e_mrl_recall": E_MRL_SQL,
     "g_heading_octants": G_HEADING_SQL,
     "q74_linear_interp": Q74_SQL,
+    "m_pattern_detect": M_PATTERN_SQL,
 }
