@@ -8648,6 +8648,137 @@ FROM s GROUP BY 1, 2
 """
 
 
+def g_bfs_hops(sf_dir: str):
+    """Multi-source BFS hop distances (relational.bfs_hops): every
+    vertex of the deterministic 64-vertex part graph within 4 hops of
+    a source (vertices divisible by 16), with its exact hop count —
+    min-plus label propagation, edges exchanged once and reused each
+    round, frontier + combiner-pushdown grouped min per round.  The
+    4-round unrolled SQL twin recomputes distances bit-for-bit
+    (labels are monotone and hop-h vertices finalize by round h)."""
+    from .relational import bfs_hops
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        k = t["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_pydict(
+            {"a": k * 2654435761 % 8000000 // 125000,
+             "b": k * 40503 % 8000000 // 125000},
+            schema=pa.schema([("a", pa.int64()), ("b", pa.int64())]),
+        )
+
+    edges = _pq(sf_dir, "part", ["p_partkey"]).map_batches(
+        to_edges, batch_format="pyarrow")
+    return bfs_hops(edges, source_mod=16, rounds=4)
+
+
+_BFS_ROUND = """
+d{n} AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+  SELECT node, dist FROM d{p}
+  UNION ALL
+  SELECT e.dst AS node, d{p}.dist + 1 AS dist
+  FROM e JOIN d{p} ON d{p}.node = e.src) GROUP BY node)"""
+
+G_BFS_SQL = (
+    """
+WITH raw AS (SELECT CAST(p_partkey AS BIGINT) AS k FROM part),
+e0 AS (SELECT k * 2654435761 % 8000000 // 125000 AS u,
+              k * 40503 % 8000000 // 125000 AS v FROM raw),
+e AS (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
+d0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+       FROM e WHERE src % 16 = 0),"""
+    + ",".join(_BFS_ROUND.format(n=i, p=i - 1) for i in range(1, 5))
+    + """
+SELECT node, dist FROM d4
+"""
+)
+
+
+_CONV_WINDOW_US = 24 * 3_600_000_000  # 24-h conversion window
+
+
+def q75_temporal_anti(sf_dir: str):
+    """TEMPORAL ANTI-JOIN — "views never followed by a purchase within
+    24 h" (the absence-within-window predicate that funnels, churn
+    triggers and retargeting audiences all need; strictly-after
+    window (t, t+W] so equal-timestamp ties cannot diverge): one user
+    exchange co-locates each user's views and purchases, then the
+    window test is two vectorized searchsorted probes against the
+    partition's purchase timeline on a dense-code composite key — no
+    per-user loop, no pair blow-up, raw events never re-shuffle.
+    Output per user: views and unconverted views."""
+    from .relational import _with_part, hash_exchange_map
+
+    ds = _pq(sf_dir, "events", ["ts", "user_id", "event_type"]).filter(
+        expr="event_type == 'view' or event_type == 'purchase'"
+    )
+
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("n_views", pa.int64()),
+         ("n_unconverted", pa.int64())]
+    )
+
+    def anti(tbl: pa.Table) -> pa.Table:
+        if "__part" in tbl.column_names:
+            tbl = tbl.drop_columns(["__part"])
+        if len(tbl) == 0:
+            return out_schema.empty_table()
+        u = tbl["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = tbl["ts"].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        is_view = pc.equal(tbl["event_type"], "view") \
+            .to_numpy(zero_copy_only=False)
+        codes, inv = np.unique(u, return_inverse=True)
+        tmin = t.min()
+        span = (t.max() - tmin) + _CONV_WINDOW_US + 2
+        key = inv.astype(np.int64) * span + (t - tmin)
+        pk = np.sort(key[~is_view])
+        vk = key[is_view]
+        lo = np.searchsorted(pk, vk, side="right")
+        hi = np.searchsorted(pk, vk + _CONV_WINDOW_US, side="right")
+        unconv = (hi == lo).astype(np.int64)
+        vu = u[is_view]
+        order = np.argsort(vu, kind="stable")
+        vu_s, unconv_s = vu[order], unconv[order]
+        uniq, starts = np.unique(vu_s, return_index=True)
+        ends = np.append(starts[1:], len(vu_s))
+        return pa.Table.from_pydict(
+            {
+                "user_id": uniq,
+                "n_views": (ends - starts).astype(np.int64),
+                "n_unconverted": np.add.reduceat(unconv_s, starts)
+                if len(starts) else np.array([], np.int64),
+            },
+            schema=out_schema,
+        )
+
+    out = hash_exchange_map(ds, "user_id", 16, anti)
+    if out is None:
+        return (
+            _with_part(ds, "user_id", 16)
+            .groupby("__part")
+            .map_groups(anti, batch_format="pyarrow")
+        )
+    return out
+
+
+Q75_SQL = f"""
+WITH v AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+           WHERE event_type = 'view'),
+p AS (SELECT user_id, epoch_us(ts) AS t FROM events
+      WHERE event_type = 'purchase'),
+per_view AS (
+  SELECT v.event_id, v.user_id, count(p.t) AS np
+  FROM v LEFT JOIN p
+    ON p.user_id = v.user_id
+   AND p.t > v.t AND p.t <= v.t + {_CONV_WINDOW_US}
+  GROUP BY v.event_id, v.user_id)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_views,
+       CAST(sum(CASE WHEN np = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unconverted
+FROM per_view GROUP BY user_id
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_segment_revenue": q2_segment_revenue,
@@ -8817,6 +8948,8 @@ QUERIES = {
     "g_heading_octants": g_heading_octants,
     "q74_linear_interp": q74_linear_interp,
     "m_pattern_detect": m_pattern_detect,
+    "g_bfs_hops": g_bfs_hops,
+    "q75_temporal_anti": q75_temporal_anti,
 }
 
 ORACLE_SQL = {
@@ -8984,4 +9117,6 @@ ORACLE_SQL = {
     "g_heading_octants": G_HEADING_SQL,
     "q74_linear_interp": Q74_SQL,
     "m_pattern_detect": M_PATTERN_SQL,
+    "g_bfs_hops": G_BFS_SQL,
+    "q75_temporal_anti": Q75_SQL,
 }

@@ -1504,6 +1504,91 @@ def connected_components(
     )
 
 
+def bfs_hops(
+    edges,
+    *,
+    a_col: str = "a",
+    b_col: str = "b",
+    source_mod: int = 16,
+    rounds: int = 4,
+    num_partitions: int = 16,
+):
+    """Multi-source BFS hop distance over an undirected int64 edge
+    list — min-plus label propagation with a FIXED round budget:
+    dist_{r+1}(v) = min(dist_r(v), min over neighbors (dist_r(u)+1)),
+    seeded with dist 0 at every vertex divisible by ``source_mod``.
+    After ``rounds`` rounds the output is exactly the set of vertices
+    within ``rounds`` hops of a source, with their true hop distance
+    (monotone: a vertex's label only ever decreases, and a vertex at
+    hop h is finalized by round h) — so a fixed-depth unrolled SQL
+    twin recomputes it bit-for-bit.
+
+    Scale shape mirrors connected_components: the edge list is
+    exchanged ONCE (both directions) and reused every round; each
+    round is one hash-exchange join shipping the current (node, dist)
+    frontier along edges plus a combiner-pushdown grouped min — raw
+    edges never re-shuffle and the only materialized state is the
+    (node, dist) table."""
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t[a_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        b = t[b_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        return pa.Table.from_pydict(
+            {"src": np.concatenate([a, b]), "dst": np.concatenate([b, a])},
+            schema=_CC_EDGE_SCHEMA,
+        )
+
+    directed = edges.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    dist_schema = pa.schema([("node", pa.int64()), ("dist", pa.int64())])
+
+    def init_dists(t: pa.Table) -> pa.Table:
+        u = np.unique(t["src"].to_numpy(zero_copy_only=False))
+        u = u[u % source_mod == 0]
+        return pa.Table.from_pydict(
+            {"node": u, "dist": np.zeros(len(u), np.int64)}, schema=dist_schema
+        )
+
+    dists = partial_grouped_agg(
+        directed.map_batches(init_dists, batch_format="pyarrow"),
+        ["node"],
+        {"dist": ("dist", "min")},
+    ).materialize()
+    if dists.count() == 0:
+        return dists
+
+    msg_schema = pa.schema([("src", pa.int64()), ("dist", pa.int64())])
+
+    def as_msgs(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"src": t["node"], "dist": t["dist"]}, schema=msg_schema
+        )
+
+    def to_cand(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "node": t["dst"],
+                "dist": pc.add(t["dist"], 1).cast(pa.int64()),
+            },
+            schema=dist_schema,
+        )
+
+    for _ in range(rounds):
+        joined = hash_join(
+            directed,
+            dists.map_batches(as_msgs, batch_format="pyarrow"),
+            on="src",
+            l_schema=_CC_EDGE_SCHEMA,
+            r_schema=msg_schema,
+            num_partitions=num_partitions,
+        )
+        cand = joined.map_batches(to_cand, batch_format="pyarrow").union(dists)
+        dists = partial_grouped_agg(
+            cand, ["node"], {"dist": ("dist", "min")}
+        ).materialize()
+    return dists
+
+
 def grouped_argmax(
     ds,
     keys: List[str],
