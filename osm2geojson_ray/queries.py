@@ -8779,6 +8779,184 @@ FROM per_view GROUP BY user_id
 """
 
 
+def t_lang_confusion(sf_dir: str):
+    """Language-ID CONFUSION MATRIX — the evaluation gate of the
+    heuristic classifier: predicted language (the t_langid stopword
+    argmax) against the table's labeled ``lang`` column, as exact
+    (label, predicted, n_docs) counts.  One actor-pool analysis pass
+    plus a tiny rollup; the oracle replays the full prediction chain
+    in SQL and joins the label."""
+    from .relational import partial_grouped_agg
+    from .text.analysis import analyze_documents
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text", "lang"])
+    preds = analyze_documents(
+        docs.select_columns(["doc_id", "text"]), concurrency=2
+    ).select_columns(["doc_id", "lang_pred"])
+
+    from .relational import hash_join
+
+    labeled = hash_join(
+        preds.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"doc_id": t["doc_id"].combine_chunks().cast(pa.int64()),
+                 "lang_pred": t["lang_pred"].combine_chunks()},
+                schema=pa.schema([("doc_id", pa.int64()),
+                                  ("lang_pred", pa.string())]),
+            ),
+            batch_format="pyarrow",
+        ),
+        docs.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"doc_id": t["doc_id"].combine_chunks().cast(pa.int64()),
+                 "lang": t["lang"].combine_chunks()},
+                schema=pa.schema([("doc_id", pa.int64()),
+                                  ("lang", pa.string())]),
+            ),
+            batch_format="pyarrow",
+        ),
+        on="doc_id",
+        l_schema=pa.schema([("doc_id", pa.int64()), ("lang_pred", pa.string())]),
+        r_schema=pa.schema([("doc_id", pa.int64()), ("lang", pa.string())]),
+        num_partitions=8,
+    )
+    return partial_grouped_agg(
+        labeled.select_columns(["lang", "lang_pred"]),
+        ["lang", "lang_pred"],
+        {"n_docs": (None, "count")},
+    )
+
+
+T_LANG_CONFUSION_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, lower(u.w) AS w
+  FROM documents, UNNEST(regexp_extract_all(text, '\S+')) AS u(w)
+),
+sw(lang, idx, w) AS (VALUES {_langid_values_sql()}),
+hits AS (
+  SELECT t.doc_id, s.lang, s.idx, count(*) AS c
+  FROM toks t JOIN sw s ON t.w = s.w
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT doc_id, lang, c,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, idx) AS rn
+  FROM hits
+),
+pred AS (
+  SELECT d.doc_id, d.lang, COALESCE(b.lang, 'und') AS lang_pred
+  FROM documents d
+  LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.doc_id = d.doc_id)
+SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY 1, 2
+"""
+
+
+def e_centroid_drift(sf_dir: str):
+    """Embedding DRIFT audit — "did the distribution move between two
+    cohorts?" with no float tolerance: vectors split into deterministic
+    halves (vec_id %% 2), each component floor-quantized to 1e-6 ticks,
+    per-(label, half, dim) integer sums via the long-form reduceat
+    partial, and the per-label L1 centroid distance cross-multiplied
+    exact: sum_dims |s0*n1 - s1*n0| (the |mean0-mean1| L1 scaled by
+    n0*n1, kept rational).  Raw vectors never shuffle; the final
+    half-vs-half fold runs over the tiny (labels x dims) aggregate."""
+    from .relational import partial_grouped_agg
+    from .vectors import vec_matrix
+
+    emb = _pq(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+
+    part_schema = pa.schema(
+        [("label", pa.int64()), ("half", pa.int64()), ("dim", pa.int64()),
+         ("s", pa.int64()), ("n", pa.int64())]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return part_schema.empty_table()
+        M = vec_matrix(t["embedding"])  # (n, d) float
+        q = np.floor(M.astype(np.float64) * 1_000_000).astype(np.int64)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        half = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64) % 2
+        key = lab * 2 + half
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        starts = np.flatnonzero(np.concatenate([[True], ks[1:] != ks[:-1]]))
+        d = q.shape[1]
+        sums = np.add.reduceat(q[order], starts, axis=0)  # (groups, d)
+        counts = np.diff(np.append(starts, len(ks)))
+        g = ks[starts]
+        return pa.Table.from_pydict(
+            {
+                "label": np.repeat(g // 2, d),
+                "half": np.repeat(g % 2, d),
+                "dim": np.tile(np.arange(d, dtype=np.int64), len(g)),
+                "s": sums.ravel(),
+                "n": np.repeat(counts.astype(np.int64), d),
+            },
+            schema=part_schema,
+        )
+
+    agg = partial_grouped_agg(
+        emb.map_batches(partials, batch_format="pyarrow"),
+        ["label", "half", "dim"],
+        {"s": ("s", "sum"), "n": ("n", "sum")},
+    )
+
+    out_schema = pa.schema(
+        [("label", pa.int64()), ("n0", pa.int64()), ("n1", pa.int64()),
+         ("l1_cross", pa.int64())]
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        # tiny (labels x 2 x dims) aggregate — single block after
+        # repartition(1)
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        half = t["half"].to_numpy(zero_copy_only=False)
+        dim = t["dim"].to_numpy(zero_copy_only=False)
+        s = t["s"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        labs = np.unique(lab)
+        rows = {"label": [], "n0": [], "n1": [], "l1_cross": []}
+        for lb in labs:
+            m0 = (lab == lb) & (half == 0)
+            m1 = (lab == lb) & (half == 1)
+            if not m0.any() or not m1.any():
+                continue
+            o0, o1 = np.argsort(dim[m0]), np.argsort(dim[m1])
+            s0, s1 = s[m0][o0], s[m1][o1]
+            n0, n1 = int(n[m0][0]), int(n[m1][0])
+            rows["label"].append(int(lb))
+            rows["n0"].append(n0)
+            rows["n1"].append(n1)
+            rows["l1_cross"].append(int(np.abs(s0 * n1 - s1 * n0).sum()))
+        return pa.Table.from_pydict(rows, schema=out_schema)
+
+    return agg.repartition(1).map_batches(
+        fold, batch_format="pyarrow", batch_size=None
+    )
+
+
+E_DRIFT_SQL = """
+WITH flat AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         CAST(ord - 1 AS BIGINT) AS dim,
+         CAST(floor(CAST(val AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM (SELECT vec_id, label, unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) AS ord FROM embeddings)),
+s AS (SELECT label, vec_id % 2 AS half, dim,
+             CAST(sum(q) AS BIGINT) AS s, count(*) AS n
+      FROM flat GROUP BY 1, 2, 3),
+j AS (SELECT s0.label, s0.dim, s0.s AS s0, s1.s AS s1,
+             s0.n AS n0, s1.n AS n1
+      FROM (SELECT * FROM s WHERE half = 0) s0
+      JOIN (SELECT * FROM s WHERE half = 1) s1 USING (label, dim))
+SELECT label, CAST(max(n0) AS BIGINT) AS n0, CAST(max(n1) AS BIGINT) AS n1,
+       CAST(sum(abs(s0 * n1 - s1 * n0)) AS BIGINT) AS l1_cross
+FROM j GROUP BY label
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_segment_revenue": q2_segment_revenue,
@@ -8950,6 +9128,8 @@ QUERIES = {
     "m_pattern_detect": m_pattern_detect,
     "g_bfs_hops": g_bfs_hops,
     "q75_temporal_anti": q75_temporal_anti,
+    "t_lang_confusion": t_lang_confusion,
+    "e_centroid_drift": e_centroid_drift,
 }
 
 ORACLE_SQL = {
@@ -9119,4 +9299,6 @@ ORACLE_SQL = {
     "m_pattern_detect": M_PATTERN_SQL,
     "g_bfs_hops": G_BFS_SQL,
     "q75_temporal_anti": Q75_SQL,
+    "t_lang_confusion": T_LANG_CONFUSION_SQL,
+    "e_centroid_drift": E_DRIFT_SQL,
 }
