@@ -8957,6 +8957,163 @@ FROM j GROUP BY label
 """
 
 
+def q76_weighted_median(sf_dir: str):
+    """Exact WEIGHTED median — the duration/revenue-weighted order
+    statistic ("the quantity at which half the money sits below"):
+    per return flag, the smallest quantity whose running revenue
+    reaches half the flag's total, all integer cents.  Shape: one
+    combiner-pushdown (flag, qty) revenue rollup (the only pass over
+    the data — the value domain is small, the classic histogram
+    trick), then the pick runs over the tiny aggregate."""
+    from .relational import partial_grouped_agg
+
+    ds = _pq(sf_dir, "lineitem",
+             ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def slim(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].to_numpy(zero_copy_only=False)
+        v = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"].combine_chunks(),
+                "qty": (np.sign(q) * np.floor(np.abs(q) + 0.5)).astype(np.int64),
+                "cents": (np.sign(v) * np.floor(np.abs(v) * 100 + 0.5))
+                .astype(np.int64),
+            }
+        )
+
+    agg = partial_grouped_agg(
+        ds.map_batches(slim, batch_format="pyarrow"),
+        ["l_returnflag", "qty"],
+        {"w": ("cents", "sum")},
+    )
+
+    out_schema = pa.schema(
+        [("l_returnflag", pa.string()), ("weighted_median_qty", pa.int64()),
+         ("total_cents", pa.int64())]
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        rows = {"l_returnflag": [], "weighted_median_qty": [],
+                "total_cents": []}
+        for flag, g in df.groupby("l_returnflag", sort=False):
+            g = g.sort_values("qty")
+            cw = g["w"].cumsum()
+            tw = int(g["w"].sum())
+            med = int(g["qty"].to_numpy()[(2 * cw >= tw).to_numpy()][0])
+            rows["l_returnflag"].append(flag)
+            rows["weighted_median_qty"].append(med)
+            rows["total_cents"].append(tw)
+        return pa.Table.from_pydict(rows, schema=out_schema)
+
+    return agg.repartition(1).map_batches(
+        pick, batch_format="pyarrow", batch_size=None
+    )
+
+
+Q76_SQL = """
+WITH w AS (SELECT l_returnflag,
+                  CAST(round(l_quantity) AS BIGINT) AS qty,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+           FROM lineitem),
+a AS (SELECT l_returnflag, qty, CAST(sum(cents) AS BIGINT) AS w
+      FROM w GROUP BY 1, 2),
+c AS (SELECT l_returnflag, qty,
+             sum(w) OVER (PARTITION BY l_returnflag ORDER BY qty) AS cw,
+             sum(w) OVER (PARTITION BY l_returnflag) AS tw
+      FROM a)
+SELECT l_returnflag,
+       CAST(min(qty) AS BIGINT) AS weighted_median_qty,
+       CAST(max(tw) AS BIGINT) AS total_cents
+FROM c WHERE 2 * cw >= tw GROUP BY l_returnflag
+"""
+
+
+_ISLAND_HOLD_US = 30 * 60_000_000  # each event holds a 30-min interval
+
+
+def q77_interval_union(sf_dir: str):
+    """GAPS-AND-ISLANDS interval union — merge every user's
+    overlapping 30-min event intervals into maximal islands and report
+    island count + exact union length (the de-overlapped "time
+    actually active" metric naive sum-of-durations double-counts):
+    one user exchange, then a single vectorized pass — lexsort,
+    per-user shifted cummax of interval ends, break flags, island ids
+    by cumsum, reduceat min/max per island.  No per-user loop."""
+    from .relational import _with_part, hash_exchange_map
+
+    ds = _pq(sf_dir, "events", ["ts", "user_id"])
+
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("n_islands", pa.int64()),
+         ("union_us", pa.int64())]
+    )
+
+    def islands(df):
+        import pandas as pd
+
+        df = df.sort_values(["user_id", "ts"], kind="stable")
+        u = df["user_id"].to_numpy()
+        s = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        e = s + _ISLAND_HOLD_US
+        run_end = pd.Series(e).groupby(pd.Series(u), sort=False).cummax() \
+            .to_numpy()
+        new_user = np.ones(len(u), dtype=bool)
+        new_user[1:] = u[1:] != u[:-1]
+        brk = new_user.copy()
+        brk[1:] |= s[1:] > run_end[:-1]
+        iid = np.cumsum(brk) - 1
+        starts = np.flatnonzero(brk)
+        isl_start = s[starts]
+        isl_end = np.maximum.reduceat(e, starts)
+        isl_user = u[starts]
+        span = isl_end - isl_start
+        uniq, ustarts = np.unique(isl_user, return_index=True)
+        uends = np.append(ustarts[1:], len(isl_user))
+        return pd.DataFrame(
+            {
+                "user_id": uniq,
+                "n_islands": (uends - ustarts).astype("int64"),
+                "union_us": np.add.reduceat(span, ustarts).astype("int64"),
+            }
+        )
+
+    out = hash_exchange_map(ds, "user_id", 16, islands, fn_format="pandas")
+    if out is None:
+        return (
+            _with_part(ds, "user_id", 16)
+            .groupby("__part")
+            .map_groups(islands, batch_format="pandas")
+        )
+    return out.drop_columns(["__part"]) if "__part" in out.schema().names else out
+
+
+Q77_SQL = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS s,
+                  epoch_us(ts) + {_ISLAND_HOLD_US} AS e
+           FROM events),
+o AS (SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS pmax
+      FROM e),
+b AS (SELECT user_id, s, e,
+             CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS brk
+      FROM o),
+ids AS (SELECT user_id, s, e,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY s, e) AS iid
+        FROM b),
+g AS (SELECT user_id, iid, min(s) AS st, max(e) AS en
+      FROM ids GROUP BY 1, 2)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(en - st) AS BIGINT) AS union_us
+FROM g GROUP BY user_id
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_segment_revenue": q2_segment_revenue,
@@ -9130,6 +9287,8 @@ QUERIES = {
     "q75_temporal_anti": q75_temporal_anti,
     "t_lang_confusion": t_lang_confusion,
     "e_centroid_drift": e_centroid_drift,
+    "q76_weighted_median": q76_weighted_median,
+    "q77_interval_union": q77_interval_union,
 }
 
 ORACLE_SQL = {
@@ -9301,4 +9460,6 @@ ORACLE_SQL = {
     "q75_temporal_anti": Q75_SQL,
     "t_lang_confusion": T_LANG_CONFUSION_SQL,
     "e_centroid_drift": E_DRIFT_SQL,
+    "q76_weighted_median": Q76_SQL,
+    "q77_interval_union": Q77_SQL,
 }
