@@ -9114,6 +9114,120 @@ FROM g GROUP BY user_id
 """
 
 
+def t_ngram_novelty(sf_dir: str):
+    """Corpus NOVELTY curve — for each document, how many of its
+    distinct word trigrams it INTRODUCES (global first occurrence by
+    doc_id order): the incremental-contribution signal a curation
+    pass uses to drop late boilerplate while keeping early canonical
+    copies.  Shape: trigrams assembled batch-locally (the winnowing
+    construction: one Arrow regex split + parent-aligned gather +
+    binary_join), per-doc distinct via one packed np.unique, then ONE
+    gram-keyed hash exchange whose partition kernel both finds each
+    gram's min doc AND flags every (doc, gram) row in place — no
+    join-back pass; a doc-keyed rollup finishes.  Documents shorter
+    than 3 tokens have no trigrams and are absent (both engines).
+    Routing hashes only co-locate; grouping is by the gram STRING, so
+    hash collisions cannot merge grams."""
+    from .relational import empty_dataset, hash_exchange_map, partial_grouped_agg
+    from .text.analysis import _hash63_batch
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    gram_schema = pa.schema(
+        [("doc_id", pa.int64()), ("g", pa.string()), ("gram_key", pa.int64())]
+    )
+
+    def grams(t: pa.Table) -> pa.Table:
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = pc.fill_null(col, "")
+        toks = pc.split_pattern_regex(pc.utf8_lower(col), r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        ne = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(ne))
+        parent = parent[ne]
+        total = len(flat)
+        starts = (
+            np.flatnonzero(parent[: total - 2] == parent[2:])
+            if total >= 3 else np.empty(0, np.int64)
+        )
+        if len(starts) == 0:
+            return gram_schema.empty_table()
+        parts = [flat.take(pa.array(starts + k, pa.int64())) for k in range(3)]
+        g = pc.binary_join_element_wise(*parts, " ")
+        gdoc = parent[starts].astype(np.int64)
+        denc = g.dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        _, idx = np.unique(gdoc * np.int64(len(denc.dictionary)) + codes,
+                           return_index=True)
+        sel = pa.array(np.sort(idx), pa.int64())
+        gd = g.take(sel)
+        doc_ids = t["doc_id"].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)[gdoc[np.sort(idx)]]
+        return pa.Table.from_pydict(
+            {"doc_id": doc_ids, "g": gd,
+             "gram_key": _hash63_batch(gd).astype(np.int64)},
+            schema=gram_schema,
+        )
+
+    rows = docs.map_batches(grams, batch_format="pyarrow")
+
+    flag_schema = pa.schema([("doc_id", pa.int64()), ("novel", pa.int64())])
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if "__part" in tbl.column_names:
+            tbl = tbl.drop_columns(["__part"])
+        n = len(tbl)
+        if n == 0:
+            return flag_schema.empty_table()
+        g = tbl["g"]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        codes = g.dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((doc, codes))
+        cs, ds_ = codes[order], doc[order]
+        starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+        lens = np.diff(np.append(starts, n))
+        novel = (ds_ == np.repeat(ds_[starts], lens)).astype(np.int64)
+        return pa.Table.from_pydict(
+            {"doc_id": ds_, "novel": novel}, schema=flag_schema
+        )
+
+    flagged = hash_exchange_map(rows, "gram_key", 16, kernel)
+    if flagged is None:
+        return empty_dataset(
+            pa.schema([("doc_id", pa.int64()), ("n_trigrams", pa.int64()),
+                       ("n_novel", pa.int64())])
+        )
+    return partial_grouped_agg(
+        flagged, ["doc_id"],
+        {"n_trigrams": (None, "count"), "n_novel": ("novel", "sum")},
+    )
+
+
+T_NOVELTY_SQL = r"""
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws
+  FROM documents
+),
+tri AS (
+  SELECT w.doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+  FROM words w, UNNEST(generate_series(1, len(ws) - 2)) AS u(i)
+  WHERE len(ws) >= 3
+),
+dt AS (SELECT DISTINCT doc_id, g FROM tri),
+mn AS (SELECT g, min(doc_id) AS m FROM dt GROUP BY 1)
+SELECT dt.doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       CAST(sum(CASE WHEN mn.m = dt.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel
+FROM dt JOIN mn USING (g) GROUP BY dt.doc_id
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_segment_revenue": q2_segment_revenue,
@@ -9289,6 +9403,7 @@ QUERIES = {
     "e_centroid_drift": e_centroid_drift,
     "q76_weighted_median": q76_weighted_median,
     "q77_interval_union": q77_interval_union,
+    "t_ngram_novelty": t_ngram_novelty,
 }
 
 ORACLE_SQL = {
@@ -9462,4 +9577,5 @@ ORACLE_SQL = {
     "e_centroid_drift": E_DRIFT_SQL,
     "q76_weighted_median": Q76_SQL,
     "q77_interval_union": Q77_SQL,
+    "t_ngram_novelty": T_NOVELTY_SQL,
 }
