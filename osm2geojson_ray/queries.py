@@ -9228,6 +9228,151 @@ FROM dt JOIN mn USING (g) GROUP BY dt.doc_id
 """
 
 
+def g_cell_moran(sf_dir: str):
+    """Spatial AUTOCORRELATION (Moran's I) over the image tile
+    histogram, kept EXACT: with K occupied cells, S total images and
+    rook (4-neighbor) adjacency restricted to occupied cells, the
+    numerator sum over neighbor pairs of (K*x_i - S)(K*x_j - S) and
+    the denominator sum of (K*x_i - S)^2 expand into six integer
+    aggregates (K, S, sum x^2, pair count, sum x_i*x_j, sum x_i+x_j)
+    — no float mean anywhere, the classic hot-spot statistic as pure
+    int64.  Shape: per-cell counts via combiner pushdown, neighbor
+    pairs via TWO shifted-key hash joins of the tiny histogram with
+    itself (east + north, each undirected pair once), one stacked
+    rollup; raw points never re-shuffle."""
+    from .relational import hash_join, partial_grouped_agg
+
+    def encode(t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        x = np.floor((lon + 180.0) / 360.0 * 256).astype(np.int64)
+        y = np.floor((lat + 90.0) / 180.0 * 256).astype(np.int64)
+        return pa.Table.from_pydict(
+            {"key": x * 256 + y},
+            schema=pa.schema([("key", pa.int64())]),
+        )
+
+    counts = partial_grouped_agg(
+        part_images(sf_dir).map_batches(encode, batch_format="pyarrow"),
+        ["key"],
+        {"n": (None, "count")},
+    ).materialize()
+
+    cnt_schema = pa.schema([("key", pa.int64()), ("n", pa.int64())])
+
+    agg_schema = pa.schema(
+        [("g", pa.int64()), ("n_cells", pa.int64()), ("sum_x", pa.int64()),
+         ("sum_x2", pa.int64()), ("n_pairs", pa.int64()),
+         ("sum_xy", pa.int64()), ("sum_xpxj", pa.int64())]
+    )
+
+    def cell_partial(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_pydict(
+            {"g": [0], "n_cells": [len(n)], "sum_x": [int(n.sum())],
+             "sum_x2": [int((n * n).sum())], "n_pairs": [0],
+             "sum_xy": [0], "sum_xpxj": [0]},
+            schema=agg_schema,
+        )
+
+    def shifted(dx: int, dy: int):
+        def fn(t: pa.Table) -> pa.Table:
+            key = t["key"].to_numpy(zero_copy_only=False)
+            x, y = key // 256, key % 256
+            nx, ny = x + dx, y + dy
+            m = (nx >= 0) & (nx < 256) & (ny >= 0) & (ny < 256)
+            return pa.Table.from_pydict(
+                {"key": (nx * 256 + ny)[m],
+                 "n": t["n"].to_numpy(zero_copy_only=False)[m]},
+                schema=cnt_schema,
+            )
+        return fn
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        a = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["n_r"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_pydict(
+            {"g": [0], "n_cells": [0], "sum_x": [0], "sum_x2": [0],
+             "n_pairs": [len(a)], "sum_xy": [int((a * b).sum())],
+             "sum_xpxj": [int((a + b).sum())]},
+            schema=agg_schema,
+        )
+
+    partials = [counts.map_batches(cell_partial, batch_format="pyarrow")]
+    for dx, dy in ((1, 0), (0, 1)):
+        j = hash_join(
+            counts.map_batches(shifted(dx, dy), batch_format="pyarrow"),
+            counts.map_batches(
+                lambda t: pa.Table.from_pydict(
+                    {"key": t["key"], "n_r": t["n"]},
+                    schema=pa.schema([("key", pa.int64()), ("n_r", pa.int64())]),
+                ),
+                batch_format="pyarrow",
+            ),
+            on="key",
+            l_schema=cnt_schema,
+            r_schema=pa.schema([("key", pa.int64()), ("n_r", pa.int64())]),
+            num_partitions=4,
+        )
+        partials.append(j.map_batches(pair_partial, batch_format="pyarrow"))
+
+    u = partials[0].union(*partials[1:])
+    agg = partial_grouped_agg(
+        u, ["g"],
+        {c: (c, "sum") for c in
+         ("n_cells", "sum_x", "sum_x2", "n_pairs", "sum_xy", "sum_xpxj")},
+    )
+
+    out_schema = pa.schema(
+        [("n_cells", pa.int64()), ("sum_x", pa.int64()),
+         ("n_pairs", pa.int64()), ("moran_num", pa.int64()),
+         ("moran_den", pa.int64())]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        K = t["n_cells"].to_numpy(zero_copy_only=False).astype(np.int64)
+        S = t["sum_x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x2 = t["sum_x2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        npair = t["n_pairs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        xy = t["sum_xy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        xp = t["sum_xpxj"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "n_cells": K, "sum_x": S, "n_pairs": npair,
+                "moran_num": K * K * xy - K * S * xp + npair * S * S,
+                "moran_den": K * K * x2 - K * S * S,
+            },
+            schema=out_schema,
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+        .select_columns(["n_cells", "sum_x", "n_pairs", "moran_num",
+                         "moran_den"])
+
+
+G_MORAN_SQL = f"""
+WITH img AS ({_PART_IMG_SQL}),
+c AS (
+  SELECT CAST(floor((lon + 180) / 360 * 256) AS BIGINT) AS x,
+         CAST(floor((lat + 90) / 180 * 256) AS BIGINT) AS y,
+         CAST(count(*) AS BIGINT) AS n
+  FROM img GROUP BY 1, 2),
+cellagg AS (SELECT count(*) AS k, sum(n) AS s, sum(n * n) AS x2 FROM c),
+pairs AS (
+  SELECT a.n AS na, b.n AS nb
+  FROM c a JOIN c b
+    ON (b.x = a.x + 1 AND b.y = a.y) OR (b.x = a.x AND b.y = a.y + 1)),
+pairagg AS (SELECT count(*) AS np, COALESCE(sum(na * nb), 0) AS xy,
+                   COALESCE(sum(na + nb), 0) AS xp
+            FROM pairs)
+SELECT CAST(k AS BIGINT) AS n_cells, CAST(s AS BIGINT) AS sum_x,
+       CAST(np AS BIGINT) AS n_pairs,
+       CAST(k * k * xy - k * s * xp + np * s * s AS BIGINT) AS moran_num,
+       CAST(k * k * x2 - k * s * s AS BIGINT) AS moran_den
+FROM cellagg, pairagg
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_segment_revenue": q2_segment_revenue,
@@ -9404,6 +9549,7 @@ QUERIES = {
     "q76_weighted_median": q76_weighted_median,
     "q77_interval_union": q77_interval_union,
     "t_ngram_novelty": t_ngram_novelty,
+    "g_cell_moran": g_cell_moran,
 }
 
 ORACLE_SQL = {
@@ -9578,4 +9724,5 @@ ORACLE_SQL = {
     "q76_weighted_median": Q76_SQL,
     "q77_interval_union": Q77_SQL,
     "t_ngram_novelty": T_NOVELTY_SQL,
+    "g_cell_moran": G_MORAN_SQL,
 }
