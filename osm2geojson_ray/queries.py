@@ -9373,6 +9373,106 @@ FROM cellagg, pairagg
 """
 
 
+def m_tile_coverage_gap(sf_dir: str):
+    """Geo x image COVERAGE-GAP audit — which map tiles have imagery,
+    which have customer demand, and where the two disagree: the image
+    tile histogram FULL OUTER-joined with a customer-demand tile
+    histogram (customer points from the same deterministic hash
+    family, same 256-grid cells), each cell classified
+    both / image_only / demand_only, rolled up to class totals.  Two
+    combiner-pushdown histograms + one full-outer hash exchange of
+    the tiny per-cell streams — raw points never re-shuffle."""
+    from .relational import grouped_count, hash_join, partial_grouped_agg
+
+    def img_cells(t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        x = np.floor((lon + 180.0) / 360.0 * 256).astype(np.int64)
+        y = np.floor((lat + 90.0) / 180.0 * 256).astype(np.int64)
+        return pa.Table.from_pydict(
+            {"key": x * 256 + y}, schema=pa.schema([("key", pa.int64())])
+        )
+
+    def cust_cells(t: pa.Table) -> pa.Table:
+        c = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon = (c * 1299709 % 8000000) / 1e6 - 2.0
+        lat = (c * 7368787 % 8000000) / 1e6 - 2.0
+        x = np.floor((lon + 180.0) / 360.0 * 256).astype(np.int64)
+        y = np.floor((lat + 90.0) / 180.0 * 256).astype(np.int64)
+        return pa.Table.from_pydict(
+            {"key": x * 256 + y}, schema=pa.schema([("key", pa.int64())])
+        )
+
+    imgs = grouped_count(
+        part_images(sf_dir).map_batches(img_cells, batch_format="pyarrow"),
+        "key", alias="n_images",
+    )
+    custs = grouped_count(
+        _pq(sf_dir, "customer", ["c_custkey"]).map_batches(
+            cust_cells, batch_format="pyarrow"),
+        "key", alias="n_custs",
+    )
+    joined = hash_join(
+        imgs, custs, on="key",
+        l_schema=pa.schema([("key", pa.int64()), ("n_images", pa.int64())]),
+        r_schema=pa.schema([("key", pa.int64()), ("n_custs", pa.int64())]),
+        how="full_outer", num_partitions=4,
+    )
+
+    cls_schema = pa.schema(
+        [("coverage", pa.string()), ("n_cells", pa.int64()),
+         ("n_images", pa.int64()), ("n_custs", pa.int64())]
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        ni = pc.fill_null(t["n_images"], 0).cast(pa.int64()) \
+            .combine_chunks().to_numpy(zero_copy_only=False)
+        nc = pc.fill_null(t["n_custs"], 0).cast(pa.int64()) \
+            .combine_chunks().to_numpy(zero_copy_only=False)
+        cls = np.where(
+            (ni > 0) & (nc > 0), "both",
+            np.where(ni > 0, "image_only", "demand_only"),
+        )
+        return pa.Table.from_pydict(
+            {"coverage": cls, "n_cells": np.ones(len(ni), np.int64),
+             "n_images": ni, "n_custs": nc},
+            schema=cls_schema,
+        )
+
+    return partial_grouped_agg(
+        joined.map_batches(classify, batch_format="pyarrow"),
+        ["coverage"],
+        {"n_cells": ("n_cells", "sum"), "n_images": ("n_images", "sum"),
+         "n_custs": ("n_custs", "sum")},
+    )
+
+
+M_COVERAGE_SQL = f"""
+WITH img AS ({_PART_IMG_SQL}),
+ic AS (
+  SELECT CAST(floor((lon + 180) / 360 * 256) AS BIGINT) * 256
+         + CAST(floor((lat + 90) / 180 * 256) AS BIGINT) AS key,
+         CAST(count(*) AS BIGINT) AS n_images
+  FROM img GROUP BY 1),
+cc AS (
+  SELECT CAST(floor(((c_custkey * 1299709 % 8000000) / 1e6 - 2 + 180)
+                    / 360 * 256) AS BIGINT) * 256
+         + CAST(floor(((c_custkey * 7368787 % 8000000) / 1e6 - 2 + 90)
+                      / 180 * 256) AS BIGINT) AS key,
+         CAST(count(*) AS BIGINT) AS n_custs
+  FROM customer GROUP BY 1),
+j AS (SELECT COALESCE(ic.n_images, 0) AS ni, COALESCE(cc.n_custs, 0) AS nc
+      FROM ic FULL OUTER JOIN cc USING (key))
+SELECT CASE WHEN ni > 0 AND nc > 0 THEN 'both'
+            WHEN ni > 0 THEN 'image_only'
+            ELSE 'demand_only' END AS coverage,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(ni) AS BIGINT) AS n_images,
+       CAST(sum(nc) AS BIGINT) AS n_custs
+FROM j GROUP BY 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_segment_revenue": q2_segment_revenue,
@@ -9550,6 +9650,7 @@ QUERIES = {
     "q77_interval_union": q77_interval_union,
     "t_ngram_novelty": t_ngram_novelty,
     "g_cell_moran": g_cell_moran,
+    "m_tile_coverage_gap": m_tile_coverage_gap,
 }
 
 ORACLE_SQL = {
@@ -9725,4 +9826,5 @@ ORACLE_SQL = {
     "q77_interval_union": Q77_SQL,
     "t_ngram_novelty": T_NOVELTY_SQL,
     "g_cell_moran": G_MORAN_SQL,
+    "m_tile_coverage_gap": M_COVERAGE_SQL,
 }
