@@ -1663,3 +1663,57 @@ def test_ordered_prefix_scan_matches_numpy(ray_session):
                 got["scan"].to_numpy(), want[srt],
                 err_msg=f"{combine} nparts={nparts}",
             )
+
+
+def test_bfs_hops_matches_python_bfs(ray_session):
+    import ray.data
+
+    from osm2geojson_ray.relational import bfs_hops
+
+    rng = np.random.default_rng(5)
+    # random sparse graph over ids 0..199 (several vertices % 16 == 0)
+    a = rng.integers(0, 200, size=300).astype(np.int64)
+    b = rng.integers(0, 200, size=300).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"a": a, "b": b})).repartition(4)
+
+    rounds = 4
+    got = (
+        bfs_hops(ds, a_col="a", b_col="b", source_mod=16, rounds=rounds)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+
+    # oracle: plain BFS from all sources, truncated at `rounds` hops
+    from collections import deque
+
+    adj = {}
+    verts = set()
+    for u, v in zip(a.tolist(), b.tolist()):
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+        verts.update((u, v))
+    dist = {v: 0 for v in verts if v % 16 == 0}
+    dq = deque(dist)
+    while dq:
+        u = dq.popleft()
+        if dist[u] >= rounds:
+            continue
+        for w in adj.get(u, ()):
+            if w not in dist:
+                dist[w] = dist[u] + 1
+                dq.append(w)
+    want = sorted(dist.items())
+    assert list(zip(got["node"], got["dist"])) == want
+
+
+def test_bfs_hops_no_sources_empty(ray_session):
+    import ray.data
+
+    from osm2geojson_ray.relational import bfs_hops
+
+    ds = ray.data.from_arrow(
+        pa.table({"a": np.array([1, 3], np.int64),
+                  "b": np.array([5, 7], np.int64)})
+    )
+    assert bfs_hops(ds, source_mod=16, rounds=3).count() == 0
