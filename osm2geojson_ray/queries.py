@@ -9473,6 +9473,212 @@ FROM j GROUP BY 1
 """
 
 
+def q78_decayed_value(sf_dir: str):
+    """DECAYED COUNTER rollup — recency-weighted user value with a
+    half-life of one day, kept exact: each purchase contributes
+    cents >> age_days (integer floor halving per elapsed day since
+    the corpus watermark, capped at 62), so the "exponentially
+    decayed sum" every feature store keeps is a plain integer
+    aggregate both engines reproduce bit-for-bit — no float pow.
+    One tiny max-ts aggregate (the watermark), then a combiner
+    push-down per-user rollup."""
+    from .relational import partial_grouped_agg
+
+    ev = _pq(sf_dir, "events", ["user_id", "ts", "value", "event_type"]) \
+        .filter(expr="event_type == 'purchase'")
+    wm_us = int(pa.scalar(ev.max("ts")).cast(pa.timestamp("us")).cast(pa.int64()).as_py())
+
+    day_us = 86_400_000_000
+
+    def decay(t: pa.Table) -> pa.Table:
+        ts = t["ts"].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        cents = (np.sign(v) * np.floor(np.abs(v) * 100 + 0.5)).astype(np.int64)
+        age = np.minimum((wm_us - ts) // day_us, 62).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": t["user_id"].combine_chunks().cast(pa.int64()),
+                "decayed": cents >> age,
+                "cents": cents,
+            }
+        )
+
+    return partial_grouped_agg(
+        ev.map_batches(decay, batch_format="pyarrow"),
+        ["user_id"],
+        {"n_purchases": (None, "count"), "total_cents": ("cents", "sum"),
+         "decayed_cents": ("decayed", "sum")},
+    )
+
+
+Q78_SQL = """
+WITH p AS (SELECT user_id, epoch_us(ts) AS t,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'),
+wm AS (SELECT max(t) AS w FROM p),
+d AS (SELECT user_id, cents,
+             cents // CAST(power(2, LEAST((w - t) // 86400000000, 62))
+                           AS BIGINT) AS decayed
+      FROM p, wm)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(sum(decayed) AS BIGINT) AS decayed_cents
+FROM d GROUP BY user_id
+"""
+
+
+_MUT_DIMS = 8
+_MUT_K = 3
+
+
+def e_knn_mutuality(sf_dir: str):
+    """kNN-graph MUTUALITY audit — the symmetry rate of the directed
+    k-nearest-neighbor graph (low mutuality flags hubness / a bad
+    metric before the graph is trusted for clustering or diffusion):
+    every vector's exact top-3 by int8-quantized dot over the 8-dim
+    prefix, then the fraction of directed edges whose reverse edge
+    also exists.  The code matrix is assembled by a REMOTE reduce and
+    broadcast once (an anchor-sample audit at web scale); per-batch
+    integer matmul + partial top-k; mutual edges found by ONE packed
+    (src,dst)<->(dst,src) hash join; a single-row rollup."""
+    import ray as _ray
+
+    from .relational import grouped_topk, hash_join, partial_grouped_agg
+    from .vectors import _absmax_scale_ref, _quantize_matrix, vec_matrix
+
+    emb = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    scale_ref = _absmax_scale_ref(emb, "embedding")
+
+    @_ray.remote
+    def _pack(amax, *blocks):
+        t = pa.concat_tables(blocks, promote_options="default")
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        M = vec_matrix(t["embedding"])[:, :_MUT_DIMS]
+        return ids, _quantize_matrix(M, amax[:_MUT_DIMS], 127)
+
+    block_refs = [
+        block_ref
+        for bundle in emb.materialize().iter_internal_ref_bundles()
+        for block_ref, _meta in bundle.blocks
+    ]
+    bundle_ref = _pack.remote(scale_ref, *block_refs)
+
+    edge_schema = pa.schema(
+        [("src", pa.int64()), ("dst", pa.int64()), ("dot", pa.int64())]
+    )
+
+    def knn(t: pa.Table) -> pa.Table:
+        from .worker_state import cache_key_for_ref, get_or_build
+
+        all_ids, all_codes = get_or_build(
+            ("mut_codes", cache_key_for_ref(bundle_ref)),
+            lambda: _ray.get(bundle_ref),
+        )
+        if len(t) == 0:
+            return edge_schema.empty_table()
+        amax = _ray.get(scale_ref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = _quantize_matrix(
+            vec_matrix(t["embedding"])[:, :_MUT_DIMS], amax[:_MUT_DIMS], 127
+        )
+        dots = codes @ all_codes.T  # (n, N) exact int64
+        srcs, dsts, dd = [], [], []
+        for i in range(len(ids)):
+            row = dots[i]
+            mask = all_ids != ids[i]
+            cid, cdot = all_ids[mask], row[mask]
+            sel = np.lexsort((cid, -cdot))[:_MUT_K]
+            srcs.append(np.full(len(sel), ids[i], np.int64))
+            dsts.append(cid[sel])
+            dd.append(cdot[sel])
+        return pa.Table.from_pydict(
+            {"src": np.concatenate(srcs), "dst": np.concatenate(dsts),
+             "dot": np.concatenate(dd)}, schema=edge_schema)
+
+    # partial top-k per batch is already exact here (the broadcast side
+    # is complete), so grouped_topk just dedupes across any block
+    # overlap — and guards the invariant if batching ever changes
+    edges = grouped_topk(
+        emb.map_batches(knn, batch_format="pyarrow"),
+        "src", [("dot", True), ("dst", False)], k=_MUT_K,
+    )
+
+    pk_schema = pa.schema([("fwd", pa.int64())])
+
+    def pack_fwd(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(s) and (max(s.max(), d.max()) >= (1 << 31) or min(s.min(), d.min()) < 0):
+            raise ValueError("vec_id out of packable range")
+        return pa.Table.from_pydict({"fwd": (s << 31) | d}, schema=pk_schema)
+
+    def pack_rev(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_pydict({"fwd": (d << 31) | s}, schema=pk_schema)
+
+    edges = edges.materialize()
+    mutual = hash_join(
+        edges.map_batches(pack_fwd, batch_format="pyarrow"),
+        edges.map_batches(pack_rev, batch_format="pyarrow"),
+        on="fwd", l_schema=pk_schema, r_schema=pk_schema,
+        how="left_semi", num_partitions=4,
+    )
+
+    def tag(name):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "g": pa.array(np.zeros(len(t), np.int64)),
+                "n_edges": pa.array(
+                    np.full(len(t), 1 if name == "e" else 0, np.int64)),
+                "n_mutual": pa.array(
+                    np.full(len(t), 1 if name == "m" else 0, np.int64)),
+            })
+        return fn
+
+    u = edges.map_batches(tag("e"), batch_format="pyarrow").union(
+        mutual.map_batches(tag("m"), batch_format="pyarrow"))
+    out = partial_grouped_agg(
+        u, ["g"], {"n_edges": ("n_edges", "sum"), "n_mutual": ("n_mutual", "sum")}
+    )
+    return out.map_batches(
+        lambda t: t.drop_columns(["g"]), batch_format="pyarrow"
+    )
+
+
+E_MUTUALITY_SQL = f"""
+WITH flat AS (
+  SELECT vec_id,
+         CAST(ord - 1 AS BIGINT) AS dim,
+         CAST(val AS DOUBLE) AS x
+  FROM (SELECT vec_id, unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) AS ord FROM embeddings)),
+s AS (SELECT dim, max(abs(x)) AS amax FROM flat GROUP BY 1),
+codes AS (
+  SELECT f.vec_id, f.dim,
+         CAST(greatest(-127, least(127,
+              floor((f.x * 127) / (CASE WHEN s.amax = 0 THEN 1.0 ELSE s.amax END))))
+              AS BIGINT) AS code
+  FROM flat f JOIN s USING (dim)
+  WHERE f.dim < {_MUT_DIMS}),
+dots AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         CAST(sum(a.code * b.code) AS BIGINT) AS dot
+  FROM codes a JOIN codes b USING (dim)
+  WHERE a.vec_id <> b.vec_id
+  GROUP BY 1, 2),
+r AS (SELECT src, dst,
+             row_number() OVER (PARTITION BY src ORDER BY dot DESC, dst) AS rn
+      FROM dots),
+e AS (SELECT src, dst FROM r WHERE rn <= {_MUT_K})
+SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(CASE WHEN m.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_mutual
+FROM e LEFT JOIN e m ON m.src = e.dst AND m.dst = e.src
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_segment_revenue": q2_segment_revenue,
@@ -9651,6 +9857,8 @@ QUERIES = {
     "t_ngram_novelty": t_ngram_novelty,
     "g_cell_moran": g_cell_moran,
     "m_tile_coverage_gap": m_tile_coverage_gap,
+    "q78_decayed_value": q78_decayed_value,
+    "e_knn_mutuality": e_knn_mutuality,
 }
 
 ORACLE_SQL = {
@@ -9827,4 +10035,6 @@ ORACLE_SQL = {
     "t_ngram_novelty": T_NOVELTY_SQL,
     "g_cell_moran": G_MORAN_SQL,
     "m_tile_coverage_gap": M_COVERAGE_SQL,
+    "q78_decayed_value": Q78_SQL,
+    "e_knn_mutuality": E_MUTUALITY_SQL,
 }
