@@ -9679,6 +9679,207 @@ FROM e LEFT JOIN e m ON m.src = e.dst AND m.dst = e.src
 """
 
 
+def q79_cusum_changepoint(sf_dir: str):
+    """CHANGE-POINT detection by exact integer CUSUM — "where did this
+    user's spend level shift?": with S the user's total purchase cents
+    over n ordered purchases and P_k the prefix sum, the mean-centered
+    cusum n*P_k - k*S is a pure integer whose extreme |value| marks
+    the most likely level shift (the classic offline CUSUM statistic,
+    scaled by n to avoid the rational mean).  Per user: the max
+    |cusum|, its 1-based position k (ties -> smallest k), and n.
+    One user exchange, one vectorized pass (lexsort + segmented
+    cumsum), no floats anywhere."""
+    from .relational import _with_part, hash_exchange_map
+
+    ds = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "value",
+                                "event_type"]) \
+        .filter(expr="event_type == 'purchase'")
+
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("n_purchases", pa.int64()),
+         ("max_abs_cusum", pa.int64()), ("argmax_k", pa.int64())]
+    )
+
+    def cusum(tbl: pa.Table) -> pa.Table:
+        if "__part" in tbl.column_names:
+            tbl = tbl.drop_columns(["__part"])
+        if len(tbl) == 0:
+            return out_schema.empty_table()
+        u = tbl["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = tbl["ts"].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = tbl["value"].to_numpy(zero_copy_only=False)
+        cents = (np.sign(v) * np.floor(np.abs(v) * 100 + 0.5)).astype(np.int64)
+        order = np.lexsort((eid, t, u))
+        u, cents = u[order], cents[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        lens = np.diff(np.append(starts, len(u)))
+        n_rep = np.repeat(lens.astype(np.int64), lens)
+        S_rep = np.repeat(np.add.reduceat(cents, starts), lens)
+        csum = np.cumsum(cents)
+        base = np.repeat(np.r_[0, csum[starts[1:] - 1]]
+                         if len(starts) > 1 else np.array([0], np.int64), lens)
+        prefix = csum - base
+        k = np.arange(len(u)) - np.repeat(starts, lens) + 1
+        d = np.abs(n_rep * prefix - k * S_rep)
+        # per-user argmax with smallest-k tiebreak: maximize (d, -k)
+        # packed as d * (n+1) - k?  d can be ~1e13 * n — overflow risk.
+        # Instead: segmented max of d, then first position hitting it.
+        dmax = np.repeat(np.maximum.reduceat(d, starts), lens)
+        hit = d == dmax
+        # first hit per segment: positions where hit, keep min k
+        kk = np.where(hit, k, np.iinfo(np.int64).max)
+        argk = np.minimum.reduceat(kk, starts)
+        return pa.Table.from_pydict(
+            {
+                "user_id": u[starts],
+                "n_purchases": lens.astype(np.int64),
+                "max_abs_cusum": np.maximum.reduceat(d, starts),
+                "argmax_k": argk,
+            },
+            schema=out_schema,
+        )
+
+    out = hash_exchange_map(ds, "user_id", 16, cusum)
+    if out is None:
+        return (
+            _with_part(ds, "user_id", 16)
+            .groupby("__part")
+            .map_groups(cusum, batch_format="pyarrow")
+        )
+    return out
+
+
+Q79_SQL = """
+WITH p AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS k
+  FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id, k,
+         sum(cents) OVER (PARTITION BY user_id ORDER BY k) AS prefix,
+         sum(cents) OVER (PARTITION BY user_id) AS s,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM p),
+d AS (SELECT user_id, k, n, abs(n * prefix - k * s) AS dabs FROM c),
+m AS (SELECT user_id, max(n) AS n_purchases, max(dabs) AS mx
+      FROM d GROUP BY user_id)
+SELECT d.user_id,
+       CAST(m.n_purchases AS BIGINT) AS n_purchases,
+       CAST(m.mx AS BIGINT) AS max_abs_cusum,
+       CAST(min(d.k) AS BIGINT) AS argmax_k
+FROM d JOIN m ON m.user_id = d.user_id AND d.dabs = m.mx
+GROUP BY d.user_id, m.n_purchases, m.mx
+"""
+
+
+_LINK_BAL_BAND = 1000  # acctbal cents band width for the score
+
+
+def q80_record_linkage(sf_dir: str):
+    """RECORD-LINKAGE scoring (Fellegi–Sunter shape, integer weights):
+    candidate customer-supplier pairs BLOCKED on nationkey (the
+    blocking join every entity-resolution pass starts with), each
+    scored by exact field agreements — same acctbal band (+3), name
+    suffix-digit match (+2), positive-balance agreement (+1) — and
+    rolled up into the per-nation score histogram that calibrates the
+    match threshold.  One hash exchange on the small blocking key;
+    comparisons fully vectorized per partition."""
+    from .relational import hash_join, partial_grouped_agg
+
+    cust_schema = pa.schema(
+        [("nationkey", pa.int64()), ("c_bal_cents", pa.int64()),
+         ("c_dig", pa.int64())]
+    )
+    supp_schema = pa.schema(
+        [("nationkey", pa.int64()), ("s_bal_cents", pa.int64()),
+         ("s_dig", pa.int64())]
+    )
+
+    def prep(bal_col, name_col, key_col, schema, prefix):
+        def fn(t: pa.Table) -> pa.Table:
+            v = t[bal_col].to_numpy(zero_copy_only=False)
+            cents = (np.sign(v) * np.floor(np.abs(v) * 100 + 0.5)) \
+                .astype(np.int64)
+            # last digit of the trailing number in the name
+            digs = pc.utf8_slice_codeunits(
+                t[name_col].combine_chunks(), start=-1, stop=99)
+            dig = pc.if_else(
+                pc.match_substring_regex(digs, "^[0-9]$"),
+                pc.cast(digs, pa.int64(), safe=False),
+                pa.scalar(-1, pa.int64()),
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.Table.from_pydict(
+                {"nationkey": t[key_col].combine_chunks().cast(pa.int64()),
+                 f"{prefix}_bal_cents": cents, f"{prefix}_dig": dig},
+                schema=schema,
+            )
+        return fn
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey",
+                                    "c_acctbal"]).map_batches(
+        prep("c_acctbal", "c_name", "c_nationkey", cust_schema, "c"),
+        batch_format="pyarrow",
+    )
+    supp = _pq(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey",
+                                    "s_acctbal"]).map_batches(
+        prep("s_acctbal", "s_name", "s_nationkey", supp_schema, "s"),
+        batch_format="pyarrow",
+    )
+    pairs = hash_join(
+        cust, supp, on="nationkey",
+        l_schema=cust_schema, r_schema=supp_schema, num_partitions=8,
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        cb = t["c_bal_cents"].to_numpy(zero_copy_only=False)
+        sb = t["s_bal_cents"].to_numpy(zero_copy_only=False)
+        cd = t["c_dig"].to_numpy(zero_copy_only=False)
+        sd = t["s_dig"].to_numpy(zero_copy_only=False)
+        B = _LINK_BAL_BAND
+        sc = (
+            3 * (np.floor_divide(cb, B) == np.floor_divide(sb, B)).astype(np.int64)
+            + 2 * ((cd >= 0) & (cd == sd)).astype(np.int64)
+            + ((cb > 0) == (sb > 0)).astype(np.int64)
+        )
+        return pa.table(
+            {"nationkey": t["nationkey"].combine_chunks(), "score": pa.array(sc)}
+        )
+
+    return partial_grouped_agg(
+        pairs.map_batches(score, batch_format="pyarrow"),
+        ["nationkey", "score"],
+        {"n_pairs": (None, "count")},
+    )
+
+
+Q80_SQL = f"""
+WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+                  CAST(round(c_acctbal * 100) AS BIGINT) AS cb,
+                  CASE WHEN regexp_matches(right(c_name, 1), '^[0-9]$')
+                       THEN CAST(right(c_name, 1) AS BIGINT) ELSE -1 END AS cd
+           FROM customer),
+s AS (SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+             CAST(round(s_acctbal * 100) AS BIGINT) AS sb,
+             CASE WHEN regexp_matches(right(s_name, 1), '^[0-9]$')
+                  THEN CAST(right(s_name, 1) AS BIGINT) ELSE -1 END AS sd
+      FROM supplier),
+p AS (SELECT c.nationkey,
+             3 * CASE WHEN floor(CAST(cb AS DOUBLE) / {_LINK_BAL_BAND})
+                           = floor(CAST(sb AS DOUBLE) / {_LINK_BAL_BAND})
+                      THEN 1 ELSE 0 END
+             + 2 * CASE WHEN cd >= 0 AND cd = sd THEN 1 ELSE 0 END
+             + CASE WHEN (cb > 0) = (sb > 0) THEN 1 ELSE 0 END AS score
+      FROM c JOIN s USING (nationkey))
+SELECT nationkey, CAST(score AS BIGINT) AS score,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM p GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_segment_revenue": q2_segment_revenue,
@@ -9859,6 +10060,8 @@ QUERIES = {
     "m_tile_coverage_gap": m_tile_coverage_gap,
     "q78_decayed_value": q78_decayed_value,
     "e_knn_mutuality": e_knn_mutuality,
+    "q79_cusum_changepoint": q79_cusum_changepoint,
+    "q80_record_linkage": q80_record_linkage,
 }
 
 ORACLE_SQL = {
@@ -10037,4 +10240,6 @@ ORACLE_SQL = {
     "m_tile_coverage_gap": M_COVERAGE_SQL,
     "q78_decayed_value": Q78_SQL,
     "e_knn_mutuality": E_MUTUALITY_SQL,
+    "q79_cusum_changepoint": Q79_SQL,
+    "q80_record_linkage": Q80_SQL,
 }
