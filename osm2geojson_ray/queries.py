@@ -9880,6 +9880,72 @@ FROM p GROUP BY 1, 2
 """
 
 
+def q81_ship_lag_hist(sf_dir: str):
+    """Fact-to-fact DATE-LAG histogram — the fulfilment-latency
+    distribution (order date -> line-item ship date): one hash join
+    on orderkey ships only the two date columns, the lag lands in
+    integer day buckets of 7, and a combiner-pushdown rollup counts
+    lines per (priority, lag week) — the SLA heat-map a logistics
+    dashboard draws.  Joined columns pruned at the read; no sort."""
+    from .relational import hash_join, partial_grouped_agg
+
+    li_schema = pa.schema([("okey", pa.int64()), ("ship_us", pa.int64())])
+    o_schema = pa.schema(
+        [("okey", pa.int64()), ("odate_us", pa.int64()),
+         ("prio", pa.string())]
+    )
+
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"okey": t["l_orderkey"].combine_chunks().cast(pa.int64()),
+             "ship_us": t["l_shipdate"].combine_chunks().cast(pa.int64())},
+            schema=li_schema,
+        ),
+        batch_format="pyarrow",
+    )
+    od = _pq(sf_dir, "orders", ["o_orderkey", "o_orderdate",
+                                "o_orderpriority"]).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"okey": t["o_orderkey"].combine_chunks().cast(pa.int64()),
+             "odate_us": t["o_orderdate"].combine_chunks().cast(pa.int64()),
+             "prio": t["o_orderpriority"].combine_chunks()},
+            schema=o_schema,
+        ),
+        batch_format="pyarrow",
+    )
+    j = hash_join(li, od, on="okey", l_schema=li_schema, r_schema=o_schema,
+                  num_partitions=16)
+
+    day_us = 86_400_000_000
+
+    def bucket(t: pa.Table) -> pa.Table:
+        lag_days = (
+            t["ship_us"].to_numpy(zero_copy_only=False)
+            - t["odate_us"].to_numpy(zero_copy_only=False)
+        ) // day_us
+        return pa.table(
+            {"prio": t["prio"].combine_chunks(),
+             "lag_week": pa.array(np.floor_divide(lag_days, 7))}
+        )
+
+    return partial_grouped_agg(
+        j.map_batches(bucket, batch_format="pyarrow"),
+        ["prio", "lag_week"],
+        {"n_lines": (None, "count")},
+    )
+
+
+Q81_SQL = """
+SELECT o.o_orderpriority AS prio,
+       CAST(floor(floor(CAST(epoch_us(l.l_shipdate)
+                             - epoch_us(o.o_orderdate) AS DOUBLE)
+                        / 86400000000) / 7) AS BIGINT) AS lag_week,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_segment_revenue": q2_segment_revenue,
@@ -10062,6 +10128,7 @@ QUERIES = {
     "e_knn_mutuality": e_knn_mutuality,
     "q79_cusum_changepoint": q79_cusum_changepoint,
     "q80_record_linkage": q80_record_linkage,
+    "q81_ship_lag_hist": q81_ship_lag_hist,
 }
 
 ORACLE_SQL = {
@@ -10242,4 +10309,5 @@ ORACLE_SQL = {
     "e_knn_mutuality": E_MUTUALITY_SQL,
     "q79_cusum_changepoint": Q79_SQL,
     "q80_record_linkage": Q80_SQL,
+    "q81_ship_lag_hist": Q81_SQL,
 }
