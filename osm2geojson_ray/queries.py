@@ -9946,6 +9946,105 @@ GROUP BY 1, 2
 """
 
 
+def m_bytes_audit(sf_dir: str):
+    """STORAGE-LAYOUT audit over the opaque binary column — bytes per
+    (w, h, lossy) shape class, with the byte counts MEASURED zero-copy
+    from the Arrow buffer offsets (pc.binary_length), never computed
+    from metadata: the oracle recomputes every container size from
+    the generator formula (8-byte header + w*h*3 payload) and the
+    partition size ladder, so the gate proves stored payloads are
+    exactly the size the codec contract promises.  Shuffle-free map +
+    one tiny rollup."""
+    from .images.synth import synth_image_table
+    from .relational import partial_grouped_agg
+
+    ds = synth_image_table(2000, partition_rows=250, size_ladder=_ASPECT_LADDER)
+
+    def audit(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "w": t["w"].combine_chunks().cast(pa.int64()),
+                "h": t["h"].combine_chunks().cast(pa.int64()),
+                "lossy": pc.equal(t["fmt"], "rgb5").combine_chunks(),
+                "nbytes": pc.binary_length(t["bytes"].combine_chunks())
+                .cast(pa.int64()),
+            }
+        )
+
+    return partial_grouped_agg(
+        ds.map_batches(audit, batch_format="pyarrow"),
+        ["w", "h", "lossy"],
+        {"n_images": (None, "count"), "total_bytes": ("nbytes", "sum")},
+    )
+
+
+M_BYTES_SQL = """
+WITH imgsz AS (
+  SELECT range AS i,
+         CASE (range // 250) % 4 WHEN 0 THEN 24 WHEN 1 THEN 16
+                                 WHEN 2 THEN 20 ELSE 32 END AS w,
+         CASE (range // 250) % 4 WHEN 0 THEN 16 WHEN 1 THEN 24
+                                 WHEN 2 THEN 20 ELSE 12 END AS h
+  FROM range(0, 2000))
+SELECT CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+       (i % 4 = 0) AS lossy,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(sum(8 + w * h * 3) AS BIGINT) AS total_bytes
+FROM imgsz GROUP BY 1, 2, 3
+"""
+
+
+def e_norm_hist(sf_dir: str):
+    """Embedding NORM histogram over int8 quantization codes — the
+    index-health audit (degenerate norm mass flags collapsed or
+    unnormalized embeddings): squared code norm sum(code^2) per
+    vector is exact int64; bucketed by //10000 and counted.
+    Shuffle-free per-batch quantize + one tiny rollup; the oracle
+    replays the floor-quantization and the same integer buckets."""
+    from .relational import partial_grouped_agg
+    from .vectors import _absmax_scale_ref, _quantize_matrix, vec_matrix
+
+    import ray as _ray
+
+    emb = _pq(sf_dir, "embeddings", ["embedding"])
+    scale_ref = _absmax_scale_ref(emb, "embedding")
+
+    def hist(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"bucket": pa.array([], pa.int64())})
+        amax = _ray.get(scale_ref)
+        codes = _quantize_matrix(vec_matrix(t["embedding"]), amax, 127)
+        n2 = (codes * codes).sum(axis=1)
+        return pa.table({"bucket": pa.array(n2 // 10000)})
+
+    return partial_grouped_agg(
+        emb.map_batches(hist, batch_format="pyarrow"),
+        ["bucket"],
+        {"n_vecs": (None, "count")},
+    )
+
+
+E_NORM_HIST_SQL = """
+WITH flat AS (
+  SELECT vec_id,
+         CAST(ord - 1 AS BIGINT) AS dim,
+         CAST(val AS DOUBLE) AS x
+  FROM (SELECT vec_id, unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) AS ord FROM embeddings)),
+s AS (SELECT dim, max(abs(x)) AS amax FROM flat GROUP BY 1),
+codes AS (
+  SELECT f.vec_id,
+         CAST(greatest(-127, least(127,
+              floor((f.x * 127) / (CASE WHEN s.amax = 0 THEN 1.0 ELSE s.amax END))))
+              AS BIGINT) AS code
+  FROM flat f JOIN s USING (dim)),
+n2 AS (SELECT vec_id, sum(code * code) AS norm2 FROM codes GROUP BY 1)
+SELECT CAST(norm2 // 10000 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM n2 GROUP BY 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_segment_revenue": q2_segment_revenue,
@@ -10129,6 +10228,8 @@ QUERIES = {
     "q79_cusum_changepoint": q79_cusum_changepoint,
     "q80_record_linkage": q80_record_linkage,
     "q81_ship_lag_hist": q81_ship_lag_hist,
+    "m_bytes_audit": m_bytes_audit,
+    "e_norm_hist": e_norm_hist,
 }
 
 ORACLE_SQL = {
@@ -10310,4 +10411,6 @@ ORACLE_SQL = {
     "q79_cusum_changepoint": Q79_SQL,
     "q80_record_linkage": Q80_SQL,
     "q81_ship_lag_hist": Q81_SQL,
+    "m_bytes_audit": M_BYTES_SQL,
+    "e_norm_hist": E_NORM_HIST_SQL,
 }
