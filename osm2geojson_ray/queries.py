@@ -10045,6 +10045,56 @@ FROM n2 GROUP BY 1
 """
 
 
+def m_phash_bit_balance(sf_dir: str):
+    """pHash BIT-BALANCE audit — per-bit ones count across the image
+    corpus (a bit stuck near 0 or n carries no entropy and silently
+    halves LSH band selectivity): each batch unpacks the 64 hash bits
+    with vectorized shifts and bincount-style column sums, one 64-row
+    rollup.  Runs over the LCG-hash image corpus (part_images — the
+    synth table's block-mean phash is float-path, deliberately not
+    SQL-twinned); the oracle replays the bit extraction in HUGEINT
+    SQL with an explicit two's-complement lift for negative int64
+    hashes."""
+    from .relational import partial_grouped_agg
+
+    ds = part_images(sf_dir)
+
+    out_schema = pa.schema([("bit", pa.int64()), ("n_ones", pa.int64())])
+
+    def bits(t: pa.Table) -> pa.Table:
+        ph = t["phash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        shifts = np.arange(64, dtype=np.uint64)
+        ones = ((ph[:, None] >> shifts[None, :]) & np.uint64(1)) \
+            .sum(axis=0).astype(np.int64)
+        return pa.Table.from_pydict(
+            {"bit": np.arange(64, dtype=np.int64), "n_ones": ones},
+            schema=out_schema,
+        )
+
+    return partial_grouped_agg(
+        ds.map_batches(bits, batch_format="pyarrow"),
+        ["bit"],
+        {"n_ones": ("n_ones", "sum")},
+    )
+
+
+M_BIT_BALANCE_SQL = f"""
+WITH img AS ({_PART_IMG_SQL}),
+ph AS (
+  SELECT CASE WHEN phash < 0
+              THEN CAST(phash AS HUGEINT) + 18446744073709551616
+              ELSE CAST(phash AS HUGEINT) END AS u
+  FROM img),
+b AS (SELECT CAST(range AS BIGINT) AS bit,
+             CAST(power(2, range) AS HUGEINT) AS p
+      FROM range(0, 64))
+SELECT b.bit,
+       CAST(sum(CASE WHEN (ph.u // b.p) % 2 = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_ones
+FROM ph, b GROUP BY b.bit
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_segment_revenue": q2_segment_revenue,
@@ -10230,6 +10280,7 @@ QUERIES = {
     "q81_ship_lag_hist": q81_ship_lag_hist,
     "m_bytes_audit": m_bytes_audit,
     "e_norm_hist": e_norm_hist,
+    "m_phash_bit_balance": m_phash_bit_balance,
 }
 
 ORACLE_SQL = {
@@ -10413,4 +10464,5 @@ ORACLE_SQL = {
     "q81_ship_lag_hist": Q81_SQL,
     "m_bytes_audit": M_BYTES_SQL,
     "e_norm_hist": E_NORM_HIST_SQL,
+    "m_phash_bit_balance": M_BIT_BALANCE_SQL,
 }
