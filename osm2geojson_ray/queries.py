@@ -10095,6 +10095,59 @@ FROM ph, b GROUP BY b.bit
 """
 
 
+def e_pq_distortion(sf_dir: str):
+    """PQ DISTORTION audit — total squared quantization error per
+    subspace (the reconstruction-quality number that decides codebook
+    size before an index ships): vectors.pq_assign emit_distance=True
+    carries each assignment's exact int64 squared distance out of the
+    same broadcast-codebook kernel, and one combiner-pushdown rollup
+    gives (subspace, n_vecs, total_dist2).  The oracle rebuilds the
+    whole index in SQL (the e_pq_codes chain) and sums min distances."""
+    from .relational import partial_grouped_agg
+    from .vectors import pq_assign
+
+    emb = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    assigned = pq_assign(emb, "vec_id", "embedding", emit_distance=True)
+    return partial_grouped_agg(
+        assigned.select_columns(["subspace", "dist2"]),
+        ["subspace"],
+        {"n_vecs": (None, "count"), "total_dist2": ("dist2", "sum")},
+    )
+
+
+E_PQ_DISTORTION_SQL = """
+WITH flat AS (
+  SELECT vec_id,
+         CAST(ord - 1 AS BIGINT) AS dim,
+         CAST(val AS DOUBLE) AS x
+  FROM (SELECT vec_id, unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) AS ord FROM embeddings)),
+s AS (SELECT dim, max(abs(x)) AS amax FROM flat GROUP BY 1),
+codes AS (
+  SELECT f.vec_id, f.dim,
+         CAST(greatest(-127, least(127,
+              floor((f.x * 127) / (CASE WHEN s.amax = 0 THEN 1.0 ELSE s.amax END))))
+              AS BIGINT) AS code
+  FROM flat f JOIN s USING (dim)),
+cb_ids AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+  FROM (SELECT DISTINCT vec_id FROM codes ORDER BY vec_id LIMIT 16)),
+cb AS (SELECT i.cid, c.dim, c.code AS cbcode
+       FROM cb_ids i JOIN codes c USING (vec_id)),
+dist AS (
+  SELECT c.vec_id, c.dim // 8 AS subspace, b.cid,
+         sum((c.code - b.cbcode) * (c.code - b.cbcode)) AS d2
+  FROM codes c JOIN cb b ON b.dim = c.dim
+  GROUP BY 1, 2, 3),
+best AS (SELECT vec_id, subspace, min(d2) AS d2min
+         FROM dist GROUP BY 1, 2)
+SELECT CAST(subspace AS BIGINT) AS subspace,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(d2min) AS BIGINT) AS total_dist2
+FROM best GROUP BY 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_segment_revenue": q2_segment_revenue,
@@ -10281,6 +10334,7 @@ QUERIES = {
     "m_bytes_audit": m_bytes_audit,
     "e_norm_hist": e_norm_hist,
     "m_phash_bit_balance": m_phash_bit_balance,
+    "e_pq_distortion": e_pq_distortion,
 }
 
 ORACLE_SQL = {
@@ -10465,4 +10519,5 @@ ORACLE_SQL = {
     "m_bytes_audit": M_BYTES_SQL,
     "e_norm_hist": E_NORM_HIST_SQL,
     "m_phash_bit_balance": M_BIT_BALANCE_SQL,
+    "e_pq_distortion": E_PQ_DISTORTION_SQL,
 }

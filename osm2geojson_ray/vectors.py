@@ -434,7 +434,8 @@ def rp_lsh_signatures(ds, id_col: str, vec_col: str, *, num_bits: int = 16,
 
 
 def pq_assign(ds, id_col: str, vec_col: str, *, num_subspaces: int = 8,
-              num_centroids: int = 16, levels: int = 127):
+              num_centroids: int = 16, levels: int = 127,
+              emit_distance: bool = False):
     """Product-quantization CODE ASSIGNMENT — the index-build step of a
     PQ/IVF-PQ vector store: the embedding splits into ``num_subspaces``
     contiguous subvectors and each maps to its nearest codebook entry,
@@ -481,23 +482,31 @@ def pq_assign(ds, id_col: str, vec_col: str, *, num_subspaces: int = 8,
         ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         if M.size == 0 or cb.size == 0:
             empty = np.empty(0, np.int64)
-            return pa.table({"vec_id": pa.array(empty),
-                             "subspace": pa.array(empty),
-                             "code_id": pa.array(empty)})
+            cols = {"vec_id": pa.array(empty), "subspace": pa.array(empty),
+                    "code_id": pa.array(empty)}
+            if emit_distance:
+                cols["dist2"] = pa.array(empty)
+            return pa.table(cols)
         codes = _quantize_matrix(M, _ray.get(scale_ref), levels)
         n, d = codes.shape
         sub = d // num_subspaces
         out_codes = np.empty((n, num_subspaces), dtype=np.int64)
+        out_d2 = np.empty((n, num_subspaces), dtype=np.int64)
         for m in range(num_subspaces):
             sl = slice(m * sub, (m + 1) * sub)
             diff = codes[:, None, sl] - cb[None, :, sl]  # (n, C, sub)
             dist = np.einsum("ncs,ncs->nc", diff, diff)
-            out_codes[:, m] = np.argmin(dist, axis=1)  # first min = low id
-        return pa.table({
+            best = np.argmin(dist, axis=1)  # first min = low id
+            out_codes[:, m] = best
+            out_d2[:, m] = dist[np.arange(n), best]
+        cols = {
             "vec_id": pa.array(np.repeat(ids, num_subspaces)),
             "subspace": pa.array(
                 np.tile(np.arange(num_subspaces, dtype=np.int64), n)),
             "code_id": pa.array(out_codes.ravel()),
-        })
+        }
+        if emit_distance:
+            cols["dist2"] = pa.array(out_d2.ravel())
+        return pa.table(cols)
 
     return ds.map_batches(assign, batch_format="pyarrow")
