@@ -10148,6 +10148,232 @@ FROM best GROUP BY 1
 """
 
 
+def q83_mutual_match(sf_dir: str):
+    """MUTUAL BEST-MATCH bipartite pairing — the greedy core of an
+    assignment/reconciliation pass: within each nation, every customer
+    names its closest supplier by |acctbal| cents distance (ties to
+    the smaller suppkey), every supplier names its closest customer,
+    and a pair counts only when both choices agree (the stable
+    "mutual nearest neighbor" rule dedup and entity-matching use to
+    avoid chains).  Shape: one nation-blocked hash join, BOTH argmins
+    as packed-key combiner-pushdown mins (diff << 20 | key — no
+    row_number shuffle), one supplier-keyed join to test agreement,
+    a 25-row rollup."""
+    from .relational import hash_join, partial_grouped_agg
+
+    c_schema = pa.schema(
+        [("nationkey", pa.int64()), ("custkey", pa.int64()),
+         ("c_cents", pa.int64())]
+    )
+    s_schema = pa.schema(
+        [("nationkey", pa.int64()), ("suppkey", pa.int64()),
+         ("s_cents", pa.int64())]
+    )
+
+    def prep(nation_in, key_in, bal_in, key_out, cents_out, schema):
+        def fn(t: pa.Table) -> pa.Table:
+            v = t[bal_in].to_numpy(zero_copy_only=False)
+            return pa.Table.from_pydict(
+                {
+                    "nationkey": t[nation_in].combine_chunks()
+                    .cast(pa.int64()),
+                    key_out: t[key_in].combine_chunks().cast(pa.int64()),
+                    cents_out: (np.sign(v) * np.floor(np.abs(v) * 100 + 0.5))
+                    .astype(np.int64),
+                },
+                schema=schema,
+            )
+        return fn
+
+    cust = _pq(sf_dir, "customer",
+               ["c_custkey", "c_nationkey", "c_acctbal"]).map_batches(
+        prep("c_nationkey", "c_custkey", "c_acctbal", "custkey", "c_cents",
+             c_schema),
+        batch_format="pyarrow",
+    )
+    supp = _pq(sf_dir, "supplier",
+               ["s_suppkey", "s_nationkey", "s_acctbal"]).map_batches(
+        prep("s_nationkey", "s_suppkey", "s_acctbal", "suppkey", "s_cents",
+             s_schema),
+        batch_format="pyarrow",
+    )
+    pairs = hash_join(cust, supp, on="nationkey",
+                      l_schema=c_schema, r_schema=s_schema,
+                      num_partitions=8).materialize()
+
+    PK = 1 << 20
+
+    def packed(t: pa.Table) -> pa.Table:
+        cc = t["c_cents"].to_numpy(zero_copy_only=False)
+        sc = t["s_cents"].to_numpy(zero_copy_only=False)
+        ck = t["custkey"].to_numpy(zero_copy_only=False)
+        sk = t["suppkey"].to_numpy(zero_copy_only=False)
+        diff = np.abs(cc - sc)
+        if len(diff) and (diff.max() >= (1 << 42) or ck.max() >= PK
+                          or sk.max() >= PK):
+            raise ValueError("pack range exceeded")
+        return pa.table(
+            {
+                "nationkey": t["nationkey"].combine_chunks(),
+                "custkey": pa.array(ck),
+                "suppkey": pa.array(sk),
+                "pack_s": pa.array(diff * PK + sk),
+                "pack_c": pa.array(diff * PK + ck),
+            }
+        )
+
+    pp = pairs.map_batches(packed, batch_format="pyarrow").materialize()
+    best_c = partial_grouped_agg(
+        pp.select_columns(["nationkey", "custkey", "pack_s"]),
+        ["nationkey", "custkey"], {"pack_s": ("pack_s", "min")},
+    )
+    best_s = partial_grouped_agg(
+        pp.select_columns(["suppkey", "pack_c"]),
+        ["suppkey"], {"pack_c": ("pack_c", "min")},
+    )
+
+    bc_schema = pa.schema(
+        [("nationkey", pa.int64()), ("custkey", pa.int64()),
+         ("suppkey", pa.int64())]
+    )
+    bs_schema = pa.schema(
+        [("suppkey", pa.int64()), ("best_cust", pa.int64())]
+    )
+
+    j = hash_join(
+        best_c.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"nationkey": t["nationkey"].combine_chunks(),
+                 "custkey": t["custkey"].combine_chunks(),
+                 "suppkey": pc.bit_wise_and(
+                     t["pack_s"].combine_chunks(), PK - 1)},
+                schema=bc_schema),
+            batch_format="pyarrow"),
+        best_s.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"suppkey": t["suppkey"].combine_chunks(),
+                 "best_cust": pc.bit_wise_and(
+                     t["pack_c"].combine_chunks(), PK - 1)},
+                schema=bs_schema),
+            batch_format="pyarrow"),
+        on="suppkey", l_schema=bc_schema, r_schema=bs_schema,
+        num_partitions=8,
+    )
+
+    def mutual(t: pa.Table) -> pa.Table:
+        m = (t["custkey"].to_numpy(zero_copy_only=False)
+             == t["best_cust"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        return pa.table(
+            {"nationkey": t["nationkey"].combine_chunks(),
+             "n_custs": pa.array(np.ones(len(t), np.int64)),
+             "n_mutual": pa.array(m)}
+        )
+
+    return partial_grouped_agg(
+        j.map_batches(mutual, batch_format="pyarrow"),
+        ["nationkey"],
+        {"n_custs": ("n_custs", "sum"), "n_mutual": ("n_mutual", "sum")},
+    )
+
+
+Q83_SQL = """
+WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+                  c_custkey AS custkey,
+                  CAST(round(c_acctbal * 100) AS BIGINT) AS cc
+           FROM customer),
+s AS (SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+             s_suppkey AS suppkey,
+             CAST(round(s_acctbal * 100) AS BIGINT) AS sc
+      FROM supplier),
+p AS (SELECT c.nationkey, c.custkey, s.suppkey, abs(cc - sc) AS diff
+      FROM c JOIN s USING (nationkey)),
+bc AS (SELECT nationkey, custkey, suppkey
+       FROM (SELECT *, row_number() OVER (PARTITION BY custkey
+                                          ORDER BY diff, suppkey) AS rn
+             FROM p) WHERE rn = 1),
+bs AS (SELECT suppkey, custkey AS best_cust
+       FROM (SELECT *, row_number() OVER (PARTITION BY suppkey
+                                          ORDER BY diff, custkey) AS rn
+             FROM p) WHERE rn = 1)
+SELECT bc.nationkey, CAST(count(*) AS BIGINT) AS n_custs,
+       CAST(sum(CASE WHEN bs.best_cust = bc.custkey THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_mutual
+FROM bc JOIN bs USING (suppkey)
+GROUP BY bc.nationkey
+"""
+
+
+def q84_tv_distance(sf_dir: str):
+    """Categorical DISTRIBUTION-DRIFT gate — exact scaled total
+    variation between two user cohorts' event-type mixes: with cohort
+    sizes n0, n1 and per-type counts c0, c1, TV*2*n0*n1 =
+    sum_t |n1*c0(t) - n0*c1(t)| is a pure integer (the cross-
+    multiplied |p0 - p1| — no rational division), the A/B-health
+    check every event pipeline runs.  One (type, cohort) combiner
+    rollup, fold over the tiny aggregate."""
+    from .relational import partial_grouped_agg
+
+    ev = _pq(sf_dir, "events", ["user_id", "event_type"])
+
+    def halves(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_type": t["event_type"].combine_chunks(),
+             "half": pc.bit_wise_and(
+                 t["user_id"].combine_chunks().cast(pa.int64()), 1)}
+        )
+
+    agg = partial_grouped_agg(
+        ev.map_batches(halves, batch_format="pyarrow"),
+        ["event_type", "half"],
+        {"n": (None, "count")},
+    )
+
+    out_schema = pa.schema(
+        [("n0", pa.int64()), ("n1", pa.int64()), ("n_types", pa.int64()),
+         ("tv_cross", pa.int64())]
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        codes = et.dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        half = t["half"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = int(codes.max()) + 1 if len(codes) else 0
+        c0 = np.bincount(codes[half == 0], weights=n[half == 0],
+                         minlength=k).astype(np.int64)
+        c1 = np.bincount(codes[half == 1], weights=n[half == 1],
+                         minlength=k).astype(np.int64)
+        n0, n1 = int(c0.sum()), int(c1.sum())
+        tv = int(np.abs(n1 * c0 - n0 * c1).sum())
+        return pa.Table.from_pydict(
+            {"n0": [n0], "n1": [n1], "n_types": [k], "tv_cross": [tv]},
+            schema=out_schema,
+        )
+
+    return agg.repartition(1).map_batches(
+        fold, batch_format="pyarrow", batch_size=None
+    )
+
+
+Q84_SQL = """
+WITH h AS (SELECT event_type, user_id % 2 AS half FROM events),
+c AS (SELECT event_type, half, CAST(count(*) AS BIGINT) AS n
+      FROM h GROUP BY 1, 2),
+w AS (SELECT event_type,
+             COALESCE(sum(CASE WHEN half = 0 THEN n END), 0) AS c0,
+             COALESCE(sum(CASE WHEN half = 1 THEN n END), 0) AS c1
+      FROM c GROUP BY 1),
+tot AS (SELECT sum(c0) AS n0, sum(c1) AS n1 FROM w)
+SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(abs(n1 * c0 - n0 * c1)) AS BIGINT) AS tv_cross
+FROM w, tot GROUP BY n0, n1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_segment_revenue": q2_segment_revenue,
@@ -10335,6 +10561,8 @@ QUERIES = {
     "e_norm_hist": e_norm_hist,
     "m_phash_bit_balance": m_phash_bit_balance,
     "e_pq_distortion": e_pq_distortion,
+    "q83_mutual_match": q83_mutual_match,
+    "q84_tv_distance": q84_tv_distance,
 }
 
 ORACLE_SQL = {
@@ -10520,4 +10748,6 @@ ORACLE_SQL = {
     "e_norm_hist": E_NORM_HIST_SQL,
     "m_phash_bit_balance": M_BIT_BALANCE_SQL,
     "e_pq_distortion": E_PQ_DISTORTION_SQL,
+    "q83_mutual_match": Q83_SQL,
+    "q84_tv_distance": Q84_SQL,
 }
