@@ -10374,6 +10374,69 @@ FROM w, tot GROUP BY n0, n1
 """
 
 
+def t_template_detect(sf_dir: str):
+    """Boilerplate TEMPLATE detection — documents sharing the same
+    first-8-token prefix (the generated-page / form-letter signal a
+    curation pass removes before near-dup hashing even runs): prefix
+    assembled batch-locally from the lowercased token stream (one
+    Arrow regex split, rank-masked gather, ListArray + binary_join —
+    no per-doc Python), one string-keyed combiner rollup, groups with
+    >= 2 docs survive.  Output (prefix, n_docs, min_doc)."""
+    from .relational import partial_grouped_agg
+
+    docs = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    pref_schema = pa.schema(
+        [("prefix", pa.string()), ("doc_id", pa.int64())]
+    )
+
+    def prefixes(t: pa.Table) -> pa.Table:
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = pc.fill_null(col, "")
+        toks = pc.split_pattern_regex(pc.utf8_lower(col), r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        ne = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(ne))
+        parent = parent[ne]
+        n = len(t)
+        counts = np.bincount(parent, minlength=n)
+        starts = np.r_[0, np.cumsum(counts)[:-1]]
+        rank = np.arange(len(parent)) - np.repeat(starts, counts)
+        keep = rank < 8
+        kept = np.minimum(counts, 8)
+        offsets = np.r_[0, np.cumsum(kept)].astype(np.int32)
+        la = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), flat.filter(pa.array(keep))
+        )
+        return pa.Table.from_pydict(
+            {"prefix": pc.binary_join(la, " "),
+             "doc_id": t["doc_id"].combine_chunks().cast(pa.int64())},
+            schema=pref_schema,
+        )
+
+    agg = partial_grouped_agg(
+        docs.map_batches(prefixes, batch_format="pyarrow"),
+        ["prefix"],
+        {"n_docs": (None, "count"), "min_doc": ("doc_id", "min")},
+    )
+    return agg.filter(expr="n_docs >= 2")
+
+
+T_TEMPLATE_SQL = r"""
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws
+  FROM documents),
+pref AS (SELECT doc_id, array_to_string(ws[1:8], ' ') AS prefix
+         FROM words)
+SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_doc
+FROM pref GROUP BY prefix HAVING count(*) >= 2
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_segment_revenue": q2_segment_revenue,
@@ -10563,6 +10626,7 @@ QUERIES = {
     "e_pq_distortion": e_pq_distortion,
     "q83_mutual_match": q83_mutual_match,
     "q84_tv_distance": q84_tv_distance,
+    "t_template_detect": t_template_detect,
 }
 
 ORACLE_SQL = {
@@ -10750,4 +10814,5 @@ ORACLE_SQL = {
     "e_pq_distortion": E_PQ_DISTORTION_SQL,
     "q83_mutual_match": Q83_SQL,
     "q84_tv_distance": Q84_SQL,
+    "t_template_detect": T_TEMPLATE_SQL,
 }
