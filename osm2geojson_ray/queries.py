@@ -10437,6 +10437,113 @@ FROM pref GROUP BY prefix HAVING count(*) >= 2
 """
 
 
+def g_cell_gini(sf_dir: str):
+    """Spatial CONCENTRATION (Gini numerator) of imagery across
+    occupied tiles, exact: sum_i sum_j |x_i - x_j| over the K occupied
+    cells collapses to the sorted-prefix identity 2*sum(i*x_(i)) -
+    (K+1)*S — one combiner-pushdown histogram, then the closed form
+    over the tiny sorted aggregate (tie order among equal counts
+    cannot change the sum).  With Moran's I (clustering) this is the
+    inequality half of a coverage audit; integers end to end."""
+    from .relational import partial_grouped_agg
+
+    def encode(t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        x = np.floor((lon + 180.0) / 360.0 * 256).astype(np.int64)
+        y = np.floor((lat + 90.0) / 180.0 * 256).astype(np.int64)
+        return pa.Table.from_pydict(
+            {"key": x * 256 + y}, schema=pa.schema([("key", pa.int64())])
+        )
+
+    counts = partial_grouped_agg(
+        part_images(sf_dir).map_batches(encode, batch_format="pyarrow"),
+        ["key"],
+        {"n": (None, "count")},
+    )
+
+    out_schema = pa.schema(
+        [("n_cells", pa.int64()), ("sum_x", pa.int64()),
+         ("gini_num", pa.int64())]
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        x = np.sort(t["n"].to_numpy(zero_copy_only=False).astype(np.int64))
+        K, S = len(x), int(x.sum())
+        i = np.arange(1, K + 1, dtype=np.int64)
+        g = int(2 * (i * x).sum() - (K + 1) * S)
+        return pa.Table.from_pydict(
+            {"n_cells": [K], "sum_x": [S], "gini_num": [g]},
+            schema=out_schema,
+        )
+
+    return counts.repartition(1).map_batches(
+        fold, batch_format="pyarrow", batch_size=None
+    )
+
+
+G_GINI_SQL = f"""
+WITH img AS ({_PART_IMG_SQL}),
+c AS (
+  SELECT CAST(floor((lon + 180) / 360 * 256) AS BIGINT) * 256
+         + CAST(floor((lat + 90) / 180 * 256) AS BIGINT) AS key,
+         CAST(count(*) AS BIGINT) AS n
+  FROM img GROUP BY 1),
+r AS (SELECT n, row_number() OVER (ORDER BY n) AS i FROM c),
+a AS (SELECT count(*) AS k, sum(n) AS s, sum(i * n) AS ixn FROM r)
+SELECT CAST(k AS BIGINT) AS n_cells, CAST(s AS BIGINT) AS sum_x,
+       CAST(2 * ixn - (k + 1) * s AS BIGINT) AS gini_num
+FROM a
+"""
+
+
+def q85_user_lifespan(sf_dir: str):
+    """User LIFESPAN distribution — weeks between first and last
+    event per user, bucketed (the retention-shape histogram behind
+    cohort LTV models): per-user min/max via one combiner-pushdown
+    rollup, integer 7-day buckets, a second tiny rollup.  Raw events
+    reduce to one row per user before anything shuffles twice."""
+    from .relational import partial_grouped_agg
+
+    ev = _pq(sf_dir, "events", ["user_id", "ts"])
+
+    def slim(t: pa.Table) -> pa.Table:
+        ts = t["ts"].combine_chunks().cast(pa.int64())
+        return pa.table(
+            {"user_id": t["user_id"].combine_chunks().cast(pa.int64()),
+             "t_us": ts}
+        )
+
+    spans = partial_grouped_agg(
+        ev.map_batches(slim, batch_format="pyarrow"),
+        ["user_id"],
+        {"t_min": ("t_us", "min"), "t_max": ("t_us", "max")},
+    )
+
+    week_us = 7 * 86_400_000_000
+
+    def bucket(t: pa.Table) -> pa.Table:
+        span = (t["t_max"].to_numpy(zero_copy_only=False)
+                - t["t_min"].to_numpy(zero_copy_only=False))
+        return pa.table({"lifespan_weeks": pa.array(span // week_us)})
+
+    return partial_grouped_agg(
+        spans.map_batches(bucket, batch_format="pyarrow"),
+        ["lifespan_weeks"],
+        {"n_users": (None, "count")},
+    )
+
+
+Q85_SQL = """
+WITH s AS (SELECT user_id,
+                  epoch_us(max(ts)) - epoch_us(min(ts)) AS span
+           FROM events GROUP BY 1)
+SELECT span // 604800000000 AS lifespan_weeks,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM s GROUP BY 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_segment_revenue": q2_segment_revenue,
@@ -10627,6 +10734,8 @@ QUERIES = {
     "q83_mutual_match": q83_mutual_match,
     "q84_tv_distance": q84_tv_distance,
     "t_template_detect": t_template_detect,
+    "g_cell_gini": g_cell_gini,
+    "q85_user_lifespan": q85_user_lifespan,
 }
 
 ORACLE_SQL = {
@@ -10815,4 +10924,6 @@ ORACLE_SQL = {
     "q83_mutual_match": Q83_SQL,
     "q84_tv_distance": Q84_SQL,
     "t_template_detect": T_TEMPLATE_SQL,
+    "g_cell_gini": G_GINI_SQL,
+    "q85_user_lifespan": Q85_SQL,
 }
