@@ -10197,9 +10197,11 @@ def q83_mutual_match(sf_dir: str):
              s_schema),
         batch_format="pyarrow",
     )
+    # NOT materialized: pairs feeds only the packed projection below
+    # (pp is the stream both argmins consume — it alone is pinned)
     pairs = hash_join(cust, supp, on="nationkey",
                       l_schema=c_schema, r_schema=s_schema,
-                      num_partitions=8).materialize()
+                      num_partitions=8)
 
     PK = 1 << 20
 
