@@ -10546,6 +10546,97 @@ FROM s GROUP BY 1
 """
 
 
+def g_cell_erosion(sf_dir: str):
+    """Morphological EROSION over the occupied-tile set — interior
+    cells (all four rook neighbors occupied) vs frontier cells, the
+    coverage-boundary detector that tells a mapping pipeline where
+    imagery runs out: each occupied cell scatters its four neighbor
+    positions, one combiner-pushdown count gives per-position
+    occupied-neighbor totals, one hash join back classifies each
+    occupied cell by its own neighbor count (0-4).  Sparse end to
+    end — the 256x256 grid never densifies; raw points shuffle only
+    as the tiny per-cell histogram."""
+    from .relational import hash_join, partial_grouped_agg
+
+    def encode(t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        x = np.floor((lon + 180.0) / 360.0 * 256).astype(np.int64)
+        y = np.floor((lat + 90.0) / 180.0 * 256).astype(np.int64)
+        return pa.Table.from_pydict(
+            {"key": x * 256 + y}, schema=pa.schema([("key", pa.int64())])
+        )
+
+    counts = partial_grouped_agg(
+        part_images(sf_dir).map_batches(encode, batch_format="pyarrow"),
+        ["key"],
+        {"n": (None, "count")},
+    ).materialize()
+
+    nb_schema = pa.schema([("key", pa.int64())])
+
+    def scatter(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy(zero_copy_only=False)
+        x, y = key // 256, key % 256
+        outs = []
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            nx, ny = x + dx, y + dy
+            m = (nx >= 0) & (nx < 256) & (ny >= 0) & (ny < 256)
+            outs.append((nx * 256 + ny)[m])
+        return pa.Table.from_pydict(
+            {"key": np.concatenate(outs)}, schema=nb_schema
+        )
+
+    nb_counts = partial_grouped_agg(
+        counts.map_batches(scatter, batch_format="pyarrow"),
+        ["key"],
+        {"nb": (None, "count")},
+    )
+
+    cnt_schema = pa.schema([("key", pa.int64()), ("n", pa.int64())])
+    nbc_schema = pa.schema([("key", pa.int64()), ("nb", pa.int64())])
+
+    j = hash_join(
+        counts, nb_counts, on="key",
+        l_schema=cnt_schema, r_schema=nbc_schema,
+        how="left_outer", num_partitions=4,
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        nb = pc.fill_null(t["nb"], 0).cast(pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"n_neighbors": pa.array(nb),
+             "n_cells": pa.array(np.ones(len(nb), np.int64)),
+             "interior": pa.array(nb == 4)}
+        )
+
+    return partial_grouped_agg(
+        j.map_batches(classify, batch_format="pyarrow"),
+        ["n_neighbors", "interior"],
+        {"n_cells": ("n_cells", "sum")},
+    )
+
+
+G_EROSION_SQL = f"""
+WITH img AS ({_PART_IMG_SQL}),
+c AS (
+  SELECT CAST(floor((lon + 180) / 360 * 256) AS BIGINT) AS x,
+         CAST(floor((lat + 90) / 180 * 256) AS BIGINT) AS y
+  FROM img GROUP BY 1, 2),
+o AS (SELECT dx, dy FROM (VALUES (1, 0), (-1, 0), (0, 1), (0, -1))
+      AS t(dx, dy)),
+nbc AS (
+  SELECT a.x, a.y, count(b.x) AS nb
+  FROM c a LEFT JOIN (c b JOIN o
+    ON TRUE) ON b.x + o.dx = a.x AND b.y + o.dy = a.y
+  GROUP BY a.x, a.y)
+SELECT CAST(nb AS BIGINT) AS n_neighbors, (nb = 4) AS interior,
+       CAST(count(*) AS BIGINT) AS n_cells
+FROM nbc GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_segment_revenue": q2_segment_revenue,
@@ -10738,6 +10829,7 @@ QUERIES = {
     "t_template_detect": t_template_detect,
     "g_cell_gini": g_cell_gini,
     "q85_user_lifespan": q85_user_lifespan,
+    "g_cell_erosion": g_cell_erosion,
 }
 
 ORACLE_SQL = {
@@ -10928,4 +11020,5 @@ ORACLE_SQL = {
     "t_template_detect": T_TEMPLATE_SQL,
     "g_cell_gini": G_GINI_SQL,
     "q85_user_lifespan": Q85_SQL,
+    "g_cell_erosion": G_EROSION_SQL,
 }
