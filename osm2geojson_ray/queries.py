@@ -10637,6 +10637,48 @@ FROM nbc GROUP BY 1, 2
 """
 
 
+def t_length_gini(sf_dir: str):
+    """Corpus LENGTH-INEQUALITY (Gini numerator) over document sizes —
+    the balance diagnostic before token-budget packing (a handful of
+    giant docs dominating sum-of-chars skews every shard): exact
+    sum_i sum_j |len_i - len_j| via the sorted-prefix identity
+    2*sum(i*x_(i)) - (N+1)*S.  Values here are per-DOC lengths (not a
+    histogram), so the combiner stage ships one slim int per doc and
+    the closed form runs over the sorted aggregate."""
+    ds = _pq(sf_dir, "documents", ["n_chars"])
+
+    out_schema = pa.schema(
+        [("n_docs", pa.int64()), ("sum_chars", pa.int64()),
+         ("gini_num", pa.int64())]
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        x = np.sort(t["n_chars"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64))
+        n, s = len(x), int(x.sum())
+        i = np.arange(1, n + 1, dtype=np.int64)
+        g = int(2 * (i * x).sum() - (n + 1) * s)
+        return pa.Table.from_pydict(
+            {"n_docs": [n], "sum_chars": [s], "gini_num": [g]},
+            schema=out_schema,
+        )
+
+    return ds.repartition(1).map_batches(
+        fold, batch_format="pyarrow", batch_size=None
+    )
+
+
+T_LENGTH_GINI_SQL = """
+WITH r AS (SELECT n_chars, row_number() OVER (ORDER BY n_chars) AS i
+           FROM documents),
+a AS (SELECT count(*) AS n, sum(n_chars) AS s, sum(i * n_chars) AS ixn
+      FROM r)
+SELECT CAST(n AS BIGINT) AS n_docs, CAST(s AS BIGINT) AS sum_chars,
+       CAST(2 * ixn - (n + 1) * s AS BIGINT) AS gini_num
+FROM a
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_segment_revenue": q2_segment_revenue,
@@ -10830,6 +10872,7 @@ QUERIES = {
     "g_cell_gini": g_cell_gini,
     "q85_user_lifespan": q85_user_lifespan,
     "g_cell_erosion": g_cell_erosion,
+    "t_length_gini": t_length_gini,
 }
 
 ORACLE_SQL = {
@@ -11021,4 +11064,5 @@ ORACLE_SQL = {
     "g_cell_gini": G_GINI_SQL,
     "q85_user_lifespan": Q85_SQL,
     "g_cell_erosion": G_EROSION_SQL,
+    "t_length_gini": T_LENGTH_GINI_SQL,
 }
