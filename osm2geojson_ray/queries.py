@@ -10679,6 +10679,126 @@ FROM a
 """
 
 
+def q86_revenue_concentration(sf_dir: str):
+    """Revenue WHALE-CONCENTRATION — the exact share of total order
+    revenue held by the top decile of customers (ceil(N/10) biggest
+    spenders, ties to the smaller custkey): the risk metric behind
+    "how exposed are we to our largest accounts".  Per-customer
+    revenue via one combiner-pushdown rollup; the decile cut runs
+    over the tiny per-customer aggregate; output is the exact integer
+    pair (top_cents, total_cents) plus counts — no percentage
+    floats."""
+    from .relational import partial_grouped_agg
+
+    ords = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"custkey": t["o_custkey"].combine_chunks().cast(pa.int64()),
+             "cents": pa.array(
+                 (np.sign(v) * np.floor(np.abs(v) * 100 + 0.5))
+                 .astype(np.int64))}
+        )
+
+    per_cust = partial_grouped_agg(
+        ords.map_batches(cents, batch_format="pyarrow"),
+        ["custkey"],
+        {"rev": ("cents", "sum")},
+    )
+
+    out_schema = pa.schema(
+        [("n_customers", pa.int64()), ("n_top", pa.int64()),
+         ("top_cents", pa.int64()), ("total_cents", pa.int64())]
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        rev = t["rev"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = t["custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(rev)
+        k = -(-n // 10)  # ceil(n/10)
+        order = np.lexsort((ck, -rev))[:k]
+        return pa.Table.from_pydict(
+            {"n_customers": [n], "n_top": [int(k)],
+             "top_cents": [int(rev[order].sum())],
+             "total_cents": [int(rev.sum())]},
+            schema=out_schema,
+        )
+
+    return per_cust.repartition(1).map_batches(
+        fold, batch_format="pyarrow", batch_size=None
+    )
+
+
+Q86_SQL = """
+WITH pc AS (SELECT o_custkey AS custkey,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS rev
+            FROM orders GROUP BY 1),
+r AS (SELECT rev, row_number() OVER (ORDER BY rev DESC, custkey) AS i,
+             count(*) OVER () AS n
+      FROM pc)
+SELECT CAST(max(n) AS BIGINT) AS n_customers,
+       CAST((max(n) + 9) // 10 AS BIGINT) AS n_top,
+       CAST(sum(CASE WHEN i <= (n + 9) // 10 THEN rev ELSE 0 END)
+            AS BIGINT) AS top_cents,
+       CAST(sum(rev) AS BIGINT) AS total_cents
+FROM r
+"""
+
+
+def e_dim_stats(sf_dir: str):
+    """Per-DIMENSION embedding statistics — the feature-health table
+    (a dead or exploding dimension flags a bad encoder export):
+    count, sum and sum-of-squares of the 1e-6-tick floor-quantized
+    values per dimension, exact int64 — variance and mean are
+    recoverable as rationals downstream without any float having
+    touched the aggregate.  Long-form reduceat partials, one 64-row
+    rollup; raw vectors never shuffle."""
+    from .relational import partial_grouped_agg
+    from .vectors import vec_matrix
+
+    emb = _pq(sf_dir, "embeddings", ["embedding"])
+
+    part_schema = pa.schema(
+        [("dim", pa.int64()), ("n", pa.int64()), ("s", pa.int64()),
+         ("s2", pa.int64())]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return part_schema.empty_table()
+        M = vec_matrix(t["embedding"]).astype(np.float64)
+        q = np.floor(M * 1_000_000).astype(np.int64)
+        d = q.shape[1]
+        return pa.Table.from_pydict(
+            {"dim": np.arange(d, dtype=np.int64),
+             "n": np.full(d, q.shape[0], np.int64),
+             "s": q.sum(axis=0),
+             "s2": (q * q).sum(axis=0)},
+            schema=part_schema,
+        )
+
+    return partial_grouped_agg(
+        emb.map_batches(partials, batch_format="pyarrow"),
+        ["dim"],
+        {"n": ("n", "sum"), "s": ("s", "sum"), "s2": ("s2", "sum")},
+    )
+
+
+E_DIM_STATS_SQL = """
+WITH flat AS (
+  SELECT CAST(ord - 1 AS BIGINT) AS dim,
+         CAST(floor(CAST(val AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM (SELECT unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) AS ord FROM embeddings))
+SELECT dim, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(q) AS BIGINT) AS s,
+       CAST(sum(q * q) AS BIGINT) AS s2
+FROM flat GROUP BY dim
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_segment_revenue": q2_segment_revenue,
@@ -10873,6 +10993,8 @@ QUERIES = {
     "q85_user_lifespan": q85_user_lifespan,
     "g_cell_erosion": g_cell_erosion,
     "t_length_gini": t_length_gini,
+    "q86_revenue_concentration": q86_revenue_concentration,
+    "e_dim_stats": e_dim_stats,
 }
 
 ORACLE_SQL = {
@@ -11065,4 +11187,6 @@ ORACLE_SQL = {
     "q85_user_lifespan": Q85_SQL,
     "g_cell_erosion": G_EROSION_SQL,
     "t_length_gini": T_LENGTH_GINI_SQL,
+    "q86_revenue_concentration": Q86_SQL,
+    "e_dim_stats": E_DIM_STATS_SQL,
 }
