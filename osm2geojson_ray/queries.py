@@ -10799,6 +10799,67 @@ FROM flat GROUP BY dim
 """
 
 
+_SALT_CAP = 16  # target max rows per (cell, salt) shard
+
+
+def g_salt_plan(sf_dir: str):
+    """SKEW SALT-PLAN — the planning half of salted-shuffle execution
+    (the north rule's "ways/relations spanning cells handled via
+    explicit salted-skew repartitioning"): from the tile histogram,
+    every cell whose row count exceeds the shard cap gets an explicit
+    integer salt factor ceil(n / cap), i.e. how many shards its key
+    must split into so no reduce task exceeds the cap.  This is the
+    exact table `shuffled_pip_join`'s salt path consumes; emitting it
+    as a query makes the skew decision itself auditable.  One
+    combiner-pushdown histogram + a vectorized ceil-div filter."""
+    from .relational import partial_grouped_agg
+
+    def encode(t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        # coarse 64-grid so hot cells actually exceed the cap
+        x = np.floor((lon + 180.0) / 360.0 * 64).astype(np.int64)
+        y = np.floor((lat + 90.0) / 180.0 * 64).astype(np.int64)
+        return pa.Table.from_pydict(
+            {"key": x * 64 + y}, schema=pa.schema([("key", pa.int64())])
+        )
+
+    counts = partial_grouped_agg(
+        part_images(sf_dir).map_batches(encode, batch_format="pyarrow"),
+        ["key"],
+        {"n": (None, "count")},
+    )
+
+    out_schema = pa.schema(
+        [("key", pa.int64()), ("n", pa.int64()), ("salt", pa.int64())]
+    )
+
+    def plan(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hot = n > _SALT_CAP
+        return pa.Table.from_pydict(
+            {"key": t["key"].to_numpy(zero_copy_only=False)[hot],
+             "n": n[hot],
+             "salt": -(-n[hot] // _SALT_CAP)},
+            schema=out_schema,
+        )
+
+    return counts.map_batches(plan, batch_format="pyarrow")
+
+
+G_SALT_PLAN_SQL = f"""
+WITH img AS ({_PART_IMG_SQL}),
+c AS (
+  SELECT CAST(floor((lon + 180) / 360 * 64) AS BIGINT) * 64
+         + CAST(floor((lat + 90) / 180 * 64) AS BIGINT) AS key,
+         CAST(count(*) AS BIGINT) AS n
+  FROM img GROUP BY 1)
+SELECT key, n,
+       CAST((n + {_SALT_CAP} - 1) // {_SALT_CAP} AS BIGINT) AS salt
+FROM c WHERE n > {_SALT_CAP}
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_segment_revenue": q2_segment_revenue,
@@ -10995,6 +11056,7 @@ QUERIES = {
     "t_length_gini": t_length_gini,
     "q86_revenue_concentration": q86_revenue_concentration,
     "e_dim_stats": e_dim_stats,
+    "g_salt_plan": g_salt_plan,
 }
 
 ORACLE_SQL = {
@@ -11189,4 +11251,5 @@ ORACLE_SQL = {
     "t_length_gini": T_LENGTH_GINI_SQL,
     "q86_revenue_concentration": Q86_SQL,
     "e_dim_stats": E_DIM_STATS_SQL,
+    "g_salt_plan": G_SALT_PLAN_SQL,
 }
