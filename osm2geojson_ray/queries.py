@@ -10860,6 +10860,148 @@ FROM c WHERE n > {_SALT_CAP}
 """
 
 
+def t_cross_source_dup(sf_dir: str):
+    """CROSS-SOURCE template-overlap matrix — how many distinct
+    first-8-token templates each pair of sources shares (the
+    provenance-overlap table that decides which feed to drop before
+    dedup even runs; verbatim cross-source copies are rarer than
+    shared boilerplate, so the template key is the one that fires):
+    distinct (source, prefix) pairs batch-locally (the
+    t_template_detect assembly), ONE prefix-keyed hash exchange
+    co-locates every source carrying a template, the partition kernel
+    enumerates each template's source pairs (vectorized triu over the
+    tiny per-template source set, string-ranked so a < b matches
+    SQL), a pair rollup finishes.  Routing hashes only co-locate;
+    pairing groups by the prefix STRING, so collisions cannot
+    conflate templates."""
+    from .relational import empty_dataset, hash_exchange_map, partial_grouped_agg
+    from .text.analysis import _hash63_batch
+
+    docs = _pq(sf_dir, "documents", ["source", "text"])
+
+    slim_schema = pa.schema(
+        [("source", pa.string()), ("text", pa.string()),
+         ("text_key", pa.int64())]
+    )
+
+    def slim(t: pa.Table) -> pa.Table:
+        src = t["source"]
+        txt = t["text"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = pc.fill_null(txt, "")
+        toks = pc.split_pattern_regex(pc.utf8_lower(txt), r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        ne = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(ne))
+        parent = parent[ne]
+        n = len(t)
+        counts = np.bincount(parent, minlength=n)
+        starts = np.r_[0, np.cumsum(counts)[:-1]]
+        rk = np.arange(len(parent)) - np.repeat(starts, counts)
+        keep = rk < 8
+        kept = np.minimum(counts, 8)
+        offsets = np.r_[0, np.cumsum(kept)].astype(np.int32)
+        la = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), flat.filter(pa.array(keep)))
+        prefix = pc.binary_join(la, " ")
+        s_codes = src.dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        p_enc = prefix.dictionary_encode()
+        p_codes = p_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        _, idx = np.unique(
+            s_codes * np.int64(len(p_enc.dictionary)) + p_codes,
+            return_index=True)
+        sel = pa.array(np.sort(idx), pa.int64())
+        pp = prefix.take(sel)
+        return pa.Table.from_pydict(
+            {"source": src.take(sel), "text": pp,
+             "text_key": _hash63_batch(pp).astype(np.int64)},
+            schema=slim_schema,
+        )
+
+    rows = docs.map_batches(slim, batch_format="pyarrow")
+
+    pair_schema = pa.schema(
+        [("source_a", pa.string()), ("source_b", pa.string())]
+    )
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if "__part" in tbl.column_names:
+            tbl = tbl.drop_columns(["__part"])
+        if len(tbl) == 0:
+            return pair_schema.empty_table()
+        txt = tbl["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        t_codes = txt.dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        src = tbl["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        s_enc = src.dictionary_encode()
+        s_codes = s_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # rank dict codes by STRING order so triu pairs satisfy a < b
+        # exactly as the SQL twin's a.source < b.source does
+        dict_order = np.argsort(np.asarray(s_enc.dictionary, dtype=object))
+        rank = np.empty(len(dict_order), np.int64)
+        rank[dict_order] = np.arange(len(dict_order))
+        order = np.lexsort((rank[s_codes], t_codes))
+        # the slim stage dedupes (source, prefix) only per BATCH — drop
+        # cross-batch repeats here so triu can't emit (s, s) pairs
+        tc0 = t_codes[order]
+        rk0 = rank[s_codes][order]
+        uniq = np.r_[True, (tc0[1:] != tc0[:-1]) | (rk0[1:] != rk0[:-1])]
+        order = order[uniq]
+        tc = t_codes[order]
+        starts = np.flatnonzero(np.r_[True, tc[1:] != tc[:-1]])
+        lens = np.diff(np.append(starts, len(tc)))
+        aa, bb = [], []
+        src_sorted = src.take(pa.array(order, pa.int64()))
+        for s, ln in zip(starts, lens):  # per DISTINCT text; ln tiny
+            if ln < 2:
+                continue
+            ii, jj = np.triu_indices(int(ln), k=1)
+            aa.append(s + ii)
+            bb.append(s + jj)
+        if not aa:
+            return pair_schema.empty_table()
+        ai = pa.array(np.concatenate(aa), pa.int64())
+        bi = pa.array(np.concatenate(bb), pa.int64())
+        return pa.Table.from_pydict(
+            {"source_a": src_sorted.take(ai),
+             "source_b": src_sorted.take(bi)},
+            schema=pair_schema,
+        )
+
+    pairs = hash_exchange_map(rows, "text_key", 16, kernel)
+    if pairs is None:
+        return empty_dataset(
+            pa.schema([("source_a", pa.string()), ("source_b", pa.string()),
+                       ("n_shared_texts", pa.int64())])
+        )
+    return partial_grouped_agg(
+        pairs, ["source_a", "source_b"],
+        {"n_shared_texts": (None, "count")},
+    )
+
+
+T_CROSS_SOURCE_SQL = r"""
+WITH words AS (
+  SELECT source, regexp_extract_all(lower(text), '\S+') AS ws
+  FROM documents),
+dt AS (SELECT DISTINCT source, array_to_string(ws[1:8], ' ') AS p
+       FROM words),
+pr AS (SELECT a.source AS source_a, b.source AS source_b
+       FROM dt a JOIN dt b ON a.p = b.p AND a.source < b.source)
+SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_shared_texts
+FROM pr GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q2_segment_revenue": q2_segment_revenue,
@@ -11057,6 +11199,7 @@ QUERIES = {
     "q86_revenue_concentration": q86_revenue_concentration,
     "e_dim_stats": e_dim_stats,
     "g_salt_plan": g_salt_plan,
+    "t_cross_source_dup": t_cross_source_dup,
 }
 
 ORACLE_SQL = {
@@ -11252,4 +11395,5 @@ ORACLE_SQL = {
     "q86_revenue_concentration": Q86_SQL,
     "e_dim_stats": E_DIM_STATS_SQL,
     "g_salt_plan": G_SALT_PLAN_SQL,
+    "t_cross_source_dup": T_CROSS_SOURCE_SQL,
 }
